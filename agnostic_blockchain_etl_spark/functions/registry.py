@@ -1,0 +1,162 @@
+"""Register the kernel library as Spark SQL functions.
+
+The reference activates its UDF bundle by server config
+(internal/engine/impl/local/local_engine.go:236-275); our analog is
+``register_all(spark)``, called by the session factory, after which the
+reference's SQL (hex/keccak/ABI-decode expressions) runs near-verbatim via
+``spark.sql``.
+
+Design notes (scale): the pure kernels (hex, keccak) are registered as
+**pandas UDFs** so values move executor→Python in Arrow record batches
+rather than pickled rows; the decode UDFs are pandas UDFs too (CPU-bound,
+benefit from batch amortization). The RPC functions are row-at-a-time
+Python UDFs here for SQL parity only — pipelines should use the
+``mapInPandas`` source in ``operators/rpc_source.py`` which pools one
+transport per executor. Where possible prefer the *native column
+expressions* in ``native`` below (hex encode/decode compile to JVM
+``unhex``/``hex`` and stay inside whole-stage codegen — no Python at all).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import (BinaryType, DecimalType, LongType, StringType)
+
+from . import abi, hex as hexmod, keccak, rpc
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM-side, codegen-friendly) equivalents — use these in DataFrame
+# code; the Python UDFs below exist for SQL-name parity with the reference.
+# ---------------------------------------------------------------------------
+
+class native:
+    """Column-expression versions that never leave the JVM."""
+
+    @staticmethod
+    def evm_hex_decode(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        h = F.regexp_replace(c, "^0[xX]", "")
+        # left-pad odd-length nibble strings, '' → empty binary
+        h = F.when(F.length(h) % 2 == 1, F.concat(F.lit("0"), h)).otherwise(h)
+        return F.unhex(h)
+
+    @staticmethod
+    def evm_hex_decode_int(col: Column | str) -> Column:
+        """≤63-bit hex quantity → long (JVM ``conv``)."""
+        c = F.col(col) if isinstance(col, str) else col
+        h = F.regexp_replace(c, "^0[xX]", "")
+        return F.when(c.isNull(), F.lit(None).cast(LongType())).otherwise(
+            F.conv(F.when(h == "", F.lit("0")).otherwise(h), 16, 10).cast(LongType()))
+
+    @staticmethod
+    def evm_hex_encode(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.concat(F.lit("0x"), F.lower(F.hex(c)))
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF kernels
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def _udf_hex_decode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: hexmod.evm_hex_decode(v) if v is not None else None)
+
+
+@pandas_udf(LongType())
+def _udf_hex_decode_int(s: pd.Series, t: pd.Series) -> pd.Series:
+    it = iter(t)
+    return s.map(lambda v: hexmod.evm_hex_decode_int(v, next(it)) if v is not None else None)
+
+
+@pandas_udf(DecimalType(38, 0))
+def _udf_hex_decode_dec(s: pd.Series) -> pd.Series:
+    import decimal
+
+    def conv(v):
+        if v is None:
+            return None
+        n = hexmod.evm_hex_decode_int(v, "UInt256")
+        return decimal.Decimal(n) if n < 10 ** 38 else None
+
+    return s.map(conv)
+
+
+@pandas_udf(BinaryType())
+def _udf_hex_decode_word(s: pd.Series) -> pd.Series:
+    """0x-hex quantity → canonical 32-byte big-endian word (UInt256 exact)."""
+
+    def conv(v):
+        if v is None:
+            return None
+        n = hexmod.evm_hex_decode_int(v, "UInt256")
+        return n.to_bytes(32, "big")
+
+    return s.map(conv)
+
+
+@pandas_udf(StringType())
+def _udf_hex_encode(b: pd.Series) -> pd.Series:
+    return b.map(lambda v: hexmod.evm_hex_encode(bytes(v)) if v is not None else None)
+
+
+@pandas_udf(StringType())
+def _udf_hex_encode_int(n: pd.Series) -> pd.Series:
+    return n.map(lambda v: hexmod.evm_hex_encode_int(int(v)) if v is not None and not pd.isna(v) else None)
+
+
+@pandas_udf(BinaryType())
+def _udf_keccak256(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: keccak.keccak256(v) if v is not None else None)
+
+
+@pandas_udf(StringType())
+def _udf_decode_event(topics: pd.Series, data: pd.Series, fullsigs: pd.Series) -> pd.Series:
+    out = []
+    for t, d, f in zip(topics, data, fullsigs):
+        out.append(abi.evm_decode_event(
+            list(t) if t is not None else [], d,
+            list(f) if f is not None else []))
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def _udf_decode_call(inp: pd.Series, outp: pd.Series, fullsigs: pd.Series) -> pd.Series:
+    out = []
+    for i, o, f in zip(inp, outp, fullsigs):
+        out.append(abi.evm_decode_call(i, o, list(f) if f is not None else []))
+    return pd.Series(out)
+
+
+def _udf_ethereum_rpc(method, params, endpoint):
+    return rpc.ethereum_rpc(method, list(params or []), endpoint)
+
+
+def _udf_ethereum_rpc_call(to, func_sig, args_json, block_number, endpoint):
+    return rpc.ethereum_rpc_call(to, func_sig, args_json or "",
+                                 int(block_number), endpoint)
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every kernel under its reference name (idempotent)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    spark.udf.register("evm_hex_decode", _udf_hex_decode)
+    spark.udf.register("evm_hex_decode_int", _udf_hex_decode_int)
+    spark.udf.register("evm_hex_decode_dec", _udf_hex_decode_dec)
+    spark.udf.register("evm_hex_decode_word", _udf_hex_decode_word)
+    spark.udf.register("evm_hex_encode", _udf_hex_encode)
+    spark.udf.register("evm_hex_encode_int", _udf_hex_encode_int)
+    spark.udf.register("keccak256", _udf_keccak256)
+    spark.udf.register("evm_decode_event", _udf_decode_event)
+    spark.udf.register("evm_decode_call", _udf_decode_call)
+    spark.udf.register("ethereum_rpc", udf(_udf_ethereum_rpc, StringType()))
+    spark.udf.register("ethereum_rpc_call", udf(_udf_ethereum_rpc_call, StringType()))
+    _REGISTERED_SESSIONS.add(key)
