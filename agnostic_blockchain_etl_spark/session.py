@@ -1,0 +1,59 @@
+"""SparkSession factory — the engine analog of Local/RemoteEngine.
+
+Reference: internal/engine/impl/local/local_engine.go boots an embedded
+server with tuned settings + UDF bundles; remote_engine.go:10-44 points at
+an existing server. Here both collapse to SparkSession.builder with a conf
+dict, and "installing the UDF bundle" is ``register_all``.
+
+Scale defaults (100 TB design point, tested on local[32]):
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  replaces the reference's hand-tuned batch sizes for intra-query skew.
+- shuffle.partitions default tracks core count locally; on a real cluster
+  AQE coalesces from a deliberately high initial number.
+- parquet zstd to match the reference's CODEC(ZSTD) columns
+  (examples/ethereum_blocks/create_table.sql:2-24).
+- Arrow enabled for every Python boundary crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .functions.registry import register_all
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.scheduler.mode": "FAIR",  # concurrent batch stages share fairly
+}
+
+
+def get_session(master: str | None = None, conf: dict | None = None,
+                app_name: str = "agnostic-blockchain-etl-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults + kernel UDFs."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    merged = dict(DEFAULT_CONF)
+    if master.startswith("local"):
+        n = os.cpu_count() or 8
+        merged.setdefault("spark.sql.shuffle.partitions", str(n))
+        merged.setdefault("spark.driver.memory", "8g")
+    merged.update(conf or {})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    register_all(spark)
+    return spark
