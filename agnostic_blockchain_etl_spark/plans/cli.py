@@ -1,0 +1,88 @@
+"""CLI: ``pipeline`` and ``render`` subcommands.
+
+Reference: cmd/main.go:19-43 (urfave/cli app), cmd/pipeline/pipeline.go:31-159,
+cmd/render/render.go:12-63.
+
+    python -m agnostic_blockchain_etl_spark.plans.cli pipeline <dir>/pipeline.yaml \
+        --var SOURCE_TABLE=events --var TARGET=/tmp/out
+    python -m agnostic_blockchain_etl_spark.plans.cli render <dir> --var K=V [--filter glob]
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import sys
+from pathlib import Path
+
+from .config import PipelineConfig
+from .templates import TemplateSet
+
+
+def _parse_vars(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--var expects k=v, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def cmd_render(args) -> int:
+    ts = TemplateSet.load(args.path)
+    vars = _parse_vars(args.var)
+    for name in ts.names():
+        if args.filter and not fnmatch.fnmatch(name, args.filter):
+            continue
+        print(f"----------- {name} -----------")
+        print(ts.render(name, vars))
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from ..session import get_session
+    from .executor import SparkExecutor
+    from .pipeline import run_with_retry
+
+    cfg_path = Path(args.path)
+    conf = PipelineConfig.from_yaml(cfg_path)
+    tdir = Path(args.template_path) if args.template_path else cfg_path.parent
+    templates = TemplateSet.load(tdir)
+    vars = {**conf.Vars, **_parse_vars(args.var)}
+    spark = get_session(master=conf.Engine.master,
+                        conf=conf.Engine.spark_conf)
+
+    def scheduler_hook(pool: str) -> None:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
+    result = run_with_retry(SparkExecutor(spark), templates, conf, vars,
+                            scheduler_hook=scheduler_hook)
+    print(f"pipeline done: {result.stats.batches} batches, "
+          f"{result.stats.items} items, max_end={result.stats.max_end}, "
+          f"{result.stats.items_per_s:.1f} items/s")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="agnostic-blockchain-etl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("pipeline", help="run a pipeline from its yaml config")
+    p1.add_argument("path")
+    p1.add_argument("--var", action="append", default=[])
+    p1.add_argument("--template-path", default=None)
+    p1.set_defaults(fn=cmd_pipeline)
+
+    p2 = sub.add_parser("render", help="render templates without executing")
+    p2.add_argument("path")
+    p2.add_argument("--var", action="append", default=[])
+    p2.add_argument("--filter", default=None)
+    p2.set_defaults(fn=cmd_render)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
