@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` enumerate the operator inventory (SURVEY.md §2) with
+DuckDB-equivalent oracle SQL for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from agnostic_blockchain_etl_spark.functions import register_all
+from agnostic_blockchain_etl_spark.operators import relational
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    register_all(spark)
+    return relational.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+
+
+def _all_modules():
+    mods = [relational]
+    try:
+        from agnostic_blockchain_etl_spark.operators import llm_data
+        mods.append(llm_data)
+    except ImportError:
+        pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict = {}
+    for mod in _all_modules():
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    out: dict[str, str] = {}
+    for mod in _all_modules():
+        out.update(mod.ORACLES)
+    return out

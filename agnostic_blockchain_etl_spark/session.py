@@ -33,6 +33,9 @@ DEFAULT_CONF = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
+    # nanosecond long with this flag (convert with timestamp_micros(ts/1000))
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.scheduler.mode": "FAIR",  # concurrent batch stages share fairly
 }
