@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard (north star: BASELINE.json LLM-data ops).
+
+Design for 100 TB (tested at sf≤0.1):
+
+- **exact**: md5-groupBy — one shuffle keyed on a 128-bit digest; partial
+  aggregation makes the shuffle proportional to |distinct docs|.
+- **minhash_lsh**: the scale path for near-dup. shingle → 60-bit portable
+  hash → K permutation-min signature → band into B buckets → shuffle only
+  on (band, bucket) — candidate pairs are generated per bucket, never all
+  pairs. Bucket skew (a degenerate bucket holding half the corpus) is the
+  known hazard: AQE skew-join splitting handles moderate skew; degenerate
+  buckets should be length-capped upstream.
+- **simhash**: per-doc 60-bit signature via bitwise majority of token
+  hashes — embarrassingly parallel; near-dup pairs via same-signature (or
+  banded-prefix) grouping, here exact-pairwise for oracle verifiability.
+- **ngram_jaccard**: exact verification used after candidate generation;
+  implemented as shingle-set intersection counting (shuffle on shingle).
+
+Everything is cross-engine deterministic: the shingle/token hash is
+``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` (60-bit), identical in
+Spark (``conv(substr(md5(s),1,15),16,10)``) and DuckDB, so every query here
+has a full value-hash oracle. No Python UDFs anywhere — all JVM exprs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# MinHash parameters: K permutations in B bands of R rows (K = B*R).
+# h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1 (keeps a*x within int64).
+_P = 2147483647
+_K, _B, _R = 16, 4, 4
+_PERMS = [(2 * i + 1, 7919 * (i + 1) % _P) for i in range(_K)]  # odd a_i
+
+_JACCARD_THRESHOLD = 0.30
+_SIMHASH_BITS = 60
+_HAMMING_MAX = 6  # captures the true near-dup tail in the synthetic corpus
+
+
+def _spark_words(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _spark_shingles(words_col):
+    """Distinct 3-word shingles (guarded: Spark sequence auto-descends)."""
+    return F.when(
+        F.size(words_col) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words_col, i),
+                                  F.element_at(words_col, i + 1),
+                                  F.element_at(words_col, i + 2))))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _spark_hash60(col):
+    """Portable 60-bit hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+_SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(words) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(words) - 2), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) "
+    "ELSE [] END")
+_SQL_HASH60 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+    SELECT md5(text)                           AS content_key,
+           CAST(min(doc_id) AS BIGINT)         AS keep_doc_id,
+           CAST(count(*) AS BIGINT)            AS n_copies
+    FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id.
+
+    Scale: group on the digest, not the text — the shuffle carries 16-byte
+    keys instead of documents."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (t["documents"]
+            .select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_key"))
+            .groupBy("content_key")
+            .agg(F.min("doc_id").cast("long").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def _minhash_signature_df(spark, sf_dir):
+    """(doc_id, perm, minhash) — K rows per doc."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", _spark_shingles(_spark_words(F.col("text"))).alias("shingles"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = sh.select("doc_id", (_spark_hash60(F.col("shingle")) % _P).alias("h"))
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], "perm INT, a LONG, b LONG")
+    return (sh.crossJoin(F.broadcast(perms))
+            .groupBy("doc_id", "perm")
+            .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("minhash")))
+
+
+_SQL_MINHASH_BASE = f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    shingles_t AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, {_SQL_HASH60} % {_P} AS h FROM shingles_t),
+    perms(perm, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))}),
+    sig AS (
+        SELECT doc_id, perm, min((a * h + b) % {_P}) AS minhash
+        FROM hashed CROSS JOIN perms GROUP BY doc_id, perm)
+"""
+
+
+@query("dedup_minhash_signature", oracle=_SQL_MINHASH_BASE + """
+    SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM sig
+""")
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signature matrix: K=16 permutation-mins per document."""
+    return _minhash_signature_df(spark, sf_dir).select(
+        "doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_BASE + f"""
+    , bands AS (
+        SELECT doc_id, perm // {_R} AS band,
+               md5(array_to_string(list(minhash ORDER BY perm), '-')) AS bucket
+        FROM sig GROUP BY doc_id, perm // {_R}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+    doc_sh AS (
+        SELECT doc_id, shingle FROM shingles_t GROUP BY doc_id, shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (za.n + zb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+""")
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup pairs, verified by exact Jaccard.
+
+    The scale path: candidates come only from shared (band, bucket) —
+    the shuffle is keyed on bucket digests, never all-pairs. Verification
+    joins shingle sets only for candidate pairs."""
+    sig = _minhash_signature_df(spark, sf_dir)
+    bands = (sig.withColumn("band", (F.col("perm") / _R).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.array_join(F.sort_array(F.collect_list(
+                 F.struct("perm", "minhash"))).minhash.cast("array<string>"), "-")
+                 .cast("binary")).alias("bucket")))
+    cand = (bands.alias("x")
+            .join(bands.alias("y"),
+                  (F.col("x.band") == F.col("y.band")) &
+                  (F.col("x.bucket") == F.col("y.bucket")) &
+                  (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    t = load_tables(spark, sf_dir, ("documents",))
+    doc_sh = (t["documents"]
+              .select("doc_id", F.explode(
+                  _spark_shingles(_spark_words(F.col("text")))).alias("shingle")))
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(doc_sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+             .join(doc_sh.alias("sb"),
+                   (F.col("sb.doc_id") == F.col("doc_b")) &
+                   (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    jac = (F.col("n_common").cast("double") /
+           (F.col("za.n") + F.col("zb.n") - F.col("n_common")))
+    return (inter
+            .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+            .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
+            .where(jac >= _JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@query("dedup_simhash", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    tokens AS (
+        SELECT doc_id, unnest(words) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, {_SQL_HASH60} AS h FROM tokens),
+    bits(bit) AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+               AS simhash
+    FROM votes GROUP BY doc_id
+""")
+def dedup_simhash(spark, sf_dir):
+    """Per-document 60-bit SimHash: bitwise majority vote over token
+    hashes. One pass + a (doc, bit) aggregation; no pairwise work."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tokens = t["documents"].select(
+        "doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
+    hashed = tokens.select("doc_id", _spark_hash60(F.col("tok")).alias("h"))
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    votes = (hashed.crossJoin(F.broadcast(bits))
+             .groupBy("doc_id", "bit")
+             .agg(F.sum(F.when(
+                 F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)).alias("v")))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("v") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+@query("dedup_simhash_pairs", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    tokens AS (
+        SELECT doc_id, unnest(words) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, {_SQL_HASH60} AS h FROM tokens),
+    bits(bit) AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN bits GROUP BY doc_id, bit),
+    sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                   AS simhash
+        FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs under a Hamming radius. Exact-pairwise here
+    for oracle verifiability; the scale path buckets signatures by banded
+    prefixes first (same LSH trick as minhash) so only same-band pairs are
+    compared."""
+    sh = dedup_simhash(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .where(hamming <= _HAMMING_MAX)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.cast("int").alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over shared-shingle candidates)
+# ---------------------------------------------------------------------------
+
+@query("dedup_ngram_jaccard", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    doc_sh AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM words_t),
+    sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM doc_sh a JOIN doc_sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (za.n + zb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.10
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Scale: the only shuffle is on shingle (candidate generation); pairs
+    never materialize beyond shared-shingle groups. Hot shingles (boiler-
+    plate) are the skew hazard — cap group sizes upstream at 100 TB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    doc_sh = (t["documents"]
+              .select("doc_id", F.explode(
+                  _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
+              .distinct())
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (doc_sh.alias("a")
+             .join(doc_sh.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    jac = (F.col("n_common").cast("double") /
+           (F.col("za.n") + F.col("zb.n") - F.col("n_common")))
+    return (inter
+            .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+            .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
+            .where(jac >= 0.10)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))

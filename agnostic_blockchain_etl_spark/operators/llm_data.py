@@ -1,0 +1,10 @@
+"""Aggregated LLM-data-pipeline operator registry: dedup + similarity +
+text analysis + multimodal (BASELINE.json north-star ops)."""
+
+from . import dedup, multimodal, similarity, textstats
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+for _mod in (textstats, dedup, similarity, multimodal):
+    QUERIES.update(_mod.QUERIES)
+    ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (``embeddings`` table:
+vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Three tiers, all JVM-side column expressions (zip_with/aggregate — no
+Python UDF in the scoring path):
+
+- **brute-force top-k** — the correctness baseline: queries × corpus dot
+  products. At scale this is only sane for small query sets; the corpus
+  side stays partitioned and the query side broadcasts.
+- **sign-LSH bucketed** — the scale path: an 8-bit hyperplane-sign
+  signature (coordinate hyperplanes → deterministic, oracle-friendly)
+  buckets the corpus; candidates come only from the query's bucket.
+  At 100 TB this becomes: signature → shuffle-free bucket-partitioned
+  layout → per-bucket scans.
+- **near-dup pairs** — cosine ≥ τ within LSH buckets (pair output).
+
+Determinism: cosines are computed in float64 from float32 inputs and
+rounded to 4 decimals in both engines; DuckDB lists are cast to DOUBLE[]
+before arithmetic so both engines sum float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+_N_QUERIES = 8        # vec_id < 8 are the query vectors
+_TOP_K = 5
+_SIGN_BITS = 8        # LSH signature bits (coordinate hyperplanes)
+_NEAR_DUP_TAU = 0.45  # synthetic corpus max pairwise cosine ≈ 0.5
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+_SQL_COS = """
+    round(list_dot_product(qa, qb)
+          / (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb))), 4)
+"""
+
+
+@query("emb_cosine_topk", oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+        FROM emb q CROSS JOIN emb c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+""")
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a small query set.
+
+    Scale: the query side is broadcast (it's tiny by construction); the
+    corpus scan stays partitioned; ranking is a per-query-group top-k —
+    Spark turns the window + filter into a partial top-k under AQE."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    scored = (F.broadcast(q).crossJoin(emb)
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(_dot(F.col("qe"), F.col("e")) /
+                              (_norm(F.col("qe")) * _norm(F.col("e"))), 4)
+                       .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_SQL_SIG = (
+    "CAST(" + " + ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIGN_BITS)) + " AS BIGINT)")
+
+
+@query("emb_lsh_bucketed_search", oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+        FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+""")
+def emb_lsh_bucketed_search(spark, sf_dir):
+    """ANN via sign-LSH bucketing: candidates share the query's 8-bit
+    hyperplane-sign signature (~1/256 of the corpus per bucket), then exact
+    cosine within the bucket. The recall/cost knob is the bit count."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
+    sig_expr = sum(
+        (F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
+    sig = emb.withColumn("bucket", sig_expr)
+    q = (sig.where(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+                 F.col("bucket").alias("qbucket")))
+    scored = (sig.join(F.broadcast(q),
+                       (F.col("bucket") == F.col("qbucket")) &
+                       (F.col("vec_id") != F.col("query_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(_dot(F.col("qe"), F.col("e")) /
+                              (_norm(F.col("qe")) * _norm(F.col("e"))), 4)
+                       .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@query("emb_near_dup_pairs", oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= {_NEAR_DUP_TAU}
+""")
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within LSH buckets (the
+    embedding-space analog of minhash dedup): cosine ≥ τ, bucketed so the
+    pair space never materializes globally."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
+    sig_expr = sum(
+        (F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
+    sig = emb.withColumn("bucket", sig_expr)
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = (_dot(F.col("a.e"), F.col("b.e")) /
+           (_norm(F.col("a.e")) * _norm(F.col("b.e"))))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.vec_id") < F.col("b.vec_id")))
+            .where(cos >= _NEAR_DUP_TAU)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 4).alias("cosine")))
+
+
+@query("emb_label_centroids", oracle="""
+    WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    expanded AS (
+        SELECT label, dim, e[dim] AS v
+        FROM emb CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim))
+    SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS centroid_v
+    FROM expanded GROUP BY label, dim
+""")
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (the aggregation shape of IVF list
+    training): posexplode the vectors, average per (label, dim).
+
+    Scale: one shuffle keyed (label, dim) with partial aggregation —
+    centroid training over billions of vectors stays a single pass."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (t["embeddings"]
+            .select("label", F.posexplode(_as_double("embedding")))
+            .select("label", (F.col("pos") + 1).cast("int").alias("dim"),
+                    F.col("col").alias("v"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid_v")))

@@ -1,0 +1,188 @@
+"""Text-analysis operators for training-data pipelines (north star:
+BASELINE.json — language-ID, quality scoring, token counting, document
+fingerprinting over the ``documents`` table).
+
+All four are pure column expressions (JVM-side, whole-stage codegen — no
+Python in the hot path), so they scale linearly with input: at 100 TB they
+are a single pass over the corpus with no shuffle except final aggregates.
+
+Portability: every expression has an exact DuckDB equivalent so the
+driver's oracle gate hash-matches (md5 for fingerprints; regexp_extract_all
+for counting; explicit casts; rounds on ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# shared building blocks --------------------------------------------------
+
+_WORD_RE = r"[A-Za-z]+"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny distinctive-stopword lists per language (public linguistics facts)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def _words(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+@query("text_token_count", oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)  AS bpe_tokens,
+           CAST(length(text) AS BIGINT)                                AS n_chars
+    FROM documents
+""")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters | digits | single punctuation), all JVM-side."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+         .cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+@query("text_quality_score", oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                       AS n_chars,
+           CAST(n_words AS BIGINT)                            AS n_words,
+           round(CAST(length(text) AS DOUBLE) / n_words, 4)   AS avg_word_len,
+           round(CAST(n_punct AS DOUBLE)
+                 / greatest(length(text), 1), 4)              AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_words, 4)         AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 10 AND 100000
+                 AND CAST(n_punct AS DOUBLE) / greatest(length(text), 1) < 0.1
+                THEN 1 ELSE 0 END                             AS quality_keep
+    FROM (
+        SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\\s+'))           AS n_words,
+               len(regexp_extract_all(text, '{_PUNCT_RE}'))          AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               w -> w IN ('the','and','of','a','to'))) AS n_stop
+        FROM documents)
+""")
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword heuristics → a keep
+    flag (the classic pre-training quality filter shape)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "text",
+        F.size(_words(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), F.lit(0)))
+         .alias("n_punct"),
+        F.size(F.filter(_words(F.lower(F.trim(F.col("text")))),
+                        lambda w: w.isin("the", "and", "of", "a", "to")))
+         .alias("n_stop"))
+    punct_ratio = F.col("n_punct").cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.length("text").cast("double") / F.col("n_words"), 4)
+         .alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4)
+         .alias("stopword_ratio"),
+        F.when(F.col("n_words").between(10, 100000) & (punct_ratio < 0.1), 1)
+         .otherwise(0).alias("quality_keep"))
+
+
+def _marker_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"w -> w IN ({words})))")
+
+
+@query("text_lang_id", oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(en_n, es_n, de_n, fr_n)
+                WHEN en_n THEN 'en' WHEN es_n THEN 'es'
+                WHEN de_n THEN 'de' ELSE 'fr' END AS detected_lang
+    FROM (SELECT doc_id, lang,
+                 {_marker_count_sql('en')} AS en_n,
+                 {_marker_count_sql('es')} AS es_n,
+                 {_marker_count_sql('de')} AS de_n,
+                 {_marker_count_sql('fr')} AS fr_n
+          FROM documents)
+""")
+def text_lang_id(spark, sf_dir):
+    """Language-ID by distinctive-stopword hits (n-gram-free heuristic;
+    argmax with a fixed en>es>de>fr tie order, mirrored in the oracle's
+    CASE evaluation order)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    low = _words(F.lower(F.trim(F.col("text"))))
+    d = t["documents"].select(
+        "doc_id", "lang",
+        *[F.size(F.filter(low, lambda w: w.isin(*_LANG_MARKERS[lang])))
+          .alias(f"{lang}_n") for lang in ("en", "es", "de", "fr")])
+    best = F.greatest("en_n", "es_n", "de_n", "fr_n")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        F.when(F.col("en_n") == best, "en")
+         .when(F.col("es_n") == best, "es")
+         .when(F.col("de_n") == best, "de")
+         .otherwise("fr").alias("detected_lang"))
+
+
+@query("doc_fingerprint", oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))), '|'))
+               AS shingle_fingerprint
+    FROM (SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS words
+          FROM documents)
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact content hash + an order-insensitive
+    3-shingle-set hash (canonical form: sorted distinct shingles joined).
+    The shingle fingerprint is the dedup key for near-identical docs that
+    differ only in shingle order/multiplicity."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "text",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+    # NB: Spark sequence(1, 0) auto-descends to [1, 0]; DuckDB's
+    # generate_series(1, 0) is empty — guard short docs explicitly.
+    shingles = F.when(
+        F.size("words") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("words", i),
+                                  F.element_at("words", i + 1),
+                                  F.element_at("words", i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "|")
+              .cast("binary")).alias("shingle_fingerprint"))
