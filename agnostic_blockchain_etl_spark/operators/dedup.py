@@ -59,15 +59,22 @@ def _spark_words(col):
 
 
 def _spark_shingles(words_col):
-    """Distinct 3-word shingles (guarded: Spark sequence auto-descends)."""
-    return F.when(
-        F.size(words_col) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(words_col) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words_col, i),
-                                  F.element_at(words_col, i + 1),
-                                  F.element_at(words_col, i + 2))))
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct 3-word shingles (guarded: Spark sequence auto-descends).
+
+    Built by zipping three shifted slices instead of element_at-indexing
+    inside a transform lambda: Catalyst's project-collapse inlines the
+    upstream split() into lambda bodies, so indexed access re-tokenizes the
+    document once per shingle (O(n²) per doc — measured 25s vs 0.9s on the
+    sf0.1 corpus). Slices evaluate the split a constant number of times."""
+    n = F.size(words_col)
+    a = F.slice(words_col, 1, n - 2)
+    b = F.slice(words_col, 2, n - 2)
+    c = F.slice(words_col, 3, n - 2)
+    zipped = F.zip_with(
+        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        c, lambda xy, z: F.concat_ws(" ", xy, z))
+    return F.when(n >= 3, F.array_distinct(zipped)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def _spark_hash60(col):
@@ -111,18 +118,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-def _minhash_signature_df(spark, sf_dir):
-    """(doc_id, perm, minhash) — K rows per doc."""
+def _doc_shingles_df(spark, sf_dir):
+    """(doc_id, shingle, h) — distinct shingles with their 60-bit hash."""
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].select(
-        "doc_id", _spark_shingles(_spark_words(F.col("text"))).alias("shingles"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    sh = sh.select("doc_id", (_spark_hash60(F.col("shingle")) % _P).alias("h"))
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], "perm INT, a LONG, b LONG")
-    return (sh.crossJoin(F.broadcast(perms))
-            .groupBy("doc_id", "perm")
-            .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _P).alias("minhash")))
+    return (t["documents"]
+            .select("doc_id", F.explode(
+                _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
+            .withColumn("h", _spark_hash60(F.col("shingle")) % _P))
+
+
+def _minhash_wide_df(spark, sf_dir):
+    """(doc_id, m0..m15) in ONE aggregation pass.
+
+    Scale note: the naive plan (explode perms × shingles, groupBy
+    (doc, perm)) shuffles K× the shingle count; computing all K permutation
+    mins as parallel aggregate expressions keeps the shuffle at exactly one
+    row group per doc and lets partial aggregation collapse map-side."""
+    sh = _doc_shingles_df(spark, sf_dir)
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 _SQL_MINHASH_BASE = f"""
@@ -143,9 +158,13 @@ _SQL_MINHASH_BASE = f"""
     SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM sig
 """)
 def dedup_minhash_signature(spark, sf_dir):
-    """MinHash signature matrix: K=16 permutation-mins per document."""
-    return _minhash_signature_df(spark, sf_dir).select(
-        "doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+    """MinHash signature matrix: K=16 permutation-mins per document
+    (computed wide, unpivoted to rows for the oracle contract)."""
+    wide = _minhash_wide_df(spark, sf_dir)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(_K))
+    return wide.selectExpr(
+        "doc_id", f"stack({_K}, {stack_args}) as (perm, minhash)"
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
 
 
 @query("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_BASE + f"""
@@ -181,12 +200,15 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     The scale path: candidates come only from shared (band, bucket) —
     the shuffle is keyed on bucket digests, never all-pairs. Verification
     joins shingle sets only for candidate pairs."""
-    sig = _minhash_signature_df(spark, sf_dir)
-    bands = (sig.withColumn("band", (F.col("perm") / _R).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.array_join(F.sort_array(F.collect_list(
-                 F.struct("perm", "minhash"))).minhash.cast("array<string>"), "-")
-                 .cast("binary")).alias("bucket")))
+    wide = _minhash_wide_df(spark, sf_dir)
+    band_cols = [
+        F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
+                                 for r in range(_R)]).cast("binary"))
+         .alias(f"band{j}") for j in range(_B)]
+    bands = wide.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        f"stack({_B}, " + ", ".join(f"{j}, band{j}" for j in range(_B)) +
+        ") as (band, bucket)")
     cand = (bands.alias("x")
             .join(bands.alias("y"),
                   (F.col("x.band") == F.col("y.band")) &
@@ -195,16 +217,15 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    t = load_tables(spark, sf_dir, ("documents",))
-    doc_sh = (t["documents"]
-              .select("doc_id", F.explode(
-                  _spark_shingles(_spark_words(F.col("text")))).alias("shingle")))
+    # the verification below reads the shingle set three times — cache it,
+    # and intersect on the 60-bit hash (8-byte shuffle keys)
+    doc_sh = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (cand
              .join(doc_sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
              .join(doc_sh.alias("sb"),
                    (F.col("sb.doc_id") == F.col("doc_b")) &
-                   (F.col("sa.shingle") == F.col("sb.shingle")))
+                   (F.col("sa.h") == F.col("sb.h")))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
     jac = (F.col("n_common").cast("double") /
            (F.col("za.n") + F.col("zb.n") - F.col("n_common")))
@@ -238,20 +259,22 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 """)
 def dedup_simhash(spark, sf_dir):
     """Per-document 60-bit SimHash: bitwise majority vote over token
-    hashes. One pass + a (doc, bit) aggregation; no pairwise work."""
+    hashes, computed as 60 parallel aggregate expressions in ONE pass.
+
+    Scale note: the textbook formulation (explode bits × tokens, groupBy
+    (doc, bit)) multiplies the shuffle by 60; wide aggregation keeps the
+    shuffle at one row per doc and partial-aggregates map-side."""
     t = load_tables(spark, sf_dir, ("documents",))
-    tokens = t["documents"].select(
-        "doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
-    hashed = tokens.select("doc_id", _spark_hash60(F.col("tok")).alias("h"))
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    votes = (hashed.crossJoin(F.broadcast(bits))
-             .groupBy("doc_id", "bit")
-             .agg(F.sum(F.when(
-                 F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)).alias("v")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("v") > 0,
-                              F.expr("shiftleft(cast(1 as bigint), bit)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+    hashed = (t["documents"]
+              .select("doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
+              .select("doc_id", _spark_hash60(F.col("tok")).alias("h")))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+          .alias(f"v{b}") for b in range(_SIMHASH_BITS)])
+    simhash = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+         for b in range(_SIMHASH_BITS)), start=F.lit(0)).cast("long")
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 @query("dedup_simhash_pairs", oracle=f"""
@@ -320,15 +343,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Scale: the only shuffle is on shingle (candidate generation); pairs
     never materialize beyond shared-shingle groups. Hot shingles (boiler-
     plate) are the skew hazard — cap group sizes upstream at 100 TB."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    doc_sh = (t["documents"]
-              .select("doc_id", F.explode(
-                  _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
-              .distinct())
+    # join on the 60-bit shingle hash, not the string — the shuffle carries
+    # 8-byte keys; shingle strings never leave the scan stage
+    doc_sh = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (doc_sh.alias("a")
              .join(doc_sh.alias("b"),
-                   (F.col("a.shingle") == F.col("b.shingle")) &
+                   (F.col("a.h") == F.col("b.h")) &
                    (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))

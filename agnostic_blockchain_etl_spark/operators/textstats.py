@@ -168,19 +168,12 @@ def doc_fingerprint(spark, sf_dir):
     The shingle fingerprint is the dedup key for near-identical docs that
     differ only in shingle order/multiplicity."""
     t = load_tables(spark, sf_dir, ("documents",))
+    from .dedup import _spark_shingles  # slice-zip construction (see note there)
+
     d = t["documents"].select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
-    # NB: Spark sequence(1, 0) auto-descends to [1, 0]; DuckDB's
-    # generate_series(1, 0) is empty — guard short docs explicitly.
-    shingles = F.when(
-        F.size("words") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("words", i),
-                                  F.element_at("words", i + 1),
-                                  F.element_at("words", i + 2)))
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = _spark_shingles(F.col("words"))
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),

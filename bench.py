@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query materializes fully through the noop sink (count() would let
+Catalyst prune the projection work). Session startup is excluded; a tiny
+warm-up query pre-initializes executors and the Arrow/pandas path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the reference-surface flagships + the LLM-data ops, chosen
+# to cover scan/agg, joins, windows, array ops, JSON, dedup (hash + LSH +
+# simhash), similarity search, text stats, and the pandas-UDF boundary.
+HEADLINE = [
+    "q1_pricing_summary",
+    "left_join_enrich",
+    "join_after_agg",
+    "window_first_per_group",
+    "zip_arrays_posexplode",
+    "union_all_wallets",
+    "json_extract_scalar",
+    "topk_order_limit",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_lsh_bucketed_search",
+    "text_quality_score",
+    "text_token_count",
+    "doc_fingerprint",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from agnostic_blockchain_etl_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session(
+        master=f"local[{cpus}]",
+        conf={"spark.sql.shuffle.partitions": cpus,
+              "spark.driver.memory": "16g"},
+        app_name="bench")
+    qs = entrymod.queries()
+
+    # warm-up: JVM, executor threads, Arrow path
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = qs[name]
+        t0 = time.monotonic()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
