@@ -131,7 +131,25 @@ def set_default_transport(t: Transport | None) -> None:
 
 
 def get_default_transport() -> Transport:
-    return _DEFAULT_TRANSPORT if _DEFAULT_TRANSPORT is not None else HttpTransport()
+    """Resolve the transport: explicit install > env-configured mock > HTTP.
+
+    ``AGN_RPC_MOCK=module:attr`` names a Transport (or factory) to import —
+    env vars reach Spark's Python workers where module globals set on the
+    driver do not, so tests/offline pipelines configure the mock this way.
+    """
+    global _DEFAULT_TRANSPORT
+    if _DEFAULT_TRANSPORT is not None:
+        return _DEFAULT_TRANSPORT
+    import importlib
+    import os
+    spec = os.environ.get("AGN_RPC_MOCK")
+    if spec:
+        mod_name, _, attr = spec.partition(":")
+        obj = getattr(importlib.import_module(mod_name), attr)
+        t = obj() if callable(obj) and not isinstance(obj, Transport) else obj
+        _DEFAULT_TRANSPORT = t
+        return t
+    return HttpTransport()
 
 
 _RETRYABLE_MARKERS = ("timeout", "timed out", "connection", "429", "503", "502")

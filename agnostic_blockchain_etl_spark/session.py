@@ -37,6 +37,9 @@ DEFAULT_CONF = {
     # nanosecond long with this flag (convert with timestamp_micros(ts/1000))
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # replayed day/month partitions replace only themselves (idempotent
+    # range-keyed writes, SURVEY.md §7.2)
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.scheduler.mode": "FAIR",  # concurrent batch stages share fairly
 }
 

@@ -1,0 +1,47 @@
+"""ReplacingMergeTree-semantics sink reads.
+
+Reference: sinks are ``ReplacingMergeTree`` tables — replayed inserts
+create physical duplicates that collapse to the latest row per ORDER-BY
+key at merge/read time (examples/ethereum_blocks/create_table.sql:30-32;
+SURVEY.md §2.8 'exactly-once-ish delivery').
+
+The Spark analog: append-only parquet writes (replay-safe by idempotent
+range semantics) + ``read_replacing`` — latest-row-per-key on read, the
+same contract ClickHouse gives before ``OPTIMIZE FINAL``. A periodic
+compaction job can materialize the deduped state with the identical plan.
+
+Scale: the dedup is one window (or groupBy-max-struct) keyed on the ORDER
+BY key — at 100 TB run it per partition (the key always embeds the
+partition column, as the reference's ORDER BY keys embed the cursor), so
+the shuffle is partition-local, and a replayed range only ever collides
+within its own partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def read_replacing(df: DataFrame, keys: list[str],
+                   version_col: str | None = None) -> DataFrame:
+    """Latest row per ``keys`` (by ``version_col`` desc, else arbitrary-but-
+    deterministic via all-column max) — the ReplacingMergeTree read path."""
+    if version_col is None:
+        # no version column: any full replay writes identical bytes, so
+        # plain DISTINCT collapses replays exactly
+        return df.distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
+def write_daily_partitioned(df: DataFrame, target: str, ts_col: str,
+                            mode: str = "overwrite") -> None:
+    """Hive-partitioned daily parquet write (the table_to_daily_parquet
+    sink, examples/table_to_daily_parquet_file/transform.sql:1-12):
+    ``…/date=YYYY-MM-DD/part-*.parquet``. With dynamic partition overwrite
+    a replayed day replaces exactly its own partition."""
+    (df.withColumn("date", F.to_date(F.col(ts_col)))
+       .write.mode(mode).partitionBy("date").parquet(target))
