@@ -31,7 +31,12 @@ def cursor_stream_batches(get_tip: Callable[[], int | None], start: int,
     last_tip: int | None = None
     while True:
         tip = get_tip()
-        if tip is not None and (last_tip is None or tip > last_tip):
+        if tip is None:
+            # a None tip signals source exhaustion; non-increasing tips just
+            # mean no new work yet (keep polling, batcher.go:55-57)
+            if stop_when_caught_up:
+                return
+        elif last_tip is None or tip > last_tip:
             last_tip = tip
             while cursor <= tip:
                 end = min(cursor + max_batch_size - 1, tip)
@@ -41,7 +46,5 @@ def cursor_stream_batches(get_tip: Callable[[], int | None], start: int,
                 cursor = end + 1
                 if stop_after_batches is not None and number >= stop_after_batches:
                     return
-        elif stop_when_caught_up:
-            return
         if poll_interval_s:
             time.sleep(poll_interval_s)

@@ -1,0 +1,91 @@
+"""Unit tests for sources: refreshable dictionary, Replacing reads,
+daily-partitioned writes."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.sources.dictionary import (
+    RefreshableDictionary)
+from agnostic_blockchain_etl_spark.sources.replacing import (
+    read_replacing, write_daily_partitioned)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    s = get_session(master="local[8]",
+                    conf={"spark.sql.shuffle.partitions": "8"})
+    yield s
+
+
+class TestRefreshableDictionary:
+    def test_lookup_and_ttl_refresh(self, spark):
+        loads = {"n": 0}
+
+        def loader(s):
+            loads["n"] += 1
+            return s.createDataFrame(
+                [("a", loads["n"] * 10), ("b", loads["n"] * 20)],
+                "k STRING, v INT")
+
+        d = RefreshableDictionary(spark, loader, key_col="k",
+                                  lifetime_min_s=1000, lifetime_max_s=1000)
+        base = spark.createDataFrame([("a",), ("b",), ("c",)], "k STRING")
+        out = d.dict_get(base, "v", F.col("k")).orderBy("k").collect()
+        assert [(r["k"], r["v"]) for r in out] == [("a", 10), ("b", 20), ("c", None)]
+        d.dict_get(base, "v", F.col("k")).collect()
+        assert loads["n"] == 1  # cached within TTL
+
+        d._expires_at = 0  # force expiry
+        out2 = d.dict_get(base, "v", F.col("k")).orderBy("k").collect()
+        assert loads["n"] == 2
+        assert out2[0]["v"] == 20  # refreshed values
+
+    def test_broadcast_plan(self, spark):
+        d = RefreshableDictionary(
+            spark, lambda s: s.createDataFrame([("x", 1)], "k STRING, v INT"),
+            key_col="k")
+        base = spark.createDataFrame([("x",)], "k STRING")
+        plan = d.dict_get(base, "v", F.col("k"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestReplacing:
+    def test_distinct_replay(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (1, "a")], "k INT, payload STRING")
+        out = read_replacing(df, keys=["k"])
+        assert out.count() == 2
+
+    def test_versioned_latest(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")],
+            "k INT, version INT, payload STRING")
+        out = {r["k"]: r["payload"]
+               for r in read_replacing(df, ["k"], "version").collect()}
+        assert out == {1: "new", 2: "only"}
+
+
+class TestDailyPartitionedWrite:
+    def test_layout_and_dynamic_overwrite(self, spark, tmp_path):
+        target = str(tmp_path / "daily")
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")],
+            "id INT, ts STRING").withColumn("ts", F.col("ts").cast("timestamp"))
+        write_daily_partitioned(df, target, "ts")
+        dirs = sorted(d for d in os.listdir(target) if d.startswith("date="))
+        assert dirs == ["date=2024-01-01", "date=2024-01-02"]
+
+        # replay one day: only that partition is replaced (dynamic mode)
+        df2 = spark.createDataFrame(
+            [(99, "2024-01-02 12:00:00")], "id INT, ts STRING") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        write_daily_partitioned(df2, target, "ts")
+        back = spark.read.parquet(target)
+        assert {r["id"] for r in back.collect()} == {1, 99}
