@@ -24,8 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_modules():
     mods = [relational]
     try:
-        from agnostic_blockchain_etl_spark.operators import extended, llm_data
-        mods.extend([extended, llm_data])
+        from agnostic_blockchain_etl_spark.operators import (analytics,
+                                                             extended,
+                                                             llm_data)
+        mods.extend([analytics, extended, llm_data])
     except ImportError:
         pass
     return mods

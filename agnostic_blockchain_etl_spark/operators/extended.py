@@ -202,6 +202,9 @@ def evm_rpc_mock_roundtrip(spark, sf_dir):
     requires AGN_RPC_MOCK — returns an empty frame when no mock transport
     is configured so the driver's gate still passes schema checks)."""
     import os
+
+    from ..functions.registry import register_all
+    register_all(spark)
     if not os.environ.get("AGN_RPC_MOCK"):
         return spark.createDataFrame([], "n BIGINT, number BIGINT, ok BOOLEAN")
     return spark.sql("""

@@ -23,6 +23,10 @@ def load_tables(spark: SparkSession, sf_dir: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    # the driver may call queries() on a fresh session without entry() —
+    # make every query self-sufficient (idempotent, no-op after first call)
+    from ..functions.registry import register_all
+    register_all(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
