@@ -26,8 +26,8 @@ def _all_modules():
     try:
         from agnostic_blockchain_etl_spark.operators import (analytics,
                                                              extended,
-                                                             llm_data)
-        mods.extend([analytics, extended, llm_data])
+                                                             llm_data, misc)
+        mods.extend([analytics, extended, llm_data, misc])
     except ImportError:
         pass
     return mods

@@ -127,14 +127,14 @@ def _doc_shingles_df(spark, sf_dir):
             .withColumn("h", _spark_hash60(F.col("shingle")) % _P))
 
 
-def _minhash_wide_df(spark, sf_dir):
+def _minhash_wide_df(spark, sf_dir, shingles_df=None):
     """(doc_id, m0..m15) in ONE aggregation pass.
 
     Scale note: the naive plan (explode perms × shingles, groupBy
     (doc, perm)) shuffles K× the shingle count; computing all K permutation
     mins as parallel aggregate expressions keeps the shuffle at exactly one
     row group per doc and lets partial aggregation collapse map-side."""
-    sh = _doc_shingles_df(spark, sf_dir)
+    sh = shingles_df if shingles_df is not None else _doc_shingles_df(spark, sf_dir)
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -200,7 +200,11 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     The scale path: candidates come only from shared (band, bucket) —
     the shuffle is keyed on bucket digests, never all-pairs. Verification
     joins shingle sets only for candidate pairs."""
-    wide = _minhash_wide_df(spark, sf_dir)
+    # one cached shingle scan feeds BOTH the signature aggregation and the
+    # three verification reads below (the md5 hashing pass is the most
+    # expensive stage — compute it once)
+    doc_sh_full = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
+    wide = _minhash_wide_df(spark, sf_dir, shingles_df=doc_sh_full)
     band_cols = [
         F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
                                  for r in range(_R)]).cast("binary"))
@@ -217,9 +221,9 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    # the verification below reads the shingle set three times — cache it,
-    # and intersect on the 60-bit hash (8-byte shuffle keys)
-    doc_sh = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
+    # verification intersects on the 60-bit hash (8-byte shuffle keys),
+    # reusing the cached shingle scan from the signature stage
+    doc_sh = doc_sh_full
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (cand
              .join(doc_sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))

@@ -39,6 +39,9 @@ HEADLINE = [
     "text_token_count",
     "doc_fingerprint",
     "multimodal_decode_features",
+    "asof_join_last_click",
+    "sessionization",
+    "percentiles_exact",
 ]
 
 
@@ -57,8 +60,14 @@ def main() -> None:
         app_name="bench")
     qs = entrymod.queries()
 
-    # warm-up: JVM, executor threads, Arrow path
+    # warm-up: JVM, executor threads, Arrow path, FS cache + codegen for
+    # every headline plan — the timed pass below measures steady state
     spark.range(1000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # drop persisted datasets so timed queries do their own work (within-
+    # query cache reuse is part of the operator; cross-pass reuse is not)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
