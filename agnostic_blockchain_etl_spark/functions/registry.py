@@ -159,4 +159,6 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("evm_decode_call", _udf_decode_call)
     spark.udf.register("ethereum_rpc", udf(_udf_ethereum_rpc, StringType()))
     spark.udf.register("ethereum_rpc_call", udf(_udf_ethereum_rpc_call, StringType()))
+    from .words import register_words
+    register_words(spark)
     _REGISTERED_SESSIONS.add(key)
