@@ -56,8 +56,17 @@ def cmd_pipeline(args) -> int:
     def scheduler_hook(pool: str) -> None:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
+    metrics_server = None
+    if args.metrics_port:
+        from .probe import MetricsServer, run_startup_probe
+        run_startup_probe(spark)
+        metrics_server = MetricsServer(port=int(args.metrics_port))
+        metrics_server.start()
+
     result = run_with_retry(SparkExecutor(spark), templates, conf, vars,
                             scheduler_hook=scheduler_hook)
+    if metrics_server is not None:
+        metrics_server.stop()
     print(f"pipeline done: {result.stats.batches} batches, "
           f"{result.stats.items} items, max_end={result.stats.max_end}, "
           f"{result.stats.items_per_s:.1f} items/s")
@@ -72,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
     p1.add_argument("path")
     p1.add_argument("--var", action="append", default=[])
     p1.add_argument("--template-path", default=None)
+    p1.add_argument("--metrics-port", default=None,
+                    help="serve Prometheus-text metrics (reference :9999)")
     p1.set_defaults(fn=cmd_pipeline)
 
     p2 = sub.add_parser("render", help="render templates without executing")

@@ -29,6 +29,12 @@ class Executor:
     def select(self, sql: str) -> list[dict]:
         raise NotImplementedError
 
+    def apply_settings(self, settings: dict) -> None:
+        """Per-stage engine settings (reference: stage.go:88-90 attaches
+        ClickHouse settings per query; Spark confs are session-scoped, so
+        stages apply them once at worker start — concurrent stages with
+        conflicting settings should use distinct sessions)."""
+
 
 def split_statements(sql: str) -> list[str]:
     """Split a rendered .sql file into statements on top-level semicolons
@@ -69,6 +75,14 @@ class SparkExecutor(Executor):
 
     def __init__(self, spark):
         self.spark = spark
+
+    def apply_settings(self, settings: dict) -> None:
+        for k, v in (settings or {}).items():
+            if k.startswith("spark."):
+                try:
+                    self.spark.conf.set(k, str(v))
+                except Exception:
+                    pass  # static confs can't change post-start; skip
 
     def exec(self, sql: str) -> QueryMetadata:
         t0 = time.monotonic()

@@ -190,6 +190,8 @@ def run_stage_workers(ctx: _Ctx, executor: Executor, templates: TemplateSet,
     def worker(widx: int) -> None:
         if scheduler_hook:
             scheduler_hook(pool_name)  # set FAIR pool for this thread's jobs
+        if conf.Settings:
+            executor.apply_settings(conf.Settings)  # stage.go:88-90 parity
         try:
             while True:
                 item = _get(ctx, inq)
