@@ -25,9 +25,10 @@ def _all_modules():
     mods = [relational]
     try:
         from agnostic_blockchain_etl_spark.operators import (analytics,
+                                                             corpus,
                                                              extended,
                                                              llm_data, misc)
-        mods.extend([analytics, extended, llm_data, misc])
+        mods.extend([analytics, corpus, extended, llm_data, misc])
     except ImportError:
         pass
     return mods

@@ -1,0 +1,170 @@
+"""Corpus-preparation operators: token-window chunking, vocabulary
+statistics, TF-IDF term scoring, embedding quantization — the remaining
+pre-training data-pipeline stages (BASELINE.json north star), all
+JVM-side and DuckDB-oracle-verified.
+
+Scale shapes: chunking is per-row array slicing (no shuffle); vocabulary
+and TF-IDF shuffle once on the term; quantization is per-row arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+_CHUNK, _STRIDE = 32, 24  # 32-token windows, 8-token overlap
+
+_SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query("chunk_documents", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    chunked AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(floor((len(words) - 1) / {_STRIDE})
+                                              AS BIGINT))) AS chunk_id,
+               words
+        FROM words_t)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(words[1 + chunk_id * {_STRIDE} :
+                                 least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))],
+                           ' ')                                  AS chunk_text,
+           CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))
+                - chunk_id * {_STRIDE} AS BIGINT)                AS n_tokens
+    FROM chunked
+    WHERE chunk_id * {_STRIDE} < len(words)
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (32-token windows, 8-token overlap) —
+    the context-window packing stage. Pure per-row array slicing: zero
+    shuffle, scales with document count."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+    d = d.select(
+        "doc_id", "words",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.floor((F.size("words") - 1) / _STRIDE).cast("long"))).alias("chunk_id"))
+    start = F.col("chunk_id") * _STRIDE + 1
+    n_tok = (F.least(F.col("chunk_id") * _STRIDE + _CHUNK, F.size("words"))
+             - F.col("chunk_id") * _STRIDE)
+    return (d.where(F.col("chunk_id") * _STRIDE < F.size("words"))
+            .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                    F.array_join(F.slice(F.col("words"), start, _CHUNK), " ")
+                     .alias("chunk_text"),
+                    n_tok.cast("long").alias("n_tokens")))
+
+
+@query("vocab_topk", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    counts AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM words_t GROUP BY word)
+    SELECT word, n, df FROM counts
+    ORDER BY n DESC, word LIMIT 100
+""")
+def vocab_topk(spark, sf_dir):
+    """Top-100 vocabulary with term and document frequencies (tokenizer
+    vocabulary training shape). One shuffle on the term; top-k is a
+    TakeOrdered, not a global sort."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = (t["documents"]
+         .select("doc_id", F.explode(
+             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+         .groupBy("word")
+         .agg(F.count("*").alias("n"),
+              F.countDistinct("doc_id").alias("df")))
+    return w.orderBy(F.col("n").desc(), "word").limit(100)
+
+
+@query("tfidf_top_terms", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM words_t GROUP BY doc_id, word),
+    df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM words_t GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, word) AS rn
+        FROM scored)
+    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (keyword extraction / quality
+    signal). df and N are small aggregates broadcast into the scoring
+    join; the only large shuffle is the (doc, word) term-frequency one."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = t["documents"].select(
+        "doc_id", F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(df), "word")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "word",
+                      F.round(F.col("tf") * F.log(
+                          F.col("n_docs").cast("double") / F.col("df")), 6)
+                       .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "word", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@query("embedding_quantize_int8", oracle="""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scaled AS (
+        SELECT vec_id, e,
+               127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+        FROM emb),
+    expanded AS (
+        SELECT vec_id, dim, e[dim] AS v, scale
+        FROM scaled CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim))
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(CAST(floor(v * scale + 0.5) AS BIGINT) AS INT) AS q,
+           round(scale, 6) AS scale6
+    FROM expanded
+""")
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization per vector (max-abs scaling) — the
+    storage/serving compression stage. floor(x+0.5) rounding is spelled
+    out so both engines use identical IEEE ops. Per-row arithmetic, no
+    shuffle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scaled = emb.withColumn(
+        "scale", 127.0 / F.array_max(F.transform("e", lambda x: F.abs(x))))
+    return (scaled.select("vec_id", "scale", F.posexplode("e"))
+            .select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"),
+                    F.floor(F.col("col") * F.col("scale") + 0.5)
+                     .cast("long").cast("int").alias("q"),
+                    F.round("scale", 6).alias("scale6")))
