@@ -27,8 +27,9 @@ def _all_modules():
         from agnostic_blockchain_etl_spark.operators import (analytics,
                                                              corpus,
                                                              extended,
+                                                             joins_scale,
                                                              llm_data, misc)
-        mods.extend([analytics, corpus, extended, llm_data, misc])
+        mods.extend([analytics, corpus, extended, joins_scale, llm_data, misc])
     except ImportError:
         pass
     return mods

@@ -71,8 +71,11 @@ def _udf_hex_decode(s: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def _udf_hex_decode_int(s: pd.Series, t: pd.Series) -> pd.Series:
-    it = iter(t)
-    return s.map(lambda v: hexmod.evm_hex_decode_int(v, next(it)) if v is not None else None)
+    # zip value+type rows together — a separate iterator would desync on
+    # null values (null rows must still consume their type argument)
+    return pd.Series([
+        hexmod.evm_hex_decode_int(v, ty) if v is not None else None
+        for v, ty in zip(s, t)])
 
 
 @pandas_udf(DecimalType(38, 0))

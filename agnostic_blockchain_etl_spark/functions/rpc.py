@@ -19,10 +19,11 @@ Transports:
 - ``MockTransport`` — canned (method, params) → response corpus for tests
   (FIXTURES.md §8); also accepts a callable.
 
-Inside Spark these kernels run via ``mapInPandas`` (see
-``operators/rpc_source.py``) so each executor keeps one transport with a
-pooled connection — the Spark analog of the reference's conn-per-batch +
-Workers parallelism (internal/pipeline/batcher.go:64,
+Inside Spark these kernels run either as the registered row-level UDFs
+(SQL-name parity) or — for high fan-out — via the ``mapInPandas`` stage in
+``operators/rpc_source.py``, where each Python worker keeps one transport
+with a reusable connection: the Spark analog of the reference's
+conn-per-batch + Workers parallelism (internal/pipeline/batcher.go:64,
 examples/ethereum_transactions/pipeline.yaml:26).
 """
 

@@ -118,6 +118,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+_LIVE_CACHES: list = []
+
+
+def _scoped_cache(df):
+    """Cache ``df`` and unpersist any cache from a previous dedup query —
+    bounds cached-memory growth to one query's working set when the whole
+    queries() inventory runs in a single session."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+    cached = df.cache()
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
 def _doc_shingles_df(spark, sf_dir):
     """(doc_id, shingle, h) — distinct shingles with their 60-bit hash."""
     t = load_tables(spark, sf_dir, ("documents",))
@@ -203,7 +220,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     # one cached shingle scan feeds BOTH the signature aggregation and the
     # three verification reads below (the md5 hashing pass is the most
     # expensive stage — compute it once)
-    doc_sh_full = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
+    doc_sh_full = _scoped_cache(_doc_shingles_df(spark, sf_dir).select("doc_id", "h"))
     wide = _minhash_wide_df(spark, sf_dir, shingles_df=doc_sh_full)
     band_cols = [
         F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
@@ -349,7 +366,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     plate) are the skew hazard — cap group sizes upstream at 100 TB."""
     # join on the 60-bit shingle hash, not the string — the shuffle carries
     # 8-byte keys; shingle strings never leave the scan stage
-    doc_sh = _doc_shingles_df(spark, sf_dir).select("doc_id", "h").cache()
+    doc_sh = _scoped_cache(_doc_shingles_df(spark, sf_dir).select("doc_id", "h"))
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (doc_sh.alias("a")
              .join(doc_sh.alias("b"),

@@ -46,6 +46,11 @@ def split_statements(sql: str) -> list[str]:
         ch = sql[i]
         if in_str:
             cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                # backslash-escaped char inside a literal (e.g. 'it\'s')
+                cur.append(sql[i + 1])
+                i += 2
+                continue
             if ch == in_str:
                 in_str = None
             i += 1

@@ -304,15 +304,19 @@ def run_finalizer(ctx: _Ctx, inq: queue.Queue, stats: FinalizerStats,
 
 
 def _safe_close(ctx: _Ctx, q: queue.Queue) -> None:
-    """Enqueue CLOSE without blocking forever if the consumer died."""
-    deadline = time.monotonic() + 5.0
-    while time.monotonic() < deadline:
+    """Enqueue CLOSE, blocking as long as the pipeline is healthy.
+
+    A slow consumer (e.g. a finalizer commit writing a sink) may hold the
+    queue full for a long time — keep trying while the pipeline is alive;
+    only a cancelled pipeline stops the close (its consumers exit via
+    ctx). Never give up silently: an undelivered CLOSE deadlocks the
+    downstream _get loop."""
+    while not ctx.cancel.is_set():
         try:
             q.put(CLOSE, timeout=0.1)
             return
         except queue.Full:
-            if ctx.cancel.is_set():
-                return
+            continue
 
 
 # ---------------------------------------------------------------------------
@@ -400,16 +404,21 @@ def run_with_retry(executor: Executor, templates: TemplateSet,
     """Re-run the whole pipeline with MaxBatchSize × multiplier on memory
     errors (pipeline_retrier.go:47-58); other errors propagate. Safe because
     sinks are replay-idempotent (range-keyed writes, SURVEY.md §7.2)."""
-    batch_size = conf.Batcher.MaxBatchSize
-    for attempt in range(conf.Retry.MaxRetries + 1):
-        conf.Batcher.MaxBatchSize = max(1, int(batch_size))
-        try:
-            return run_pipeline(executor, templates, conf, vars,
-                                on_commit, scheduler_hook)
-        except BaseException as e:
-            if not is_memory_error(e) or attempt == conf.Retry.MaxRetries:
-                raise
-            batch_size *= conf.Retry.MaxBatchSizeMultiplier
-            log.warning("memory error (%s); retrying with MaxBatchSize=%d",
-                        e, max(1, int(batch_size)))
-    raise AssertionError("unreachable")
+    original = conf.Batcher.MaxBatchSize
+    batch_size = float(original)
+    try:
+        for attempt in range(conf.Retry.MaxRetries + 1):
+            conf.Batcher.MaxBatchSize = max(1, int(batch_size))
+            try:
+                return run_pipeline(executor, templates, conf, vars,
+                                    on_commit, scheduler_hook)
+            except BaseException as e:
+                if not is_memory_error(e) or attempt == conf.Retry.MaxRetries:
+                    raise
+                batch_size *= conf.Retry.MaxBatchSizeMultiplier
+                log.warning("memory error (%s); retrying with MaxBatchSize=%d",
+                            e, max(1, int(batch_size)))
+        raise AssertionError("unreachable")
+    finally:
+        # the shrink is per-run state, not a lasting config edit
+        conf.Batcher.MaxBatchSize = original

@@ -228,9 +228,11 @@ class TestPipelineEndToEnd:
         ex = OomOnce(selects=[(r"resume", [{"start": 0}]), (r"head", [{"tip": 19}])])
         conf = _pipeline_conf(max_batch=20)
         result = run_with_retry(ex, _pipeline_templates(), conf)
-        # shrunk to 16 on retry (20 × 0.8)
-        assert conf.Batcher.MaxBatchSize == 16
         assert result.stats.items == 20
+        # retry ran at 16 (20 × 0.8): first buffer covers only [0,15]
+        assert any(e == "create buffer_0_15" for e in ex.execs)
+        # the shrink is per-run state — caller's config is restored
+        assert conf.Batcher.MaxBatchSize == 20
 
     def test_retrier_propagates_non_oom(self):
         class Bad(FakeExecutor):
