@@ -42,6 +42,11 @@ HEADLINE = [
     "asof_join_last_click",
     "sessionization",
     "percentiles_exact",
+    "range_join_banded",
+    "skew_salted_join",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
 ]
 
 

@@ -191,3 +191,30 @@ class TestRpc:
         rpc.ethereum_rpc_call("0x" + "cc" * 20, "function decimals()(uint8)",
                               "", -1, "http://x", transport=rpc.MockTransport(serve))
         assert seen["block"] == "latest"
+
+
+class TestDecoderFuzz:
+    """The decode UDFs run inside Spark tasks — an exception there kills
+    the whole stage, so the kernel contract is: NEVER raise, always return
+    the JSON envelope."""
+
+    @given(st.lists(st.binary(min_size=0, max_size=40), max_size=5),
+           st.binary(max_size=200),
+           st.lists(st.text(max_size=60), max_size=3))
+    def test_decode_event_never_raises(self, topics, data, sigs):
+        r = json.loads(abi.evm_decode_event(topics, data, sigs))
+        assert set(r) == {"value", "error"}
+        assert (r["value"] is None) != (r["error"] is None) or r["value"] is None
+
+    @given(st.binary(max_size=120), st.binary(max_size=120),
+           st.lists(st.text(max_size=60), max_size=3))
+    def test_decode_call_never_raises(self, inp, out, sigs):
+        r = json.loads(abi.evm_decode_call(inp, out, sigs))
+        assert set(r) == {"value", "error"}
+
+    @given(st.binary(min_size=4, max_size=200))
+    def test_decode_against_valid_sig_garbage_payload(self, payload):
+        # a real signature with garbage bytes → clean error or clean decode
+        sig = "function transfer(address,uint256)(bool)"
+        r = json.loads(abi.evm_decode_call(payload, b"", [sig]))
+        assert set(r) == {"value", "error"}
