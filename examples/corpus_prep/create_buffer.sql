@@ -1,0 +1,42 @@
+-- per-batch corpus prep: quality gate → within-batch exact-dedup (keep
+-- the lowest doc_id per content hash; the content_md5 column keys global
+-- dedup at read) → 32/8 token-window chunking
+CREATE OR REPLACE TEMPORARY VIEW buffer_{{.START}}_{{.END}} AS
+WITH scoped AS (
+    SELECT doc_id, text, lang, source,
+           md5(CAST(text AS BINARY))                        AS content_md5,
+           size(split(trim(text), '\\s+'))                  AS n_words,
+           size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS n_punct
+    FROM corpus_source
+    WHERE doc_id >= {{.START}} AND doc_id <= {{.END}}
+),
+quality AS (
+    SELECT * FROM scoped
+    WHERE n_words BETWEEN 10 AND 100000
+      AND CAST(n_punct AS DOUBLE) / greatest(length(text), 1) < 0.1
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_md5
+                                     ORDER BY doc_id) AS rn
+        FROM quality) WHERE rn = 1
+),
+words_t AS (
+    SELECT doc_id, content_md5, lang, source,
+           split(lower(trim(text)), '\\s+') AS words
+    FROM deduped
+),
+chunked AS (
+    SELECT doc_id, content_md5, lang, source, words,
+           posexplode(sequence(0, CAST(floor((size(words) - 1) / 24) AS INT)))
+               AS (pos, chunk_id)
+    FROM words_t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT)                                   AS chunk_id,
+       array_join(slice(words, 1 + chunk_id * 24, 32), ' ')    AS chunk_text,
+       CAST(least(chunk_id * 24 + 32, size(words))
+            - chunk_id * 24 AS BIGINT)                         AS n_tokens,
+       content_md5, lang, source
+FROM chunked
+WHERE chunk_id * 24 < size(words)
