@@ -160,6 +160,34 @@ def moving_average(spark, sf_dir):
                     F.round(F.avg("value").over(w), 4).alias("value_ma4"))
 
 
+@query("approx_sketches")
+def approx_sketches(spark, sf_dir):
+    """Approximate sketches: HyperLogLog distinct counts and t-digest
+    quantiles per group, emitted NEXT TO their exact values with a
+    within-tolerance flag (rows-only — approximation has no byte-exact
+    DuckDB oracle; the embedded flags make the check self-asserting: a
+    broken sketch flips `hll_ok`/`pct_ok` to 0 and changes the value
+    hash). These are the 100 TB forms of count-distinct and percentile —
+    bounded memory, single pass, mergeable partial states."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    g = (t["lineitem"].groupBy("l_returnflag")
+         .agg(F.countDistinct("l_partkey").alias("exact_distinct"),
+              F.approx_count_distinct("l_partkey", 0.02).alias("hll_distinct"),
+              F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+              F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+               .alias("approx_p50")))
+    return g.select(
+        "l_returnflag", "exact_distinct", "hll_distinct",
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("approx_p50", 2).alias("approx_p50"),
+        F.when((F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")) <= 0.05, 1).otherwise(0)
+         .alias("hll_ok"),
+        F.when((F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                / F.col("exact_p50")) <= 0.05, 1).otherwise(0)
+         .alias("pct_ok"))
+
+
 @query("ordered_string_agg", oracle="""
     SELECT c_mktsegment,
            string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS customers

@@ -365,20 +365,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     never materialize beyond shared-shingle groups. Hot shingles (boiler-
     plate) are the skew hazard — cap group sizes upstream at 100 TB."""
     # join on the 60-bit shingle hash, not the string — the shuffle carries
-    # 8-byte keys; shingle strings never leave the scan stage
+    # 8-byte keys; shingle strings never leave the scan stage. The per-doc
+    # set size rides along on every exploded row (a tiny window over the
+    # cached scan), so no post-aggregation size joins are needed: each
+    # (a, b) pair group carries both sizes as group-constants via min().
     doc_sh = _scoped_cache(_doc_shingles_df(spark, sf_dir).select("doc_id", "h"))
-    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (doc_sh.alias("a")
-             .join(doc_sh.alias("b"),
+    from pyspark.sql import Window
+    sized = doc_sh.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id")))
+    inter = (sized.alias("a")
+             .join(sized.alias("b"),
                    (F.col("a.h") == F.col("b.h")) &
                    (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_common")))
+             .agg(F.count("*").alias("n_common"),
+                  F.min("a.n").alias("na"),
+                  F.min("b.n").alias("nb")))
     jac = (F.col("n_common").cast("double") /
-           (F.col("za.n") + F.col("zb.n") - F.col("n_common")))
+           (F.col("na") + F.col("nb") - F.col("n_common")))
     return (inter
-            .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
-            .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
             .where(jac >= 0.10)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
