@@ -13,6 +13,7 @@ naive range-join alternative is quadratic per key). DuckDB's native
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -198,25 +199,41 @@ def evm_keccak_topics(spark, sf_dir):
 
 @query("evm_rpc_mock_roundtrip")
 def evm_rpc_mock_roundtrip(spark, sf_dir):
-    """ethereum_rpc through SQL against the in-repo mock chain (rows-only;
-    requires AGN_RPC_MOCK — returns an empty frame when no mock transport
-    is configured so the driver's gate still passes schema checks)."""
-    import os
+    """The ethereum_rpc kernel driven through Spark with an inline
+    deterministic transport (rows-only: no RPC analog exists in DuckDB).
+
+    The mock ``serve`` closure is defined inside this function so
+    cloudpickle ships it by value to every worker — no environment setup
+    needed; the query is self-asserting (``ok`` flips on any envelope,
+    hex round-trip, or JSON-path regression)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def serve(method, params):  # pure function of the request
+        if method != "eth_getBlockByNumber":
+            raise RuntimeError(f"unexpected method {method}")
+        return {"number": params[0]}
+
+    @pandas_udf("string")
+    def mock_rpc(method: pd.Series, params_json: pd.Series) -> pd.Series:
+        from agnostic_blockchain_etl_spark.functions.rpc import (MockTransport,
+                                                                 ethereum_rpc)
+        transport = MockTransport(serve)
+        return pd.Series([
+            ethereum_rpc(m, _json.loads(p), "mock://inline",
+                         transport=transport)
+            for m, p in zip(method, params_json)])
 
     from ..functions.registry import register_all
     register_all(spark)
-    if not os.environ.get("AGN_RPC_MOCK"):
-        return spark.createDataFrame([], "n BIGINT, number BIGINT, ok BOOLEAN")
-    return spark.sql("""
-        SELECT id AS n,
-               evm_hex_decode_int(get_json_object(
-                   ethereum_rpc('eth_getBlockByNumber',
-                                array(evm_hex_encode_int(id), 'false'),
-                                'mock://chain'),
-                   '$.value.number'), 'UInt64') AS number,
-               evm_hex_decode_int(get_json_object(
-                   ethereum_rpc('eth_getBlockByNumber',
-                                array(evm_hex_encode_int(id), 'false'),
-                                'mock://chain'),
-                   '$.value.number'), 'UInt64') = id AS ok
-        FROM range(0, 50)""")
+    reqs = spark.range(0, 50).selectExpr(
+        "id AS n", "'eth_getBlockByNumber' AS method",
+        "to_json(array(evm_hex_encode_int(id), 'false')) AS params")
+    resp = reqs.withColumn("response", mock_rpc("method", "params"))
+    return resp.selectExpr(
+        "n",
+        "evm_hex_decode_int(get_json_object(response, '$.value.number'),"
+        " 'UInt64') AS number",
+        "evm_hex_decode_int(get_json_object(response, '$.value.number'),"
+        " 'UInt64') = n AS ok")
