@@ -521,6 +521,78 @@ def string_functions(spark, sf_dir):
          .alias("source_hex"))
 
 
+@query("q3_shipping_priority", oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style three-way fact join with selective dimension filter.
+
+    Scale: the segment filter shrinks customer before it joins; Catalyst
+    pushes both date predicates into the scans and (with AQE) broadcasts
+    the filtered customer side — join order matters and is left to the
+    optimizer, not hand-scheduled."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+@query("q5_supplier_volume", oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+""")
+def q5_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style five-way star join (region→nation→supplier dims onto
+    the lineitem⋈orders facts).
+
+    Scale: three dims broadcast (bytes, not gigabytes, at any SF); the one
+    real shuffle is lineitem⋈orders on orderkey; the aggregate shrinks to
+    |nations| rows map-side."""
+    t = load_tables(spark, sf_dir,
+                    ("region", "nation", "supplier", "lineitem", "orders"))
+    r = t["region"].where(F.col("r_name") == "ASIA")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    return (F.broadcast(r)
+            .join(F.broadcast(t["nation"]),
+                  t["nation"].n_regionkey == r.r_regionkey)
+            .join(F.broadcast(t["supplier"]),
+                  t["supplier"].s_nationkey == t["nation"].n_nationkey)
+            .join(t["lineitem"],
+                  t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
+            .join(o, o.o_orderkey == t["lineitem"].l_orderkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue")))
+
+
 @query("generate_series_scan", oracle="""
     SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_rows
     FROM (SELECT unnest(generate_series(0, 9999)) AS n)
