@@ -79,20 +79,29 @@ def corr_covar_stats(spark, sf_dir):
 @query("time_bucket_rollup", oracle="""
     SELECT date_trunc('week', o_orderdate)     AS week,
            CAST(count(*) AS BIGINT)            AS n_orders,
-           round(sum(o_totalprice), 2)         AS revenue,
-           round(avg(o_totalprice), 4)         AS avg_order
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_order
     FROM orders GROUP BY 1
 """)
 def time_bucket_rollup(spark, sf_dir):
     """Hypertable-style time-bucket rollup: truncate to the bucket, group,
     aggregate — the continuous-aggregate shape (both engines start weeks
-    on Monday)."""
+    on Monday).
+
+    Revenue sums in DECIMAL(18,4) (associative → identical at any
+    partitioning; round-1 driver gate caught the double-sum ULP flip);
+    avg is the exact decimal sum cast to double over count — one
+    deterministic IEEE division on both engines."""
     t = load_tables(spark, sf_dir, ("orders",))
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
     return (t["orders"]
             .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_order")))
+                 F.round(F.sum(price_dec), 2).cast("double").alias("revenue"),
+                 F.round(F.sum(price_dec).cast("double") / F.count("*"), 4)
+                  .alias("avg_order")))
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes

@@ -48,11 +48,18 @@ def query(name: str, oracle: str | None = None):
 
 @query("q1_pricing_summary", oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(avg(l_quantity), 6)                                   AS avg_qty,
-           round(avg(l_extendedprice), 6)                              AS avg_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) -
+                           CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
            CAST(count(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -61,19 +68,26 @@ def query(name: str, oracle: str | None = None):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary: the groupBy/agg surface of §2.5.
 
-    Scale: partial aggregation map-side, then a shuffle keyed on the 2 Low-
+    Scale: partial aggregation map-side, then a shuffle keyed on the 2 low-
     cardinality flags — tiny shuffle regardless of input size; the scan
-    prunes to 6 columns + pushes the shipdate filter into parquet."""
+    prunes to 6 columns + pushes the shipdate filter into parquet. All
+    money sums run in DECIMAL(18,4) (associative → bit-stable across
+    partitionings); averages are decimal sum / count, rounded once."""
     t = load_tables(spark, sf_dir, ("lineitem",))
+    qty_dec = F.col("l_quantity").cast("decimal(18,4)")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
     return (t["lineitem"]
             .where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(F.round(F.sum(qty_dec), 2).cast("double").alias("sum_qty"),
+                 F.round(F.sum(price_dec), 2).cast("double")
+                  .alias("sum_base_price"),
+                 F.round(F.sum(_disc_price_decimal()), 2).cast("double")
                   .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.sum(qty_dec).cast("double") / F.count("*"), 6)
+                  .alias("avg_qty"),
+                 F.round(F.sum(price_dec).cast("double") / F.count("*"), 6)
+                  .alias("avg_price"),
                  F.count("*").alias("count_order")))
 
 
@@ -521,9 +535,27 @@ def string_functions(spark, sf_dir):
          .alias("source_hex"))
 
 
-@query("q3_shipping_priority", oracle="""
+def _disc_price_decimal():
+    """``l_extendedprice * (1 - l_discount)`` in DECIMAL(18,4) arithmetic.
+
+    Double summation is order-dependent; Spark and DuckDB partition sums
+    differently and ULP drift crosses 2-decimal rounding boundaries at
+    sf0.1 (driver hash_match failures in round 1). Decimal aggregation is
+    associative and engine-exact, so the hash matches at any parallelism —
+    the same property that makes the result reproducible run-to-run on a
+    1000-executor cluster."""
+    one = F.lit(1).cast("decimal(18,4)")
+    return (F.col("l_extendedprice").cast("decimal(18,4)") *
+            (one - F.col("l_discount").cast("decimal(18,4)")))
+
+
+_DISC_PRICE_SQL = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
+                   "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")
+
+
+@query("q3_shipping_priority", oracle=f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -539,7 +571,9 @@ def q3_shipping_priority(spark, sf_dir):
     Scale: the segment filter shrinks customer before it joins; Catalyst
     pushes both date predicates into the scans and (with AQE) broadcasts
     the filtered customer side — join order matters and is left to the
-    optimizer, not hand-scheduled."""
+    optimizer, not hand-scheduled. Revenue is summed in decimal (see
+    ``_disc_price_decimal``) so the result is bit-stable at any
+    partitioning."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].where(
@@ -549,14 +583,14 @@ def q3_shipping_priority(spark, sf_dir):
     return (c.join(o, c.c_custkey == o.o_custkey)
             .join(l, l.l_orderkey == o.o_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice") *
-                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .agg(F.round(F.sum(_disc_price_decimal()), 2)
+                  .cast("double").alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate"))
 
 
-@query("q5_supplier_volume", oracle="""
+@query("q5_supplier_volume", oracle=f"""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -589,8 +623,8 @@ def q5_supplier_volume(spark, sf_dir):
                   t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
             .join(o, o.o_orderkey == t["lineitem"].l_orderkey)
             .groupBy(F.col("n_name").alias("nation"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") *
-                               (1 - F.col("l_discount"))), 2).alias("revenue")))
+            .agg(F.round(F.sum(_disc_price_decimal()), 2)
+                  .cast("double").alias("revenue")))
 
 
 @query("generate_series_scan", oracle="""

@@ -27,9 +27,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full precision: the driver hashes raw values, so a 6-sig-digit
+        # truncation here masked a real ULP divergence in round 1.
+        return f"{v:.17g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.6g}"
+        return f"{float(v):.17g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
