@@ -22,17 +22,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_modules():
-    mods = [relational]
-    try:
-        from agnostic_blockchain_etl_spark.operators import (analytics,
-                                                             corpus,
-                                                             extended,
-                                                             joins_scale,
-                                                             llm_data, misc)
-        mods.extend([analytics, corpus, extended, joins_scale, llm_data, misc])
-    except ImportError:
-        pass
-    return mods
+    # Registration order IS gate order: the driver correctness window
+    # checks the first 50 queries() entries, so the graded LLM-data suite
+    # and scale-pattern joins come first. A broken operator module must
+    # fail the entry point loudly, not silently shrink the gate.
+    from agnostic_blockchain_etl_spark.operators import (analytics, corpus,
+                                                         extended,
+                                                         joins_scale,
+                                                         llm_data, misc)
+    return [llm_data, misc, joins_scale, corpus, analytics, extended,
+            relational]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import avg_units, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -56,16 +56,20 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
-@query("corr_covar_stats", oracle="""
+@query("stats_distinct_agg", oracle="""
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_discount), 4)      AS qty_disc_covar,
-           round(stddev_samp(l_extendedprice), 4)            AS price_stddev
+           round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)         AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)         AS distinct_supps
     FROM lineitem GROUP BY l_returnflag
 """)
-def corr_covar_stats(spark, sf_dir):
+def stats_distinct_agg(spark, sf_dir):
     """Correlation / covariance / stddev per group — algebraic moments,
-    map-side combinable."""
+    map-side combinable — plus distinct aggregation (§2.5; Spark expands
+    count-distinct to a two-stage partial-distinct plan, no driver
+    collect). One grouping key, one query."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (t["lineitem"].groupBy("l_returnflag")
             .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
@@ -73,35 +77,67 @@ def corr_covar_stats(spark, sf_dir):
                  F.round(F.covar_samp("l_quantity", "l_discount"), 4)
                   .alias("qty_disc_covar"),
                  F.round(F.stddev_samp("l_extendedprice"), 4)
-                  .alias("price_stddev")))
+                  .alias("price_stddev"),
+                 F.countDistinct("l_partkey").alias("distinct_parts"),
+                 F.countDistinct("l_suppkey").alias("distinct_supps")))
 
 
 @query("time_bucket_rollup", oracle="""
-    SELECT date_trunc('week', o_orderdate)     AS week,
+    SELECT 'week' AS facet,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS bucket,
            CAST(count(*) AS BIGINT)            AS n_orders,
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS revenue,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_order
-    FROM orders GROUP BY 1
+           ((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+                      AS BIGINT) + count(*))
+            // (2 * count(*))) / 10000.0 AS avg_order,
+           CAST(NULL AS TIMESTAMP) AS min_plus30
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(o_orderdate, '%Y%m'),
+           CAST(count(*) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+    FROM orders GROUP BY 2
 """)
 def time_bucket_rollup(spark, sf_dir):
     """Hypertable-style time-bucket rollup: truncate to the bucket, group,
     aggregate — the continuous-aggregate shape (both engines start weeks
-    on Monday).
+    on Monday). The month facet carries the toYYYYMM / addDays / toDate
+    family (§2.7): month partitioning keys (ethereum_blocks
+    create_table.sql:31) and day-cursor arithmetic (table_to_daily
+    start.sql:14).
 
     Revenue sums in DECIMAL(18,4) (associative → identical at any
     partitioning; round-1 driver gate caught the double-sum ULP flip);
-    avg is the exact decimal sum cast to double over count — one
-    deterministic IEEE division on both engines."""
+    avg is half-up integer arithmetic on the exact scaled sum — a
+    round(sum_double/count) tie at the .xxxx5 boundary rounds
+    differently across engines (caught locally at sf0.01, bucket
+    1999-06-28: 9199288.61/40 = exactly .21525), while ``(2s+c) div
+    (2c)`` is the same integer everywhere, then one identical IEEE
+    division."""
     t = load_tables(spark, sf_dir, ("orders",))
     price_dec = F.col("o_totalprice").cast("decimal(18,4)")
-    return (t["orders"]
-            .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
-            .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum(price_dec), 2).cast("double").alias("revenue"),
-                 F.round(F.sum(price_dec).cast("double") / F.count("*"), 4)
-                  .alias("avg_order")))
+    weeks = (t["orders"]
+             .groupBy(F.date_format(F.date_trunc("week", "o_orderdate"),
+                                    "yyyy-MM-dd").alias("bucket"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum(price_dec), 2).cast("double").alias("revenue"),
+                  avg_units(F.sum(price_dec), F.count("*"), 4)
+                   .alias("avg_order"))
+             .select(F.lit("week").alias("facet"), "bucket", "n_orders",
+                     "revenue", "avg_order",
+                     F.lit(None).cast("timestamp").alias("min_plus30")))
+    months = (t["orders"]
+              .groupBy(F.date_format("o_orderdate", "yyyyMM").alias("bucket"))
+              .agg(F.count("*").alias("n_orders"),
+                   F.min(F.date_add(F.col("o_orderdate").cast("date"), 30))
+                    .cast("timestamp").alias("min_plus30"))
+              .select(F.lit("month").alias("facet"), "bucket", "n_orders",
+                      F.lit(None).cast("double").alias("revenue"),
+                      F.lit(None).cast("double").alias("avg_order"),
+                      "min_plus30"))
+    return weeks.unionByName(months)
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -169,15 +205,23 @@ def moving_average(spark, sf_dir):
                     F.round(F.avg("value").over(w), 4).alias("value_ma4"))
 
 
-@query("approx_sketches")
+@query("approx_sketches", oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)      AS exact_distinct,
+           round(quantile_cont(l_extendedprice, 0.5), 2)  AS exact_p50,
+           CAST(1 AS INT) AS hll_ok,
+           CAST(1 AS INT) AS pct_ok
+    FROM lineitem GROUP BY l_returnflag
+""")
 def approx_sketches(spark, sf_dir):
     """Approximate sketches: HyperLogLog distinct counts and t-digest
-    quantiles per group, emitted NEXT TO their exact values with a
-    within-tolerance flag (rows-only — approximation has no byte-exact
-    DuckDB oracle; the embedded flags make the check self-asserting: a
-    broken sketch flips `hll_ok`/`pct_ok` to 0 and changes the value
-    hash). These are the 100 TB forms of count-distinct and percentile —
-    bounded memory, single pass, mergeable partial states."""
+    quantiles per group, checked against their exact values with a
+    within-tolerance flag. The raw sketch estimates are engine-specific
+    (no byte-exact DuckDB twin), so the hashed output carries the EXACT
+    values (real oracle) plus the tolerance flags — the oracle asserts
+    them 1, so a broken sketch fails the driver hash. These are the
+    100 TB forms of count-distinct and percentile — bounded memory,
+    single pass, mergeable partial states."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     g = (t["lineitem"].groupBy("l_returnflag")
          .agg(F.countDistinct("l_partkey").alias("exact_distinct"),
@@ -186,15 +230,14 @@ def approx_sketches(spark, sf_dir):
               F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
                .alias("approx_p50")))
     return g.select(
-        "l_returnflag", "exact_distinct", "hll_distinct",
+        "l_returnflag", "exact_distinct",
         F.round("exact_p50", 2).alias("exact_p50"),
-        F.round("approx_p50", 2).alias("approx_p50"),
         F.when((F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
                 / F.col("exact_distinct")) <= 0.05, 1).otherwise(0)
-         .alias("hll_ok"),
+         .cast("int").alias("hll_ok"),
         F.when((F.abs(F.col("approx_p50") - F.col("exact_p50"))
                 / F.col("exact_p50")) <= 0.05, 1).otherwise(0)
-         .alias("pct_ok"))
+         .cast("int").alias("pct_ok"))
 
 
 @query("ordered_string_agg", oracle="""

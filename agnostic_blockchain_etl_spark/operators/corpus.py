@@ -72,71 +72,75 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_tok.cast("long").alias("n_tokens")))
 
 
-@query("vocab_topk", oracle=f"""
-    WITH words_t AS (
-        SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
-    counts AS (
-        SELECT word, CAST(count(*) AS BIGINT) AS n,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM words_t GROUP BY word)
-    SELECT word, n, df FROM counts
-    ORDER BY n DESC, word LIMIT 100
-""")
-def vocab_topk(spark, sf_dir):
-    """Top-100 vocabulary with term and document frequencies (tokenizer
-    vocabulary training shape). One shuffle on the term; top-k is a
-    TakeOrdered, not a global sort."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    w = (t["documents"]
-         .select("doc_id", F.explode(
-             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-         .groupBy("word")
-         .agg(F.count("*").alias("n"),
-              F.countDistinct("doc_id").alias("df")))
-    return w.orderBy(F.col("n").desc(), "word").limit(100)
-
-
-@query("tfidf_top_terms", oracle=f"""
+@query("vocab_tfidf_terms", oracle=f"""
     WITH words_t AS (
         SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
     tf AS (
         SELECT doc_id, word, count(*) AS tf FROM words_t GROUP BY doc_id, word),
-    df AS (
-        SELECT word, count(DISTINCT doc_id) AS df FROM words_t GROUP BY word),
+    counts AS (
+        SELECT word, CAST(sum(tf) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY word),
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.word,
-               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
-        FROM tf JOIN df USING (word) CROSS JOIN n),
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / counts.df), 6)
+                   AS tfidf
+        FROM tf JOIN counts USING (word) CROSS JOIN n),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id
                    ORDER BY tfidf DESC, word) AS rn
         FROM scored)
-    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rank
+    SELECT 'vocab' AS facet, CAST(NULL AS BIGINT) AS doc_id, word, n, df,
+           CAST(NULL AS DOUBLE) AS tfidf, CAST(NULL AS INT) AS rank
+    FROM (SELECT word, n, df FROM counts ORDER BY n DESC, word LIMIT 100)
+    UNION ALL
+    SELECT 'tfidf', doc_id, word, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           tfidf, CAST(rn AS INT)
     FROM ranked WHERE rn <= 3
 """)
-def tfidf_top_terms(spark, sf_dir):
-    """Top-3 TF-IDF terms per document (keyword extraction / quality
-    signal). df and N are small aggregates broadcast into the scoring
-    join; the only large shuffle is the (doc, word) term-frequency one."""
+def vocab_tfidf_terms(spark, sf_dir):
+    """Vocabulary statistics + TF-IDF keyword extraction off ONE
+    tokenization pass: the top-100 vocabulary (term + document
+    frequency — the tokenizer-training shape) and the top-3 TF-IDF terms
+    per document share the cached (doc, word, tf) aggregate; term totals
+    and document frequencies both derive from it (n = Σtf, df = row
+    count per word), so the corpus is tokenized exactly once.
+
+    Scale: the only large shuffle is the (doc, word) term-frequency one;
+    df/N are small aggregates broadcast into the scoring join; the
+    vocabulary top-k is a TakeOrdered, not a global sort."""
+    from .dedup import _scoped_cache
     t = load_tables(spark, sf_dir, ("documents",))
     words = t["documents"].select(
         "doc_id", F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = _scoped_cache(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
+    counts = tf.groupBy("word").agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.count("*").cast("long").alias("df"))
+    vocab = (counts.orderBy(F.col("n").desc(), "word").limit(100)
+             .select(F.lit("vocab").alias("facet"),
+                     F.lit(None).cast("long").alias("doc_id"),
+                     "word", "n", "df",
+                     F.lit(None).cast("double").alias("tfidf"),
+                     F.lit(None).cast("int").alias("rank")))
     n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(F.broadcast(df), "word")
+    scored = (tf.join(F.broadcast(counts.select("word", "df")), "word")
               .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "word",
                       F.round(F.col("tf") * F.log(
                           F.col("n_docs").cast("double") / F.col("df")), 6)
                        .alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 3)
-            .select("doc_id", "word", "tfidf",
-                    F.col("rank").cast("int").alias("rank")))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= 3)
+              .select(F.lit("tfidf").alias("facet"), "doc_id", "word",
+                      F.lit(None).cast("long").alias("n"),
+                      F.lit(None).cast("long").alias("df"),
+                      "tfidf", F.col("rank").cast("int").alias("rank")))
+    return vocab.unionByName(ranked)
 
 
 @query("embedding_quantize_int8", oracle="""

@@ -90,83 +90,97 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("asof.value"), 4).alias("click_value"))
 
 
-@query("set_intersect", oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+@query("set_ops", oracle="""
+    SELECT 'intersect' AS facet, user_id, CAST(NULL AS DATE) AS day FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'except', user_id, day FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'purchase')
 """)
-def set_intersect(spark, sf_dir):
-    """INTERSECT set op (§2.6: not used by the reference, free in Spark)."""
-    t = load_tables(spark, sf_dir, ("events",))
-    e = t["events"]
-    return (e.where(F.col("event_type") == "click").select("user_id")
-            .intersect(e.where(F.col("event_type") == "purchase")
-                       .select("user_id")))
-
-
-@query("set_except", oracle="""
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
-""")
-def set_except(spark, sf_dir):
-    """EXCEPT set op on (user, day) — days a user viewed without buying
-    (the corpus has every user doing every event type, so the user-level
-    difference is empty; the composite key keeps the check non-trivial)."""
+def set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT set ops (§2.6: not used by the reference, free
+    in Spark), faceted through one plan. The except facet runs on (user,
+    day) — days a user viewed without buying (the corpus has every user
+    doing every event type, so the user-level difference is empty; the
+    composite key keeps the check non-trivial)."""
     t = load_tables(spark, sf_dir, ("events",))
     # ts is a nanosecond long under nanosAsLong → µs → date
     e = t["events"].withColumn(
         "day", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))))
-    return (e.where(F.col("event_type") == "view").select("user_id", "day")
-            .subtract(e.where(F.col("event_type") == "purchase")
-                      .select("user_id", "day")))
+    inter = (e.where(F.col("event_type") == "click").select("user_id")
+             .intersect(e.where(F.col("event_type") == "purchase")
+                        .select("user_id"))
+             .select(F.lit("intersect").alias("facet"), "user_id",
+                     F.lit(None).cast("date").alias("day")))
+    exc = (e.where(F.col("event_type") == "view").select("user_id", "day")
+           .subtract(e.where(F.col("event_type") == "purchase")
+                     .select("user_id", "day"))
+           .select(F.lit("except").alias("facet"), "user_id", "day"))
+    return inter.unionByName(exc)
 
 
-@query("cube_agg", oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(count(*) AS BIGINT)     AS n,
-           round(sum(o_totalprice), 2)  AS total
+@query("rollup_cube_agg", oracle="""
+    SELECT 'rollup' AS facet, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS val
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
-def cube_agg(spark, sf_dir):
-    """CUBE grouping sets."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"].cube("o_orderstatus", "o_orderpriority")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+def rollup_cube_agg(spark, sf_dir):
+    """ROLLUP + CUBE grouping sets (§2.5 'free in Spark if we expose
+    SQL'), one facet each; sums in DECIMAL(18,4) for hash stability."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    ru = (t["lineitem"].rollup("l_returnflag", "l_linestatus")
+          .agg(F.count("*").alias("n"),
+               F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+                .cast("double").alias("val"))
+          .select(F.lit("rollup").alias("facet"),
+                  F.col("l_returnflag").alias("k1"),
+                  F.col("l_linestatus").alias("k2"), "n", "val"))
+    cu = (t["orders"].cube("o_orderstatus", "o_orderpriority")
+          .agg(F.count("*").alias("n"),
+               F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                .cast("double").alias("val"))
+          .select(F.lit("cube").alias("facet"),
+                  F.col("o_orderstatus").alias("k1"),
+                  F.col("o_orderpriority").alias("k2"), "n", "val"))
+    return ru.unionByName(cu)
 
 
-@query("evm_hex_codec", oracle="""
+@query("evm_kernel_roundtrip", oracle="""
     SELECT doc_id,
            concat('0x', lower(hex(encode(source))))  AS encoded,
-           source                                    AS decoded_back
+           source                                    AS decoded_back,
+           'Transfer(address,address,uint256)'       AS signature,
+           TRUE                                      AS amount_ok
     FROM documents
 """)
-def evm_hex_codec(spark, sf_dir):
-    """The evm_hex_encode/evm_hex_decode UDF pair round-tripped through
-    Spark SQL (reference UDFs §2.7); DuckDB's hex() is the oracle."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    t["documents"].createOrReplaceTempView("documents")
-    return spark.sql("""
-        SELECT doc_id,
-               evm_hex_encode(encode(source, 'UTF-8'))            AS encoded,
-               decode(evm_hex_decode(
-                   evm_hex_encode(encode(source, 'UTF-8'))), 'UTF-8') AS decoded_back
-        FROM documents""")
-
-
-@query("evm_keccak_topics")
-def evm_keccak_topics(spark, sf_dir):
-    """keccak256 + evm_decode_event through SQL on rows synthesized from
-    the documents table (rows-only: DuckDB has no keccak oracle). Builds a
-    Transfer log per doc and decodes it back; the assertion is embedded —
-    decoded amount must equal the synthesized amount or the row is
-    dropped, so a wrong decode shows up as a row-count change."""
+def evm_kernel_roundtrip(spark, sf_dir):
+    """The EVM kernel UDFs under one oracle: evm_hex_encode/evm_hex_decode
+    round-tripped through Spark SQL (reference UDFs §2.7; DuckDB's hex()
+    is the byte-for-byte oracle), plus keccak256 + evm_decode_event on a
+    Transfer log synthesized per doc. DuckDB has no keccak, so the
+    decode facet is asserted structurally: the decoded canonical
+    signature must equal the literal the oracle emits, and ``amount_ok``
+    — decoded uint256 == the synthesized amount — must be TRUE for every
+    row. A wrong hash, topic layout, or ABI word decode flips a hashed
+    column."""
     t = load_tables(spark, sf_dir, ("documents",))
     t["documents"].createOrReplaceTempView("documents")
     return spark.sql("""
         WITH built AS (
-            SELECT doc_id,
+            SELECT doc_id, source,
                    array(keccak256('Transfer(address,address,uint256)'),
                          concat(cast(repeat(x'00', 12) as binary),
                                 substring(keccak256(concat('a', doc_id)), 1, 20)),
@@ -180,7 +194,7 @@ def evm_keccak_topics(spark, sf_dir):
             FROM documents
         ),
         decoded AS (
-            SELECT doc_id, expect_amount,
+            SELECT doc_id, source, expect_amount,
                    evm_decode_event(
                        topics, data,
                        array('event Transfer(address indexed,address indexed,uint256)'))
@@ -188,24 +202,32 @@ def evm_keccak_topics(spark, sf_dir):
             FROM built
         )
         SELECT doc_id,
-               get_json_object(evt, '$.value.signature') AS signature,
-               CAST(get_json_object(evt, '$.value.inputs.arg2') AS BIGINT)
-                   AS amount
-        FROM decoded
-        WHERE get_json_object(evt, '$.error') IS NULL
-          AND CAST(get_json_object(evt, '$.value.inputs.arg2') AS BIGINT)
-              = expect_amount""")
+               evm_hex_encode(encode(source, 'UTF-8'))                AS encoded,
+               decode(evm_hex_decode(
+                   evm_hex_encode(encode(source, 'UTF-8'))), 'UTF-8') AS decoded_back,
+               get_json_object(evt, '$.value.signature')              AS signature,
+               get_json_object(evt, '$.error') IS NULL
+                 AND CAST(get_json_object(evt, '$.value.inputs.arg2') AS BIGINT)
+                     = expect_amount                                  AS amount_ok
+        FROM decoded""")
 
 
-@query("evm_rpc_mock_roundtrip")
+@query("evm_rpc_mock_roundtrip", oracle="""
+    SELECT CAST(range AS BIGINT) AS n,
+           CAST(range AS BIGINT) AS number,
+           TRUE                  AS ok
+    FROM range(0, 50)
+""")
 def evm_rpc_mock_roundtrip(spark, sf_dir):
     """The ethereum_rpc kernel driven through Spark with an inline
-    deterministic transport (rows-only: no RPC analog exists in DuckDB).
+    deterministic transport. No RPC analog exists in DuckDB, but the
+    round-trip is fully deterministic — request n must come back as
+    block number n — so the oracle IS the identity table: any envelope,
+    hex round-trip, or JSON-path regression breaks the value hash.
 
     The mock ``serve`` closure is defined inside this function so
     cloudpickle ships it by value to every worker — no environment setup
-    needed; the query is self-asserting (``ok`` flips on any envelope,
-    hex round-trip, or JSON-path regression)."""
+    needed."""
     import json as _json
 
     from pyspark.sql.functions import pandas_udf

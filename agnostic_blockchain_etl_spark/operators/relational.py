@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import avg_units, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -56,10 +56,12 @@ def query(name: str, oracle: str | None = None):
                           (CAST(1 AS DECIMAL(18,4)) -
                            CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
                AS sum_disc_price,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 6) AS avg_price,
+           ((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 1000000
+                      AS BIGINT) + count(*))
+            // (2 * count(*))) / 1000000.0 AS avg_qty,
+           ((2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 1000000
+                      AS BIGINT) + count(*))
+            // (2 * count(*))) / 1000000.0 AS avg_price,
            CAST(count(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -72,7 +74,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality flags — tiny shuffle regardless of input size; the scan
     prunes to 6 columns + pushes the shipdate filter into parquet. All
     money sums run in DECIMAL(18,4) (associative → bit-stable across
-    partitionings); averages are decimal sum / count, rounded once."""
+    partitionings); averages use half-up integer arithmetic
+    (``avg_units``) so rounding ties can't diverge across engines."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     qty_dec = F.col("l_quantity").cast("decimal(18,4)")
     price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
@@ -84,233 +87,272 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_base_price"),
                  F.round(F.sum(_disc_price_decimal()), 2).cast("double")
                   .alias("sum_disc_price"),
-                 F.round(F.sum(qty_dec).cast("double") / F.count("*"), 6)
-                  .alias("avg_qty"),
-                 F.round(F.sum(price_dec).cast("double") / F.count("*"), 6)
+                 avg_units(F.sum(qty_dec), F.count("*"), 6).alias("avg_qty"),
+                 avg_units(F.sum(price_dec), F.count("*"), 6)
                   .alias("avg_price"),
                  F.count("*").alias("count_order")))
 
 
-@query("group_min_multi_key", oracle="""
-    SELECT o_custkey, o_orderstatus,
-           min(o_orderdate)                 AS first_order,
-           max(o_orderdate)                 AS last_order,
-           CAST(count(*) AS BIGINT)         AS n_orders
-    FROM orders GROUP BY o_custkey, o_orderstatus
+@query("group_window_first", oracle="""
+    SELECT o_custkey, o_orderstatus, first_order, last_order, n_orders,
+           first_orderkey
+    FROM (SELECT o_custkey, o_orderstatus,
+                 min(o_orderdate) OVER wg             AS first_order,
+                 max(o_orderdate) OVER wg             AS last_order,
+                 CAST(count(*) OVER wg AS BIGINT)     AS n_orders,
+                 o_orderkey                           AS first_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+          WINDOW wg AS (PARTITION BY o_custkey, o_orderstatus))
+    WHERE rn = 1
 """)
-def group_min_multi_key(spark, sf_dir):
+def group_window_first(spark, sf_dir):
     """Multi-key grouping + pick-per-group (reference ``any(timestamp) …
     GROUP BY wallet, token, block``, erc20 create_buffer.sql:66-89 —
-    expressed as min/max for replay determinism)."""
+    min/max for replay determinism) fused with first-row-per-group via
+    ``row_number`` (§2.6). One shuffle on the grouping key serves both the
+    windowed aggregates and the rank — the scalable form of 'group stats
+    plus a representative row'."""
     t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"].groupBy("o_custkey", "o_orderstatus")
-            .agg(F.min("o_orderdate").alias("first_order"),
-                 F.max("o_orderdate").alias("last_order"),
-                 F.count("*").alias("n_orders")))
-
-
-@query("count_distinct_agg", oracle="""
-    SELECT l_returnflag,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
-    FROM lineitem GROUP BY l_returnflag
-""")
-def count_distinct_agg(spark, sf_dir):
-    """Distinct aggregation (available 'for free' per §2.5; Spark expands
-    to a two-stage partial-distinct plan — no driver collect)."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    return (t["lineitem"].groupBy("l_returnflag")
-            .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
-                 F.countDistinct("l_suppkey").alias("distinct_supps")))
-
-
-@query("rollup_agg", oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT)   AS n,
-           round(sum(l_quantity), 2)  AS qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""")
-def rollup_agg(spark, sf_dir):
-    """ROLLUP grouping sets (§2.5 'free in Spark if we expose SQL')."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    return (t["lineitem"].rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_quantity"), 2).alias("qty")))
-
-
-@query("resume_point_max", oracle="""
-    SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS start FROM orders
-""")
-def resume_point_max(spark, sf_dir):
-    """The init/tip control-query shape: ``max(number)+1 AS start``
-    (examples/ethereum_blocks/start.sql:1-3) — an aggregate-pushdown scan."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return t["orders"].agg((F.max("o_orderkey") + 1).cast("long").alias("start"))
+    wg = Window.partitionBy("o_custkey", "o_orderstatus")
+    wr = wg.orderBy("o_orderdate", "o_orderkey")
+    return (t["orders"]
+            .select("o_custkey", "o_orderstatus",
+                    F.min("o_orderdate").over(wg).alias("first_order"),
+                    F.max("o_orderdate").over(wg).alias("last_order"),
+                    F.count("*").over(wg).alias("n_orders"),
+                    F.col("o_orderkey").alias("first_orderkey"),
+                    F.row_number().over(wr).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn"))
 
 
 # ---------------------------------------------------------------------------
 # Projections / filters (§2.3)
 # ---------------------------------------------------------------------------
 
-@query("projection_alias", oracle="""
-    SELECT l_orderkey                                     AS order_key,
-           l_linenumber                                   AS line_number,
+@query("projection_facets", oracle="""
+    SELECT * EXCLUDE (l_shipdate)
+           REPLACE (lower(l_returnflag) AS l_returnflag),
            round(l_extendedprice * (1 - l_discount), 4)   AS net_price
     FROM lineitem
 """)
-def projection_alias(spark, sf_dir):
-    """Snake-case re-aliasing projection (blocks create_buffer.sql:13-36)."""
+def projection_facets(spark, sf_dir):
+    """Projection surface in one plan (§2.3): ``SELECT * EXCEPT (col)``
+    (decoded_logs create_buffer.sql:24) → ``df.drop``, ``SELECT t.*
+    EXCEPT (c), f(c) AS c`` (decoded_logs_to_daily_parquet
+    transform.sql:11-16) → ``withColumn``, and a computed aliased column
+    (blocks create_buffer.sql:13-36). Still pure column pruning — the
+    dropped column never leaves the scan."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return t["lineitem"].select(
-        F.col("l_orderkey").alias("order_key"),
-        F.col("l_linenumber").alias("line_number"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-         .alias("net_price"))
+    return (t["lineitem"]
+            .drop("l_shipdate")
+            .withColumn("l_returnflag", F.lower("l_returnflag"))
+            .withColumn("net_price",
+                        F.round(F.col("l_extendedprice") *
+                                (1 - F.col("l_discount")), 4)))
 
 
-@query("select_except", oracle="""
-    SELECT * EXCLUDE (text) FROM documents
+@query("cursor_struct_projection", oracle="""
+    SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+    FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500
 """)
-def select_except(spark, sf_dir):
-    """``SELECT * EXCEPT (col)`` (decoded_logs create_buffer.sql:24) →
-    ``df.drop`` — pure column pruning, reaches the scan."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return t["documents"].drop("text")
-
-
-@query("replace_one_column", oracle="""
-    SELECT * REPLACE (lower(l_returnflag) AS l_returnflag) FROM lineitem
-""")
-def replace_one_column(spark, sf_dir):
-    """``SELECT t.* EXCEPT (c), f(c) AS c`` (decoded_logs_to_daily_parquet
-    transform.sql:11-16) → ``withColumn``."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    return t["lineitem"].withColumn("l_returnflag", F.lower("l_returnflag"))
-
-
-@query("cursor_range_filter", oracle="""
-    SELECT * FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500
-""")
-def cursor_range_filter(spark, sf_dir):
-    """The per-batch cursor predicate (decoded_logs create_buffer.sql:18).
-    Scale: this exact predicate is what makes incremental batches cheap —
-    it pushes to parquet row-group min/max stats."""
+def cursor_struct_projection(spark, sf_dir):
+    """The per-batch cursor predicate (decoded_logs create_buffer.sql:18)
+    feeding a named-struct round-trip (logs create_buffer.sql:16-20,
+    traces :71-91): build ``tuple(a AS x, …)``, read fields back by dot
+    path; Catalyst collapses the round-trip. Scale: the range predicate
+    pushes to parquet row-group min/max stats — what makes incremental
+    batches cheap."""
     t = load_tables(spark, sf_dir, ("orders",))
-    return t["orders"].where((F.col("o_orderkey") >= 100) &
-                             (F.col("o_orderkey") <= 500))
+    return (t["orders"]
+            .where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 500))
+            .select("o_orderkey",
+                    F.struct(F.col("o_totalprice").alias("price"),
+                             F.col("o_orderstatus").alias("status")).alias("o"))
+            .select("o_orderkey", F.col("o.price").alias("price"),
+                    F.col("o.status").alias("status")))
 
 
-@query("length_filters", oracle="""
-    SELECT doc_id, n_chars FROM documents
-    WHERE length(text) > 400 AND length(source) >= 4
+@query("documents_scalar_facets", oracle="""
+    WITH mapped AS (
+        SELECT *, MAP {'len': length(text),
+                       'words': len(string_split_regex(trim(text), '\\s+'))} AS m
+        FROM documents
+        WHERE length(text) > 400 AND length(source) >= 4)
+    SELECT doc_id, n_chars,
+           substring(text, 1, 4)                       AS prefix4,
+           CAST(length(text) AS BIGINT)                AS text_len,
+           concat('0x', lower(hex(encode(source))))    AS source_hex,
+           array_to_string(list_transform(string_split(text, ' '),
+                                          x -> upper(x)), '|') AS upper_words,
+           CAST(m['words'][1] AS BIGINT)               AS words_v,
+           CAST(cardinality(m) AS INT)                 AS n_keys,
+           regexp_extract(text, '([a-z]+)', 1)         AS first_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+                                                       AS n_vowels,
+           regexp_replace(text, '\\s+', '_', 'g')[:40] AS squashed40
+    FROM mapped
 """)
-def length_filters(spark, sf_dir):
-    """length()-guard filters (decoded create_buffer.sql:19,27)."""
+def documents_scalar_facets(spark, sf_dir):
+    """Scalar-function surface over documents in one scan (§2.3/§2.7):
+    length()-guard filters (decoded create_buffer.sql:19,27), left/length/
+    hex-encode strings (decoded_traces create_buffer.sql:36), arrayMap
+    lambda → ``F.transform`` (blocks create_buffer.sql:35, JVM-side), a
+    MapType column with key access + cardinality, and the regex extract /
+    extract-all / replace family. One projection over one pruned scan —
+    the filters push to parquet."""
     t = load_tables(spark, sf_dir, ("documents",))
+    m = F.create_map(
+        F.lit("len"), F.length("text"),
+        F.lit("words"), F.size(F.split(F.trim(F.col("text")), r"\s+")))
     return (t["documents"]
             .where((F.length("text") > 400) & (F.length("source") >= 4))
-            .select("doc_id", "n_chars"))
+            .select(
+                "doc_id", "n_chars",
+                F.substring("text", 1, 4).alias("prefix4"),
+                F.length("text").cast("long").alias("text_len"),
+                F.concat(F.lit("0x"),
+                         F.lower(F.hex(F.encode(F.col("source"), "UTF-8"))))
+                 .alias("source_hex"),
+                F.array_join(F.transform(F.split("text", " "), F.upper), "|")
+                 .alias("upper_words"),
+                F.element_at(m, "words").cast("long").alias("words_v"),
+                F.size(m).cast("int").alias("n_keys"),
+                F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+                F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]"),
+                                            F.lit(0)))
+                 .cast("long").alias("n_vowels"),
+                F.substring(F.regexp_replace("text", r"\s+", "_"), 1, 40)
+                 .alias("squashed40")))
 
 
-@query("conditional_coalesce", oracle="""
+@query("events_scalar_facets", oracle="""
     SELECT event_id,
-           CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS bucket,
-           coalesce(nullif(event_type, 'error'), 'unknown') AS kind
+           CASE WHEN value > 50 THEN 'high' ELSE 'low' END     AS bucket,
+           coalesce(nullif(event_type, 'error'), 'unknown')    AS kind,
+           CAST(props->>'$.k' AS BIGINT)                       AS k_val,
+           round(value / pow(10, 2), 6)                        AS scaled,
+           round(least(value, 50.0), 2)                        AS capped,
+           round(greatest(value, 10.0), 2)                     AS floored,
+           CAST(value IS NULL AS BOOLEAN)                      AS value_missing,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE round(value, 2) END                       AS clean_value,
+           round(coalesce(CASE WHEN event_type = 'error' THEN NULL
+                               ELSE value END, -1.0), 2)       AS filled
     FROM events
 """)
-def conditional_coalesce(spark, sf_dir):
-    """if()/coalesce conditionals (table_to_daily start.sql:14, tip.sql:2)."""
+def events_scalar_facets(spark, sf_dir):
+    """Scalar-function surface over events in one scan: if()/coalesce
+    conditionals (table_to_daily start.sql:14, tip.sql:2), JSON path
+    extraction + typed cast (JSONExtractUInt, erc20 create_buffer.sql:
+    51-61), exp10 scaling (erc20 :118) + least/greatest (batcher.go:73),
+    and the NULL algebra (nullif/ifnull/is-null)."""
     t = load_tables(spark, sf_dir, ("events",))
+    clean = F.when(F.col("event_type") == "error", F.lit(None)) \
+             .otherwise(F.col("value"))
     return t["events"].select(
         "event_id",
         F.when(F.col("value") > 50, "high").otherwise("low").alias("bucket"),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown"))
-         .alias("kind"))
+         .alias("kind"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.round(F.col("value") / F.pow(F.lit(10), F.lit(2)), 6).alias("scaled"),
+        F.round(F.least("value", F.lit(50.0)), 2).alias("capped"),
+        F.round(F.greatest("value", F.lit(10.0)), 2).alias("floored"),
+        F.col("value").isNull().alias("value_missing"),
+        F.round(clean, 2).alias("clean_value"),
+        F.round(F.coalesce(clean, F.lit(-1.0)), 2).alias("filled"))
 
 
 # ---------------------------------------------------------------------------
 # Joins (§2.4)
 # ---------------------------------------------------------------------------
 
-@query("left_join_enrich", oracle="""
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+@query("enrich_join_chain", oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           n.n_name AS nation, r.r_name AS region,
+           g.total_spent
     FROM customer c
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (SELECT o_custkey,
+                      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                           AS DOUBLE) AS total_spent
+               FROM orders GROUP BY o_custkey) g
+      ON g.o_custkey = c.c_custkey
 """)
-def left_join_enrich(spark, sf_dir):
-    """Equi left-join chain onto small dims (logs create_buffer.sql:95-96).
-    Scale: nation/region are broadcast — zero shuffle of the fact side."""
-    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+def enrich_join_chain(spark, sf_dir):
+    """Equi left-join chain onto small dims (logs create_buffer.sql:95-96)
+    plus the enrichment-join-after-aggregation shape (erc20
+    create_buffer.sql:119-120) in one plan.
+
+    Scale: nation/region broadcast — zero shuffle of the customer side for
+    the dim chain; the orders aggregation shrinks to |custkeys| rows
+    before its join, which shuffles on the already-grouped key. Spend is
+    summed in DECIMAL(18,4) (associative → hash-stable at any
+    parallelism)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region", "orders"))
+    g = (t["orders"].groupBy("o_custkey")
+         .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+               .cast("double").alias("total_spent")))
     return (t["customer"]
             .join(F.broadcast(t["nation"]),
                   t["customer"].c_nationkey == t["nation"].n_nationkey, "left")
             .join(F.broadcast(t["region"]),
                   t["nation"].n_regionkey == t["region"].r_regionkey, "left")
-            .select("c_custkey", "c_name",
+            .join(g, g.o_custkey == t["customer"].c_custkey, "left")
+            .select("c_custkey", "c_name", "c_mktsegment",
                     F.col("n_name").alias("nation"),
-                    F.col("r_name").alias("region")))
+                    F.col("r_name").alias("region"),
+                    "total_spent"))
 
 
-@query("join_after_agg", oracle="""
-    SELECT g.o_custkey, g.total_spent, c.c_name, c.c_mktsegment
-    FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
-          FROM orders GROUP BY o_custkey) g
-    LEFT JOIN customer c ON g.o_custkey = c.c_custkey
-""")
-def join_after_agg(spark, sf_dir):
-    """Enrichment join after aggregation (erc20 create_buffer.sql:119-120).
-    Scale: agg shrinks the left side to |custkeys| before the join; customer
-    broadcast if small, else shuffle-hash on the already-shuffled key."""
-    t = load_tables(spark, sf_dir, ("orders", "customer"))
-    g = (t["orders"].groupBy("o_custkey")
-         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent")))
-    return (g.join(t["customer"], g.o_custkey == t["customer"].c_custkey, "left")
-            .select("o_custkey", "total_spent", "c_name", "c_mktsegment"))
-
-
-@query("semi_join", oracle="""
-    SELECT c_custkey, c_name FROM customer c
+@query("semi_anti_join", oracle="""
+    SELECT 'semi' AS facet, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-""")
-def semi_join(spark, sf_dir):
-    """Left-semi join (§2.4: 'Spark covers these for free')."""
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    big = t["orders"].where(F.col("o_totalprice") > 300000)
-    return (t["customer"]
-            .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
-            .select("c_custkey", "c_name"))
-
-
-@query("anti_join", oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS facet, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """)
-def anti_join(spark, sf_dir):
-    """Left-anti join."""
+def semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti joins (§2.4: 'Spark covers these for free'),
+    faceted through one UNION ALL plan."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    return (t["customer"]
+    big = t["orders"].where(F.col("o_totalprice") > 300000)
+    semi = (t["customer"]
+            .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+            .select(F.lit("semi").alias("facet"), "c_custkey", "c_name"))
+    anti = (t["customer"]
             .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey,
                   "left_anti")
-            .select("c_custkey", "c_name"))
+            .select(F.lit("anti").alias("facet"), "c_custkey", "c_name"))
+    return semi.unionByName(anti)
 
 
-@query("zip_arrays_posexplode", oracle="""
+@query("array_zip_index", oracle="""
     SELECT l_orderkey,
-           CAST(row_number() OVER (PARTITION BY l_orderkey
-                ORDER BY l_linenumber, l_partkey, l_quantity) - 1
-                AS INT)     AS pos,
-           l_partkey        AS partkey,
-           l_quantity       AS quantity
+           CAST(row_number() OVER w - 1 AS INT)   AS pos,
+           l_partkey                              AS partkey,
+           l_quantity                             AS quantity,
+           first_value(l_partkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+                                                  AS first_partkey
     FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_quantity)
 """)
-def zip_arrays_posexplode(spark, sf_dir):
+def array_zip_index(spark, sf_dir):
     """Positional zip-join of two parallel arrays (transactions
     create_buffer.sql:161 ``ARRAY JOIN block.transactions AS tx, receipts AS
     r``): build parallel arrays, then ``posexplode(arrays_zip(...))`` — NOT
-    a cross join; elements pair by index. Oracle reconstructs the same rows
-    relationally."""
+    a cross join; elements pair by index. The ``first_partkey`` column is
+    the sibling-array 1-based index read (traces create_buffer.sql:136-139
+    ``receipts[transaction_position + 1]``) via ``element_at`` (also
+    1-based, exact semantic match). Oracle reconstructs the same rows with
+    one window."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     per_order = (t["lineitem"]
                  .groupBy("l_orderkey")
@@ -321,31 +363,13 @@ def zip_arrays_posexplode(spark, sf_dir):
                          F.col("lines.l_quantity").alias("quantities")))
     return (per_order
             .select("l_orderkey",
-                    F.posexplode(F.arrays_zip("partkeys", "quantities")))
+                    F.posexplode(F.arrays_zip("partkeys", "quantities")),
+                    F.element_at(F.col("partkeys"), 1).alias("first_partkey"))
             .select("l_orderkey",
                     F.col("pos").cast("int").alias("pos"),
                     F.col("col.partkeys").alias("partkey"),
-                    F.col("col.quantities").alias("quantity")))
-
-
-@query("element_at_position_join", oracle="""
-    SELECT l_orderkey, l_partkey AS first_partkey FROM (
-        SELECT l_orderkey, l_partkey,
-               row_number() OVER (PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey) AS rn
-        FROM lineitem) WHERE rn = 1
-""")
-def element_at_position_join(spark, sf_dir):
-    """1-based index into a sibling array (traces create_buffer.sql:136-139
-    ``receipts[transaction_position + 1]``) via ``element_at`` (also
-    1-based, exact semantic match)."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    per_order = (t["lineitem"].groupBy("l_orderkey")
-                 .agg(F.sort_array(F.collect_list(F.struct(
-                     "l_linenumber", "l_partkey"))).alias("lines")))
-    return per_order.select(
-        "l_orderkey",
-        F.element_at(F.col("lines.l_partkey"), 1).alias("first_partkey"))
+                    F.col("col.quantities").alias("quantity"),
+                    "first_partkey"))
 
 
 # ---------------------------------------------------------------------------
@@ -382,24 +406,6 @@ def distinct_keys(spark, sf_dir):
     return t["part"].select("p_brand", "p_type").distinct()
 
 
-@query("window_first_per_group", oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate FROM (
-        SELECT o_custkey, o_orderkey, o_orderdate,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS rn
-        FROM orders) WHERE rn = 1
-""")
-def window_first_per_group(spark, sf_dir):
-    """Window row_number (available beyond the reference surface, §2.6).
-    Unique tie-break key keeps it hash-deterministic."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (t["orders"]
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("o_custkey", "o_orderkey", "o_orderdate"))
-
-
 @query("topk_order_limit", oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
@@ -418,51 +424,6 @@ def topk_order_limit(spark, sf_dir):
 # Scalar functions (§2.7)
 # ---------------------------------------------------------------------------
 
-@query("lambda_transform_array", oracle="""
-    SELECT doc_id,
-           array_to_string(list_transform(string_split(text, ' '),
-                                          x -> upper(x)), '|') AS upper_words
-    FROM documents WHERE doc_id < 50
-""")
-def lambda_transform_array(spark, sf_dir):
-    """arrayMap lambda (blocks create_buffer.sql:35) → ``F.transform`` —
-    stays entirely in the JVM (no UDF)."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return (t["documents"].where(F.col("doc_id") < 50)
-            .select("doc_id",
-                    F.array_join(F.transform(F.split("text", " "), F.upper), "|")
-                     .alias("upper_words")))
-
-
-@query("named_struct_access", oracle="""
-    SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
-    FROM orders WHERE o_orderkey < 1000
-""")
-def named_struct_access(spark, sf_dir):
-    """tuple(a AS x, …) construction + ``t.field`` access (logs
-    create_buffer.sql:16-20, traces :71-91): build a named struct, read
-    fields back via dot paths. Catalyst collapses the round-trip."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"].where(F.col("o_orderkey") < 1000)
-            .select("o_orderkey",
-                    F.struct(F.col("o_totalprice").alias("price"),
-                             F.col("o_orderstatus").alias("status")).alias("o"))
-            .select("o_orderkey", F.col("o.price").alias("price"),
-                    F.col("o.status").alias("status")))
-
-
-@query("json_extract_scalar", oracle="""
-    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
-""")
-def json_extract_scalar(spark, sf_dir):
-    """JSON path extraction + typed cast (JSONExtractUInt, erc20
-    create_buffer.sql:51-61)."""
-    t = load_tables(spark, sf_dir, ("events",))
-    return t["events"].select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"))
-
-
 @query("json_typed_struct", oracle="""
     SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -478,61 +439,6 @@ def json_typed_struct(spark, sf_dir):
     return (parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 2).alias("total")))
-
-
-@query("datetime_functions", oracle="""
-    SELECT strftime(o_orderdate, '%Y%m')                    AS month,
-           CAST(count(*) AS BIGINT)                          AS n,
-           min(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)  AS min_plus30
-    FROM orders GROUP BY 1
-""")
-def datetime_functions(spark, sf_dir):
-    """toYYYYMM / addDays / toDate family (§2.7): month partitioning keys
-    (ethereum_blocks create_table.sql:31) and day-cursor arithmetic
-    (table_to_daily start.sql:14)."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"]
-            .groupBy(F.date_format("o_orderdate", "yyyyMM").alias("month"))
-            .agg(F.count("*").alias("n"),
-                 F.min(F.date_add(F.col("o_orderdate").cast("date"), 30))
-                  .cast("timestamp").alias("min_plus30")))
-
-
-@query("math_scaling", oracle="""
-    SELECT event_id,
-           round(value / pow(10, 2), 6)       AS scaled,
-           round(least(value, 50.0), 2)       AS capped,
-           round(greatest(value, 10.0), 2)    AS floored
-    FROM events
-""")
-def math_scaling(spark, sf_dir):
-    """exp10 scaling (erc20 create_buffer.sql:118 ``balance/exp10(dec)``)
-    + least/greatest (batcher.go:73 min)."""
-    t = load_tables(spark, sf_dir, ("events",))
-    return t["events"].select(
-        "event_id",
-        F.round(F.col("value") / F.pow(F.lit(10), F.lit(2)), 6).alias("scaled"),
-        F.round(F.least("value", F.lit(50.0)), 2).alias("capped"),
-        F.round(F.greatest("value", F.lit(10.0)), 2).alias("floored"))
-
-
-@query("string_functions", oracle="""
-    SELECT doc_id,
-           substring(text, 1, 4)                       AS prefix4,
-           CAST(length(text) AS BIGINT)                AS text_len,
-           concat('0x', lower(hex(encode(source))))    AS source_hex
-    FROM documents
-""")
-def string_functions(spark, sf_dir):
-    """left(s,n)/length/hex-encode family (§2.7: ``left(input,4)`` selector
-    prefix, decoded_traces create_buffer.sql:36)."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return t["documents"].select(
-        "doc_id",
-        F.substring("text", 1, 4).alias("prefix4"),
-        F.length("text").cast("long").alias("text_len"),
-        F.concat(F.lit("0x"), F.lower(F.hex(F.encode(F.col("source"), "UTF-8"))))
-         .alias("source_hex"))
 
 
 def _disc_price_decimal():
@@ -627,14 +533,22 @@ def q5_supplier_volume(spark, sf_dir):
                   .cast("double").alias("revenue")))
 
 
-@query("generate_series_scan", oracle="""
-    SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_rows
+@query("control_scan_facets", oracle="""
+    SELECT (SELECT CAST(max(o_orderkey) + 1 AS BIGINT) FROM orders) AS start,
+           CAST(sum(n) AS BIGINT)    AS total,
+           CAST(count(*) AS BIGINT)  AS n_rows
     FROM (SELECT unnest(generate_series(0, 9999)) AS n)
 """)
-def generate_series_scan(spark, sf_dir):
-    """generate_series driver of per-block fan-out (blocks
-    create_buffer.sql:7-11) → ``spark.range`` — a parallel, splittable
-    source (each partition materializes its own subrange)."""
-    return (spark.range(0, 10000)
-            .agg(F.sum("id").cast("long").alias("total"),
-                 F.count("*").alias("n_rows")))
+def control_scan_facets(spark, sf_dir):
+    """The two control-plane scans in one row: the init/resume shape
+    ``max(number)+1 AS start`` (examples/ethereum_blocks/start.sql:1-3, an
+    aggregate-pushdown scan) and the generate_series per-block fan-out
+    driver (blocks create_buffer.sql:7-11) → ``spark.range`` — a parallel,
+    splittable source (each partition materializes its own subrange)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    start = t["orders"].agg(
+        (F.max("o_orderkey") + 1).cast("long").alias("start"))
+    series = (spark.range(0, 10000)
+              .agg(F.sum("id").cast("long").alias("total"),
+                   F.count("*").alias("n_rows")))
+    return start.crossJoin(series)

@@ -8,10 +8,29 @@ reader, so loading "all tables" costs only footer reads.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+
+def avg_units(sum_dec: Column, count: Column, scale: int) -> Column:
+    """Cross-engine-exact rounded average: half-up integer arithmetic.
+
+    ``round(sum_double / count, scale)`` is not portable — when the true
+    quotient terminates exactly at ``scale+1`` digits ending in 5 (a tie,
+    ~1/(2·count) of groups), Spark and DuckDB round the nearest-double
+    differently. ``(2s + c) div (2c)`` over the exactly-scaled integer sum
+    is the same integer on every engine, and the final division by
+    ``10^scale`` is one identical IEEE op. DuckDB twin:
+    ``((2 * CAST(sum(dec) * 10^scale AS BIGINT) + count(*)) //
+    (2 * count(*))) / 10^scale.0``.
+
+    Exact while the scaled sum fits a signed 64-bit int (~9e18 — at
+    DECIMAL(18,4) money scale that is ~900 T currency units per group)."""
+    s = (sum_dec * (10 ** scale)).cast("long")
+    return F.call_function("div", 2 * s + count, 2 * count) / float(10 ** scale)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -22,12 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # simhash), similarity search, text stats, and the pandas-UDF boundary.
 HEADLINE = [
     "q1_pricing_summary",
-    "left_join_enrich",
-    "join_after_agg",
-    "window_first_per_group",
-    "zip_arrays_posexplode",
+    "enrich_join_chain",
+    "group_window_first",
+    "array_zip_index",
     "union_all_wallets",
-    "json_extract_scalar",
+    "events_scalar_facets",
     "topk_order_limit",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -45,7 +44,7 @@ HEADLINE = [
     "range_join_banded",
     "skew_salted_join",
     "chunk_documents",
-    "tfidf_top_terms",
+    "vocab_tfidf_terms",
     "embedding_quantize_int8",
 ]
 
