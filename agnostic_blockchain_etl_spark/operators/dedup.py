@@ -12,8 +12,9 @@ Design for 100 TB (tested at sf≤0.1):
   known hazard: AQE skew-join splitting handles moderate skew; degenerate
   buckets should be length-capped upstream.
 - **simhash**: per-doc 60-bit signature via bitwise majority of token
-  hashes — embarrassingly parallel; near-dup pairs via same-signature (or
-  banded-prefix) grouping, here exact-pairwise for oracle verifiability.
+  hashes — embarrassingly parallel; near-dup pairs via banded-prefix
+  grouping (7 bands > Hamming radius 6 → pigeonhole-lossless), so the
+  pair join is an equi-shuffle, never a cross join.
 - **ngram_jaccard**: exact verification used after candidate generation;
   implemented as shingle-set intersection counting (shuffle on shingle).
 
@@ -136,12 +137,17 @@ def _scoped_cache(df):
 
 
 def _doc_shingles_df(spark, sf_dir):
-    """(doc_id, shingle, h) — distinct shingles with their 60-bit hash."""
+    """(doc_id, shingle, h) — distinct shingles with their FULL 60-bit
+    hash. Intersection joins (jaccard, LSH verification) key on this
+    value; reducing it to 31 bits here would inflate n_common by
+    cross-doc collisions (~n²/2³²) at corpus scale. The 31-bit reduction
+    belongs only inside the minhash permutation arithmetic
+    (``_minhash_wide_df``), where ``a·x`` must stay within int64."""
     t = load_tables(spark, sf_dir, ("documents",))
     return (t["documents"]
             .select("doc_id", F.explode(
                 _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
-            .withColumn("h", _spark_hash60(F.col("shingle")) % _P))
+            .withColumn("h", _spark_hash60(F.col("shingle"))))
 
 
 def _minhash_wide_df(spark, sf_dir, shingles_df=None):
@@ -152,7 +158,10 @@ def _minhash_wide_df(spark, sf_dir, shingles_df=None):
     mins as parallel aggregate expressions keeps the shuffle at exactly one
     row group per doc and lets partial aggregation collapse map-side."""
     sh = shingles_df if shingles_df is not None else _doc_shingles_df(spark, sf_dir)
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+    # h is the full 60-bit hash; fold to 31 bits ONLY for the permutation
+    # so a·x + b stays within int64 (a ≤ 31, x < 2^31 → a·x < 2^36)
+    x = F.col("h") % _P
+    aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_PERMS)]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -163,10 +172,10 @@ _SQL_MINHASH_BASE = f"""
     shingles_t AS (
         SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM words_t),
     hashed AS (
-        SELECT doc_id, {_SQL_HASH60} % {_P} AS h FROM shingles_t),
+        SELECT doc_id, {_SQL_HASH60} AS h FROM shingles_t),
     perms(perm, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))}),
     sig AS (
-        SELECT doc_id, perm, min((a * h + b) % {_P}) AS minhash
+        SELECT doc_id, perm, min((a * (h % {_P}) + b) % {_P}) AS minhash
         FROM hashed CROSS JOIN perms GROUP BY doc_id, perm)
 """
 
@@ -298,6 +307,15 @@ def dedup_simhash(spark, sf_dir):
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+# Banding for simhash-LSH: with Hamming ≤ H, any near-dup pair must agree
+# EXACTLY on at least one band whenever there are > H bands (pigeonhole:
+# ≤ 6 flipped bits cannot touch all 7 bands). 6 bands of 9 bits + the top
+# 6 bits.
+_SIMHASH_BANDS = [(j * 9, 9) for j in range(6)] + [(54, 6)]
+assert len(_SIMHASH_BANDS) > _HAMMING_MAX
+assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
+
+
 @query("dedup_simhash_pairs", oracle=f"""
     WITH words_t AS (
         SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
@@ -321,18 +339,38 @@ def dedup_simhash(spark, sf_dir):
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs under a Hamming radius. Exact-pairwise here
-    for oracle verifiability; the scale path buckets signatures by banded
-    prefixes first (same LSH trick as minhash) so only same-band pairs are
-    compared."""
-    sh = dedup_simhash(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .where(hamming <= _HAMMING_MAX)
+    """SimHash near-dup pairs under a Hamming radius, via banded-prefix
+    LSH: each signature explodes into 7 (band, band_bits) keys; candidate
+    pairs come only from an equi-join on a shared band; the exact
+    ``bit_count(xor)`` filter then confirms. Identical output to the
+    naive all-pairs formulation (the DuckDB oracle IS that formulation):
+    Hamming ≤ 6 over > 6 bands guarantees one exactly-matching band, so
+    banding loses nothing.
+
+    Scale: the shuffle is keyed on (band, band_bits) — linear in corpus
+    size with ~n²/2^bits collisions per band, never an n² cross join (the
+    round-1 version was cartesian; the plan test asserts no
+    BroadcastNestedLoopJoin/CartesianProduct survives)."""
+    sh = _scoped_cache(dedup_simhash(spark, sf_dir))
+    band_stack = ", ".join(
+        f"{j}, (simhash >> {off}) & {(1 << width) - 1}"
+        for j, (off, width) in enumerate(_SIMHASH_BANDS))
+    bands = sh.selectExpr(
+        "doc_id", "simhash",
+        f"stack({len(_SIMHASH_BANDS)}, {band_stack}) as (band, band_bits)")
+    hamming = F.expr("bit_count(a_simhash ^ b_simhash)")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.band_bits") == F.col("b.band_bits")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    hamming.cast("int").alias("hamming")))
+                    F.col("a.simhash").alias("a_simhash"),
+                    F.col("b.simhash").alias("b_simhash"))
+            .distinct())
+    return (cand.where(hamming <= _HAMMING_MAX)
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
 
 
 # ---------------------------------------------------------------------------
