@@ -23,6 +23,9 @@ from agnostic_blockchain_etl_spark.functions.keccak import keccak256
 from agnostic_blockchain_etl_spark.functions.rpc import MockTransport
 
 CHAIN_TIP = 149
+# the mock consensus lags the head like a real chain: blocks within
+# FINALIZED_LAG of the tip are not yet finalized
+FINALIZED_LAG = 6
 GENESIS_TS = 1600000000
 
 TRANSFER_TOPIC0 = keccak256("Transfer(address,address,uint256)")
@@ -148,8 +151,7 @@ def make_block(n: int, full_tx: bool = False) -> dict:
 def _serve_eth_call(params: list):
     call, block_tag = params[0], params[1]
     data = evm_hex_decode(call["data"])
-    block = CHAIN_TIP if block_tag == "latest" else evm_hex_decode_int(
-        block_tag, "UInt64")
+    block = resolve_block_tag(block_tag)
     selector = data[:4].hex()
     if selector == "95d89b41":  # symbol()
         s = TOKEN_SYMBOL.encode()
@@ -164,11 +166,24 @@ def _serve_eth_call(params: list):
     raise RuntimeError(f"mock eth_call: unknown selector {selector}")
 
 
+def resolve_block_tag(tag) -> int:
+    """Block-number param → height, honoring the named consensus tags the
+    reference's LATEST_BLOCK_STATUS template var selects between."""
+    t = str(tag)
+    if t in ("latest", "pending"):
+        return CHAIN_TIP
+    if t in ("finalized", "safe"):
+        return CHAIN_TIP - FINALIZED_LAG
+    if t == "earliest":
+        return 0
+    return evm_hex_decode_int(t, "UInt64")
+
+
 def serve(method: str, params: list):
     if method == "eth_blockNumber":
         return evm_hex_encode_int(CHAIN_TIP)
     if method == "eth_getBlockByNumber":
-        n = evm_hex_decode_int(params[0], "UInt64")
+        n = resolve_block_tag(params[0])
         if n > CHAIN_TIP:
             return None
         full = str(params[1]).lower() == "true"

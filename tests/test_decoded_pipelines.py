@@ -49,6 +49,7 @@ class TestDecodedTraces:
         traces_sink = f"traces_{uuid.uuid4().hex[:8]}"
         _run(spark, "traces_ingest", {
             "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "traces"), "SINK_TABLE": traces_sink})
 
         abi_path = str(tmp_path / "abi_calls.parquet")
@@ -79,6 +80,7 @@ class TestDecodedLogsToDaily:
         logs_sink = f"logs_{uuid.uuid4().hex[:8]}"
         _run(spark, "logs_ingest", {
             "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "logs"), "SINK_TABLE": logs_sink})
         abi_path = str(tmp_path / "abi.parquet")
         spark.createDataFrame(

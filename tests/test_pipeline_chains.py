@@ -51,6 +51,7 @@ def logs_sink(spark, tmp_path_factory):
     sink = f"logs_{uuid.uuid4().hex[:8]}"
     _run(spark, "logs_ingest", {
         "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
         "TARGET_PATH": str(tmp_path_factory.mktemp("logs")),
         "SINK_TABLE": sink})
     return sink
@@ -61,6 +62,7 @@ class TestTransactionsIngest:
         sink = f"txs_{uuid.uuid4().hex[:8]}"
         result = _run(spark, "transactions_ingest", {
             "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "txs"), "SINK_TABLE": sink})
         assert result.stats.items == N_BLOCKS
         got = spark.table(sink)
@@ -93,6 +95,7 @@ class TestTracesIngest:
         sink = f"traces_{uuid.uuid4().hex[:8]}"
         _run(spark, "traces_ingest", {
             "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "traces"), "SINK_TABLE": sink})
         got = spark.table(sink)
         assert got.count() == TOTAL_TXS
@@ -136,6 +139,7 @@ class TestErc20Balances:
         sink = f"balances_{uuid.uuid4().hex[:8]}"
         _run(spark, "erc20_balances", {
             "SOURCE_TABLE": logs_sink, "RPC_ENDPOINT": "mock://chain",
+        "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "balances"), "SINK_TABLE": sink})
         got = spark.table(sink)
         # one row per (wallet, token, block) — senders ∪ recipients

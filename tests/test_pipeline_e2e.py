@@ -83,6 +83,7 @@ class TestBlocksIngest:
         from tests.mock_chain import CHAIN_TIP, GENESIS_TS, block_hash, make_block
         sink = f"blocks_{uuid.uuid4().hex[:8]}"
         vars = {"RPC_ENDPOINT": "mock://chain",
+                "LATEST_BLOCK_STATUS": "latest",
                 "TARGET_PATH": str(tmp_path / "blocks"),
                 "SINK_TABLE": sink}
         conf, result = _run(spark, "blocks_ingest", vars)
@@ -115,3 +116,26 @@ class TestBlocksIngest:
         # dedup preserved the exact decoded values
         row2 = deduped.where(F.col("number") == 42).collect()[0]
         assert bytes(row2["hash"]) == block_hash(42)
+
+    def test_finality_default_stops_at_finalized_head(self, spark, tmp_path):
+        """Without LATEST_BLOCK_STATUS, tip.sql asks for the block tagged
+        'finalized' (reference examples/ethereum_blocks/tip.sql:6) — the
+        only reorg-safety knob the reference exposes. Ingestion must stop
+        at the finalized height, not the chain head."""
+        from tests.mock_chain import CHAIN_TIP, FINALIZED_LAG, block_hash
+        finalized = CHAIN_TIP - FINALIZED_LAG
+        sink = f"blocks_fin_{uuid.uuid4().hex[:8]}"
+        vars = {"RPC_ENDPOINT": "mock://chain",
+                "TARGET_PATH": str(tmp_path / "blocks_fin"),
+                "SINK_TABLE": sink}
+        _, result = _run(spark, "blocks_ingest", vars)
+        assert result.stats.max_end == finalized
+        assert result.stats.items == finalized + 1
+
+        got = spark.table(sink)
+        assert got.count() == finalized + 1
+        assert got.agg(F.max("number")).collect()[0][0] == finalized
+        # the unfinalized head never entered the sink, but was ingested
+        # faithfully up to the finalized block
+        row = got.where(F.col("number") == finalized).collect()[0]
+        assert bytes(row["hash"]) == block_hash(finalized)
