@@ -7,8 +7,12 @@ throughout the ingest templates, e.g.
 /root/reference/examples/ethereum_token_erc20_balances/create_buffer.sql:45.
 
 Semantics (observed from template usage):
-- ``evm_hex_decode('0x…') -> bytes``; None/'' → None (ingest templates rely
-  on null-safety for optional RPC fields like ``baseFeePerGas``).
+- ``evm_hex_decode('0x…') -> bytes``; None → None (ingest templates rely
+  on null-safety for optional RPC fields like ``baseFeePerGas``, whose
+  absence surfaces as a NULL JSON extraction). ``''``/``'0x'`` → ``b''``:
+  ``'0x'`` is JSON-RPC's encoding of a present-but-empty byte string
+  (e.g. the input data of a plain value transfer), which is distinct
+  from an absent field and must stay distinct through the decode.
 - ``evm_hex_decode_int('0x…', 'UInt64') -> int`` of the named width; ``0x``
   alone decodes to 0; odd-length nibble strings are left-padded.
 - ``evm_hex_encode(bytes) -> '0x…'`` lowercase.

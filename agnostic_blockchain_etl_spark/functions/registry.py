@@ -164,4 +164,48 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ethereum_rpc_call", udf(_udf_ethereum_rpc_call, StringType()))
     from .words import register_words
     register_words(spark)
+    register_json_helpers(spark)
     _REGISTERED_SESSIONS.add(key)
+
+
+_JSON_VARIANT_MODE: dict[int, bool] = {}
+
+
+def register_json_helpers(spark: SparkSession,
+                          use_variant: bool | None = None) -> None:
+    """(Re-)register the dynamic-JSON SQL helpers the decode templates
+    use, choosing the storage form for decoded payload columns:
+
+    - ``agn_json_pack(s)`` — JSON text → the storage value (VARIANT via
+      try_parse_json when the session supports it, else the string);
+    - ``agn_json_get(v, path)`` — subpath read as STRING (variant_get
+      with pushdown, else get_json_object re-parse);
+    - ``agn_json_str(v)`` — canonical JSON text of the stored value (the
+      reference's ``toJSONString(Dynamic)``, decoded_logs_to_daily).
+
+    SQL-defined functions, so they inline into whole-stage codegen —
+    no Python boundary. Pass ``use_variant`` to force a mode (tests run
+    the pipelines under both)."""
+    if use_variant is None:
+        from ..plans.probe import supports_variant
+        use_variant = supports_variant(spark)
+    if use_variant:
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_pack(s STRING)
+                     RETURNS VARIANT RETURN try_parse_json(s)""")
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_get(v VARIANT, p STRING)
+                     RETURNS STRING RETURN CAST(variant_get(v, p) AS STRING)""")
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_str(v VARIANT)
+                     RETURNS STRING RETURN CAST(v AS STRING)""")
+    else:
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_pack(s STRING)
+                     RETURNS STRING RETURN s""")
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_get(v STRING, p STRING)
+                     RETURNS STRING RETURN get_json_object(v, p)""")
+        spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_str(v STRING)
+                     RETURNS STRING RETURN v""")
+    _JSON_VARIANT_MODE[id(spark)] = use_variant
+
+
+def json_variant_mode(spark: SparkSession) -> bool:
+    """Whether decoded-JSON columns are stored as VARIANT this session."""
+    return _JSON_VARIANT_MODE.get(id(spark), False)

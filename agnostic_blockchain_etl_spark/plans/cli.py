@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import fnmatch
 import sys
-from pathlib import Path
 
 from .config import PipelineConfig
 from .templates import TemplateSet
@@ -45,9 +44,13 @@ def cmd_pipeline(args) -> int:
     from .executor import SparkExecutor
     from .pipeline import run_with_retry
 
-    cfg_path = Path(args.path)
-    conf = PipelineConfig.from_yaml(cfg_path)
-    tdir = Path(args.template_path) if args.template_path else cfg_path.parent
+    from .objstr import parent_url
+
+    # config + templates resolve through objstr-style URLs (file/http(s)/
+    # s3) exactly like the reference (cmd/pipeline/pipeline.go:63-78):
+    # templates default to the config URL's directory prefix
+    conf = PipelineConfig.from_yaml(args.path)
+    tdir = args.template_path if args.template_path else parent_url(args.path)
     templates = TemplateSet.load(tdir)
     vars = {**conf.Vars, **_parse_vars(args.var)}
     spark = get_session(master=conf.Engine.master,

@@ -122,7 +122,11 @@ class PipelineConfig:
 
     @classmethod
     def from_yaml(cls, path: str | Path, env: dict | None = None) -> "PipelineConfig":
-        raw = yaml.safe_load(Path(path).read_text()) or {}
+        """Load from a local path OR an object-store URL (file/http(s)/s3) —
+        the reference reads its config through objstr
+        (cmd/pipeline/pipeline.go:63-69), so URLs are first-class here."""
+        from .objstr import read_text
+        raw = yaml.safe_load(read_text(str(path))) or {}
         raw = _apply_env_overrides(raw, env if env is not None else dict(os.environ))
         return cls.from_dict(raw)
 

@@ -11,6 +11,7 @@ dependency.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -18,6 +19,31 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class ProbeTimeout(RuntimeError):
     pass
+
+
+_VARIANT_CACHE: dict[int, bool] = {}
+
+
+def supports_variant(spark) -> bool:
+    """Probe once per session whether VariantType + variant_get exist
+    (Spark 4+). Decoded-JSON columns ride VARIANT when available —
+    ``variant_get`` subpath reads are pushdown-friendly and skip
+    re-parsing the JSON text per access (the reference stores decoded
+    inputs as ClickHouse ``Dynamic``,
+    examples/ethereum_decoded_logs/create_table.sql:12). Set
+    ``AGN_DISABLE_VARIANT=1`` to force the JSON-string fallback."""
+    if os.environ.get("AGN_DISABLE_VARIANT"):
+        return False
+    key = id(spark)
+    if key not in _VARIANT_CACHE:
+        try:
+            spark.sql(
+                """SELECT variant_get(parse_json('{"a": 1}'), '$.a')"""
+            ).collect()
+            _VARIANT_CACHE[key] = True
+        except Exception:
+            _VARIANT_CACHE[key] = False
+    return _VARIANT_CACHE[key]
 
 
 def run_startup_probe(spark, max_delay_s: float = 10.0,

@@ -97,11 +97,14 @@ class TemplateSet:
 
     @classmethod
     def load(cls, path: str | Path) -> "TemplateSet":
-        root = Path(path)
-        if not root.is_dir():
-            raise TemplateError(f"template dir not found: {root}")
-        found = {p.name: p.read_text() for p in sorted(root.glob("*.sql"))}
-        return cls(found)
+        """Load every ``*.sql`` under a local dir or an object-store prefix
+        (file/s3 — listable schemes; utils.LoadTemplates:77-106 does the
+        same ListPrefix walk)."""
+        from .objstr import ObjstrError, list_sql
+        try:
+            return cls(list_sql(str(path)))
+        except ObjstrError as ex:
+            raise TemplateError(str(ex)) from ex
 
     def names(self) -> list[str]:
         return sorted(self.templates)

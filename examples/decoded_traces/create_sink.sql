@@ -11,8 +11,8 @@ CREATE TABLE IF NOT EXISTS {{.SINK_TABLE}} (
     gas                  BIGINT,
     gas_used             BIGINT,
     signature            STRING,
-    inputs               STRING,
-    outputs              STRING,
+    inputs               {{.JSON_COL_TYPE | default "STRING"}},
+    outputs              {{.JSON_COL_TYPE | default "STRING"}},
     month                STRING
 )
 USING PARQUET

@@ -37,6 +37,12 @@ def spark():
     yield s
 
 
+def _as_json(v):
+    """Decoded-payload cell → dict under either storage mode (VariantVal
+    when the session stores VARIANT, JSON text under the fallback)."""
+    return json.loads(v.toJson() if hasattr(v, "toJson") else v)
+
+
 def _run(spark, example: str, vars: dict):
     conf = PipelineConfig.from_yaml(
         os.path.join(EXAMPLES, example, "pipeline.yaml"), env={})
@@ -49,7 +55,7 @@ class TestDecodedTraces:
         traces_sink = f"traces_{uuid.uuid4().hex[:8]}"
         _run(spark, "traces_ingest", {
             "RPC_ENDPOINT": "mock://chain",
-        "LATEST_BLOCK_STATUS": "latest",
+            "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "traces"), "SINK_TABLE": traces_sink})
 
         abi_path = str(tmp_path / "abi_calls.parquet")
@@ -67,10 +73,10 @@ class TestDecodedTraces:
         row = got.where((F.col("block_number") == 5) &
                         (F.col("transaction_position") == 1)).collect()[0]
         assert row["signature"] == "transfer(address,uint256)"
-        inputs = json.loads(row["inputs"])
+        inputs = _as_json(row["inputs"])
         assert inputs["arg0"] == "0x" + mc.addr(5 + 1 + 1).hex()
         assert inputs["arg1"] == mc.amount(5, 1)
-        outputs = json.loads(row["outputs"])
+        outputs = _as_json(row["outputs"])
         assert outputs["arg0"] is True
 
 
@@ -80,7 +86,7 @@ class TestDecodedLogsToDaily:
         logs_sink = f"logs_{uuid.uuid4().hex[:8]}"
         _run(spark, "logs_ingest", {
             "RPC_ENDPOINT": "mock://chain",
-        "LATEST_BLOCK_STATUS": "latest",
+            "LATEST_BLOCK_STATUS": "latest",
             "TARGET_PATH": str(tmp_path / "logs"), "SINK_TABLE": logs_sink})
         abi_path = str(tmp_path / "abi.parquet")
         spark.createDataFrame(
@@ -103,7 +109,60 @@ class TestDecodedLogsToDaily:
         dirs = [d for d in os.listdir(tmp_path / "daily")
                 if d.startswith("date=")]
         assert dirs == ["date=2020-09-13"]
-        assert json.loads(got.limit(1).collect()[0]["inputs"])["arg2"] > 0
+        assert json.loads(got.limit(1).collect()[0]["inputs"])["arg2"] > 0  # daily export is always JSON text
+
+
+class TestVariantModes:
+    def test_variant_sink_when_supported(self, spark, tmp_path):
+        """With Spark 4 the decoded sink stores VARIANT (probe-selected);
+        variant_get subpath reads work against it."""
+        from agnostic_blockchain_etl_spark.plans.probe import supports_variant
+        if not supports_variant(spark):
+            pytest.skip("session has no VariantType")
+        logs_sink, decoded_sink = self._decode(spark, tmp_path)
+        schema = dict((f.name, f.dataType.simpleString())
+                      for f in spark.table(decoded_sink).schema.fields)
+        assert schema["inputs"] == "variant"
+        n = spark.sql(f"""
+            SELECT count(*) c FROM {decoded_sink}
+            WHERE CAST(variant_get(inputs, '$.arg2') AS DECIMAL(38, 0)) > 0
+        """).collect()[0]["c"]
+        assert n == TOTAL_LOGS
+
+    def test_string_fallback_same_content(self, spark, tmp_path):
+        """Forcing the JSON-string mode (older sessions) produces the same
+        decoded content with a STRING sink column."""
+        from agnostic_blockchain_etl_spark.functions.registry import \
+            register_json_helpers
+        register_json_helpers(spark, use_variant=False)
+        try:
+            logs_sink, decoded_sink = self._decode(spark, tmp_path)
+            schema = dict((f.name, f.dataType.simpleString())
+                          for f in spark.table(decoded_sink).schema.fields)
+            assert schema["inputs"] == "string"
+            row = spark.table(decoded_sink).limit(1).collect()[0]
+            assert json.loads(row["inputs"])["arg2"] > 0
+        finally:
+            register_json_helpers(spark)  # restore the probed mode
+
+    @staticmethod
+    def _decode(spark, tmp_path):
+        logs_sink = f"logs_{uuid.uuid4().hex[:8]}"
+        _run(spark, "logs_ingest", {
+            "RPC_ENDPOINT": "mock://chain",
+            "LATEST_BLOCK_STATUS": "latest",
+            "TARGET_PATH": str(tmp_path / "logs"), "SINK_TABLE": logs_sink})
+        abi_path = str(tmp_path / "abi.parquet")
+        spark.createDataFrame(
+            [("0x" + mc.TRANSFER_TOPIC0.hex(),
+              ["event Transfer(address indexed,address indexed,uint256)"])],
+            "selector STRING, fullsigs ARRAY<STRING>").write.parquet(abi_path)
+        decoded_sink = f"decoded_{uuid.uuid4().hex[:8]}"
+        _run(spark, "decoded_logs", {
+            "SOURCE_TABLE": logs_sink, "ABI_DICT_PATH": abi_path,
+            "TARGET_PATH": str(tmp_path / "decoded"),
+            "SINK_TABLE": decoded_sink})
+        return logs_sink, decoded_sink
 
 
 class TestWordArithmetic:

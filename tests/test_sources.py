@@ -89,3 +89,41 @@ class TestDailyPartitionedWrite:
         write_daily_partitioned(df2, target, "ts")
         back = spark.read.parquet(target)
         assert {r["id"] for r in back.collect()} == {1, 99}
+
+
+class TestJdbcRemote:
+    """Live JDBC round-trip against the Derby engine embedded in the Spark
+    distribution — the remote() proxy-table path (reference
+    examples/ethereum_blocks/create_remote_table.sql:1-7) exercised
+    against a real database, not just by construction."""
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def test_write_read_roundtrip_and_partitioned_scan(self, spark, tmp_path):
+        from agnostic_blockchain_etl_spark.sources.jdbc import (
+            register_remote_table, remote_table, write_remote_table)
+
+        url = f"jdbc:derby:{tmp_path}/remotedb;create=true"
+        src = spark.range(0, 100).selectExpr(
+            "id AS n", "CAST(id * 7 AS DOUBLE) AS val")
+        write_remote_table(src, url, "metrics", mode="overwrite",
+                           driver=self.DRIVER)
+
+        back = remote_table(spark, url, "metrics", driver=self.DRIVER)
+        assert back.count() == 100
+        assert {f.name for f in back.schema.fields} == {"n", "val"}
+
+        # partitioned read: 4 parallel range-predicated cursors, same rows
+        part = remote_table(spark, url, "metrics", partition_column="n",
+                            lower_bound=0, upper_bound=100, num_partitions=4,
+                            driver=self.DRIVER)
+        assert part.rdd.getNumPartitions() == 4
+        assert part.count() == 100
+        assert part.agg(F.sum("val")).collect()[0][0] == sum(i * 7 for i in range(100))
+
+        # view registration: templated SQL addresses the proxy like a table
+        register_remote_table(spark, "remote_metrics", url, "metrics",
+                              driver=self.DRIVER)
+        assert spark.sql(
+            "SELECT count(*) c FROM remote_metrics WHERE n >= 50"
+        ).collect()[0]["c"] == 50
