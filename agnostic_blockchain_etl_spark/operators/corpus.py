@@ -172,3 +172,57 @@ def embedding_quantize_int8(spark, sf_dir):
                     F.floor(F.col("col") * F.col("scale") + 0.5)
                      .cast("long").cast("int").alias("q"),
                     F.round("scale", 6).alias("scale6")))
+
+
+_SAMPLE_RATES = {"en": 60, "es": 45, "de": 45, "fr": 25}  # keep-% per stratum
+_RATE_CASE_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()) + " ELSE 0 END")
+
+
+@query("corpus_stratified_sample", oracle=f"""
+    SELECT doc_id, lang,
+           CAST(sample_bucket AS INT) AS sample_bucket,
+           CASE WHEN split_bucket < 8 THEN 'train'
+                WHEN split_bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS sample_bucket,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10  AS split_bucket
+        FROM documents)
+    WHERE sample_bucket < {_RATE_CASE_SQL}
+""")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling + split assignment, the class-balancing
+    stage of a training-data pipeline: each language stratum keeps a
+    configured fraction of its documents, and every kept document gets a
+    deterministic train/val/test split (80/10/10).
+
+    Sampling is HASH-based, not ``rand()``: membership is a pure function
+    of doc_id (md5 with a per-purpose salt), so the sample is reproducible
+    across runs/engines, stable under re-partitioning, and new documents
+    never reshuffle old ones — the properties a 100 TB corpus refresh
+    needs. Zero shuffle: one scan, per-row arithmetic, filter pushes into
+    the column pruning. The independent salts ('sample:' vs 'split:') keep
+    the two decisions uncorrelated."""
+    t = load_tables(spark, sf_dir, ("documents",))
+
+    def bucket(salt: str, mod: int):
+        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                  .cast("binary"))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
+
+    rate = F.coalesce(*([F.when(F.col("lang") == k, F.lit(v))
+                         for k, v in _SAMPLE_RATES.items()] + [F.lit(0)]))
+    d = t["documents"].select(
+        "doc_id", "lang",
+        bucket("sample:", 100).alias("sample_bucket"),
+        bucket("split:", 10).alias("split_bucket"))
+    return (d.where(F.col("sample_bucket") < rate)
+            .select("doc_id", "lang",
+                    F.col("sample_bucket").cast("int").alias("sample_bucket"),
+                    F.when(F.col("split_bucket") < 8, "train")
+                     .when(F.col("split_bucket") == 8, "val")
+                     .otherwise("test").alias("split")))

@@ -374,6 +374,104 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering over near-dup pairs (keep-one-per-cluster)
+# ---------------------------------------------------------------------------
+
+_SQL_SIMHASH_SH = f"""
+    words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    tokens AS (
+        SELECT doc_id, unnest(words) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, {_SQL_HASH60} AS h FROM tokens),
+    bits(bit) AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN bits GROUP BY doc_id, bit),
+    sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                   AS simhash
+        FROM votes GROUP BY doc_id)
+"""
+
+
+@query("dedup_cluster_components", oracle=f"""
+    WITH RECURSIVE {_SQL_SIMHASH_SH},
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM prs),
+    reach(v, u) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+    clusters AS (
+        SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical
+    FROM clusters
+""")
+def dedup_cluster_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the banded
+    simhash near-dup pairs, then keep-one-per-cluster (the canonical doc
+    is the cluster's minimum doc_id — the actual dedup decision a corpus
+    pipeline executes after candidate pairs are found).
+
+    Implemented as iterative min-label propagation: each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    converged when no label changes. Round count is bounded by the
+    component diameter — near-dup clusters are shallow (dups of a common
+    original), so a handful of rounds suffice; the loop hard-caps at 20
+    and each round truncates lineage with an eager ``localCheckpoint``
+    (at cluster scale: a reliable checkpoint dir instead, or the
+    large-star/small-star variant that contracts diameters in
+    O(log n) rounds). The oracle is a recursive-CTE transitive closure —
+    identical fixpoint, engine-exact.
+
+    Per-round cost: one shuffle keyed on doc_id (edges ⋈ labels). No
+    all-pairs anywhere — edges come from the banded LSH equi-join."""
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    t = load_tables(spark, sf_dir, ("documents",))
+    labels = (t["documents"].select("doc_id")
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(20):
+        prop = (edges.join(labels, edges["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_label")))
+        nxt = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least("label", "nbr_label").alias("label"),
+                       (F.col("nbr_label") < F.col("label"))
+                       .alias("changed"))
+               .localCheckpoint(eager=True))
+        changed = nxt.where(F.col("changed")).limit(1).count()
+        labels = nxt.select("doc_id", "label")
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+    sized = labels.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("label")))
+    return sized.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
+         .alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise over shared-shingle candidates)
 # ---------------------------------------------------------------------------
 

@@ -56,65 +56,61 @@ def decode_image_stub(payload: bytes, real_decode: bool = False) -> dict:
             "checksum": sum(payload) % 65536}
 
 
-_OUT_SCHEMA = ("doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
-               "checksum BIGINT")
+_OUT_SCHEMA = ("doc_id BIGINT, modality STRING, n_chars BIGINT, "
+               "chunk_count BIGINT, n_bytes BIGINT, width BIGINT, "
+               "height BIGINT, checksum BIGINT")
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: whole Arrow batches in, decoded metadata out."""
+    """mapInPandas kernel: whole Arrow batches in, decoded features out;
+    the typed metadata columns pass through the stage untouched (the
+    catalog row rides next to the decode — no re-join afterwards)."""
     for pdf in batches:
-        decoded = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
-        out = pd.DataFrame(decoded)
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out
+        decoded = pd.DataFrame([decode_image_stub(bytes(p))
+                                for p in pdf["payload"]])
+        passthrough = pdf[["doc_id", "modality", "n_chars",
+                           "chunk_count"]].reset_index(drop=True)
+        yield pd.concat([passthrough, decoded], axis=1)
 
 
 @query("multimodal_decode_features", oracle="""
     SELECT doc_id,
+           'text/plain'                                           AS modality,
+           CAST(length(text) AS BIGINT)                           AS n_chars,
+           CAST(ceil(length(text) / 1024.0) AS BIGINT)            AS chunk_count,
            CAST(octet_length(payload) AS BIGINT)                  AS n_bytes,
            CAST(64 + octet_length(payload) % 512 AS BIGINT)       AS width,
            CAST(64 + (octet_length(payload) * 7) % 512 AS BIGINT) AS height,
            CAST(byte_sum % 65536 AS BIGINT)                       AS checksum
     FROM (
-        SELECT doc_id, encode(text) AS payload,
+        SELECT doc_id, text, encode(text) AS payload,
                list_sum(list_transform(generate_series(1, length(text)),
                         i -> ascii(text[i]))) AS byte_sum
         FROM documents)
 """)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline: build an opaque payload column (here
-    from text bytes — stand-in for image bytes), run the Arrow-batched
-    decode stage, emit typed metadata. The oracle mirrors the stub's
-    arithmetic, proving batch shape and row alignment survive the
-    mapInPandas boundary."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    payloads = t["documents"].select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return payloads.mapInPandas(_decode_batches, _OUT_SCHEMA)
+    """Multimodal asset pipeline, both facets in one stage:
 
+    - typed metadata struct alongside the payload (modality tag, char
+      size, chunking — the catalog row for the asset), built JVM-side
+      and flattened;
+    - binary-column decode: an opaque payload column (here from text
+      bytes — stand-in for image bytes) through the Arrow-batched
+      ``mapInPandas`` decode stage, metadata passing through.
 
-@query("multimodal_metadata_struct", oracle="""
-    SELECT doc_id, modality, n_bytes, CAST(chunk_count AS BIGINT) AS chunk_count
-    FROM (
-        SELECT doc_id,
-               'text/plain'                                   AS modality,
-               CAST(length(text) AS BIGINT)                   AS n_bytes,
-               CAST(ceil(length(text) / 1024.0) AS BIGINT)    AS chunk_count
-        FROM documents)
-""")
-def multimodal_metadata_struct(spark, sf_dir):
-    """Typed metadata struct alongside the payload (modality tag, size,
-    chunking) — the catalog row for a multimodal asset; built and read
-    back entirely JVM-side."""
+    The oracle mirrors the stub's arithmetic, proving batch shape and
+    row alignment survive the mapInPandas boundary."""
     t = load_tables(spark, sf_dir, ("documents",))
     meta = t["documents"].select(
-        "doc_id",
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
             F.lit("text/plain").alias("modality"),
-            F.length("text").cast("long").alias("n_bytes"),
+            F.length("text").cast("long").alias("n_chars"),
             F.ceil(F.length("text") / 1024.0).cast("long").alias("chunk_count"),
         ).alias("meta"))
-    return meta.select(
-        "doc_id", F.col("meta.modality").alias("modality"),
-        F.col("meta.n_bytes").alias("n_bytes"),
+    flat = meta.select(
+        "doc_id", "payload",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_chars").alias("n_chars"),
         F.col("meta.chunk_count").alias("chunk_count"))
+    return flat.mapInPandas(_decode_batches, _OUT_SCHEMA)

@@ -188,6 +188,103 @@ def emb_near_dup_pairs(spark, sf_dir):
                     F.round(cos, 4).alias("cosine")))
 
 
+_IVF_LISTS = 16   # coarse codebook size (nlist)
+_IVF_NPROBE = 3   # lists probed per query
+
+
+def _sql_cos_of(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
+
+
+@query("emb_ivf_topk", oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS seed_id, e AS se FROM emb
+        WHERE vec_id >= {_N_QUERIES} ORDER BY vec_id LIMIT {_IVF_LISTS}),
+    assigned AS (
+        SELECT vec_id, e, seed_id AS list_id FROM (
+            SELECT c.vec_id, c.e, s.seed_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_sql_cos_of('c.e', 's.se')} DESC, s.seed_id)
+                       AS rn
+            FROM emb c CROSS JOIN seeds s)
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, qe, seed_id AS list_id FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, s.seed_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_sql_cos_of('q.e', 's.se')} DESC, s.seed_id)
+                       AS rn
+            FROM emb q CROSS JOIN seeds s
+            WHERE q.vec_id < {_N_QUERIES})
+        WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({_sql_cos_of('p.qe', 'a.e')}, 4) AS cosine
+        FROM probes p JOIN assigned a ON a.list_id = p.list_id
+        WHERE a.vec_id <> p.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+""")
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbor: a coarse codebook of
+    ``nlist={_IVF_LISTS}`` vectors partitions the corpus into inverted
+    lists (each vector assigned to its nearest codebook entry); a query
+    probes only its ``nprobe={_IVF_NPROBE}`` closest lists and scores
+    exactly within them — the classic recall/cost dial between
+    brute-force (`emb_cosine_topk`) and tiny-bucket LSH.
+
+    The codebook here is a deterministic seed sample (the {_IVF_LISTS}
+    lowest non-query vec_ids): raw data vectors are bit-identical across
+    engines, so list assignment is oracle-exact — averaged centroids
+    would be summation-order-dependent. Production would refine these
+    seeds with Lloyd iterations (the aggregation shape is
+    `emb_label_centroids`); the assignment/probe plan is unchanged.
+
+    Scale: the codebook broadcasts (nlist rows); assignment is one
+    broadcast-join pass over the corpus with a per-vector top-1 (at
+    100 TB this materializes once as a bucketed-by-list layout, not per
+    query); each query touches ~nprobe/nlist of the corpus."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
+    seeds = (emb.where(F.col("vec_id") >= _N_QUERIES)
+             .orderBy("vec_id").limit(_IVF_LISTS)
+             .select(F.col("vec_id").alias("seed_id"), F.col("e").alias("se")))
+
+    def top_lists(vecs, id_out, vec_out, n):
+        cos = (_dot(F.col("e"), F.col("se")) /
+               (_norm(F.col("e")) * _norm(F.col("se"))))
+        w = Window.partitionBy("vec_id").orderBy(F.col("sc").desc(), "seed_id")
+        return (vecs.crossJoin(F.broadcast(seeds))
+                .withColumn("sc", cos)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= n)
+                .select(F.col("vec_id").alias(id_out),
+                        F.col("e").alias(vec_out),
+                        F.col("seed_id").alias("list_id")))
+
+    assigned = top_lists(emb, "neighbor_id", "ce", 1)
+    probes = top_lists(emb.where(F.col("vec_id") < _N_QUERIES),
+                       "query_id", "qe", _IVF_NPROBE)
+    cos_qc = (_dot(F.col("qe"), F.col("ce")) /
+              (_norm(F.col("qe")) * _norm(F.col("ce"))))
+    scored = (assigned.join(F.broadcast(probes), "list_id")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cos_qc, 4).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 @query("emb_label_centroids", oracle="""
     WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     expanded AS (

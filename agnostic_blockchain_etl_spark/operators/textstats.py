@@ -2,7 +2,7 @@
 BASELINE.json — language-ID, quality scoring, token counting, document
 fingerprinting over the ``documents`` table).
 
-All four are pure column expressions (JVM-side, whole-stage codegen — no
+All facets are pure column expressions (JVM-side, whole-stage codegen — no
 Python in the hot path), so they scale linearly with input: at 100 TB they
 are a single pass over the corpus with no shuffle except final aggregates.
 
@@ -50,101 +50,82 @@ def _words(col):
     return F.split(F.trim(col), r"\s+")
 
 
-@query("text_token_count", oracle=f"""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)  AS bpe_tokens,
-           CAST(length(text) AS BIGINT)                                AS n_chars
-    FROM documents
-""")
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
-    (letters | digits | single punctuation), all JVM-side."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return t["documents"].select(
-        "doc_id",
-        F.size(_words(F.col("text"))).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
-         .cast("long").alias("bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars"))
-
-
-@query("text_quality_score", oracle=f"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT)                       AS n_chars,
-           CAST(n_words AS BIGINT)                            AS n_words,
-           round(CAST(length(text) AS DOUBLE) / n_words, 4)   AS avg_word_len,
-           round(CAST(n_punct AS DOUBLE)
-                 / greatest(length(text), 1), 4)              AS punct_ratio,
-           round(CAST(n_stop AS DOUBLE) / n_words, 4)         AS stopword_ratio,
-           CASE WHEN n_words BETWEEN 10 AND 100000
-                 AND CAST(n_punct AS DOUBLE) / greatest(length(text), 1) < 0.1
-                THEN 1 ELSE 0 END                             AS quality_keep
-    FROM (
-        SELECT doc_id, text,
-               len(string_split_regex(trim(text), '\\s+'))           AS n_words,
-               len(regexp_extract_all(text, '{_PUNCT_RE}'))          AS n_punct,
-               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                               w -> w IN ('the','and','of','a','to'))) AS n_stop
-        FROM documents)
-""")
-def text_quality_score(spark, sf_dir):
-    """Quality scoring: length/punctuation/stopword heuristics → a keep
-    flag (the classic pre-training quality filter shape)."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"].select(
-        "doc_id", "text",
-        F.size(_words(F.col("text"))).alias("n_words"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), F.lit(0)))
-         .alias("n_punct"),
-        F.size(F.filter(_words(F.lower(F.trim(F.col("text")))),
-                        lambda w: w.isin("the", "and", "of", "a", "to")))
-         .alias("n_stop"))
-    punct_ratio = F.col("n_punct").cast("double") / F.greatest(F.length("text"), F.lit(1))
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        F.col("n_words").cast("long").alias("n_words"),
-        F.round(F.length("text").cast("double") / F.col("n_words"), 4)
-         .alias("avg_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4)
-         .alias("stopword_ratio"),
-        F.when(F.col("n_words").between(10, 100000) & (punct_ratio < 0.1), 1)
-         .otherwise(0).alias("quality_keep"))
-
-
 def _marker_count_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
     return (f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
             f"w -> w IN ({words})))")
 
 
-@query("text_lang_id", oracle=f"""
-    SELECT doc_id, lang AS labeled_lang,
+@query("text_stats_facets", oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                       AS n_chars,
+           CAST(n_words AS BIGINT)                            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                                                              AS bpe_tokens,
+           round(CAST(length(text) AS DOUBLE) / n_words, 4)   AS avg_word_len,
+           round(CAST(n_punct AS DOUBLE)
+                 / greatest(length(text), 1), 4)              AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_words, 4)         AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 10 AND 100000
+                 AND CAST(n_punct AS DOUBLE) / greatest(length(text), 1) < 0.1
+                THEN 1 ELSE 0 END                             AS quality_keep,
+           lang                                               AS labeled_lang,
            CASE greatest(en_n, es_n, de_n, fr_n)
                 WHEN en_n THEN 'en' WHEN es_n THEN 'es'
-                WHEN de_n THEN 'de' ELSE 'fr' END AS detected_lang
-    FROM (SELECT doc_id, lang,
-                 {_marker_count_sql('en')} AS en_n,
-                 {_marker_count_sql('es')} AS es_n,
-                 {_marker_count_sql('de')} AS de_n,
-                 {_marker_count_sql('fr')} AS fr_n
-          FROM documents)
+                WHEN de_n THEN 'de' ELSE 'fr' END             AS detected_lang
+    FROM (
+        SELECT doc_id, text, lang,
+               len(string_split_regex(trim(text), '\\s+'))           AS n_words,
+               len(regexp_extract_all(text, '{_PUNCT_RE}'))          AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               w -> w IN ('the','and','of','a','to'))) AS n_stop,
+               {_marker_count_sql('en')} AS en_n,
+               {_marker_count_sql('es')} AS es_n,
+               {_marker_count_sql('de')} AS de_n,
+               {_marker_count_sql('fr')} AS fr_n
+        FROM documents)
 """)
-def text_lang_id(spark, sf_dir):
-    """Language-ID by distinctive-stopword hits (n-gram-free heuristic;
-    argmax with a fixed en>es>de>fr tie order, mirrored in the oracle's
-    CASE evaluation order)."""
+def text_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis, one scan, all facets:
+
+    - token counting (whitespace tokens + a BPE-ish regex tokenizer:
+      letters | digits | single punctuation);
+    - quality scoring (length/punctuation/stopword heuristics → a keep
+      flag, the classic pre-training quality filter shape);
+    - language-ID by distinctive-stopword hits (argmax with a fixed
+      en>es>de>fr tie order, mirrored in the oracle's CASE order).
+
+    Everything is a JVM column expression over one ``documents`` pass —
+    zero shuffle, linear at 100 TB."""
     t = load_tables(spark, sf_dir, ("documents",))
     low = _words(F.lower(F.trim(F.col("text"))))
     d = t["documents"].select(
-        "doc_id", "lang",
+        "doc_id", "text", "lang",
+        F.size(_words(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+         .alias("n_bpe"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), F.lit(0)))
+         .alias("n_punct"),
+        F.size(F.filter(low, lambda w: w.isin("the", "and", "of", "a", "to")))
+         .alias("n_stop"),
         *[F.size(F.filter(low, lambda w: w.isin(*_LANG_MARKERS[lang])))
           .alias(f"{lang}_n") for lang in ("en", "es", "de", "fr")])
+    punct_ratio = (F.col("n_punct").cast("double")
+                   / F.greatest(F.length("text"), F.lit(1)))
     best = F.greatest("en_n", "es_n", "de_n", "fr_n")
     return d.select(
-        "doc_id", F.col("lang").alias("labeled_lang"),
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("ws_tokens"),
+        F.col("n_bpe").cast("long").alias("bpe_tokens"),
+        F.round(F.length("text").cast("double") / F.col("n_words"), 4)
+         .alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4)
+         .alias("stopword_ratio"),
+        F.when(F.col("n_words").between(10, 100000) & (punct_ratio < 0.1), 1)
+         .otherwise(0).alias("quality_keep"),
+        F.col("lang").alias("labeled_lang"),
         F.when(F.col("en_n") == best, "en")
          .when(F.col("es_n") == best, "es")
          .when(F.col("de_n") == best, "de")

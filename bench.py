@@ -34,8 +34,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "emb_cosine_topk",
     "emb_lsh_bucketed_search",
-    "text_quality_score",
-    "text_token_count",
+    "text_stats_facets",
     "doc_fingerprint",
     "multimodal_decode_features",
     "asof_join_last_click",

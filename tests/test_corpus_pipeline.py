@@ -45,7 +45,7 @@ def test_corpus_prep_pipeline(spark, tmp_path):
     # cross-check against the standalone operators over the same corpus:
     # every kept doc passes the quality gate; chunk rows match the
     # chunk_documents operator restricted to kept docs
-    quality = textstats.QUERIES["text_quality_score"](spark, SF_DIR)
+    quality = textstats.QUERIES["text_stats_facets"](spark, SF_DIR)
     kept_ids = {r["doc_id"] for r in
                 quality.where(F.col("quality_keep") == 1).collect()}
     sink_ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
