@@ -46,7 +46,31 @@ DEFAULT_CONF = {
 
 def get_session(master: str | None = None, conf: dict | None = None,
                 app_name: str = "agnostic-blockchain-etl-spark") -> SparkSession:
-    """Build (or reuse) a SparkSession with engine defaults + kernel UDFs."""
+    """Build (or reuse) a SparkSession with engine defaults + kernel UDFs.
+
+    ``master`` accepts an ``sc://host:port`` Spark Connect URL as well —
+    the RemoteEngine analog proper (remote_engine.go:10-44 points at an
+    existing server; Connect is Spark's point-at-an-existing-server mode,
+    so a pipeline.yaml ``Engine.master: sc://...`` runs the whole engine
+    against a remote cluster). Requires the Connect client deps
+    (grpcio et al.), which this container does not ship — the path is
+    import-gated with an actionable error and its live test skips when
+    the client is absent (see tests/test_connect.py, COVERAGE.md)."""
+    if master is not None and master.startswith("sc://"):
+        try:
+            import grpc  # noqa: F401
+        except ImportError as ex:
+            raise RuntimeError(
+                "Spark Connect ('sc://') sessions need the client packages "
+                "(grpcio, grpcio-status, googleapis-common-protos) which "
+                "are not installed in this environment; install them or "
+                "use a local[...]/cluster master URL") from ex
+        builder = SparkSession.builder.appName(app_name).remote(master)
+        for k, v in (conf or {}).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        register_all(spark)
+        return spark
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
