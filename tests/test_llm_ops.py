@@ -1,0 +1,91 @@
+"""Behavioral properties of the round-2 LLM-data operators — the
+invariants their DuckDB oracle twins can't state (the oracle proves
+cross-engine equivalence; these prove the semantics are the intended
+ones).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+class TestDedupClustering:
+    def test_components_cover_pairs_and_pick_one_canonical(self, spark):
+        from agnostic_blockchain_etl_spark.operators import dedup
+        clusters = dedup.QUERIES["dedup_cluster_components"](
+            spark, SF_DIR).cache()
+        label_of = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+
+        # every near-dup edge ends up inside one cluster
+        pairs = dedup.QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+        assert pairs, "synthetic corpus should contain near-dup pairs"
+        for p in pairs:
+            assert label_of[p["doc_a"]] == label_of[p["doc_b"]]
+
+        # exactly one canonical per cluster, and it is the min doc_id
+        per_cluster = (clusters.groupBy("cluster_id")
+                       .agg(F.sum("is_canonical").alias("n_canon"),
+                            F.min("doc_id").alias("lo"))
+                       .collect())
+        assert all(r["n_canon"] == 1 and r["lo"] == r["cluster_id"]
+                   for r in per_cluster)
+
+        # cluster_size is consistent with membership
+        sizes = (clusters.groupBy("cluster_id").count().collect())
+        by_id = {r["cluster_id"]: r["count"] for r in sizes}
+        assert all(by_id[r["cluster_id"]] == r["cluster_size"]
+                   for r in clusters.collect())
+        clusters.unpersist()
+
+
+class TestIvfSearch:
+    def test_ivf_results_rank_contiguously_and_recall_floor(self, spark):
+        from agnostic_blockchain_etl_spark.operators import similarity
+        ivf = similarity.QUERIES["emb_ivf_topk"](spark, SF_DIR).collect()
+        brute = similarity.QUERIES["emb_cosine_topk"](spark, SF_DIR).collect()
+
+        per_q: dict = {}
+        for r in ivf:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in per_q.items():
+            assert sorted(r["rank"] for r in rows) == list(
+                range(1, len(rows) + 1))
+
+        truth: dict = {}
+        for r in brute:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hit = sum(1 for r in ivf if r["neighbor_id"] in truth[r["query_id"]])
+        recall = hit / sum(len(v) for v in truth.values())
+        # nprobe=3 of nlist=16 on the synthetic corpus: expect a real
+        # recall, not a degenerate one (exact floor measured, kept loose)
+        assert recall >= 0.3, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+class TestStratifiedSample:
+    def test_rates_splits_and_determinism(self, spark):
+        from agnostic_blockchain_etl_spark.operators import corpus
+        got = corpus.QUERIES["corpus_stratified_sample"](spark, SF_DIR)
+        rows = got.collect()
+        assert rows
+        rates = corpus._SAMPLE_RATES
+        assert all(r["sample_bucket"] < rates[r["lang"]] for r in rows)
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
+        # hash-determinism: a second run yields the identical sample
+        again = corpus.QUERIES["corpus_stratified_sample"](
+            spark, SF_DIR).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -29,7 +29,12 @@ def spark():
 # Queries whose entire point is avoiding the quadratic plan. The inequality
 # (doc_a < doc_b / tolerance) predicates must ride an equi-join, not drive
 # the join strategy.
+# (emb_ivf_topk is exempt: its corpus × codebook crossJoin is a broadcast
+# nested loop BY DESIGN, bounded to nlist=16 rows on the broadcast side —
+# the quadratic risk banding protects against does not apply to a
+# constant-size codebook.)
 LINEAR_PLAN_QUERIES = [
+    "dedup_cluster_components",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
