@@ -32,8 +32,10 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_cluster_components",
     "emb_cosine_topk",
     "emb_lsh_bucketed_search",
+    "emb_ivf_topk",
     "text_stats_facets",
     "doc_fingerprint",
     "multimodal_decode_features",
@@ -43,6 +45,7 @@ HEADLINE = [
     "range_join_banded",
     "skew_salted_join",
     "chunk_documents",
+    "corpus_stratified_sample",
     "vocab_tfidf_terms",
     "embedding_quantize_int8",
 ]
