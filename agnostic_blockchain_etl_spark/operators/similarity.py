@@ -285,6 +285,51 @@ def emb_ivf_topk(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
+              iters: int = 2) -> DataFrame:
+    """Lloyd refinement of an IVF codebook: start from the deterministic
+    seed sample (same rule as `emb_ivf_topk`) and run ``iters``
+    assign-then-recenter passes. Returns ``(list_id, centroid)`` with
+    centroid as ``array<double>``.
+
+    Each pass is two shuffles regardless of corpus size: the assignment
+    is a broadcast crossJoin + per-vector top-1 (vec_id-keyed), and the
+    re-centering is one (list_id, dim)-keyed partial aggregation
+    (`emb_label_centroids`' shape) folded back into arrays. Not a gate
+    query: iterative refinement has no closed-form SQL oracle — the
+    convergence property (non-increasing inertia) is unit-tested
+    instead (tests/test_llm_ops.py::TestIvfTrain).
+
+    ``emb`` must have columns ``vec_id`` and array-typed ``embedding``."""
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("e"))
+    # nlist rows: a single-partition window is fine for the codebook
+    centroids = (vecs.orderBy("vec_id").limit(nlist)
+                 .select(F.row_number().over(Window.orderBy("vec_id"))
+                         .alias("list_id"), F.col("e").alias("ce")))
+    for _ in range(iters):
+        cos = (_dot(F.col("e"), F.col("ce")) /
+               (_norm(F.col("e")) * _norm(F.col("ce"))))
+        w = Window.partitionBy("vec_id").orderBy(F.col("sc").desc(),
+                                                 "list_id")
+        assigned = (vecs.crossJoin(F.broadcast(centroids))
+                    .withColumn("sc", cos)
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select("vec_id", "e", "list_id"))
+        centroids = (assigned
+                     .select("list_id", F.posexplode("e"))
+                     .groupBy("list_id", "pos")
+                     .agg(F.avg("col").alias("v"))
+                     .groupBy("list_id")
+                     .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
+                          .alias("pairs"))
+                     .select("list_id",
+                             F.transform(F.col("pairs"), lambda p: p["v"])
+                             .alias("ce")))
+    return centroids.select("list_id", F.col("ce").alias("centroid"))
+
+
 @query("emb_label_centroids", oracle="""
     WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     expanded AS (

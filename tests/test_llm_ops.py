@@ -76,6 +76,40 @@ class TestIvfSearch:
         assert recall >= 0.3, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
+class TestIvfTrain:
+    def test_lloyd_refinement_reduces_inertia(self, spark):
+        """Each Lloyd pass must not worsen the clustering objective
+        (inertia = sum over vectors of (1 - cosine to assigned
+        centroid)); seeds → 1 iter → 2 iters should be non-increasing,
+        with a real improvement from the seed codebook."""
+        from agnostic_blockchain_etl_spark.operators import similarity
+        from agnostic_blockchain_etl_spark.operators.tables import load_tables
+        emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+
+        def inertia(centroids):
+            vecs = emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+            c = centroids.select("list_id",
+                                 F.col("centroid").alias("ce"))
+            cos = (similarity._dot(F.col("e"), F.col("ce")) /
+                   (similarity._norm(F.col("e")) *
+                    similarity._norm(F.col("ce"))))
+            from pyspark.sql import Window
+            w = Window.partitionBy("vec_id").orderBy(F.col("sc").desc(),
+                                                     "list_id")
+            best = (vecs.crossJoin(F.broadcast(c)).withColumn("sc", cos)
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1))
+            return best.agg(F.sum(1 - F.col("sc"))).collect()[0][0]
+
+        scores = [inertia(similarity.ivf_train(spark, emb, nlist=8, iters=i))
+                  for i in (0, 1, 2)]
+        assert scores[1] <= scores[0] + 1e-9
+        assert scores[2] <= scores[1] + 1e-9
+        assert scores[1] < scores[0], \
+            f"Lloyd pass did not improve on seeds: {scores}"
+
+
 class TestStratifiedSample:
     def test_rates_splits_and_determinism(self, spark):
         from agnostic_blockchain_etl_spark.operators import corpus
