@@ -1,0 +1,76 @@
+"""Scan-hygiene audits: filters must reach the parquet scan and the scan
+must read only the projected columns. A query whose scan reads every
+column for a narrow projection, or whose range predicate evaluates
+post-scan, multiplies I/O by the table width / selectivity at 100 TB —
+this pins the `PushedFilters` / pruned-`ReadSchema` behavior SCALE.md
+relies on.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _scans(df):
+    """[(table, n_read_columns, pushed_filters_str)] for each parquet scan."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    out = []
+    for m in re.finditer(
+            r"Scan parquet[^\n]*\n((?:[^\n]+\n)*?)\s*\n", buf.getvalue()):
+        seg = m.group(0)
+        loc = re.search(r"Location:.*/(\w+)\.parquet", seg)
+        rs = re.search(r"ReadSchema: (.*)", seg)
+        pf = re.search(r"PushedFilters: (.*)", seg)
+        if loc and rs:
+            out.append((loc.group(1), rs.group(1).count(":"),
+                        pf.group(1) if pf else ""))
+    return out
+
+
+# (query, table, max columns the scan may read, required pushed-filter bit)
+CASES = [
+    # q1 projects 6 of lineitem's 16 columns; the shipdate cutoff must
+    # ride the scan
+    ("q1_pricing_summary", "lineitem", 6, "l_shipdate"),
+    # per-doc text stats touch doc_id/text/lang only
+    ("text_stats_facets", "documents", 3, None),
+    # sampling reads doc_id/lang — never the text payload
+    ("corpus_stratified_sample", "documents", 2, None),
+    # the cursor range is the reference's hottest predicate shape: it
+    # must reach the scan as a min/max-prunable range
+    ("cursor_struct_projection", "orders", 3, "o_orderkey"),
+]
+
+
+@pytest.mark.parametrize("name,table,max_cols,filter_bit", CASES)
+def test_scan_reads_only_what_it_needs(spark, name, table, max_cols,
+                                       filter_bit):
+    import __spark_entry__ as entry
+    df = entry.queries()[name](spark, SF_DIR)
+    scans = [s for s in _scans(df) if s[0] == table]
+    assert scans, f"{name}: no parquet scan of {table} found in plan"
+    for _, n_cols, filters in scans:
+        assert n_cols <= max_cols, \
+            f"{name}: scan of {table} reads {n_cols} columns (max {max_cols})"
+        if filter_bit is not None:
+            assert filter_bit in filters, \
+                f"{name}: predicate on {filter_bit} not pushed to {table} scan"
