@@ -27,7 +27,6 @@ from pyspark.sql.types import (BinaryType, DecimalType, LongType, StringType)
 
 from . import abi, hex as hexmod, keccak, rpc
 
-_REGISTERED_SESSIONS: set[int] = set()
 
 
 # ---------------------------------------------------------------------------
@@ -147,9 +146,13 @@ def _udf_ethereum_rpc_call(to, func_sig, args_json, block_number, endpoint):
 
 
 def register_all(spark: SparkSession) -> None:
-    """Register every kernel under its reference name (idempotent)."""
-    key = id(spark)
-    if key in _REGISTERED_SESSIONS:
+    """Register every kernel under its reference name (idempotent).
+
+    Session-scoped state lives as attributes ON the session object, not
+    in module dicts keyed by ``id(spark)``: a stopped session's id can be
+    reused by a new object, which would silently inherit stale
+    registered/variant flags."""
+    if getattr(spark, "_agn_udfs_registered", False):
         return
     spark.udf.register("evm_hex_decode", _udf_hex_decode)
     spark.udf.register("evm_hex_decode_int", _udf_hex_decode_int)
@@ -165,10 +168,7 @@ def register_all(spark: SparkSession) -> None:
     from .words import register_words
     register_words(spark)
     register_json_helpers(spark)
-    _REGISTERED_SESSIONS.add(key)
-
-
-_JSON_VARIANT_MODE: dict[int, bool] = {}
+    spark._agn_udfs_registered = True
 
 
 def register_json_helpers(spark: SparkSession,
@@ -203,9 +203,9 @@ def register_json_helpers(spark: SparkSession,
                      RETURNS STRING RETURN get_json_object(v, p)""")
         spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION agn_json_str(v STRING)
                      RETURNS STRING RETURN v""")
-    _JSON_VARIANT_MODE[id(spark)] = use_variant
+    spark._agn_json_variant = use_variant
 
 
 def json_variant_mode(spark: SparkSession) -> bool:
     """Whether decoded-JSON columns are stored as VARIANT this session."""
-    return _JSON_VARIANT_MODE.get(id(spark), False)
+    return getattr(spark, "_agn_json_variant", False)

@@ -160,13 +160,38 @@ def _is_retryable(err: Exception) -> bool:
     return any(m in str(err).lower() for m in _RETRYABLE_MARKERS)
 
 
+def _json_typed_params(params: list) -> list:
+    """Decode each string param as a JSON value when it parses as one.
+
+    This is the reference UDF's param contract
+    (examples/ethereum_blocks/tip.sql:6: params are
+    ``['"finalized"', 'false']`` — JSON documents, so booleans stay
+    booleans on the wire even though SQL arrays are homogeneous strings).
+    Non-JSON strings (block tags like ``finalized``, ``0x…`` hex
+    quantities) pass through verbatim, so templates may write either the
+    quoted-JSON or the bare form."""
+    out = []
+    for p in params:
+        if isinstance(p, str):
+            try:
+                out.append(json.loads(p))
+            except ValueError:
+                out.append(p)
+        else:
+            out.append(p)
+    return out
+
+
 def ethereum_rpc(method: str, params: list, endpoint: str,
                  transport: Transport | None = None) -> str:
     """Perform one JSON-RPC call → ``{"value": …, "error": …}`` JSON string.
 
     Mirrors the reference UDF's envelope + fragment-option semantics
-    (create_buffer.sql:40-44)."""
+    (create_buffer.sql:40-44) and its JSON-typed param encoding
+    (see ``_json_typed_params``: ``'false'`` must reach the node as a
+    JSON boolean or real endpoints reject the call with -32602)."""
     opts = EndpointOptions.parse(endpoint)
+    params = _json_typed_params(list(params))
     t = transport or get_default_transport()
     last_err: Exception | None = None
     for attempt in range(opts.max_retries + 1):

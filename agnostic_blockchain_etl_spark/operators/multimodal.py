@@ -66,6 +66,10 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     the typed metadata columns pass through the stage untouched (the
     catalog row rides next to the decode — no re-join afterwards)."""
     for pdf in batches:
+        if pdf.empty:
+            # zero-row Arrow batches must not emit a column-less frame
+            # (pd.DataFrame([]) has no columns -> schema mismatch)
+            continue
         decoded = pd.DataFrame([decode_image_stub(bytes(p))
                                 for p in pdf["payload"]])
         passthrough = pdf[["doc_id", "modality", "n_chars",

@@ -287,10 +287,14 @@ def emb_ivf_topk(spark, sf_dir):
 
 def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
               iters: int = 2) -> DataFrame:
-    """Lloyd refinement of an IVF codebook: start from the deterministic
-    seed sample (same rule as `emb_ivf_topk`) and run ``iters``
-    assign-then-recenter passes. Returns ``(list_id, centroid)`` with
-    centroid as ``array<double>``.
+    """Lloyd refinement of an IVF codebook: start from a deterministic
+    seed sample (the ``nlist`` lowest vec_ids of ``emb`` — note this is
+    the generic rule over whatever frame the caller passes; `emb_ivf_topk`
+    additionally excludes its query vectors and keeps seed vec_ids as
+    list ids, so the two codebooks are NOT interchangeable — filter the
+    queries out and remap ids if warm-starting the gate query) and run
+    ``iters`` assign-then-recenter passes. Returns ``(list_id, centroid)``
+    with centroid as ``array<double>``, list_id 1..nlist.
 
     Each pass is two shuffles regardless of corpus size: the assignment
     is a broadcast crossJoin + per-vector top-1 (vec_id-keyed), and the

@@ -61,8 +61,13 @@ def read_text(url: str) -> str:
         path = urllib.parse.urlparse(url).path if scheme == "file" else url
         return Path(path).read_text()
     if scheme in ("http", "https"):
-        with urllib.request.urlopen(url) as resp:  # noqa: S310 - user-given URL
-            return resp.read().decode("utf-8")
+        try:
+            # bounded: a stalled config server must fail startup fast,
+            # not hang the pipeline forever
+            with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+                return resp.read().decode("utf-8")
+        except OSError as ex:
+            raise ObjstrError(f"cannot fetch {url!r}: {ex}") from ex
     if scheme == "s3":
         bucket, key = _split_s3(url)
         body = _s3_client().get_object(Bucket=bucket, Key=key)["Body"]
@@ -93,8 +98,12 @@ def list_sql(url: str) -> dict[str, str]:
         client = _s3_client()
         out: dict[str, str] = {}
         paginator = client.get_paginator("list_objects_v2")
+        # Delimiter makes the listing NON-recursive, matching the local
+        # scheme's glob('*.sql'): nested prefixes (other pipelines' dirs)
+        # must not leak same-named templates into this set
         for page in paginator.paginate(Bucket=bucket,
-                                       Prefix=prefix.rstrip("/") + "/"):
+                                       Prefix=prefix.rstrip("/") + "/",
+                                       Delimiter="/"):
             for obj in page.get("Contents", []):
                 key = obj["Key"]
                 if key.endswith(".sql"):

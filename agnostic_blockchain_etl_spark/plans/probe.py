@@ -21,9 +21,6 @@ class ProbeTimeout(RuntimeError):
     pass
 
 
-_VARIANT_CACHE: dict[int, bool] = {}
-
-
 def supports_variant(spark) -> bool:
     """Probe once per session whether VariantType + variant_get exist
     (Spark 4+). Decoded-JSON columns ride VARIANT when available —
@@ -34,16 +31,19 @@ def supports_variant(spark) -> bool:
     ``AGN_DISABLE_VARIANT=1`` to force the JSON-string fallback."""
     if os.environ.get("AGN_DISABLE_VARIANT"):
         return False
-    key = id(spark)
-    if key not in _VARIANT_CACHE:
+    # cached as an attribute ON the session (id(spark) keys are unsafe:
+    # a stopped session's id can be reused by a new object)
+    cached = getattr(spark, "_agn_supports_variant", None)
+    if cached is None:
         try:
             spark.sql(
                 """SELECT variant_get(parse_json('{"a": 1}'), '$.a')"""
             ).collect()
-            _VARIANT_CACHE[key] = True
+            cached = True
         except Exception:
-            _VARIANT_CACHE[key] = False
-    return _VARIANT_CACHE[key]
+            cached = False
+        spark._agn_supports_variant = cached
+    return cached
 
 
 def run_startup_probe(spark, max_delay_s: float = 10.0,

@@ -66,7 +66,16 @@ def get_session(master: str | None = None, conf: dict | None = None,
                 "are not installed in this environment; install them or "
                 "use a local[...]/cluster master URL") from ex
         builder = SparkSession.builder.appName(app_name).remote(master)
-        for k, v in (conf or {}).items():
+        # the engine's runtime-SQL defaults apply to Connect sessions too —
+        # dropping them would silently change semantics (UTC session tz,
+        # nanosAsLong parquet reads, DYNAMIC partition overwrite: without
+        # that last one a daily-export replay truncates every partition of
+        # the sink). Static/driver-side confs (scheduler.mode, driver
+        # memory, UI) are the server's business and are skipped.
+        merged = {k: v for k, v in DEFAULT_CONF.items()
+                  if k.startswith("spark.sql.")}
+        merged.update(conf or {})
+        for k, v in merged.items():
             builder = builder.config(k, v)
         spark = builder.getOrCreate()
         register_all(spark)

@@ -43,6 +43,7 @@ def _plan_of(df) -> str:
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     left = f"bkt_blocks_{uuid.uuid4().hex[:8]}"
     right = f"bkt_txs_{uuid.uuid4().hex[:8]}"
+    unbucketed = f"plain_{uuid.uuid4().hex[:8]}"
     try:
         blocks = spark.range(0, 10_000).select(
             F.col("id").alias("number"),
@@ -71,7 +72,6 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
         # one-side-only bucketing must still work (Spark shuffles just the
         # unbucketed side) — guard against a silent full-shuffle regression
-        unbucketed = f"plain_{uuid.uuid4().hex[:8]}"
         txs.write.format("parquet").mode("overwrite").saveAsTable(unbucketed)
         half = spark.table(left).join(spark.table(unbucketed), "number")
         half_plan = _plan_of(half)
@@ -79,6 +79,5 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert half_plan.count("+- Exchange") == 1, \
             f"expected exactly one exchange (unbucketed side only):\n{half_plan}"
     finally:
-        for t in (left, right):
+        for t in (left, right, unbucketed):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        spark.sql(f"DROP TABLE IF EXISTS {unbucketed}")

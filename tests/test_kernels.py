@@ -160,6 +160,32 @@ class TestRpc:
             "eth_getBlockByNumber", ["0x10", False], "http://x", transport=t))
         assert out == {"value": {"number": "0x10"}, "error": None}
 
+    def test_params_reach_the_wire_json_typed(self):
+        """SQL arrays are homogeneous strings, but a real endpoint rejects
+        '"false"' where a boolean belongs (-32602): string params that
+        parse as JSON must be decoded before the call — the reference's
+        param contract (its tip.sql passes ['"finalized"', 'false'])."""
+        seen = []
+
+        def capture(m, p):
+            seen.append(p)
+            return {"number": "0x10"}
+
+        t = rpc.MockTransport(capture)
+        rpc.ethereum_rpc("eth_getBlockByNumber",
+                         ["finalized", "false"], "http://x", transport=t)
+        rpc.ethereum_rpc("eth_getBlockByNumber",
+                         ['"finalized"', "true"], "http://x", transport=t)
+        rpc.ethereum_rpc("eth_getLogs",
+                         ['{"fromBlock": "0x1"}'], "http://x", transport=t)
+        assert seen[0] == ["finalized", False]       # bare-string form
+        assert seen[1] == ["finalized", True]        # quoted-JSON form
+        assert seen[2] == [{"fromBlock": "0x1"}]     # object params decode
+        # hex quantities are NOT valid JSON and must pass through verbatim
+        rpc.ethereum_rpc("eth_getBlockByNumber", ["0x1a", "false"],
+                         "http://x", transport=t)
+        assert seen[3] == ["0x1a", False]
+
     def test_fail_on_null(self):
         t = rpc.MockTransport(lambda m, p: None)
         with pytest.raises(rpc.RpcError):
