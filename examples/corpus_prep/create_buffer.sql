@@ -1,6 +1,8 @@
--- per-batch corpus prep: quality gate → within-batch exact-dedup (keep
--- the lowest doc_id per content hash; the content_md5 column keys global
--- dedup at read) → 32/8 token-window chunking
+-- per-batch corpus prep: quality gate → stratified sample + split
+-- assignment (salted-hash: a pure function of doc_id, so batch
+-- boundaries and replays can never change membership) → within-batch
+-- exact-dedup (keep the lowest doc_id per content hash; the content_md5
+-- column keys global dedup at read) → 32/8 token-window chunking
 CREATE OR REPLACE TEMPORARY VIEW buffer_{{.START}}_{{.END}} AS
 WITH scoped AS (
     SELECT doc_id, text, lang, source,
@@ -15,19 +17,33 @@ quality AS (
     WHERE n_words BETWEEN 10 AND 100000
       AND CAST(n_punct AS DOUBLE) / greatest(length(text), 1) < 0.1
 ),
+sampled AS (
+    SELECT *,
+           CASE WHEN split_bucket < 8 THEN 'train'
+                WHEN split_bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               CAST(conv(substring(md5(CAST(concat('sample:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 100 AS sample_bucket,
+               CAST(conv(substring(md5(CAST(concat('split:',  CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 10  AS split_bucket
+        FROM quality)
+    WHERE sample_bucket < CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 45
+                                    WHEN 'de' THEN 45 WHEN 'fr' THEN 25
+                                    ELSE 0 END
+),
 deduped AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY content_md5
                                      ORDER BY doc_id) AS rn
-        FROM quality) WHERE rn = 1
+        FROM sampled) WHERE rn = 1
 ),
 words_t AS (
-    SELECT doc_id, content_md5, lang, source,
+    SELECT doc_id, content_md5, lang, source, split,
            split(lower(trim(text)), '\\s+') AS words
     FROM deduped
 ),
 chunked AS (
-    SELECT doc_id, content_md5, lang, source, words,
+    SELECT doc_id, content_md5, lang, source, split, words,
            posexplode(sequence(0, CAST(floor((size(words) - 1) / 24) AS INT)))
                AS (pos, chunk_id)
     FROM words_t
@@ -37,6 +53,6 @@ SELECT doc_id,
        array_join(slice(words, 1 + chunk_id * 24, 32), ' ')    AS chunk_text,
        CAST(least(chunk_id * 24 + 32, size(words))
             - chunk_id * 24 AS BIGINT)                         AS n_tokens,
-       content_md5, lang, source
+       content_md5, lang, source, split
 FROM chunked
 WHERE chunk_id * 24 < size(words)

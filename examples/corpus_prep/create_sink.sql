@@ -6,7 +6,8 @@ CREATE TABLE IF NOT EXISTS {{.SINK_TABLE}} (
     n_tokens    BIGINT,
     content_md5 STRING,
     lang        STRING,
-    source      STRING
+    source      STRING,
+    split       STRING
 )
 USING PARQUET
 LOCATION '{{.TARGET_PATH}}'

@@ -43,21 +43,27 @@ def test_corpus_prep_pipeline(spark, tmp_path):
 
     got = spark.table(sink)
     # cross-check against the standalone operators over the same corpus:
-    # every kept doc passes the quality gate; chunk rows match the
-    # chunk_documents operator restricted to kept docs
+    # the sink holds exactly (quality-kept ∩ stratified-sampled) docs,
+    # with the operator's split labels; chunk rows match chunk_documents
+    # restricted to those docs
     quality = textstats.QUERIES["text_stats_facets"](spark, SF_DIR)
     kept_ids = {r["doc_id"] for r in
                 quality.where(F.col("quality_keep") == 1).collect()}
-    sink_ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
-    assert sink_ids <= kept_ids
+    sample = {r["doc_id"]: r["split"] for r in
+              corpus.QUERIES["corpus_stratified_sample"](
+                  spark, SF_DIR).collect()}
+    expect_ids = kept_ids & set(sample)
+    sink_split = {r["doc_id"]: r["split"] for r in
+                  got.select("doc_id", "split").distinct().collect()}
     # the synthetic corpus has no exact dups, so all kept docs chunk through
-    assert sink_ids == kept_ids
+    assert set(sink_split) == expect_ids
+    assert all(sink_split[d] == sample[d] for d in sink_split)
 
     chunks = corpus.QUERIES["chunk_documents"](spark, SF_DIR)
-    expected = chunks.where(F.col("doc_id").isin(list(kept_ids)))
+    expected = chunks.where(F.col("doc_id").isin(list(expect_ids)))
     assert got.count() == expected.count()
     # spot-check chunk text equality for one doc
-    some_id = min(kept_ids)
+    some_id = min(expect_ids)
     a = {(r["chunk_id"], r["chunk_text"])
          for r in got.where(F.col("doc_id") == some_id).collect()}
     b = {(r["chunk_id"], r["chunk_text"])
