@@ -208,6 +208,17 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the column pruning. The independent salts ('sample:' vs 'split:') keep
     the two decisions uncorrelated."""
     t = load_tables(spark, sf_dir, ("documents",))
+    return stratified_sample(t["documents"])
+
+
+def stratified_sample(docs: DataFrame,
+                      rates: dict[str, int] | None = None) -> DataFrame:
+    """The DataFrame form of `corpus_stratified_sample`: sample any frame
+    with ``doc_id``/``lang`` columns at the given keep-percent per
+    stratum. Membership is a pure function of doc_id — the layout-
+    independence is pinned by
+    tests/test_llm_ops.py::test_membership_survives_repartitioning."""
+    rates = rates if rates is not None else _SAMPLE_RATES
 
     def bucket(salt: str, mod: int):
         h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
@@ -215,8 +226,8 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
 
     rate = F.coalesce(*([F.when(F.col("lang") == k, F.lit(v))
-                         for k, v in _SAMPLE_RATES.items()] + [F.lit(0)]))
-    d = t["documents"].select(
+                         for k, v in rates.items()] + [F.lit(0)]))
+    d = docs.select(
         "doc_id", "lang",
         bucket("sample:", 100).alias("sample_bucket"),
         bucket("split:", 10).alias("split_bucket"))

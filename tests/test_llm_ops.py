@@ -123,3 +123,20 @@ class TestStratifiedSample:
         again = corpus.QUERIES["corpus_stratified_sample"](
             spark, SF_DIR).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_membership_survives_repartitioning(self, spark):
+        """The docstring's scale claim: membership is a pure function of
+        doc_id, so physical layout (partition count/placement) can never
+        change the sample — unlike rand()-based sampling, which silently
+        reshuffles whenever the scan parallelism changes."""
+        from agnostic_blockchain_etl_spark.operators import corpus
+        from agnostic_blockchain_etl_spark.operators.tables import load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+
+        def sample_of(df):
+            return {(r["doc_id"], r["split"])
+                    for r in corpus.stratified_sample(df).collect()}
+
+        a = sample_of(docs.repartition(1))
+        b = sample_of(docs.repartition(17, "lang"))
+        assert a and a == b
