@@ -103,12 +103,18 @@ _SQL_HASH60 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
     FROM documents GROUP BY md5(text)
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash, keeping the lowest doc_id.
+    """Gate form of `exact_dedup` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return exact_dedup(t["documents"])
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id; ``docs``
+    needs ``doc_id``/``text`` columns (all DataFrame-form dedup APIs do).
 
     Scale: group on the digest, not the text — the shuffle carries 16-byte
     keys instead of documents."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return (t["documents"]
+    return (docs
             .select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_key"))
             .groupBy("content_key")
             .agg(F.min("doc_id").cast("long").alias("keep_doc_id"),
@@ -137,33 +143,42 @@ def _scoped_cache(df):
 
 
 def _doc_shingles_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("documents",))
+    return doc_shingles(t["documents"])
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle, h) — distinct shingles with their FULL 60-bit
     hash. Intersection joins (jaccard, LSH verification) key on this
     value; reducing it to 31 bits here would inflate n_common by
     cross-doc collisions (~n²/2³²) at corpus scale. The 31-bit reduction
     belongs only inside the minhash permutation arithmetic
     (``_minhash_wide_df``), where ``a·x`` must stay within int64."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return (t["documents"]
+    return (docs
             .select("doc_id", F.explode(
                 _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
             .withColumn("h", _spark_hash60(F.col("shingle"))))
 
 
 def _minhash_wide_df(spark, sf_dir, shingles_df=None):
-    """(doc_id, m0..m15) in ONE aggregation pass.
+    sh = shingles_df if shingles_df is not None else _doc_shingles_df(spark, sf_dir)
+    return minhash_wide(sh)
+
+
+def minhash_wide(shingles: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) in ONE aggregation pass over a `doc_shingles`
+    frame.
 
     Scale note: the naive plan (explode perms × shingles, groupBy
     (doc, perm)) shuffles K× the shingle count; computing all K permutation
     mins as parallel aggregate expressions keeps the shuffle at exactly one
     row group per doc and lets partial aggregation collapse map-side."""
-    sh = shingles_df if shingles_df is not None else _doc_shingles_df(spark, sf_dir)
     # h is the full 60-bit hash; fold to 31 bits ONLY for the permutation
     # so a·x + b stays within int64 (a ≤ 31, x < 2^31 → a·x < 2^36)
     x = F.col("h") % _P
     aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 _SQL_MINHASH_BASE = f"""
@@ -221,6 +236,12 @@ def dedup_minhash_signature(spark, sf_dir):
           >= {_JACCARD_THRESHOLD}
 """)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """Gate form of `minhash_lsh_pairs` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return minhash_lsh_pairs(t["documents"])
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified by exact Jaccard.
 
     The scale path: candidates come only from shared (band, bucket) —
@@ -229,8 +250,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     # one cached shingle scan feeds BOTH the signature aggregation and the
     # three verification reads below (the md5 hashing pass is the most
     # expensive stage — compute it once)
-    doc_sh_full = _scoped_cache(_doc_shingles_df(spark, sf_dir).select("doc_id", "h"))
-    wide = _minhash_wide_df(spark, sf_dir, shingles_df=doc_sh_full)
+    doc_sh_full = _scoped_cache(doc_shingles(docs).select("doc_id", "h"))
+    wide = minhash_wide(doc_sh_full)
     band_cols = [
         F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
                                  for r in range(_R)]).cast("binary"))
@@ -288,14 +309,20 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     FROM votes GROUP BY doc_id
 """)
 def dedup_simhash(spark, sf_dir):
+    """Gate form of `simhash_signatures` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return simhash_signatures(t["documents"])
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
     """Per-document 60-bit SimHash: bitwise majority vote over token
     hashes, computed as 60 parallel aggregate expressions in ONE pass.
 
     Scale note: the textbook formulation (explode bits × tokens, groupBy
     (doc, bit)) multiplies the shuffle by 60; wide aggregation keeps the
-    shuffle at one row per doc and partial-aggregates map-side."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    hashed = (t["documents"]
+    shuffle at one row per doc and partial-aggregates map-side. (The
+    zero-shuffle HOF-fold variant measured 2.4× slower — see SCALE.md.)"""
+    hashed = (docs
               .select("doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
               .select("doc_id", _spark_hash60(F.col("tok")).alias("h")))
     votes = hashed.groupBy("doc_id").agg(
@@ -339,6 +366,12 @@ assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """)
 def dedup_simhash_pairs(spark, sf_dir):
+    """Gate form of `simhash_pairs` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return simhash_pairs(t["documents"])
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
     """SimHash near-dup pairs under a Hamming radius, via banded-prefix
     LSH: each signature explodes into 7 (band, band_bits) keys; candidate
     pairs come only from an equi-join on a shared band; the exact
@@ -351,7 +384,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     size with ~n²/2^bits collisions per band, never an n² cross join (the
     round-1 version was cartesian; the plan test asserts no
     BroadcastNestedLoopJoin/CartesianProduct survives)."""
-    sh = _scoped_cache(dedup_simhash(spark, sf_dir))
+    sh = _scoped_cache(simhash_signatures(docs))
     band_stack = ", ".join(
         f"{j}, (simhash >> {off}) & {(1 << width) - 1}"
         for j, (off, width) in enumerate(_SIMHASH_BANDS))
@@ -420,6 +453,12 @@ _SQL_SIMHASH_SH = f"""
     FROM clusters
 """)
 def dedup_cluster_components(spark, sf_dir):
+    """Gate form of `duplicate_clusters` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return duplicate_clusters(t["documents"])
+
+
+def duplicate_clusters(docs: DataFrame) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the banded
     simhash near-dup pairs, then keep-one-per-cluster (the canonical doc
     is the cluster's minimum doc_id — the actual dedup decision a corpus
@@ -445,7 +484,7 @@ def dedup_cluster_components(spark, sf_dir):
     loop entirely and rejoined at the end with label = own id. At 100 TB
     the iterated state is the near-dup subgraph, orders of magnitude
     smaller than the corpus."""
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = simhash_pairs(docs).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -477,8 +516,7 @@ def dedup_cluster_components(spark, sf_dir):
         labels = nxt.select("doc_id", "label")
         if changed == 0:
             break
-    t = load_tables(spark, sf_dir, ("documents",))
-    full = (t["documents"].select("doc_id")
+    full = (docs.select("doc_id")
             .join(labels.withColumnRenamed("label", "edge_label"),
                   "doc_id", "left")
             .select("doc_id",
@@ -517,6 +555,12 @@ def dedup_cluster_components(spark, sf_dir):
     WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.10
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Gate form of `ngram_jaccard_pairs` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return ngram_jaccard_pairs(t["documents"])
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.10) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Scale: the only shuffle is on shingle (candidate generation); pairs
@@ -527,7 +571,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # set size rides along on every exploded row (a tiny window over the
     # cached scan), so no post-aggregation size joins are needed: each
     # (a, b) pair group carries both sizes as group-constants via min().
-    doc_sh = _scoped_cache(_doc_shingles_df(spark, sf_dir).select("doc_id", "h"))
+    # (broadcast-joining separately-aggregated sizes measured slower —
+    # SCALE.md "measured negative result".)
+    doc_sh = _scoped_cache(doc_shingles(docs).select("doc_id", "h"))
     from pyspark.sql import Window
     sized = doc_sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id")))
@@ -543,5 +589,5 @@ def dedup_ngram_jaccard(spark, sf_dir):
     jac = (F.col("n_common").cast("double") /
            (F.col("na") + F.col("nb") - F.col("n_common")))
     return (inter
-            .where(jac >= 0.10)
+            .where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))

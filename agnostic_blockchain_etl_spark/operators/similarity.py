@@ -81,16 +81,25 @@ _SQL_COS = """
     FROM ranked WHERE rn <= {_TOP_K}
 """)
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for a small query set.
-
-    Scale: the query side is broadcast (it's tiny by construction); the
-    corpus scan stays partitioned; ranking is a per-query-group top-k —
-    Spark turns the window + filter into a partial top-k under AQE."""
+    """Gate form of `cosine_topk`: the testdata corpus searched with its
+    own first `_N_QUERIES` vectors as the query set."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-    scored = (F.broadcast(q).crossJoin(emb)
+    return cosine_topk(emb, q)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame,
+                k: int = _TOP_K) -> DataFrame:
+    """Brute-force cosine top-k: ``corpus`` has ``(vec_id, e)``,
+    ``queries`` has ``(query_id, qe)``, both array<double>.
+
+    Scale: the query side is broadcast (the caller keeps it small — for
+    large query sets use the LSH/IVF paths); the corpus scan stays
+    partitioned; ranking is a per-query-group top-k — Spark turns the
+    window + filter into a partial top-k under AQE."""
+    scored = (F.broadcast(queries).crossJoin(corpus)
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       F.round(_dot(F.col("qe"), F.col("e")) /
@@ -99,7 +108,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= _TOP_K)
+            .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine",
                     F.col("rank").cast("int").alias("rank")))
 
