@@ -51,11 +51,16 @@ _SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
     WHERE chunk_id * {_STRIDE} < len(words)
 """)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `chunk` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return chunk(t["documents"])
+
+
+def chunk(docs: DataFrame) -> DataFrame:
     """Sliding token-window chunking (32-token windows, 8-token overlap) —
     the context-window packing stage. Pure per-row array slicing: zero
     shuffle, scales with document count."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"].select(
+    d = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
     d = d.select(
         "doc_id", "words",

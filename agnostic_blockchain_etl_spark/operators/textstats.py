@@ -86,7 +86,14 @@ def _marker_count_sql(lang: str) -> str:
         FROM documents)
 """)
 def text_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis, one scan, all facets:
+    """Gate form of `text_stats` over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_stats(t["documents"])
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document text analysis, one scan, all facets; ``docs`` needs
+    ``doc_id``/``text``/``lang`` columns:
 
     - token counting (whitespace tokens + a BPE-ish regex tokenizer:
       letters | digits | single punctuation);
@@ -97,9 +104,8 @@ def text_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is a JVM column expression over one ``documents`` pass —
     zero shuffle, linear at 100 TB."""
-    t = load_tables(spark, sf_dir, ("documents",))
     low = _words(F.lower(F.trim(F.col("text"))))
-    d = t["documents"].select(
+    d = docs.select(
         "doc_id", "text", "lang",
         F.size(_words(F.col("text"))).alias("n_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
