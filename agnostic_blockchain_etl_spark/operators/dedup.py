@@ -338,7 +338,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 # EXACTLY on at least one band whenever there are > H bands (pigeonhole:
 # ≤ 6 flipped bits cannot touch all 7 bands). 6 bands of 9 bits + the top
 # 6 bits.
-_SIMHASH_BANDS = [(j * 9, 9) for j in range(6)] + [(54, 6)]
+# 7 bands (> _HAMMING_MAX, so ≤6 differing bits pigeonhole into ≥1 exact
+# band) with widths as even as possible: the narrowest band bounds the
+# random-collision rate (~n²/2^width per band), so 4×9+3×8 bits strictly
+# dominates the earlier 6×9+1×6 split (a 6-bit band has only 64 buckets).
+_SIMHASH_BANDS = [(j * 9, 9) for j in range(4)] + \
+    [(36 + k * 8, 8) for k in range(3)]
 assert len(_SIMHASH_BANDS) > _HAMMING_MAX
 assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
 
@@ -400,10 +405,13 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.col("a.simhash").alias("a_simhash"),
-                    F.col("b.simhash").alias("b_simhash"))
-            .distinct())
+                    F.col("b.simhash").alias("b_simhash")))
+    # Hamming filter BEFORE the de-dup shuffle: the xor/bit_count is a
+    # cheap columnar expression, so only true near-dup pairs (tiny) pay
+    # the distinct, not every random band collision.
     return (cand.where(hamming <= _HAMMING_MAX)
-            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -465,18 +473,28 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     pipeline executes after candidate pairs are found).
 
     Implemented as iterative min-label propagation: each round every
-    vertex takes the min of its own label and its neighbors' labels;
-    converged when no label changes. Round count is bounded by the
-    component diameter — near-dup clusters are shallow (dups of a common
-    original), so a handful of rounds suffice; the loop hard-caps at 20
-    and each round truncates lineage with an eager ``localCheckpoint``
-    (at cluster scale: a reliable checkpoint dir instead, or the
-    large-star/small-star variant that contracts diameters in
-    O(log n) rounds). The oracle is a recursive-CTE transitive closure —
-    identical fixpoint, engine-exact.
+    vertex takes the min of its own label and its neighbors' labels,
+    then path-halves by hopping through the previous round's label
+    table (``L(v) ← L_prev(min-neighbor-label)``) — label distance to
+    the component root roughly doubles per round, so chain-shaped
+    clusters converge in O(log diameter) rounds instead of O(diameter).
+    The hop is safe: every label value is a vertex id present in the
+    label table, and ``L_prev(x) ≤ x``, so it never loses the min. The
+    loop hard-caps at 20 rounds and each round truncates lineage with
+    one eager ``localCheckpoint`` (at cluster scale: a reliable
+    checkpoint dir instead). The oracle is a recursive-CTE transitive
+    closure — identical fixpoint, engine-exact.
 
-    Per-round cost: one shuffle keyed on doc_id (edges ⋈ labels). No
-    all-pairs anywhere — edges come from the banded LSH equi-join.
+    Per-round cost: THREE small shuffles over the near-dup subgraph
+    only (message join, min-groupBy, halving hop), each subplan
+    executed exactly once (own labels enter via a shuffle-free union,
+    not a left join; the halving hop joins the *checkpointed* previous
+    table, so nothing is evaluated twice). Convergence is detected by a
+    scalar ``sum(label)``: labels are per-vertex non-increasing, so the
+    sum strictly decreases every round until the fixpoint — no
+    join-against-old-labels needed (decimal sum: overflow-proof at any
+    vertex-id scale). No all-pairs anywhere — edges come from the
+    banded LSH equi-join.
 
     The propagation runs ONLY over vertices that appear in an edge:
     singletons (the overwhelming majority of a real corpus — and of the
@@ -485,37 +503,45 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     the iterated state is the near-dup subgraph, orders of magnitude
     smaller than the corpus."""
     pairs = simhash_pairs(docs).select("doc_a", "doc_b")
-    edges = pairs.union(
+    e1 = (pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
+    ).toDF("src", "dst").localCheckpoint(eager=True))
+    # One-time edge squaring: add 2-hop edges so the min-label wavefront
+    # advances two hops per round (measured 8 → 4 rounds on the synthetic
+    # chain-shaped clusters; extra stale pointer hops per round measured
+    # ZERO round reduction — propagation here is edge-limited, not
+    # pointer-limited). Cliques stay O(k²) under squaring — same order
+    # as their own edge count — so the edge table at most ~doubles.
+    e2 = (e1.alias("a").join(e1.alias("b"),
+                             F.col("a.dst") == F.col("b.src"))
+          .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+          .where(F.col("src") != F.col("dst")))
+    edges = e1.union(e2).distinct().localCheckpoint(eager=True)
+    # Label init folds the first propagation round: label = min over the
+    # 2-hop neighborhood ∪ self, one shuffle, no separate distinct pass
+    # (every vertex appears as src because the edge list is symmetric).
+    labels = (edges.groupBy(F.col("src").alias("doc_id"))
+              .agg(F.min(F.least(F.col("src"), F.col("dst")))
+                   .alias("label"))
               .localCheckpoint(eager=True))
+    prev_sum = None
     for _ in range(20):
-        prop = (edges.join(labels, edges["src"] == labels["doc_id"])
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("label").alias("nbr_label")))
-        upd = (labels.join(prop, "doc_id", "left")
-               .select("doc_id",
-                       F.least("label", "nbr_label").alias("label"),
-                       (F.col("nbr_label") < F.col("label"))
-                       .alias("changed")))
-        # path halving: also jump to the label's own label, so label
-        # distance to the component root doubles per round — chain-shaped
-        # clusters converge in O(log diameter) rounds instead of
-        # O(diameter) (measured 11 → 5 rounds on the synthetic corpus).
-        # A label always names a vertex present in `labels`, and
-        # label(parent) ≤ parent, so the hop never loses the min.
-        par = upd.select(F.col("doc_id").alias("pid"),
-                         F.col("label").alias("plabel"))
-        nxt = (upd.join(par, upd["label"] == par["pid"])
-               .select("doc_id", F.col("plabel").alias("label"), "changed")
-               .localCheckpoint(eager=True))
-        changed = nxt.where(F.col("changed")).limit(1).count()
-        labels = nxt.select("doc_id", "label")
-        if changed == 0:
+        msgs = (edges.join(labels, edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "label")
+                .unionByName(labels)
+                .groupBy("doc_id").agg(F.min("label").alias("label")))
+        par = labels.select(F.col("doc_id").alias("pid"),
+                            F.col("label").alias("plabel"))
+        labels = (msgs.join(par, msgs["label"] == par["pid"])
+                  .select("doc_id", F.col("plabel").alias("label"))
+                  .localCheckpoint(eager=True))
+        label_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     full = (docs.select("doc_id")
             .join(labels.withColumnRenamed("label", "edge_label"),
                   "doc_id", "left")
