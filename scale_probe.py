@@ -1,0 +1,87 @@
+"""Scaling probe: how does each headline query's runtime grow with data?
+
+Runs every `bench.HEADLINE` query at two scale factors (default sf0.01 and
+sf0.1 — a 10× data step), warm pass then timed pass per SF, and prints one
+JSON line per query plus a summary:
+
+    {"query": ..., "t_small": s, "t_large": s, "ratio": r, "class": ...}
+
+Classification against the 10× data step, with the fixed per-job overhead
+floor in mind (a 0.2 s query is ALL scheduling, so its ratio is noise):
+
+    sublinear   ratio < 6           (overhead-dominated or top-k/agg output)
+    linear      6 ≤ ratio ≤ 14      (scan-bound — the shape that survives 100×)
+    superlinear ratio > 14          (something quadratic or skew-bound: FIX IT)
+
+The probe is measurement tooling only — correctness stays with the DuckDB
+oracle gate; inputs are the driver-generated testdata parquet, unmodified.
+
+Usage: python scale_probe.py [small_sf_dir] [large_sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def _time_query(q, spark, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    small = args[0] if args else "/root/testdata/sf0.01"
+    large = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    names = args[2:] or HEADLINE
+
+    from agnostic_blockchain_etl_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_session(
+        master=f"local[{cpus}]",
+        conf={"spark.sql.shuffle.partitions": cpus,
+              "spark.driver.memory": "16g"},
+        app_name="scale_probe")
+    qs = entrymod.queries()
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name in names:          # warm both SFs: JVM, codegen, FS cache
+        for sf in (small, large):
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    rows = []
+    for name in names:
+        t_small = _time_query(qs[name], spark, small)
+        spark.catalog.clearCache()
+        t_large = _time_query(qs[name], spark, large)
+        spark.catalog.clearCache()
+        ratio = t_large / t_small if t_small > 0 else float("inf")
+        cls = ("sublinear" if ratio < 6
+               else "linear" if ratio <= 14 else "superlinear")
+        row = {"query": name, "t_small": round(t_small, 3),
+               "t_large": round(t_large, 3), "ratio": round(ratio, 2),
+               "class": cls}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    bad = [r["query"] for r in rows if r["class"] == "superlinear"]
+    print(json.dumps({
+        "metric": "scale_probe", "small": small, "large": large,
+        "queries": len(rows), "superlinear": bad,
+        "max_ratio": max(r["ratio"] for r in rows),
+    }))
+
+
+if __name__ == "__main__":
+    main()
