@@ -12,7 +12,7 @@ from .dedup import (doc_shingles, duplicate_clusters, exact_dedup,
                     simhash_pairs, simhash_signatures)
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
-from .textstats import text_stats
+from .textstats import repetition_signals, text_stats
 
 __all__ = [
     "load_tables",
@@ -23,5 +23,6 @@ __all__ = [
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",
+    "repetition_signals",
     "text_stats",
 ]

@@ -138,31 +138,130 @@ def text_stats(docs: DataFrame) -> DataFrame:
          .otherwise("fr").alias("detected_lang"))
 
 
-@query("doc_fingerprint", oracle="""
-    SELECT doc_id,
-           md5(text) AS content_md5,
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 family):
+# drop a document when its most frequent word bigram covers > 20% of all
+# bigrams or its most frequent trigram covers > 18% of all trigrams.
+_TOP2_MAX, _TOP3_MAX = 0.20, 0.18
+
+
+@query("doc_fingerprint_repetition", oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(words) AS g FROM base
+        UNION ALL
+        SELECT doc_id, 2, unnest(list_transform(
+                   generate_series(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1])) FROM base
+        UNION ALL
+        SELECT doc_id, 3, unnest(list_transform(
+                   generate_series(1, len(words) - 2),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        FROM base),
+    counts AS (
+        SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+    stats AS (
+        SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        FROM counts GROUP BY doc_id, n),
+    rep AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 1 THEN round(nd * 1.0 / tot, 6) END) AS ttr,
+               max(CASE WHEN n = 1 THEN round(mx * 1.0 / tot, 6) END)
+                   AS top1_frac,
+               max(CASE WHEN n = 2 THEN round(mx * 1.0 / tot, 6) END)
+                   AS top2_frac,
+               max(CASE WHEN n = 3 THEN round(mx * 1.0 / tot, 6) END)
+                   AS top3_frac
+        FROM stats GROUP BY doc_id)
+    SELECT b.doc_id,
+           md5(b.text) AS content_md5,
            md5(array_to_string(list_sort(list_distinct(
-               list_transform(generate_series(1, greatest(len(words) - 2, 0)),
-                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))), '|'))
-               AS shingle_fingerprint
-    FROM (SELECT doc_id, text,
-                 string_split_regex(lower(trim(text)), '\\s+') AS words
-          FROM documents)
+               list_transform(generate_series(1, greatest(len(b.words) - 2, 0)),
+                   i -> b.words[i] || ' ' || b.words[i+1] || ' ' || b.words[i+2]))),
+               '|')) AS shingle_fingerprint,
+           r.ttr, r.top1_frac, r.top2_frac, r.top3_frac,
+           CASE WHEN coalesce(r.top2_frac <= {_TOP2_MAX}, TRUE)
+                 AND coalesce(r.top3_frac <= {_TOP3_MAX}, TRUE)
+                THEN 1 ELSE 0 END AS repetition_keep
+    FROM base b LEFT JOIN rep r USING (doc_id)
 """)
-def doc_fingerprint(spark, sf_dir):
-    """Document fingerprinting: exact content hash + an order-insensitive
-    3-shingle-set hash (canonical form: sorted distinct shingles joined).
-    The shingle fingerprint is the dedup key for near-identical docs that
-    differ only in shingle order/multiplicity."""
+def doc_fingerprint_repetition(spark, sf_dir):
+    """Gate form: fingerprints + repetition signals over the corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
     from .dedup import _spark_shingles  # slice-zip construction (see note there)
 
-    d = t["documents"].select(
+    d = docs.select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
     shingles = _spark_shingles(F.col("words"))
-    return d.select(
+    fingerprints = d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "|")
               .cast("binary")).alias("shingle_fingerprint"))
+    return (fingerprints
+            .join(repetition_signals(docs), "doc_id", "left")
+            .select("doc_id", "content_md5", "shingle_fingerprint",
+                    "ttr", "top1_frac", "top2_frac", "top3_frac",
+                    "repetition_keep"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style n-gram repetition quality signals per document:
+    type-token ratio plus the corpus-quality workhorses — the fraction of
+    all {1,2,3}-grams covered by the single most frequent one — and a
+    keep flag at the published Gopher thresholds (top bigram ≤ 20%,
+    top trigram ≤ 18%; a missing n-gram level, e.g. a 2-word doc with no
+    trigrams, passes). ``docs`` needs ``doc_id``/``text``.
+
+    Scale shape: all three n-gram sizes ride ONE exploded (doc, n, gram)
+    shuffle with map-side partial aggregation, then two per-doc
+    aggregations over tiny (doc, n) rows — never one shuffle per n-gram
+    size, never an O(len²) per-document lambda (a higher-order-function
+    count-per-element would re-scan the token array once per token).
+    The per-size maxima pivot back to columns via conditional
+    aggregation."""
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+    n = F.size("words")
+    empty = F.array().cast("array<string>")
+    bi = F.when(n >= 2, F.zip_with(
+        F.slice("words", 1, n - 1), F.slice("words", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).otherwise(empty)
+    tri = F.when(n >= 3, F.zip_with(
+        F.zip_with(F.slice("words", 1, n - 2), F.slice("words", 2, n - 2),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        F.slice("words", 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c))).otherwise(empty)
+
+    def tagged(arr, size):
+        return F.transform(arr, lambda g: F.struct(
+            F.lit(size).alias("n"), g.alias("g")))
+
+    grams = F.concat(tagged(F.col("words"), 1), tagged(bi, 2), tagged(tri, 3))
+    exploded = (d.select("doc_id", F.explode(grams).alias("ng"))
+                .select("doc_id", F.col("ng.n").alias("n"),
+                        F.col("ng.g").alias("g")))
+    counts = exploded.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    stats = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot"),
+        F.count("*").alias("nd"))
+
+    def frac(num, size):
+        return F.max(F.when(F.col("n") == size, F.round(
+            F.col(num).cast("double") / F.col("tot"), 6)))
+
+    rep = stats.groupBy("doc_id").agg(
+        frac("nd", 1).alias("ttr"),
+        frac("mx", 1).alias("top1_frac"),
+        frac("mx", 2).alias("top2_frac"),
+        frac("mx", 3).alias("top3_frac"))
+    keep = F.when(
+        F.coalesce(F.col("top2_frac") <= _TOP2_MAX, F.lit(True)) &
+        F.coalesce(F.col("top3_frac") <= _TOP3_MAX, F.lit(True)), 1
+    ).otherwise(0)
+    return rep.withColumn("repetition_keep", keep)

@@ -37,7 +37,7 @@ HEADLINE = [
     "emb_lsh_bucketed_search",
     "emb_ivf_topk",
     "text_stats_facets",
-    "doc_fingerprint",
+    "doc_fingerprint_repetition",
     "multimodal_decode_features",
     "asof_join_last_click",
     "sessionization",

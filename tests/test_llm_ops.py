@@ -140,3 +140,27 @@ class TestStratifiedSample:
         a = sample_of(docs.repartition(1))
         b = sample_of(docs.repartition(17, "lang"))
         assert a and a == b
+
+
+class TestRepetitionSignals:
+    def test_gopher_thresholds_and_null_safety(self, spark):
+        from agnostic_blockchain_etl_spark.operators import repetition_signals
+        docs = spark.createDataFrame(
+            [(1, "spam ham spam ham spam ham spam ham spam ham"),
+             (2, "the quick brown fox jumps over one lazy sleeping dog"),
+             (3, "hello world")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+        # doc 1: "spam ham" covers 5 of 9 bigrams -> dropped at 20%
+        assert out[1]["top2_frac"] > 0.5 and out[1]["repetition_keep"] == 0
+        # doc 2: all words distinct -> ttr 1.0, every n-gram unique, kept
+        assert out[2]["ttr"] == 1.0
+        assert out[2]["top2_frac"] == pytest.approx(1 / 9)
+        assert out[2]["repetition_keep"] == 1
+        # doc 3: two words -> no trigrams; NULL level must pass, not drop
+        assert out[3]["top3_frac"] is None
+        assert out[3]["top2_frac"] == 1.0  # single bigram covers 100%...
+        assert out[3]["repetition_keep"] == 0  # ...which IS above 20%
+        # type-token ratio is distinct/total unigrams
+        assert out[1]["ttr"] == pytest.approx(2 / 10)
