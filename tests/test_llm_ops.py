@@ -164,3 +164,44 @@ class TestRepetitionSignals:
         assert out[3]["repetition_keep"] == 0  # ...which IS above 20%
         # type-token ratio is distinct/total unigrams
         assert out[1]["ttr"] == pytest.approx(2 / 10)
+
+
+class TestDataFrameFunnel:
+    """The exported DataFrame APIs compose into the full corpus-prep
+    funnel a training-data user actually runs: quality filter →
+    repetition filter → near-dup prune (keep canonical per cluster) →
+    stratified sample → chunking. Pins that the pieces agree on
+    doc_id grain and that each stage only ever shrinks the corpus."""
+
+    def test_funnel_composes_and_shrinks(self, spark):
+        from agnostic_blockchain_etl_spark.operators import (
+            chunk, duplicate_clusters, repetition_signals,
+            stratified_sample, text_stats)
+        from agnostic_blockchain_etl_spark.operators.tables import load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        n0 = docs.count()
+
+        quality = text_stats(docs).where(F.col("quality_keep") == 1) \
+                                  .select("doc_id")
+        rep = repetition_signals(docs).where(F.col("repetition_keep") == 1) \
+                                      .select("doc_id")
+        canon = duplicate_clusters(docs).where(F.col("is_canonical") == 1) \
+                                        .select("doc_id")
+        kept = (docs.join(quality, "doc_id").join(rep, "doc_id")
+                .join(canon, "doc_id"))
+        n_kept = kept.count()
+        assert 0 < n_kept <= n0
+
+        sampled = stratified_sample(kept)
+        n_sampled = sampled.count()
+        assert 0 < n_sampled <= n_kept
+        assert set(r["split"] for r in sampled.select("split")
+                   .distinct().collect()) <= {"train", "val", "test"}
+
+        chunks = chunk(kept.join(sampled.select("doc_id"), "doc_id"))
+        assert chunks.count() >= n_sampled          # every doc yields >=1 chunk
+        assert chunks.where(F.col("n_tokens") > 32).count() == 0
+        assert chunks.where(F.col("n_tokens") <= 0).count() == 0
+        # chunk grain is unique
+        assert (chunks.groupBy("doc_id", "chunk_id").count()
+                .where(F.col("count") > 1).count() == 0)

@@ -43,6 +43,7 @@ LINEAR_PLAN_QUERIES = [
     "range_join_banded",
     "skew_salted_join",
     "asof_join_last_click",
+    "doc_fingerprint_repetition",
 ]
 
 
