@@ -7,9 +7,9 @@ paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
 from .corpus import chunk, stratified_sample
-from .dedup import (doc_shingles, duplicate_clusters, exact_dedup,
-                    minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
-                    simhash_pairs, simhash_signatures)
+from .dedup import (connected_components, doc_shingles, duplicate_clusters,
+                    exact_dedup, minhash_lsh_pairs, minhash_wide,
+                    ngram_jaccard_pairs, simhash_pairs, simhash_signatures)
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
 from .textstats import repetition_signals, text_stats
@@ -19,7 +19,8 @@ __all__ = [
     # DataFrame-form LLM-data APIs (the gate queries in __spark_entry__
     # are thin wrappers over these, bound to the testdata corpus)
     "chunk", "stratified_sample",
-    "doc_shingles", "duplicate_clusters", "exact_dedup",
+    "connected_components", "doc_shingles", "duplicate_clusters",
+    "exact_dedup",
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",

@@ -493,6 +493,40 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     is the cluster's minimum doc_id — the actual dedup decision a corpus
     pipeline executes after candidate pairs are found).
 
+    The component labeling itself is `connected_components`, reusable
+    over ANY near-dup pair frame (minhash-LSH pairs, embedding near-dup
+    pairs, …) — this wrapper just plugs in simhash pairs and re-attaches
+    singleton documents.
+
+    The propagation runs ONLY over vertices that appear in an edge:
+    singletons (the overwhelming majority of a real corpus — and of the
+    synthetic one) can never change label, so they never enter the loop
+    and rejoin at the end with label = own id. At 100 TB the iterated
+    state is the near-dup subgraph, orders of magnitude smaller than the
+    corpus."""
+    pairs = simhash_pairs(docs).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    full = (docs.select("doc_id")
+            .join(labels.withColumnRenamed("label", "edge_label"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("edge_label", "doc_id").alias("label")))
+    from pyspark.sql import Window
+    sized = full.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("label")))
+    return sized.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
+         .alias("is_canonical"))
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair frame (first two
+    columns = the two vertex ids, e.g. ``doc_a``/``doc_b``): returns
+    ``(doc_id, label)`` for every vertex that appears in a pair, where
+    ``label`` is the component's minimum vertex id.
+
     Implemented as iterative min-label propagation: each round every
     vertex takes the min of its own label and its neighbors' labels,
     then path-halves by hopping through the previous round's label
@@ -515,15 +549,10 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     sum strictly decreases every round until the fixpoint — no
     join-against-old-labels needed (decimal sum: overflow-proof at any
     vertex-id scale). No all-pairs anywhere — edges come from the
-    banded LSH equi-join.
-
-    The propagation runs ONLY over vertices that appear in an edge:
-    singletons (the overwhelming majority of a real corpus — and of the
-    synthetic one) can never change label, so they are excluded from the
-    loop entirely and rejoined at the end with label = own id. At 100 TB
-    the iterated state is the near-dup subgraph, orders of magnitude
-    smaller than the corpus."""
-    pairs = simhash_pairs(docs).select("doc_a", "doc_b")
+    caller's banded/bucketed candidate join."""
+    pairs = pairs.select(
+        F.col(pairs.columns[0]).alias("doc_a"),
+        F.col(pairs.columns[1]).alias("doc_b"))
     e1 = (pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -563,19 +592,7 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
-    full = (docs.select("doc_id")
-            .join(labels.withColumnRenamed("label", "edge_label"),
-                  "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("edge_label", "doc_id").alias("label")))
-    from pyspark.sql import Window
-    sized = full.withColumn(
-        "cluster_size", F.count("*").over(Window.partitionBy("label")))
-    return sized.select(
-        "doc_id", F.col("label").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
-        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
-         .alias("is_canonical"))
+    return labels
 
 
 # ---------------------------------------------------------------------------

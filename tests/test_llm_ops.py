@@ -53,6 +53,33 @@ class TestDedupClustering:
         clusters.unpersist()
 
 
+class TestConnectedComponents:
+    """`connected_components` is the reusable labeling core: it must work
+    over ANY pair frame (here synthetic edges), label by component-min,
+    and cover only vertices that appear in an edge."""
+
+    def test_labels_synthetic_graph(self, spark):
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        # two chains and a triangle, deliberately out of order:
+        # {1,5,9,12}, {2,7}, {20,21,22}
+        pairs = spark.createDataFrame(
+            [(12, 9), (5, 1), (9, 5), (7, 2), (20, 21), (21, 22), (22, 20)],
+            "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 5: 1, 9: 1, 12: 1, 2: 2, 7: 2,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_accepts_any_column_names(self, spark):
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        pairs = spark.createDataFrame([(3, 8)], "src long, dst long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(pairs).collect()}
+        assert got == {3: 3, 8: 3}
+
+
 class TestIvfSearch:
     def test_ivf_results_rank_contiguously_and_recall_floor(self, spark):
         from agnostic_blockchain_etl_spark.operators import similarity
