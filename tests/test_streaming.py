@@ -147,8 +147,13 @@ class TestSessionWindowStream:
         b2 = mk([(1, t(120), 3.0),                     # new session for key 1
                  (2, t(20), 7.0),                      # extends key 2's session
                  (9, t(2000), 0.0)])                   # sentinel: pushes watermark
-        b1.write.parquet(src + "/b1")
-        b2.write.parquet(src + "/b2")
+        # Each batch must be ONE file processed in order: with
+        # maxFilesPerTrigger=1, any file containing a late-timestamp row
+        # (b2's sentinel, or even b1's own t(10) row if b1 splits into
+        # per-row part-files) that processes first advances the watermark
+        # and drops its siblings as late data. So coalesce each batch to a
+        # single part-file and only write b2 after b1 is fully consumed.
+        b1.coalesce(1).write.parquet(src + "/b1")
 
         stream = (spark.readStream
                   .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
@@ -158,6 +163,8 @@ class TestSessionWindowStream:
         q = (agg.writeStream.outputMode("append")
              .format("memory").queryName("sess").start())
         try:
+            q.processAllAvailable()
+            b2.coalesce(1).write.parquet(src + "/b2")
             q.processAllAvailable()
         finally:
             q.stop()
