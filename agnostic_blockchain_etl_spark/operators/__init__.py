@@ -6,10 +6,11 @@ Every public operator has a ``queries()`` entry in ``__spark_entry__.py``
 paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
-from .corpus import chunk, stratified_sample
-from .dedup import (connected_components, doc_shingles, duplicate_clusters,
-                    exact_dedup, minhash_lsh_pairs, minhash_wide,
-                    ngram_jaccard_pairs, simhash_pairs, simhash_signatures)
+from .corpus import chunk, pack_sequences, stratified_sample
+from .dedup import (connected_components, decontaminate, doc_shingles,
+                    duplicate_clusters, exact_dedup, minhash_lsh_pairs,
+                    minhash_wide, ngram_jaccard_pairs, simhash_pairs,
+                    simhash_signatures)
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
 from .textstats import repetition_signals, text_stats
@@ -18,9 +19,9 @@ __all__ = [
     "load_tables",
     # DataFrame-form LLM-data APIs (the gate queries in __spark_entry__
     # are thin wrappers over these, bound to the testdata corpus)
-    "chunk", "stratified_sample",
-    "connected_components", "doc_shingles", "duplicate_clusters",
-    "exact_dedup",
+    "chunk", "pack_sequences", "stratified_sample",
+    "connected_components", "decontaminate", "doc_shingles",
+    "duplicate_clusters", "exact_dedup",
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",

@@ -77,6 +77,77 @@ def chunk(docs: DataFrame) -> DataFrame:
                     n_tok.cast("long").alias("n_tokens")))
 
 
+_PACK_BUDGET = 128   # tokens per training sequence
+_PACK_SHARDS = 8     # parallel packing streams
+
+
+@query("sequence_packing", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    chunked AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(floor((len(words) - 1) / {_STRIDE})
+                                              AS BIGINT))) AS chunk_id,
+               words
+        FROM words_t),
+    chunks AS (
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))
+                    - chunk_id * {_STRIDE} AS BIGINT) AS n_tokens
+        FROM chunked
+        WHERE chunk_id * {_STRIDE} < len(words)),
+    pos AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               doc_id % {_PACK_SHARDS} AS shard,
+               CAST(sum(n_tokens) OVER (
+                        PARTITION BY doc_id % {_PACK_SHARDS}
+                        ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tokens AS start_pos
+        FROM chunks)
+    SELECT CAST(shard AS INT)                          AS shard,
+           doc_id, chunk_id,
+           start_pos // {_PACK_BUDGET}                 AS pack_id,
+           start_pos % {_PACK_BUDGET}                  AS pack_offset,
+           n_tokens
+    FROM pos
+""")
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `pack_sequences` over the chunked testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return pack_sequences(chunk(t["documents"]))
+
+
+def pack_sequences(chunks: DataFrame, budget: int = _PACK_BUDGET,
+                   n_shards: int = _PACK_SHARDS) -> DataFrame:
+    """GPT-style sequence packing: concatenate the token stream of chunks
+    in deterministic (doc_id, chunk_id) order and cut it into fixed
+    ``budget``-token training sequences; each chunk is assigned the pack
+    where it starts, with its offset inside that pack. A chunk may
+    straddle a pack boundary — that is the standard concat-then-block
+    packing (no padding waste), not a bug.
+
+    The running position is a per-SHARD cumulative sum (shard = doc_id %
+    n_shards; pack identity = (shard, pack_id)): a single global cumsum
+    would serialize on one window partition — the classic scale
+    anti-pattern — while per-shard windows pack N independent streams in
+    parallel, exactly how a real pipeline packs per output shard. Zero
+    joins; one shuffle on shard."""
+    w = (Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        (F.col("doc_id") % n_shards).alias("shard"))
+    d = d.withColumn("start_pos",
+                     F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return d.select(
+        F.col("shard").cast("int").alias("shard"),
+        "doc_id", "chunk_id",
+        F.expr(f"start_pos div {budget}").alias("pack_id"),
+        (F.col("start_pos") % budget).alias("pack_offset"),
+        "n_tokens")
+
+
 @query("vocab_tfidf_terms", oracle=f"""
     WITH words_t AS (
         SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),

@@ -153,16 +153,11 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     value; reducing it to 31 bits here would inflate n_common by
     cross-doc collisions (~n²/2³²) at corpus scale. The 31-bit reduction
     belongs only inside the minhash permutation arithmetic
-    (``_minhash_wide_df``), where ``a·x`` must stay within int64."""
+    (``minhash_wide``), where ``a·x`` must stay within int64."""
     return (docs
             .select("doc_id", F.explode(
                 _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
             .withColumn("h", _spark_hash60(F.col("shingle"))))
-
-
-def _minhash_wide_df(spark, sf_dir, shingles_df=None):
-    sh = shingles_df if shingles_df is not None else _doc_shingles_df(spark, sf_dir)
-    return minhash_wide(sh)
 
 
 def minhash_wide(shingles: DataFrame) -> DataFrame:
@@ -195,17 +190,40 @@ _SQL_MINHASH_BASE = f"""
 """
 
 
-@query("dedup_minhash_signature", oracle=_SQL_MINHASH_BASE + """
-    SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM sig
+_SQL_SIG_WIDE = ", ".join(
+    f"min(minhash) FILTER (WHERE perm = {i}) AS m{i}" for i in range(_K))
+
+
+@query("dedup_signatures", oracle=_SQL_MINHASH_BASE + f"""
+    , mh AS (
+        SELECT doc_id, {_SQL_SIG_WIDE} FROM sig GROUP BY doc_id),
+    tokens AS (
+        SELECT doc_id, unnest(words) AS shingle FROM words_t),
+    tok_hashed AS (
+        SELECT doc_id, {_SQL_HASH60} AS h FROM tokens),
+    bits(bit) AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok_hashed CROSS JOIN bits GROUP BY doc_id, bit),
+    sim AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                   AS simhash
+        FROM votes GROUP BY doc_id)
+    SELECT mh.*, sim.simhash FROM mh JOIN sim USING (doc_id)
 """)
-def dedup_minhash_signature(spark, sf_dir):
-    """MinHash signature matrix: K=16 permutation-mins per document
-    (computed wide, unpivoted to rows for the oracle contract)."""
-    wide = _minhash_wide_df(spark, sf_dir)
-    stack_args = ", ".join(f"{i}, m{i}" for i in range(_K))
-    return wide.selectExpr(
-        "doc_id", f"stack({_K}, {stack_args}) as (perm, minhash)"
-    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+def dedup_signatures(spark, sf_dir):
+    """Per-document signature matrix, both families in one row: the K=16
+    MinHash permutation-mins (`minhash_wide`) and the 60-bit SimHash
+    (`simhash_signatures`), joined on doc_id. One aggregation pass each —
+    K parallel min-expressions (never explode×perm) and SWAR-packed
+    majority votes — then a same-key join that AQE plans shuffle-free off
+    the two per-doc aggregates."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    wide = minhash_wide(doc_shingles(docs))
+    return wide.join(simhash_signatures(docs), "doc_id")
 
 
 @query("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_BASE + f"""
@@ -290,29 +308,6 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-
-@query("dedup_simhash", oracle=f"""
-    WITH words_t AS (
-        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
-    tokens AS (
-        SELECT doc_id, unnest(words) AS shingle FROM words_t),
-    hashed AS (
-        SELECT doc_id, {_SQL_HASH60} AS h FROM tokens),
-    bits(bit) AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))),
-    votes AS (
-        SELECT doc_id, bit,
-               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM hashed CROSS JOIN bits GROUP BY doc_id, bit)
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-               AS simhash
-    FROM votes GROUP BY doc_id
-""")
-def dedup_simhash(spark, sf_dir):
-    """Gate form of `simhash_signatures` over the testdata corpus."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return simhash_signatures(t["documents"])
-
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """Per-document 60-bit SimHash: bitwise majority vote over token
@@ -655,3 +650,87 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.10) -> DataFrame:
     return (inter
             .where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train-set n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 20            # doc_id % 20 == 0 → held-out eval set (5%)
+_CONTAM_MAX = 0.10        # keep train docs with < 10% eval-shingle overlap
+
+
+@query("decontamination_overlap", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    shingles_t AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, {_SQL_HASH60} AS h FROM shingles_t),
+    eval_h AS (
+        SELECT DISTINCT h FROM hashed WHERE doc_id % {_EVAL_MOD} = 0),
+    train AS (
+        SELECT doc_id, h FROM hashed WHERE doc_id % {_EVAL_MOD} <> 0),
+    agg AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_overlap
+        FROM train t LEFT JOIN eval_h e ON t.h = e.h
+        GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.n_overlap, 0)  AS n_overlap,
+           round(CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0.0
+                 ELSE CAST(a.n_overlap AS DOUBLE) / a.n_shingles END, 4)
+               AS contamination,
+           CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 1
+                WHEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles
+                     < {_CONTAM_MAX} THEN 1 ELSE 0 END AS decontam_keep
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+""")
+def decontamination_overlap(spark, sf_dir):
+    """Gate form of `decontaminate` with the deterministic held-out split
+    (doc_id % 20 == 0 as the "benchmark" set) over the testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return decontaminate(docs.where(~is_eval), docs.where(is_eval))
+
+
+def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
+                  max_contamination: float = _CONTAM_MAX) -> DataFrame:
+    """Benchmark decontamination: per train document, the fraction of its
+    n-gram shingles that appear anywhere in the eval/benchmark set — the
+    GPT-3/Llama-style leakage check run before training. Documents with
+    no shingles (< 3 words) carry nothing verbatim and are kept.
+
+    Scale: the eval side is a benchmark suite — thousands of documents,
+    millions of n-grams — so its distinct shingle-hash set is explicitly
+    ``broadcast()``: the 100 TB train corpus is scanned once with a
+    map-side hash probe (no shuffle of train shingles against eval), then
+    one groupBy(doc_id) aggregation. The join carries 8-byte hashes, not
+    shingle strings."""
+    eval_h = (doc_shingles(eval_docs).select("h").distinct()
+              .withColumn("hit", F.lit(1)))
+    train_sh = doc_shingles(train_docs).select("doc_id", "h")
+    agg = (train_sh
+           .join(F.broadcast(eval_h), "h", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+                 .alias("n_overlap")))
+    out = (train_docs.select("doc_id")
+           .join(agg, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                   F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")))
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return out.select(
+        "doc_id", "n_shingles", "n_overlap",
+        F.when(F.col("n_shingles") == 0, F.lit(0.0))
+         .otherwise(F.round(ratio, 4)).alias("contamination"),
+        F.when(F.col("n_shingles") == 0, F.lit(1))
+         .when(ratio < max_contamination, F.lit(1))
+         .otherwise(F.lit(0)).alias("decontam_keep"))

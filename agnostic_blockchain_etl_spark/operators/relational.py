@@ -376,34 +376,42 @@ def array_zip_index(spark, sf_dir):
 # Set ops / sorts / windows (§2.6)
 # ---------------------------------------------------------------------------
 
-@query("union_all_wallets", oracle="""
-    SELECT user_id, role, CAST(count(*) AS BIGINT) AS n FROM (
+@query("key_set_facets", oracle="""
+    SELECT 'wallet' AS facet, CAST(user_id AS VARCHAR) AS k1, role AS k2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
         SELECT user_id, 'actor' AS role FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT user_id, 'buyer' AS role FROM events WHERE event_type = 'purchase'
     ) GROUP BY user_id, role
+    UNION ALL
+    SELECT 'part_keys', p_brand, p_type, CAST(NULL AS BIGINT)
+    FROM (SELECT DISTINCT p_brand, p_type FROM part)
 """)
-def union_all_wallets(spark, sf_dir):
-    """UNION ALL of two role-projections of the same stream (the erc20
-    sender∪recipient pattern, create_buffer.sql:74-87) → unionByName."""
-    t = load_tables(spark, sf_dir, ("events",))
+def key_set_facets(spark, sf_dir):
+    """The two key-set shapes in one result: UNION ALL of two
+    role-projections of the same stream (the erc20 sender∪recipient
+    pattern, create_buffer.sql:74-87) → ``unionByName`` + groupBy, and
+    DISTINCT (the ``GROUP BY token_address`` dedup shape, erc20
+    create_buffer.sql:37-64). Each facet keeps its own single shuffle;
+    the final union is plan-level concatenation, not a join."""
+    t = load_tables(spark, sf_dir, ("events", "part"))
     e = t["events"]
     a = e.where(F.col("event_type") == "click").select(
         "user_id", F.lit("actor").alias("role"))
     b = e.where(F.col("event_type") == "purchase").select(
         "user_id", F.lit("buyer").alias("role"))
-    return a.unionByName(b).groupBy("user_id", "role").agg(
-        F.count("*").alias("n"))
-
-
-@query("distinct_keys", oracle="""
-    SELECT DISTINCT p_brand, p_type FROM part
-""")
-def distinct_keys(spark, sf_dir):
-    """DISTINCT (the ``GROUP BY token_address`` dedup shape,
-    erc20 create_buffer.sql:37-64)."""
-    t = load_tables(spark, sf_dir, ("part",))
-    return t["part"].select("p_brand", "p_type").distinct()
+    wallets = (a.unionByName(b).groupBy("user_id", "role")
+               .agg(F.count("*").alias("n"))
+               .select(F.lit("wallet").alias("facet"),
+                       F.col("user_id").cast("string").alias("k1"),
+                       F.col("role").alias("k2"), "n"))
+    parts = (t["part"].select("p_brand", "p_type").distinct()
+             .select(F.lit("part_keys").alias("facet"),
+                     F.col("p_brand").alias("k1"),
+                     F.col("p_type").alias("k2"),
+                     F.lit(None).cast("long").alias("n")))
+    return wallets.unionByName(parts)
 
 
 @query("topk_order_limit", oracle="""

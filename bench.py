@@ -25,13 +25,14 @@ HEADLINE = [
     "enrich_join_chain",
     "group_window_first",
     "array_zip_index",
-    "union_all_wallets",
+    "key_set_facets",
     "events_scalar_facets",
     "topk_order_limit",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
+    "dedup_signatures",
     "dedup_ngram_jaccard",
+    "decontamination_overlap",
     "dedup_cluster_components",
     "emb_cosine_topk",
     "emb_lsh_bucketed_search",
@@ -45,6 +46,7 @@ HEADLINE = [
     "range_join_banded",
     "skew_salted_join",
     "chunk_documents",
+    "sequence_packing",
     "corpus_stratified_sample",
     "vocab_tfidf_terms",
     "embedding_quantize_int8",

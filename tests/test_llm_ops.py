@@ -80,6 +80,54 @@ class TestConnectedComponents:
         assert got == {3: 3, 8: 3}
 
 
+class TestDecontamination:
+    def test_verbatim_eval_doc_is_flagged(self, spark):
+        from agnostic_blockchain_etl_spark.operators import decontaminate
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),   # verbatim copy
+             (2, "one two three four five six"),           # disjoint
+             (3, "hi there")],                             # < 3 words
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in decontaminate(train, ev).collect()}
+        assert set(out) == {1, 2, 3}          # eval docs never in output
+        assert out[1]["contamination"] == 1.0 and out[1]["decontam_keep"] == 0
+        assert out[2]["n_overlap"] == 0 and out[2]["decontam_keep"] == 1
+        # shingle-less docs carry nothing verbatim -> kept, contamination 0
+        assert out[3]["n_shingles"] == 0 and out[3]["decontam_keep"] == 1
+        assert out[3]["contamination"] == 0.0
+
+
+class TestSequencePacking:
+    def test_packs_are_contiguous_and_within_budget(self, spark):
+        from agnostic_blockchain_etl_spark.operators import (chunk,
+                                                             pack_sequences)
+        from agnostic_blockchain_etl_spark.operators.tables import load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        budget = 128
+        rows = pack_sequences(chunk(docs), budget=budget).collect()
+        assert rows
+        # offsets always inside the pack
+        assert all(0 <= r["pack_offset"] < budget for r in rows)
+        # within each shard, chunks tile the token stream with no gaps:
+        # sorted by (doc, chunk), each start = previous start + previous
+        # n_tokens, and pack_id/pack_offset are exactly that position
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+            pos = 0
+            for r in rs:
+                assert r["pack_id"] == pos // budget
+                assert r["pack_offset"] == pos % budget
+                pos += r["n_tokens"]
+        # every chunk appears exactly once
+        assert len({(r["doc_id"], r["chunk_id"]) for r in rows}) == len(rows)
+
+
 class TestIvfSearch:
     def test_ivf_results_rank_contiguously_and_recall_floor(self, spark):
         from agnostic_blockchain_etl_spark.operators import similarity

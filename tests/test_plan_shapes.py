@@ -38,6 +38,7 @@ LINEAR_PLAN_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    "decontamination_overlap",
     "emb_near_dup_pairs",
     "emb_lsh_bucketed_search",
     "range_join_banded",
