@@ -6,7 +6,7 @@ Every public operator has a ``queries()`` entry in ``__spark_entry__.py``
 paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
-from .corpus import chunk, pack_sequences, stratified_sample
+from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
                     minhash_wide, ngram_jaccard_pairs, simhash_pairs,
@@ -19,7 +19,7 @@ __all__ = [
     "load_tables",
     # DataFrame-form LLM-data APIs (the gate queries in __spark_entry__
     # are thin wrappers over these, bound to the testdata corpus)
-    "chunk", "pack_sequences", "stratified_sample",
+    "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",

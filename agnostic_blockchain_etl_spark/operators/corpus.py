@@ -32,7 +32,11 @@ _CHUNK, _STRIDE = 32, 24  # 32-token windows, 8-token overlap
 _SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
-@query("chunk_documents", oracle=f"""
+_PACK_BUDGET = 128   # tokens per training sequence
+_PACK_SHARDS = 8     # parallel packing streams
+
+
+@query("chunk_pack_documents", oracle=f"""
     WITH words_t AS (
         SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
     chunked AS (
@@ -40,20 +44,40 @@ _SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
                unnest(generate_series(0, CAST(floor((len(words) - 1) / {_STRIDE})
                                               AS BIGINT))) AS chunk_id,
                words
-        FROM words_t)
-    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-           array_to_string(words[1 + chunk_id * {_STRIDE} :
-                                 least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))],
-                           ' ')                                  AS chunk_text,
-           CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))
-                - chunk_id * {_STRIDE} AS BIGINT)                AS n_tokens
-    FROM chunked
-    WHERE chunk_id * {_STRIDE} < len(words)
+        FROM words_t),
+    chunks AS (
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               array_to_string(words[1 + chunk_id * {_STRIDE} :
+                                     least(chunk_id * {_STRIDE} + {_CHUNK},
+                                           len(words))],
+                               ' ')                              AS chunk_text,
+               CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))
+                    - chunk_id * {_STRIDE} AS BIGINT)            AS n_tokens
+        FROM chunked
+        WHERE chunk_id * {_STRIDE} < len(words)),
+    pos AS (
+        SELECT doc_id, chunk_id, chunk_text, n_tokens,
+               doc_id % {_PACK_SHARDS} AS shard,
+               CAST(sum(n_tokens) OVER (
+                        PARTITION BY doc_id % {_PACK_SHARDS}
+                        ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tokens AS start_pos
+        FROM chunks)
+    SELECT doc_id, chunk_id, chunk_text, n_tokens,
+           CAST(shard AS INT)            AS shard,
+           start_pos // {_PACK_BUDGET}   AS pack_id,
+           start_pos % {_PACK_BUDGET}    AS pack_offset
+    FROM pos
 """)
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate form of `chunk` over the testdata corpus."""
+def chunk_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `chunk` → `pack_sequences` over the testdata corpus:
+    chunk grain with each chunk's (shard, pack_id, pack_offset) training-
+    sequence assignment riding along."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return chunk(t["documents"])
+    return pack_sequences(chunk(t["documents"])).select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens",
+        "shard", "pack_id", "pack_offset")
 
 
 def chunk(docs: DataFrame) -> DataFrame:
@@ -77,47 +101,6 @@ def chunk(docs: DataFrame) -> DataFrame:
                     n_tok.cast("long").alias("n_tokens")))
 
 
-_PACK_BUDGET = 128   # tokens per training sequence
-_PACK_SHARDS = 8     # parallel packing streams
-
-
-@query("sequence_packing", oracle=f"""
-    WITH words_t AS (
-        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
-    chunked AS (
-        SELECT doc_id,
-               unnest(generate_series(0, CAST(floor((len(words) - 1) / {_STRIDE})
-                                              AS BIGINT))) AS chunk_id,
-               words
-        FROM words_t),
-    chunks AS (
-        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-               CAST(least(chunk_id * {_STRIDE} + {_CHUNK}, len(words))
-                    - chunk_id * {_STRIDE} AS BIGINT) AS n_tokens
-        FROM chunked
-        WHERE chunk_id * {_STRIDE} < len(words)),
-    pos AS (
-        SELECT doc_id, chunk_id, n_tokens,
-               doc_id % {_PACK_SHARDS} AS shard,
-               CAST(sum(n_tokens) OVER (
-                        PARTITION BY doc_id % {_PACK_SHARDS}
-                        ORDER BY doc_id, chunk_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) - n_tokens AS start_pos
-        FROM chunks)
-    SELECT CAST(shard AS INT)                          AS shard,
-           doc_id, chunk_id,
-           start_pos // {_PACK_BUDGET}                 AS pack_id,
-           start_pos % {_PACK_BUDGET}                  AS pack_offset,
-           n_tokens
-    FROM pos
-""")
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate form of `pack_sequences` over the chunked testdata corpus."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return pack_sequences(chunk(t["documents"]))
-
-
 def pack_sequences(chunks: DataFrame, budget: int = _PACK_BUDGET,
                    n_shards: int = _PACK_SHARDS) -> DataFrame:
     """GPT-style sequence packing: concatenate the token stream of chunks
@@ -132,20 +115,17 @@ def pack_sequences(chunks: DataFrame, budget: int = _PACK_BUDGET,
     would serialize on one window partition — the classic scale
     anti-pattern — while per-shard windows pack N independent streams in
     parallel, exactly how a real pipeline packs per output shard. Zero
-    joins; one shuffle on shard."""
+    joins; one shuffle on shard. Annotates in place: all input columns
+    (chunk_text, …) survive, with shard/pack_id/pack_offset appended."""
     w = (Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = chunks.select(
-        "doc_id", "chunk_id", "n_tokens",
-        (F.col("doc_id") % n_shards).alias("shard"))
+    d = chunks.withColumn("shard",
+                          (F.col("doc_id") % n_shards).cast("int"))
     d = d.withColumn("start_pos",
                      F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    return d.select(
-        F.col("shard").cast("int").alias("shard"),
-        "doc_id", "chunk_id",
-        F.expr(f"start_pos div {budget}").alias("pack_id"),
-        (F.col("start_pos") % budget).alias("pack_offset"),
-        "n_tokens")
+    return (d.withColumn("pack_id", F.expr(f"start_pos div {budget}"))
+            .withColumn("pack_offset", F.col("start_pos") % budget)
+            .drop("start_pos"))
 
 
 @query("vocab_tfidf_terms", oracle=f"""
@@ -313,3 +293,60 @@ def stratified_sample(docs: DataFrame,
                     F.when(F.col("split_bucket") < 8, "train")
                      .when(F.col("split_bucket") == 8, "val")
                      .otherwise("test").alias("split")))
+
+
+_WSAMPLE_K = 200
+_TWO60 = float(1 << 60)
+
+
+@query("weighted_sample_topk", oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(1 + len(list_distinct({_SQL_WORDS})) AS DOUBLE)
+                   / (1 + len({_SQL_WORDS}))                    AS w,
+               (CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) + 1)
+                   / {_TWO60!r}                                 AS u
+        FROM documents)
+    SELECT doc_id, lang, round(w, 6) AS weight
+    FROM scored
+    ORDER BY ln(u) / w DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+""")
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `weighted_sample` with a lexical-diversity weight
+    (type-token-ratio-ish: (1+distinct words)/(1+words)) over the
+    testdata corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = ((F.lit(1) + F.size(F.array_distinct(words))).cast("double")
+         / (F.lit(1) + F.size(words)))
+    return weighted_sample(docs.withColumn("w", w), "w", _WSAMPLE_K) \
+        .select("doc_id", "lang", F.round("w", 6).alias("weight"))
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, k: int) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row draws u ∈ (0,1] as a pure hash of doc_id
+    and gets priority ln(u)/w — the order statistic of the textbook key
+    u^(1/w) — and the k largest priorities are the sample. Inclusion
+    probability is proportional to weight, membership is reproducible
+    across runs/engines/partitionings (no ``rand()``), and new corpus
+    rows never re-draw old ones — the same properties
+    `stratified_sample` guarantees, now with continuous weights (quality
+    scores, importance weights).
+
+    Scale: zero shuffle for scoring; selection is a global top-k, which
+    Spark plans as TakeOrderedAndProject — per-partition heaps of k rows
+    merged on the driver, never a full sort. The priority itself is
+    dropped from the output: it exists only to order the heap."""
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit("wsample:"),
+                           F.col("doc_id").cast("string")).cast("binary")),
+            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    priority = F.log(u) / F.col(weight_col)
+    return (docs.withColumn("__priority", priority)
+            .orderBy(F.col("__priority").desc(), "doc_id")
+            .limit(k)
+            .drop("__priority"))

@@ -45,9 +45,9 @@ HEADLINE = [
     "percentiles_exact",
     "range_join_banded",
     "skew_salted_join",
-    "chunk_documents",
-    "sequence_packing",
+    "chunk_pack_documents",
     "corpus_stratified_sample",
+    "weighted_sample_topk",
     "vocab_tfidf_terms",
     "embedding_quantize_int8",
 ]

@@ -59,7 +59,7 @@ def test_corpus_prep_pipeline(spark, tmp_path):
     assert set(sink_split) == expect_ids
     assert all(sink_split[d] == sample[d] for d in sink_split)
 
-    chunks = corpus.QUERIES["chunk_documents"](spark, SF_DIR)
+    chunks = corpus.QUERIES["chunk_pack_documents"](spark, SF_DIR)
     expected = chunks.where(F.col("doc_id").isin(list(expect_ids)))
     assert got.count() == expected.count()
     # spot-check chunk text equality for one doc

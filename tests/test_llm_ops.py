@@ -128,6 +128,37 @@ class TestSequencePacking:
         assert len({(r["doc_id"], r["chunk_id"]) for r in rows}) == len(rows)
 
 
+class TestWeightedSample:
+    def test_membership_is_layout_independent_and_weight_biased(self, spark):
+        from agnostic_blockchain_etl_spark.operators import weighted_sample
+        # two strata: heavy weight 0.9 (ids 0..499), light 0.1 (500..999)
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 500, 0.9).otherwise(0.1).alias("w"))
+        picked = [r["doc_id"] for r in
+                  weighted_sample(docs, "w", 200).collect()]
+        assert len(picked) == 200
+        heavy = sum(1 for d in picked if d < 500)
+        # E-S inclusion tracks weight: heavy stratum should dominate
+        # (expected ~180/200 at a 9:1 weight ratio; 120 is a loose floor)
+        assert heavy > 120
+        # repartitioning must not change membership (hash-based u)
+        again = [r["doc_id"] for r in
+                 weighted_sample(docs.repartition(13), "w", 200).collect()]
+        assert set(picked) == set(again)
+
+    def test_topk_plans_takeordered_not_full_sort(self, spark):
+        import contextlib
+        import io
+        import __spark_entry__ as entry
+        df = entry.queries()["weighted_sample_topk"](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan, plan
+
+
 class TestIvfSearch:
     def test_ivf_results_rank_contiguously_and_recall_floor(self, spark):
         from agnostic_blockchain_etl_spark.operators import similarity

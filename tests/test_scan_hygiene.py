@@ -58,8 +58,10 @@ CASES = [
     # the cursor range is the reference's hottest predicate shape: it
     # must reach the scan as a min/max-prunable range
     ("cursor_struct_projection", "orders", 3, "o_orderkey"),
-    # packing reads doc_id/text only (chunking is pure slicing)
-    ("sequence_packing", "documents", 2, None),
+    # chunk+pack reads doc_id/text only (chunking is pure slicing)
+    ("chunk_pack_documents", "documents", 2, None),
+    # weighted sampling reads doc_id/lang/text; top-k must not full-sort
+    ("weighted_sample_topk", "documents", 3, None),
     # decontamination scans doc_id/text; the train/eval split predicate
     # must push to the scan
     ("decontamination_overlap", "documents", 2, "doc_id"),
