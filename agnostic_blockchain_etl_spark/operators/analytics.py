@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import avg_units, load_tables
+from .tables import avg_units, events_us, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -33,9 +33,9 @@ def query(name: str, oracle: str | None = None):
 
 
 def _events_us(spark, sf_dir):
-    """events with ts as epoch-µs longs (nanos truncated, DuckDB parity)."""
+    """events with ts as epoch-µs longs (schema-adaptive, DuckDB parity)."""
     t = load_tables(spark, sf_dir, ("events",))
-    return t["events"].withColumn("ts", F.expr("ts div 1000"))
+    return events_us(t["events"])
 
 
 @query("percentiles_exact", oracle="""

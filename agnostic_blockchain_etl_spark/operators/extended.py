@@ -17,7 +17,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import epoch_day, events_us, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -72,11 +72,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
 """)
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent click at
-    or before it (events.ts arrives as nanosecond longs in Spark)."""
+    or before it; both sides compare in epoch-µs."""
     t = load_tables(spark, sf_dir, ("events",))
-    # events.ts arrives as nanosecond longs (nanosAsLong); DuckDB's parquet
-    # reader truncates TIMESTAMP(NANOS) to microseconds — compare in µs
-    e = t["events"].withColumn("ts", F.expr("ts div 1000"))
+    e = events_us(t["events"])
     purchases = e.where(F.col("event_type") == "purchase") \
                  .select("event_id", "user_id", "ts", "value")
     clicks = e.where(F.col("event_type") == "click") \
@@ -110,9 +108,7 @@ def set_ops(spark, sf_dir):
     doing every event type, so the user-level difference is empty; the
     composite key keeps the check non-trivial)."""
     t = load_tables(spark, sf_dir, ("events",))
-    # ts is a nanosecond long under nanosAsLong → µs → date
-    e = t["events"].withColumn(
-        "day", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))))
+    e = events_us(t["events"]).withColumn("day", epoch_day("ts"))
     inter = (e.where(F.col("event_type") == "click").select("user_id")
              .intersect(e.where(F.col("event_type") == "purchase")
                         .select("user_id"))

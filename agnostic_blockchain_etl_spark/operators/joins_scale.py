@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import events_us, load_tables
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -67,7 +67,7 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks within ±1 h of each purchase (same user): the banded
     range-join pattern; oracle is the naive inequality join."""
     t = load_tables(spark, sf_dir, ("events",))
-    e = t["events"].withColumn("ts", F.expr("ts div 1000"))
+    e = events_us(t["events"])
     purchases = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id",
         F.col("ts").alias("p_ts"))

@@ -33,6 +33,41 @@ def avg_units(sum_dec: Column, count: Column, scale: int) -> Column:
     return F.call_function("div", 2 * s + count, 2 * count) / float(10 ** scale)
 
 
+def events_us(events: DataFrame) -> DataFrame:
+    """``events`` with ``ts`` rewritten to epoch-microsecond BIGINT,
+    adapting to whatever physical type the parquet carries.
+
+    The driver has shipped ``events.ts`` as TIMESTAMP(NANOS) (read as a
+    nanosecond long under ``nanosAsLong``) and as ``timestamp[us]`` (read
+    as TIMESTAMP_NTZ) across testdata regenerations; both must produce the
+    exact micros DuckDB's ``epoch_us(ts)`` yields. The NTZ branch uses
+    ``timestampdiff`` against an NTZ epoch literal — pure wall-clock
+    arithmetic, identical under any ``spark.sql.session.timeZone``
+    (``cast(ts as timestamp)`` + ``unix_micros`` would shift by the
+    session offset on non-UTC drivers)."""
+    dt = dict(events.dtypes)["ts"]
+    if dt == "bigint":            # legacy TIMESTAMP(NANOS) as nanos-longs
+        expr = "ts div 1000"
+    elif dt == "timestamp_ntz":   # timestamp[us], isAdjustedToUTC=false
+        expr = ("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    elif dt == "timestamp":       # instant-typed: unix_micros is exact
+        expr = "unix_micros(ts)"
+    else:
+        raise TypeError(
+            f"events.ts has unsupported type {dt!r}; expected bigint "
+            "(nanosAsLong), timestamp_ntz, or timestamp")
+    return events.withColumn("ts", F.expr(expr))
+
+
+def epoch_day(us_col: str = "ts") -> Column:
+    """Calendar day of an epoch-µs BIGINT column, timezone-independently
+    (valid for non-negative epochs; DuckDB twin: ``CAST(ts AS DATE)`` on
+    the naive timestamp)."""
+    return F.date_add(F.lit("1970-01-01").cast("date"),
+                      (F.col(us_col) / 86_400_000_000).cast("int"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Register ``{sf_dir}/{name}.parquet`` as temp views; return the dfs."""

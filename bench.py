@@ -69,29 +69,50 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warm-up: JVM, executor threads, Arrow path, FS cache + codegen for
-    # every headline plan — the timed pass below measures steady state
+    # every headline plan — the timed pass below measures steady state.
+    # Per-query isolation: one broken query must not abort the artifact
+    # (round 2 lost every timing to a single AnalysisException).
     spark.range(1000).selectExpr("sum(id)").collect()
+    failed: dict[str, str] = {}
     for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop") \
+                                   .mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] warm-up failed: {name}: {failed[name]}",
+                  file=sys.stderr)
     # drop persisted datasets so timed queries do their own work (within-
     # query cache reuse is part of the operator; cross-pass reuse is not)
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     for name in HEADLINE:
-        q = qs[name]
+        if name in failed:
+            timings[name] = {"err": failed[name]}
+            continue
         t0 = time.monotonic()
-        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.format("noop") \
+                                   .mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"[bench] timed run failed: {name}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    ok = {k: v for k, v in timings.items() if isinstance(v, float)}
+    total = round(sum(ok.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_ok": len(ok),
+        "n_err": len(timings) - len(ok),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+    # non-zero only when the artifact is useless (under half the headline)
+    sys.exit(0 if len(ok) * 2 >= len(HEADLINE) else 1)
 
 
 if __name__ == "__main__":
