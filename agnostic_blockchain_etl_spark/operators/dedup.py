@@ -208,7 +208,8 @@ _SQL_SIG_WIDE = ", ".join(
         FROM tok_hashed CROSS JOIN bits GROUP BY doc_id, bit),
     sim AS (
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT)
                    AS simhash
         FROM votes GROUP BY doc_id)
     SELECT mh.*, sim.simhash FROM mh JOIN sim USING (doc_id)
@@ -378,7 +379,8 @@ assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
         FROM hashed CROSS JOIN bits GROUP BY doc_id, bit),
     sh AS (
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT)
                    AS simhash
         FROM votes GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -448,7 +450,8 @@ _SQL_SIMHASH_SH = f"""
         FROM hashed CROSS JOIN bits GROUP BY doc_id, bit),
     sh AS (
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT)
                    AS simhash
         FROM votes GROUP BY doc_id)
 """

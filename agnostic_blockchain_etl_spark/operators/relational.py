@@ -541,10 +541,24 @@ def q5_supplier_volume(spark, sf_dir):
                   .cast("double").alias("revenue")))
 
 
+# Hash-canary: the 60-bit md5-prefix hash of fixed literals, exposed as
+# absolute values in a 1-row gate query. Every dedup/LSH oracle derives
+# from this hash; if the driver environment ever computes it differently
+# (engine version, conf), this row flips red and localizes the divergence
+# to the raw hash — vs a flip only in a signature query, which localizes
+# it downstream (permutation/SWAR arithmetic). No quotes/backslashes in
+# the literals — they are spliced into both SQL dialects verbatim.
+_CANARY_STRINGS = ("the quick brown fox", "Hello, World", "a  b c",
+                   "unicode tokens üö", "0123456789abcdef")
+
+
 @query("control_scan_facets", oracle="""
     SELECT (SELECT CAST(max(o_orderkey) + 1 AS BIGINT) FROM orders) AS start,
            CAST(sum(n) AS BIGINT)    AS total,
-           CAST(count(*) AS BIGINT)  AS n_rows
+           CAST(count(*) AS BIGINT)  AS n_rows,
+""" + ",\n".join(
+    f"           CAST('0x' || substr(md5('{s}'), 1, 15) AS BIGINT)"
+    f" AS canary_h{i}" for i, s in enumerate(_CANARY_STRINGS)) + """
     FROM (SELECT unnest(generate_series(0, 9999)) AS n)
 """)
 def control_scan_facets(spark, sf_dir):
@@ -552,11 +566,16 @@ def control_scan_facets(spark, sf_dir):
     ``max(number)+1 AS start`` (examples/ethereum_blocks/start.sql:1-3, an
     aggregate-pushdown scan) and the generate_series per-block fan-out
     driver (blocks create_buffer.sql:7-11) → ``spark.range`` — a parallel,
-    splittable source (each partition materializes its own subrange)."""
+    splittable source (each partition materializes its own subrange).
+    Rides the 60-bit hash canaries (see ``_CANARY_STRINGS``)."""
+    from .dedup import _spark_hash60
     t = load_tables(spark, sf_dir, ("orders",))
     start = t["orders"].agg(
         (F.max("o_orderkey") + 1).cast("long").alias("start"))
     series = (spark.range(0, 10000)
               .agg(F.sum("id").cast("long").alias("total"),
                    F.count("*").alias("n_rows")))
-    return start.crossJoin(series)
+    canaries = [(_spark_hash60(F.lit(s)).alias(f"canary_h{i}"))
+                for i, s in enumerate(_CANARY_STRINGS)]
+    return start.crossJoin(series).select("start", "total", "n_rows",
+                                          *canaries)
