@@ -33,6 +33,68 @@ def avg_units(sum_dec: Column, count: Column, scale: int) -> Column:
     return F.call_function("div", 2 * s + count, 2 * count) / float(10 ** scale)
 
 
+# Schema-drift guard. The round-2 testdata regeneration silently flipped
+# events.ts from TIMESTAMP(NANOS)/nanos-long to timestamp[us], which cost
+# the round 5 correctness rows and the whole bench to late AnalysisExceptions.
+# Checking dtypes at load time turns the next drift into one early, named
+# error. Sets are ALLOWED alternatives: integer widths are interchangeable
+# to every query (all cast), and time-typed columns legitimately arrive as
+# nanos-longs (legacy nanosAsLong), timestamp, timestamp_ntz, or date.
+_INTISH = {"tinyint", "smallint", "int", "bigint"}
+_TIMEISH = {"bigint", "timestamp", "timestamp_ntz", "date"}
+_STR = {"string"}
+_DBL = {"double", "float"}
+_EXPECTED: dict[str, dict[str, set]] = {
+    "region": {"r_regionkey": _INTISH, "r_name": _STR},
+    "nation": {"n_nationkey": _INTISH, "n_name": _STR,
+               "n_regionkey": _INTISH},
+    "customer": {"c_custkey": _INTISH, "c_name": _STR,
+                 "c_nationkey": _INTISH, "c_acctbal": _DBL,
+                 "c_mktsegment": _STR},
+    "supplier": {"s_suppkey": _INTISH, "s_name": _STR,
+                 "s_nationkey": _INTISH, "s_acctbal": _DBL},
+    "part": {"p_partkey": _INTISH, "p_name": _STR, "p_brand": _STR,
+             "p_type": _STR, "p_size": _INTISH, "p_retailprice": _DBL},
+    "orders": {"o_orderkey": _INTISH, "o_custkey": _INTISH,
+               "o_orderstatus": _STR, "o_totalprice": _DBL,
+               "o_orderdate": _TIMEISH, "o_orderpriority": _STR},
+    "lineitem": {"l_orderkey": _INTISH, "l_partkey": _INTISH,
+                 "l_suppkey": _INTISH, "l_linenumber": _INTISH,
+                 "l_quantity": _DBL, "l_extendedprice": _DBL,
+                 "l_discount": _DBL, "l_tax": _DBL, "l_returnflag": _STR,
+                 "l_linestatus": _STR, "l_shipdate": _TIMEISH},
+    "events": {"event_id": _INTISH, "ts": _TIMEISH, "user_id": _INTISH,
+               "event_type": _STR, "value": _DBL, "props": _STR},
+    "documents": {"doc_id": _INTISH, "text": _STR, "lang": _STR,
+                  "source": _STR, "n_chars": _INTISH},
+    "embeddings": {"vec_id": _INTISH,
+                   "embedding": {"array<float>", "array<double>"},
+                   "label": _INTISH},
+}
+
+
+def check_schema(name: str, df: DataFrame) -> None:
+    """Raise one clear message naming the drifted column (extra columns are
+    fine — queries select by name)."""
+    expected = _EXPECTED.get(name)
+    if expected is None:
+        return
+    actual = dict(df.dtypes)
+    for col, allowed in expected.items():
+        got = actual.get(col)
+        if got is None:
+            raise ValueError(
+                f"testdata schema drift: table {name!r} is missing expected "
+                f"column {col!r}; actual columns: {sorted(actual)}")
+        if got not in allowed:
+            raise ValueError(
+                f"testdata schema drift: {name}.{col} reads as {got!r}, "
+                f"expected one of {sorted(allowed)}. The parquet physical "
+                "type changed between testdata generations — adapt the "
+                "reader (see events_us) rather than letting queries fail "
+                "downstream with opaque AnalysisExceptions.")
+
+
 def events_us(events: DataFrame) -> DataFrame:
     """``events`` with ``ts`` rewritten to epoch-microsecond BIGINT,
     adapting to whatever physical type the parquet carries.
@@ -84,6 +146,7 @@ def load_tables(spark: SparkSession, sf_dir: str,
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        check_schema(name, df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
