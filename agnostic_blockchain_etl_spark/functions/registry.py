@@ -9,12 +9,14 @@ reference's SQL (hex/keccak/ABI-decode expressions) runs near-verbatim via
 Design notes (scale): the pure kernels (hex, keccak) are registered as
 **pandas UDFs** so values move executor→Python in Arrow record batches
 rather than pickled rows; the decode UDFs are pandas UDFs too (CPU-bound,
-benefit from batch amortization). The RPC functions are row-at-a-time
-Python UDFs here for SQL parity only — pipelines should use the
-``mapInPandas`` source in ``operators/rpc_source.py`` which pools one
-transport per executor. Where possible prefer the *native column
-expressions* in ``native`` below (hex encode/decode compile to JVM
-``unhex``/``hex`` and stay inside whole-stage codegen — no Python at all).
+benefit from batch amortization). The RPC functions are pandas UDFs as
+well: one transport is resolved per Arrow batch, so SQL-verbatim
+pipelines get connection/retry-state reuse too; high-fan-out pipelines
+should still prefer the ``mapInPandas`` source in
+``operators/rpc_source.py`` (transport pooled per worker, request
+batching). Where possible prefer the *native column expressions* in
+``native`` below (hex encode/decode compile to JVM ``unhex``/``hex``
+and stay inside whole-stage codegen — no Python at all).
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (BinaryType, DecimalType, LongType, StringType)
 
 from . import abi, hex as hexmod, keccak, rpc
@@ -136,13 +138,26 @@ def _udf_decode_call(inp: pd.Series, outp: pd.Series, fullsigs: pd.Series) -> pd
     return pd.Series(out)
 
 
-def _udf_ethereum_rpc(method, params, endpoint):
-    return rpc.ethereum_rpc(method, list(params or []), endpoint)
+@pandas_udf(StringType())
+def _udf_ethereum_rpc(method: pd.Series, params: pd.Series,
+                      endpoint: pd.Series) -> pd.Series:
+    # one transport per Arrow batch: connection/retry state is reused
+    # across the batch's calls instead of re-resolved per row
+    t = rpc.get_default_transport()
+    return pd.Series([
+        rpc.ethereum_rpc(m, list(p) if p is not None else [], e, transport=t)
+        for m, p, e in zip(method, params, endpoint)])
 
 
-def _udf_ethereum_rpc_call(to, func_sig, args_json, block_number, endpoint):
-    return rpc.ethereum_rpc_call(to, func_sig, args_json or "",
-                                 int(block_number), endpoint)
+@pandas_udf(StringType())
+def _udf_ethereum_rpc_call(to: pd.Series, func_sig: pd.Series,
+                           args_json: pd.Series, block_number: pd.Series,
+                           endpoint: pd.Series) -> pd.Series:
+    t = rpc.get_default_transport()
+    return pd.Series([
+        rpc.ethereum_rpc_call(a, f, j or "", int(b), e, transport=t)
+        for a, f, j, b, e in zip(to, func_sig, args_json,
+                                 block_number, endpoint)])
 
 
 def register_all(spark: SparkSession) -> None:
@@ -163,8 +178,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("keccak256", _udf_keccak256)
     spark.udf.register("evm_decode_event", _udf_decode_event)
     spark.udf.register("evm_decode_call", _udf_decode_call)
-    spark.udf.register("ethereum_rpc", udf(_udf_ethereum_rpc, StringType()))
-    spark.udf.register("ethereum_rpc_call", udf(_udf_ethereum_rpc_call, StringType()))
+    spark.udf.register("ethereum_rpc", _udf_ethereum_rpc)
+    spark.udf.register("ethereum_rpc_call", _udf_ethereum_rpc_call)
     from .words import register_words
     register_words(spark)
     register_json_helpers(spark)
