@@ -1,0 +1,149 @@
+"""Pure-Python image codecs for the multimodal decode stage.
+
+The container ships no image libraries, so the real-decode path is
+implemented from the published file-format specs for two uncompressed
+formats — enough to prove the decode kernel slot is real (header parse,
+stride/padding handling, channel reorder, vertical flip), not a stub:
+
+- **BMP**, 24-bit uncompressed ``BI_RGB`` with a ``BITMAPINFOHEADER``:
+  little-endian header fields, 4-byte-aligned rows stored bottom-up,
+  pixels in BGR order.
+- **PPM (P6)**, the netpbm binary RGB format: ASCII header
+  ``P6 <w> <h> <maxval>`` (with ``#`` comments), then raw RGB rows.
+
+Both decoders return the same feature dict the multimodal stage emits
+(``n_bytes``/``width``/``height``/``checksum``), with ``checksum``
+computed over the DECODED top-down RGB pixel bytes — so a wrong stride,
+channel order, or row direction changes the answer. ``encode_bmp`` /
+``encode_ppm`` exist for tests and fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class ImageFormatError(ValueError):
+    """Malformed or unsupported image payload."""
+
+
+# ---------------------------------------------------------------------------
+# BMP (24bpp, BI_RGB, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+def _bmp_row_size(width: int, bpp: int = 24) -> int:
+    return ((bpp * width + 31) // 32) * 4
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Build a 24-bit BMP from top-down RGB bytes (len == w*h*3)."""
+    if len(rgb) != width * height * 3:
+        raise ImageFormatError(
+            f"rgb length {len(rgb)} != {width}x{height}x3")
+    row_size = _bmp_row_size(width)
+    pixel_bytes = row_size * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       pixel_bytes, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - width * 3)
+    # bottom-up storage; BGR channel order per the spec
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x: base + 3 * x + 3]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from a 24bpp BI_RGB BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ImageFormatError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ImageFormatError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ImageFormatError(
+            f"unsupported BMP variant: planes={planes} bpp={bpp} "
+            f"compression={compression} (only 24bpp BI_RGB)")
+    if width <= 0 or height == 0:
+        raise ImageFormatError(f"bad BMP dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = _bmp_row_size(width)
+    if len(payload) < data_offset + row_size * height:
+        raise ImageFormatError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for row_idx in range(height):
+        y = (height - 1 - row_idx) if bottom_up else row_idx
+        src = data_offset + row_idx * row_size
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = payload[src + 3 * x: src + 3 * x + 3]
+            out[dst + 3 * x: dst + 3 * x + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    if len(rgb) != width * height * 3:
+        raise ImageFormatError(
+            f"rgb length {len(rgb)} != {width}x{height}x3")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB bytes) from a binary P6 PPM (maxval ≤ 255)."""
+    if payload[:2] != b"P6":
+        raise ImageFormatError("not a P6 PPM payload")
+    # header: three whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ImageFormatError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 256:
+        raise ImageFormatError(f"bad PPM header {fields}")
+    n = width * height * 3
+    if len(payload) < pos + n:
+        raise ImageFormatError("truncated PPM pixel data")
+    return width, height, bytes(payload[pos:pos + n])
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def decode_image(payload: bytes) -> dict:
+    """Sniff the format by magic and decode to the stage's feature row."""
+    if payload[:2] == b"BM":
+        width, height, rgb = decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        width, height, rgb = decode_ppm(payload)
+    else:
+        raise ImageFormatError(
+            f"unrecognized image magic {payload[:2]!r} (BMP/P6 supported)")
+    return {"n_bytes": len(payload), "width": width, "height": height,
+            "checksum": sum(rgb) % 65536}

@@ -9,12 +9,14 @@ Partitioning carries the payload column only through the stages that read
 it — everything else projects it away (column pruning keeps the scan
 narrow).
 
-The decode kernels themselves are STUBBED here (no image/audio libraries
-in this container): ``decode_image_stub`` raises ``NotImplementedError``
-when asked for a real decode and otherwise produces a deterministic fake
-feature row, so the Spark-side plumbing — schema, batching, UDF signature,
-partition behavior — is real and tested, and the kernel body is the only
-swap-in needed for production.
+Decode kernels: ``real_decode=True`` runs the pure-Python BMP/PPM
+decoder in ``functions/imaging.py`` (header parse, stride/padding,
+BGR→RGB reorder, bottom-up flip — real decoding, no external libs);
+``real_decode=False`` derives a deterministic fake feature row from the
+payload bytes, used by the gate query whose payloads are text bytes, not
+images. Formats beyond BMP/P6 (JPEG/PNG/audio/video) need codecs this
+container doesn't ship — swap ``imaging.decode_image`` for a library
+call; the Spark plumbing is format-agnostic.
 """
 
 from __future__ import annotations
@@ -41,13 +43,13 @@ def query(name: str, oracle: str | None = None):
 
 
 def decode_image_stub(payload: bytes, real_decode: bool = False) -> dict:
-    """STUB decode kernel. With ``real_decode=True`` this is where a real
-    image library would run — unavailable in this container."""
+    """Decode kernel. ``real_decode=True`` → the BMP/P6 decoder in
+    ``functions.imaging``; ``False`` → a deterministic fake feature row
+    derived from the payload bytes (for non-image payloads, e.g. the gate
+    query's text-byte stand-ins)."""
     if real_decode:
-        raise NotImplementedError(
-            "real image decoding requires an image library not present in "
-            "this environment; the deterministic fake below exercises the "
-            "identical Spark plumbing")
+        from ..functions.imaging import decode_image
+        return decode_image(payload)
     # deterministic fake "decode": metadata derived from the payload bytes
     n = len(payload)
     return {"n_bytes": n,
@@ -61,20 +63,31 @@ _OUT_SCHEMA = ("doc_id BIGINT, modality STRING, n_chars BIGINT, "
                "height BIGINT, checksum BIGINT")
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: whole Arrow batches in, decoded features out;
-    the typed metadata columns pass through the stage untouched (the
-    catalog row rides next to the decode — no re-join afterwards)."""
-    for pdf in batches:
-        if pdf.empty:
-            # zero-row Arrow batches must not emit a column-less frame
-            # (pd.DataFrame([]) has no columns -> schema mismatch)
-            continue
-        decoded = pd.DataFrame([decode_image_stub(bytes(p))
-                                for p in pdf["payload"]])
-        passthrough = pdf[["doc_id", "modality", "n_chars",
-                           "chunk_count"]].reset_index(drop=True)
-        yield pd.concat([passthrough, decoded], axis=1)
+def _decode_batches_fn(real_decode: bool):
+    """mapInPandas kernel factory: whole Arrow batches in, decoded
+    features out; the typed metadata columns pass through the stage
+    untouched (the catalog row rides next to the decode — no re-join
+    afterwards)."""
+    def _decode_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                # zero-row Arrow batches must not emit a column-less frame
+                # (pd.DataFrame([]) has no columns -> schema mismatch)
+                continue
+            decoded = pd.DataFrame(
+                [decode_image_stub(bytes(p), real_decode=real_decode)
+                 for p in pdf["payload"]])
+            passthrough = pdf[["doc_id", "modality", "n_chars",
+                               "chunk_count"]].reset_index(drop=True)
+            yield pd.concat([passthrough, decoded], axis=1)
+    return _decode_batches
+
+
+def decode_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched decode stage over an asset frame with columns
+    ``doc_id, payload, modality, n_chars, chunk_count``."""
+    return assets.mapInPandas(_decode_batches_fn(real_decode), _OUT_SCHEMA)
 
 
 @query("multimodal_decode_features", oracle="""
@@ -117,4 +130,4 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.modality").alias("modality"),
         F.col("meta.n_chars").alias("n_chars"),
         F.col("meta.chunk_count").alias("chunk_count"))
-    return flat.mapInPandas(_decode_batches, _OUT_SCHEMA)
+    return decode_features(flat, real_decode=False)

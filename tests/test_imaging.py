@@ -1,0 +1,121 @@
+"""Real multimodal decode: the pure-Python BMP/P6 codecs and the
+Arrow-batched decode stage running them (``real_decode=True``)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.functions import imaging  # noqa: E402
+
+
+def _rgb(width: int, height: int) -> bytes:
+    # deterministic non-uniform pixels: channel values depend on position
+    return bytes((x * 7 + y * 13 + c * 29) % 256
+                 for y in range(height) for x in range(width)
+                 for c in range(3))
+
+
+class TestBmpCodec:
+    # widths 1/2/3 exercise all 4-byte row-padding remainders
+    @pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7)])
+    def test_roundtrip(self, w, h):
+        rgb = _rgb(w, h)
+        dw, dh, drgb = imaging.decode_bmp(imaging.encode_bmp(w, h, rgb))
+        assert (dw, dh, drgb) == (w, h, rgb)
+
+    def test_topdown_negative_height(self):
+        # flip the stored height sign: rows become top-down, same pixels
+        w, h = 3, 2
+        payload = bytearray(imaging.encode_bmp(w, h, _rgb(w, h)))
+        struct.pack_into("<i", payload, 22, -h)
+        row_size = imaging._bmp_row_size(w)
+        off = struct.unpack_from("<I", payload, 10)[0]
+        # reverse the stored row order so the image is unchanged
+        rows = [bytes(payload[off + i * row_size: off + (i + 1) * row_size])
+                for i in range(h)]
+        payload[off:off + row_size * h] = b"".join(reversed(rows))
+        assert imaging.decode_bmp(bytes(payload))[2] == _rgb(w, h)
+
+    def test_rejects_non_bmp_and_truncation(self):
+        with pytest.raises(imaging.ImageFormatError):
+            imaging.decode_bmp(b"NOTABMP" + b"\x00" * 64)
+        good = imaging.encode_bmp(4, 4, _rgb(4, 4))
+        with pytest.raises(imaging.ImageFormatError):
+            imaging.decode_bmp(good[:-8])
+
+    def test_rejects_unsupported_bpp(self):
+        payload = bytearray(imaging.encode_bmp(2, 2, _rgb(2, 2)))
+        struct.pack_into("<H", payload, 28, 8)  # 8bpp palette form
+        with pytest.raises(imaging.ImageFormatError, match="bpp=8"):
+            imaging.decode_bmp(bytes(payload))
+
+
+class TestPpmCodec:
+    @pytest.mark.parametrize("w,h", [(1, 1), (5, 3)])
+    def test_roundtrip(self, w, h):
+        rgb = _rgb(w, h)
+        assert imaging.decode_ppm(imaging.encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+    def test_header_comments(self):
+        rgb = _rgb(2, 2)
+        payload = b"P6\n# a comment\n2 2\n# another\n255\n" + rgb
+        assert imaging.decode_ppm(payload) == (2, 2, rgb)
+
+    def test_rejects_truncated(self):
+        with pytest.raises(imaging.ImageFormatError):
+            imaging.decode_ppm(imaging.encode_ppm(2, 2, _rgb(2, 2))[:-1])
+
+
+class TestDecodeDispatch:
+    def test_magic_sniff_and_feature_row(self):
+        bmp = imaging.encode_bmp(3, 2, _rgb(3, 2))
+        ppm = imaging.encode_ppm(3, 2, _rgb(3, 2))
+        fb, fp = imaging.decode_image(bmp), imaging.decode_image(ppm)
+        # same pixels -> same checksum, format-specific n_bytes
+        assert fb["checksum"] == fp["checksum"] == sum(_rgb(3, 2)) % 65536
+        assert (fb["width"], fb["height"]) == (3, 2)
+        assert fb["n_bytes"] == len(bmp) and fp["n_bytes"] == len(ppm)
+
+    def test_unknown_magic(self):
+        with pytest.raises(imaging.ImageFormatError, match="magic"):
+            imaging.decode_image(b"\x89PNG....")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+class TestRealDecodeStage:
+    def test_mapinpandas_real_decode(self, spark):
+        from agnostic_blockchain_etl_spark.operators.multimodal import (
+            decode_features)
+        rows = []
+        for i, (w, h, enc, tag) in enumerate([
+                (3, 2, imaging.encode_bmp, "image/bmp"),
+                (5, 7, imaging.encode_bmp, "image/bmp"),
+                (4, 4, imaging.encode_ppm, "image/x-portable-pixmap")]):
+            payload = enc(w, h, _rgb(w, h))
+            rows.append((i, payload, tag, 0, 1, w, h,
+                         sum(_rgb(w, h)) % 65536, len(payload)))
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, modality string, "
+                  "n_chars long, chunk_count long, exp_w long, exp_h long, "
+                  "exp_sum long, exp_len long")
+        out = decode_features(
+            df.select("doc_id", "payload", "modality", "n_chars",
+                      "chunk_count"), real_decode=True)
+        got = {r.doc_id: r for r in out.collect()}
+        for r in df.collect():
+            g = got[r.doc_id]
+            assert (g.width, g.height, g.checksum, g.n_bytes) == \
+                (r.exp_w, r.exp_h, r.exp_sum, r.exp_len)
+            assert g.modality == r.modality  # metadata passes through
