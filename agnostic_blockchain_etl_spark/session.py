@@ -44,6 +44,20 @@ DEFAULT_CONF = {
 }
 
 
+def connect_conf(conf: dict | None = None) -> dict:
+    """The conf dict a Spark Connect session gets: the engine's
+    runtime-SQL defaults apply to Connect sessions too — dropping them
+    would silently change semantics (UTC session tz, nanosAsLong parquet
+    reads, DYNAMIC partition overwrite: without that last one a
+    daily-export replay truncates every partition of the sink).
+    Static/driver-side confs (scheduler.mode, driver memory, UI) are the
+    server's business and are skipped; caller confs override."""
+    merged = {k: v for k, v in DEFAULT_CONF.items()
+              if k.startswith("spark.sql.")}
+    merged.update(conf or {})
+    return merged
+
+
 def get_session(master: str | None = None, conf: dict | None = None,
                 app_name: str = "agnostic-blockchain-etl-spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults + kernel UDFs.
@@ -66,16 +80,7 @@ def get_session(master: str | None = None, conf: dict | None = None,
                 "are not installed in this environment; install them or "
                 "use a local[...]/cluster master URL") from ex
         builder = SparkSession.builder.appName(app_name).remote(master)
-        # the engine's runtime-SQL defaults apply to Connect sessions too —
-        # dropping them would silently change semantics (UTC session tz,
-        # nanosAsLong parquet reads, DYNAMIC partition overwrite: without
-        # that last one a daily-export replay truncates every partition of
-        # the sink). Static/driver-side confs (scheduler.mode, driver
-        # memory, UI) are the server's business and are skipped.
-        merged = {k: v for k, v in DEFAULT_CONF.items()
-                  if k.startswith("spark.sql.")}
-        merged.update(conf or {})
-        for k, v in merged.items():
+        for k, v in connect_conf(conf).items():
             builder = builder.config(k, v)
         spark = builder.getOrCreate()
         register_all(spark)

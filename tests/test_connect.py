@@ -32,6 +32,21 @@ def test_connect_gate_is_actionable_without_client():
         get_session(master="sc://localhost:15002")
 
 
+def test_connect_conf_keeps_sql_semantics_drops_driver_conf():
+    """What a Connect session would receive (runs with or without grpc):
+    every semantics-bearing spark.sql.* default, none of the
+    driver/server-side knobs, caller overrides winning."""
+    from agnostic_blockchain_etl_spark.session import connect_conf
+    c = connect_conf({"spark.sql.shuffle.partitions": "7"})
+    assert c["spark.sql.session.timeZone"] == "UTC"
+    assert c["spark.sql.sources.partitionOverwriteMode"] == "dynamic"
+    assert c["spark.sql.legacy.parquet.nanosAsLong"] == "true"
+    assert c["spark.sql.shuffle.partitions"] == "7"
+    assert "spark.scheduler.mode" not in c
+    assert "spark.ui.enabled" not in c
+    assert not any(k.startswith("spark.driver.") for k in c)
+
+
 @pytest.mark.skipif(not _has_grpc(), reason="no Spark Connect client deps")
 def test_connect_roundtrip_against_local_server():
     """Live Connect round-trip (runs where grpcio is installed): Spark 4
