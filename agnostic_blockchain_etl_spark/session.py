@@ -32,6 +32,10 @@ DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # static conf; default 100 entries evicts mid-workload when a session
+    # runs the whole queries() inventory (measured: a big shingle plan pays
+    # ~4 s of Janino recompilation on every run once its entries fall out)
+    "spark.sql.codegen.cache.maxEntries": "10000",
     "spark.sql.session.timeZone": "UTC",
     # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
     # nanosecond long with this flag (convert with timestamp_micros(ts/1000))
