@@ -13,6 +13,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     simhash_signatures)
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
+from .pii import pii_scrub
 from .textstats import repetition_signals, text_stats
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",
     "repetition_signals",
+    "pii_scrub",
     "text_stats",
 ]

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .pii import count_sql, pii_count, redact, redact_sql
 from .tables import load_tables
 
 QUERIES: dict = {}
@@ -56,7 +57,20 @@ def _marker_count_sql(lang: str) -> str:
             f"w -> w IN ({words})))")
 
 
+# Fixed quality-classifier weights (a FineWeb-style model-based filter with
+# a frozen public linear model): more stopwords ⇒ real prose, heavy
+# punctuation ⇒ markup/code, longer docs mildly preferred. The squashing is
+# the RATIONAL sigmoid z/(1+|z|) — pure +,*,/,abs over the already-rounded
+# ratio columns, so the score is bit-identical across engines (exp()-based
+# logistic differs in the last ulp between libm implementations and would
+# flake a 4-decimal hash gate).
+_QW_BIAS, _QW_STOP, _QW_PUNCT, _QW_LEN = -1.5, 10.0, -15.0, 0.002
+
+
 @query("text_stats_facets", oracle=f"""
+    SELECT * EXCLUDE (z),
+           round(0.5 * (1 + z / (1 + abs(z))), 4) AS quality_score
+    FROM (
     SELECT doc_id,
            CAST(length(text) AS BIGINT)                       AS n_chars,
            CAST(n_words AS BIGINT)                            AS ws_tokens,
@@ -72,7 +86,19 @@ def _marker_count_sql(lang: str) -> str:
            lang                                               AS labeled_lang,
            CASE greatest(en_n, es_n, de_n, fr_n)
                 WHEN en_n THEN 'en' WHEN es_n THEN 'es'
-                WHEN de_n THEN 'de' ELSE 'fr' END             AS detected_lang
+                WHEN de_n THEN 'de' ELSE 'fr' END             AS detected_lang,
+           {_QW_BIAS} + {_QW_STOP} * round(CAST(n_stop AS DOUBLE) / n_words, 4)
+                 + {_QW_PUNCT} * round(CAST(n_punct AS DOUBLE)
+                                       / greatest(length(text), 1), 4)
+                 + {_QW_LEN} * least(n_words, 1000)           AS z,
+           CAST({count_sql('text', 'email')} AS BIGINT)       AS n_email,
+           CAST({count_sql('text', 'ipv4')} AS BIGINT)        AS n_ipv4,
+           CAST({count_sql('text', 'phone')} AS BIGINT)       AS n_phone,
+           CASE WHEN {count_sql('text', 'email')}
+                     + {count_sql('text', 'ipv4')}
+                     + {count_sql('text', 'phone')} = 0
+                THEN 1 ELSE 0 END                             AS pii_clean,
+           md5({redact_sql('text')})                          AS redacted_md5
     FROM (
         SELECT doc_id, text, lang,
                len(string_split_regex(trim(text), '\\s+'))           AS n_words,
@@ -83,7 +109,7 @@ def _marker_count_sql(lang: str) -> str:
                {_marker_count_sql('es')} AS es_n,
                {_marker_count_sql('de')} AS de_n,
                {_marker_count_sql('fr')} AS fr_n
-        FROM documents)
+        FROM documents))
 """)
 def text_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate form of `text_stats` over the testdata corpus."""
@@ -98,9 +124,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
     - token counting (whitespace tokens + a BPE-ish regex tokenizer:
       letters | digits | single punctuation);
     - quality scoring (length/punctuation/stopword heuristics → a keep
-      flag, the classic pre-training quality filter shape);
+      flag, the classic pre-training quality filter shape, plus a
+      frozen-weight linear "classifier" score squashed by the rational
+      sigmoid z/(1+|z|) — deterministic across engines, see ``_QW_*``);
     - language-ID by distinctive-stopword hits (argmax with a fixed
-      en>es>de>fr tie order, mirrored in the oracle's CASE order).
+      en>es>de>fr tie order, mirrored in the oracle's CASE order);
+    - PII facets (email/IPv4/phone counts, a clean flag, and the md5 of
+      the scrubbed text — the full redaction lives in
+      :func:`operators.pii.pii_scrub`).
 
     Everything is a JVM column expression over one ``documents`` pass —
     zero shuffle, linear at 100 TB."""
@@ -118,6 +149,16 @@ def text_stats(docs: DataFrame) -> DataFrame:
           .alias(f"{lang}_n") for lang in ("en", "es", "de", "fr")])
     punct_ratio = (F.col("n_punct").cast("double")
                    / F.greatest(F.length("text"), F.lit(1)))
+    stop_ratio_r = F.round(
+        F.col("n_stop").cast("double") / F.col("n_words"), 4)
+    punct_ratio_r = F.round(punct_ratio, 4)
+    # z over the ROUNDED ratios: identical inputs both engines, then pure
+    # +,*,/,abs arithmetic — bit-deterministic, no libm involved
+    z = (F.lit(_QW_BIAS) + F.lit(_QW_STOP) * stop_ratio_r
+         + F.lit(_QW_PUNCT) * punct_ratio_r
+         + F.lit(_QW_LEN) * F.least(F.col("n_words"), F.lit(1000)))
+    n_pii = sum(pii_count(F.col("text"), k)
+                for k in ("email", "ipv4", "phone"))
     best = F.greatest("en_n", "es_n", "de_n", "fr_n")
     return d.select(
         "doc_id",
@@ -126,16 +167,22 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.col("n_bpe").cast("long").alias("bpe_tokens"),
         F.round(F.length("text").cast("double") / F.col("n_words"), 4)
          .alias("avg_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4)
-         .alias("stopword_ratio"),
+        punct_ratio_r.alias("punct_ratio"),
+        stop_ratio_r.alias("stopword_ratio"),
         F.when(F.col("n_words").between(10, 100000) & (punct_ratio < 0.1), 1)
          .otherwise(0).alias("quality_keep"),
         F.col("lang").alias("labeled_lang"),
         F.when(F.col("en_n") == best, "en")
          .when(F.col("es_n") == best, "es")
          .when(F.col("de_n") == best, "de")
-         .otherwise("fr").alias("detected_lang"))
+         .otherwise("fr").alias("detected_lang"),
+        pii_count(F.col("text"), "email").cast("long").alias("n_email"),
+        pii_count(F.col("text"), "ipv4").cast("long").alias("n_ipv4"),
+        pii_count(F.col("text"), "phone").cast("long").alias("n_phone"),
+        F.when(n_pii == 0, 1).otherwise(0).alias("pii_clean"),
+        F.md5(redact(F.col("text")).cast("binary")).alias("redacted_md5"),
+        F.round(F.lit(0.5) * (F.lit(1) + z / (F.lit(1) + F.abs(z))), 4)
+         .alias("quality_score"))
 
 
 # Gopher-style repetition thresholds (Rae et al. 2021, table A1 family):

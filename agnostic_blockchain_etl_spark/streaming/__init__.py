@@ -11,5 +11,6 @@ wrappers are planned surface (Spark's native ``readStream`` +
 actually needs event-time semantics)."""
 
 from .cursor_source import cursor_stream_batches
+from .dedup import dedup_stream, dedup_stream_bounded
 
-__all__ = ["cursor_stream_batches"]
+__all__ = ["cursor_stream_batches", "dedup_stream", "dedup_stream_bounded"]

@@ -1,0 +1,91 @@
+"""PII scrubbing: semantics on crafted documents plus cross-engine
+(Spark vs DuckDB) equality of counts AND the fully redacted text — the
+gate only sees the synthetic corpus, which is PII-free, so the real
+patterns are exercised here."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.pii import (  # noqa: E402
+    count_sql, pii_scrub, redact_sql)
+
+DOCS = [
+    (1, "reach me at alice.smith+spam@example.co.uk or bob@test.io thanks"),
+    (2, "server 10.0.0.1 and 192.168.255.254 are up, 999.999.999.999 too"),
+    (3, "call +1 (415) 555-0134 or 0800 111 222 33"),
+    (4, "mixed: eve@corp.example from 172.16.0.9 dialed +44 20 7946 0958"),
+    (5, "clean document with no personal information at all"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def test_pii_scrub_semantics(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    assert out[1]["n_email"] == 2 and out[1]["pii_clean"] == 0
+    assert "<EMAIL>" in out[1]["redacted"]
+    assert "alice" not in out[1]["redacted"]
+
+    # the out-of-range quad still matches the regex (documented: \d{1,3}
+    # does not range-check); what matters is that real addresses go
+    assert out[2]["n_ipv4"] == 3
+    assert "10.0.0.1" not in out[2]["redacted"]
+
+    assert out[3]["n_phone"] >= 2
+    assert "555-0134" not in out[3]["redacted"]
+
+    assert out[4]["n_email"] == 1 and out[4]["n_ipv4"] == 1 \
+        and out[4]["n_phone"] >= 1
+    for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in out[4]["redacted"]
+
+    assert out[5]["pii_clean"] == 1 and out[5]["redacted"] == DOCS[4][1]
+    assert out[6]["n_pii"] == 0 and out[6]["redacted"] == ""
+
+
+def test_pii_cross_engine_parity(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    srows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+    orows = con.execute(f"""
+        SELECT doc_id,
+               {count_sql('text', 'email')} AS n_email,
+               {count_sql('text', 'ipv4')}  AS n_ipv4,
+               {count_sql('text', 'phone')} AS n_phone,
+               {redact_sql('text')}         AS redacted
+        FROM d""").fetchall()
+    for doc_id, n_email, n_ipv4, n_phone, redacted in orows:
+        s = srows[doc_id]
+        assert (s["n_email"], s["n_ipv4"], s["n_phone"]) == \
+            (n_email, n_ipv4, n_phone), doc_id
+        assert s["redacted"] == redacted, doc_id
+
+
+def test_quality_score_orders_prose_above_junk(spark):
+    from agnostic_blockchain_etl_spark.operators.textstats import text_stats
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked out of the window at the "
+             "garden while the rain fell on the roof of the old house", "en"),
+         (2, "$$$!!! ### ??? ***&&& ^^^%%% @@@(((! )))", "en")],
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert 0.0 <= rows[2]["quality_score"] <= 1.0
