@@ -14,6 +14,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
 from .pii import pii_scrub
+from .spans import duplicate_spans, span_dedup_stats
 from .textstats import repetition_signals, text_stats
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",
     "repetition_signals",
+    "duplicate_spans",
     "pii_scrub",
+    "span_dedup_stats",
     "text_stats",
 ]

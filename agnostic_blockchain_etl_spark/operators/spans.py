@@ -1,0 +1,101 @@
+"""Exact-substring span deduplication (the Lee et al. 2022 "Deduplicating
+Training Data Makes Language Models Better" operator): find every run of
+``k`` or more consecutive words that occurs more than once in the corpus,
+keep its first occurrence, and report the later copies as removable
+(doc_id, word-span) ranges.
+
+Document-level dedup (``operators/dedup.py``) misses boilerplate shared
+by otherwise-distinct pages (licenses, navigation, quoted passages);
+span-level dedup is the standard second pass. The reference suffix-array
+formulation is inherently single-machine; this is the distributed
+re-expression: k-gram digests replace suffix-array LCP runs, exact for
+runs ≥ k by construction (a duplicated run of length L ≥ k duplicates
+all L-k+1 of its k-grams, which merge back into one maximal span).
+
+Plan shape at 100 TB: one tokenize+digest scan (O(k) slice/zip column
+ops per doc — no per-position re-tokenization, see the O(n²) foot-gun
+note in dedup.py), one groupBy on the 128-bit digest (the only
+corpus-sized shuffle; partial aggregation collapses unique grams
+map-side), a digest-keyed join back (AQE skew-split handles hot
+boilerplate grams), then per-doc window merge — partitioned by doc, so
+the merge shuffle carries only duplicated positions, a small fraction
+of the corpus. Digest collisions at 10^14 grams: P ≈ 10^28/2^129
+≈ 1.5e-11 — below hardware error rates; a paranoid deployment adds a
+verify join on the gram text for flagged spans only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _kgram_digests(words_col, k: int):
+    """Array of md5 digests of the k-word grams at positions 1..n-k+1,
+    built by zipping k shifted slices (each slice evaluates the upstream
+    split once — O(n·k) total work, never O(n²))."""
+    n = F.size(words_col)
+    m = n - (k - 1)  # gram count
+    slices = [F.slice(words_col, i + 1, m) for i in range(k)]
+    joined = reduce(
+        lambda acc, s: F.zip_with(acc, s,
+                                  lambda a, b: F.concat_ws(" ", a, b)),
+        slices[1:], slices[0])
+    return (F.when(n >= k,
+                   F.transform(joined,
+                               lambda g: F.md5(g.cast("binary"))))
+            .otherwise(F.array().cast("array<string>")))
+
+
+def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
+    """(doc_id, span_start, span_end, span_words) for every maximal span
+    of words that duplicates an earlier occurrence somewhere in the
+    corpus (first occurrence in (doc_id, pos) order is the keeper and is
+    NOT reported). Positions are 1-based word indices; spans of
+    overlapping or adjacent duplicated k-grams merge (gap ≤ k)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (docs
+             .select("doc_id",
+                     F.posexplode(_kgram_digests(words, k))
+                     .alias("pos0", "h"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"))
+    dups = (grams.groupBy("h")
+            .agg(F.count("*").alias("n_occ"),
+                 F.min(F.struct("doc_id", "pos")).alias("first"))
+            .where(F.col("n_occ") > 1))
+    marked = (grams.join(dups, "h")
+              .where(~((F.col("doc_id") == F.col("first.doc_id")) &
+                       (F.col("pos") == F.col("first.pos"))))
+              .select("doc_id", "pos").distinct())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1)
+    ).over(w)
+    return (marked.withColumn("grp", grp)
+            .groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_words")))
+
+
+def span_dedup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Per-document span-dedup summary: how many removable spans, how
+    many duplicated words, and the duplicated-word fraction — the
+    corpus-health report a pipeline runs before deciding to cut."""
+    spans = duplicate_spans(docs, k)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans"),
+                    F.sum("span_words").alias("n_dup_words")))
+    n_words = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (docs.select("doc_id", n_words.alias("n_words"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce("n_dup_words", F.lit(0)).alias("n_dup_words"),
+                    F.round(F.coalesce("n_dup_words", F.lit(0))
+                            .cast("double") / F.col("n_words"), 4)
+                    .alias("dup_word_frac")))

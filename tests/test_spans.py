@@ -1,0 +1,114 @@
+"""Exact-substring span dedup: hand-checkable semantics on crafted docs,
+a DuckDB cross-engine parity check of the full span output, and the
+"all k-grams of a duplicated run merge back into one maximal span"
+invariant on generated text."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.spans import (  # noqa: E402
+    duplicate_spans, span_dedup_stats)
+
+K = 4
+BOILER = "this license text is identical on every single page"   # 9 words
+DOCS = [
+    (1, f"alpha bravo charlie delta {BOILER} echo foxtrot"),
+    (2, f"unrelated words here {BOILER} and a different tail entirely"),
+    (3, "no duplication in this document at all whatsoever"),
+    (4, f"{BOILER}"),                       # the whole doc is the boilerplate
+    (5, "tiny doc"),                        # shorter than k: no grams
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _spark_spans(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return sorted((r["doc_id"], r["span_start"], r["span_end"])
+                  for r in duplicate_spans(df, K).collect())
+
+
+def test_first_occurrence_kept_later_copies_spanned(spark):
+    spans = _spark_spans(spark, DOCS)
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    # doc 1 holds the first occurrence -> nothing reported there
+    assert 1 not in by_doc and 3 not in by_doc and 5 not in by_doc
+    # doc 2: boilerplate occupies words 4..12 -> one merged maximal span
+    assert by_doc[2] == [(4, 12)]
+    # doc 4: the entire 9-word doc is duplicated
+    assert by_doc[4] == [(1, 9)]
+
+
+def test_stats_fractions(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in span_dedup_stats(df, K).collect()}
+    assert rows[3]["n_dup_spans"] == 0 and rows[3]["dup_word_frac"] == 0.0
+    assert rows[4]["dup_word_frac"] == 1.0
+    assert rows[2]["n_dup_words"] == 9 and rows[2]["n_words"] == 17
+
+
+def test_cross_engine_parity(spark):
+    got = _spark_spans(spark, DOCS)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+    want = sorted(map(tuple, con.execute(f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM d),
+        positions AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - {K - 1})) AS pos
+            FROM base WHERE len(words) >= {K}),
+        grams AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(words[pos:pos+{K - 1}], ' ')) AS h
+            FROM positions),
+        dups AS (
+            SELECT h, min(doc_id * 100000000 + pos) AS first_key
+            FROM grams GROUP BY h HAVING count(*) > 1),
+        marked AS (
+            SELECT DISTINCT g.doc_id, g.pos
+            FROM grams g JOIN dups USING (h)
+            WHERE g.doc_id * 100000000 + g.pos <> dups.first_key),
+        lagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {K}
+                        THEN 0 ELSE 1 END AS brk
+            FROM marked),
+        grouped AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM lagged)
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {K - 1} AS span_end
+        FROM grouped GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""").fetchall()))
+    assert got == want
+
+
+def test_long_duplicated_run_merges_to_one_span(spark):
+    # a 30-word run duplicated into another doc: its 30-K+1 duplicated
+    # k-grams must merge into exactly ONE maximal span covering the run
+    run = " ".join(f"w{i}" for i in range(30))
+    docs = [(1, f"prefix one two {run}"),
+            (2, f"{run} suffix three four five")]
+    spans = _spark_spans(spark, docs)
+    assert spans == [(2, 1, 30)]
