@@ -13,6 +13,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     simhash_signatures)
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
+from .mixture import mixture_weights
 from .pii import pii_scrub
 from .spans import duplicate_spans, span_dedup_stats
 from .textstats import repetition_signals, text_stats
@@ -29,6 +30,7 @@ __all__ = [
     "cosine_topk", "ivf_train",
     "repetition_signals",
     "duplicate_spans",
+    "mixture_weights",
     "pii_scrub",
     "span_dedup_stats",
     "text_stats",

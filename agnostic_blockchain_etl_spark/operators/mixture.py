@@ -1,0 +1,57 @@
+"""Domain-mixture weighting: given a target token-share per stratum
+(language, source domain, ...), compute the per-stratum sampling rates
+that hit the target mix exactly while keeping as much data as possible.
+
+The pre-training recipe question ("30% code, 50% English web, 20%
+multilingual") reduces to: find rates r_s ≤ 1 with kept-token shares
+proportional to the target. The binding stratum is the one with the
+smallest available/target ratio — it is kept at rate 1 and every other
+stratum downsamples to match, so the solution maximizes total kept
+tokens subject to the mix (any larger rate vector would break a share
+or exceed 1 on the bottleneck).
+
+One groupBy over the corpus plus scalar normalization — the stratum
+table is tiny (|languages| × |sources| rows), so the normalization
+terms ride a window over it rather than a driver collect. Rates are
+deterministic arithmetic; pair with the hash-based
+``corpus_stratified_sample`` (never rand()) to apply them
+reproducibly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mixture_weights(docs: DataFrame, target: dict[str, float],
+                    strat_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
+    target_share, rate, kept_tokens)``. Strata absent from ``target``
+    get rate 0 (dropped); target shares are normalized to sum to 1, so
+    callers can pass unnormalized proportions."""
+    tot_target = sum(target.values())
+    tmap = F.create_map(*[F.lit(x) for kv in target.items()
+                          for x in (kv[0], kv[1] / tot_target)])
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs
+           .select(F.col(strat_col).alias("stratum"),
+                   n_tokens.alias("t"))
+           .groupBy("stratum")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("t").cast("long").alias("n_tokens")))
+    w = Window.partitionBy()  # the stratum table is tiny — see module doc
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    tgt = F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
+    # bottleneck m = min over targeted strata of share/target; rate_s =
+    # (target_s / share_s) * m  →  max rate is exactly 1, kept shares
+    # proportional to target
+    m = F.min(F.when(tgt > 0, share / tgt)).over(w)
+    rate = F.when(tgt > 0, tgt / share * m).otherwise(F.lit(0.0))
+    return (per.select(
+        "stratum", "n_docs", "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(rate, 6).alias("rate"),
+        F.round(F.col("n_tokens") * rate, 2).alias("kept_tokens")))

@@ -190,6 +190,47 @@ def text_stats(docs: DataFrame) -> DataFrame:
 # bigrams or its most frequent trigram covers > 18% of all trigrams.
 _TOP2_MAX, _TOP3_MAX = 0.20, 0.18
 
+# Exact-substring span dedup window (operators/spans.py) folded into the
+# fingerprint facet: runs of >= _SPAN_K duplicated words.
+_SPAN_K = 10
+
+_SQL_SPAN_STATS = f"""
+    positions AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - {_SPAN_K - 1})) AS pos
+        FROM base WHERE len(words) >= {_SPAN_K}),
+    span_grams AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(words[pos:pos+{_SPAN_K - 1}], ' ')) AS h
+        FROM positions),
+    span_dups AS (
+        SELECT h, min(doc_id * 100000000 + pos) AS first_key
+        FROM span_grams GROUP BY h HAVING count(*) > 1),
+    span_marked AS (
+        SELECT DISTINCT g.doc_id, g.pos
+        FROM span_grams g JOIN span_dups USING (h)
+        WHERE g.doc_id * 100000000 + g.pos <> span_dups.first_key),
+    span_lagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM span_marked),
+    span_grouped AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM span_lagged),
+    spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {_SPAN_K - 1} AS span_end
+        FROM span_grouped GROUP BY doc_id, grp),
+    span_stats AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_dup_words
+        FROM spans GROUP BY doc_id)
+"""
+
 
 @query("doc_fingerprint_repetition", oracle=f"""
     WITH base AS (
@@ -221,7 +262,8 @@ _TOP2_MAX, _TOP3_MAX = 0.20, 0.18
                    AS top2_frac,
                max(CASE WHEN n = 3 THEN round(mx * 1.0 / tot, 6) END)
                    AS top3_frac
-        FROM stats GROUP BY doc_id)
+        FROM stats GROUP BY doc_id),
+    {_SQL_SPAN_STATS}
     SELECT b.doc_id,
            md5(b.text) AS content_md5,
            md5(array_to_string(list_sort(list_distinct(
@@ -231,14 +273,23 @@ _TOP2_MAX, _TOP3_MAX = 0.20, 0.18
            r.ttr, r.top1_frac, r.top2_frac, r.top3_frac,
            CASE WHEN coalesce(r.top2_frac <= {_TOP2_MAX}, TRUE)
                  AND coalesce(r.top3_frac <= {_TOP3_MAX}, TRUE)
-                THEN 1 ELSE 0 END AS repetition_keep
-    FROM base b LEFT JOIN rep r USING (doc_id)
+                THEN 1 ELSE 0 END AS repetition_keep,
+           coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(s.n_dup_words, 0) AS n_dup_words,
+           round(coalesce(s.n_dup_words, 0) * 1.0
+                 / greatest(len(b.words), 1), 4) AS dup_word_frac
+    FROM base b
+    LEFT JOIN rep r USING (doc_id)
+    LEFT JOIN span_stats s USING (doc_id)
 """)
 def doc_fingerprint_repetition(spark, sf_dir):
-    """Gate form: fingerprints + repetition signals over the corpus."""
+    """Gate form: fingerprints + repetition signals + exact-substring
+    span-dedup stats (`operators/spans.py`, k = `_SPAN_K`) over the
+    corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     from .dedup import _spark_shingles  # slice-zip construction (see note there)
+    from .spans import span_dedup_stats
 
     d = docs.select(
         "doc_id", "text",
@@ -249,11 +300,15 @@ def doc_fingerprint_repetition(spark, sf_dir):
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "|")
               .cast("binary")).alias("shingle_fingerprint"))
+    spans = span_dedup_stats(docs, _SPAN_K).select(
+        "doc_id", "n_dup_spans", "n_dup_words", "dup_word_frac")
     return (fingerprints
             .join(repetition_signals(docs), "doc_id", "left")
+            .join(spans, "doc_id", "left")
             .select("doc_id", "content_md5", "shingle_fingerprint",
                     "ttr", "top1_frac", "top2_frac", "top3_frac",
-                    "repetition_keep"))
+                    "repetition_keep",
+                    "n_dup_spans", "n_dup_words", "dup_word_frac"))
 
 
 def repetition_signals(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Mixture weighting: the computed rates must (a) cap at 1 exactly on
+the bottleneck stratum, (b) reproduce the target mix among kept tokens,
+(c) drop untargeted strata, and (d) maximize kept data (any stratum
+above its computed rate would break the mix)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.mixture import (  # noqa: E402
+    mixture_weights)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _corpus(spark):
+    # en: 60 tokens, de: 30, fr: 10, xx: 5 (untargeted)
+    rows = []
+    did = 0
+    for lang, docs, words in (("en", 6, 10), ("de", 3, 10),
+                              ("fr", 1, 10), ("xx", 1, 5)):
+        for _ in range(docs):
+            did += 1
+            rows.append((did, " ".join(["w"] * words), lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_rates_hit_target_mix(spark):
+    # target 50/25/25 over en/de/fr; fr is the bottleneck:
+    # available share fr = 10/105... targets normalized over en+de+fr
+    out = {r["stratum"]: r
+           for r in mixture_weights(
+               _corpus(spark), {"en": 2, "de": 1, "fr": 1}).collect()}
+
+    assert out["xx"]["rate"] == 0.0 and out["xx"]["target_share"] == 0.0
+    # fr has the smallest share/target -> kept whole
+    assert out["fr"]["rate"] == 1.0
+    # kept tokens follow the 2:1:1 target exactly
+    kept = {s: out[s]["kept_tokens"] for s in ("en", "de", "fr")}
+    assert kept["en"] == 2 * kept["de"] == 2 * kept["fr"]
+    # and nothing exceeds availability
+    for s in ("en", "de", "fr"):
+        assert out[s]["rate"] <= 1.0
+        assert out[s]["kept_tokens"] <= out[s]["n_tokens"] + 1e-9
+
+
+def test_already_matching_mix_keeps_everything(spark):
+    rows = [(1, " ".join(["w"] * 30), "en"), (2, " ".join(["w"] * 10), "de"),
+            (3, " ".join(["w"] * 40), "en"), (4, " ".join(["w"] * 20), "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["stratum"]: r
+           for r in mixture_weights(docs, {"en": 70, "de": 30}).collect()}
+    assert out["en"]["rate"] == 1.0 and out["de"]["rate"] == 1.0
