@@ -55,12 +55,16 @@ def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
     corpus (first occurrence in (doc_id, pos) order is the keeper and is
     NOT reported). Positions are 1-based word indices; spans of
     overlapping or adjacent duplicated k-grams merge (gap ≤ k)."""
+    from .dedup import _scoped_cache
+
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = (docs
-             .select("doc_id",
-                     F.posexplode(_kgram_digests(words, k))
-                     .alias("pos0", "h"))
-             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"))
+    # one cached digest scan feeds BOTH sides (the dup-grouping and the
+    # position join-back) — the tokenize+md5 pass is the expensive stage
+    grams = _scoped_cache(
+        docs.select("doc_id",
+                    F.posexplode(_kgram_digests(words, k))
+                    .alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"))
     dups = (grams.groupBy("h")
             .agg(F.count("*").alias("n_occ"),
                  F.min(F.struct("doc_id", "pos")).alias("first"))
