@@ -34,10 +34,14 @@ def spark():
                       conf={"spark.sql.shuffle.partitions": "8"})
 
 
-def _spark_spans(spark, docs):
+def _spark_spans_k(spark, docs, k):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     return sorted((r["doc_id"], r["span_start"], r["span_end"])
-                  for r in duplicate_spans(df, K).collect())
+                  for r in duplicate_spans(df, k).collect())
+
+
+def _spark_spans(spark, docs):
+    return _spark_spans_k(spark, docs, K)
 
 
 def test_first_occurrence_kept_later_copies_spanned(spark):
@@ -112,3 +116,60 @@ def test_long_duplicated_run_merges_to_one_span(spark):
             (2, f"{run} suffix three four five")]
     spans = _spark_spans(spark, docs)
     assert spans == [(2, 1, 30)]
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: random corpora, Spark spans vs the DuckDB formulation
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd"]   # tiny alphabet -> dense accidental dups
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=18) \
+    .map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=5)
+
+
+def _duckdb_spans(docs, k):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    return sorted(map(tuple, con.execute(f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM d),
+        positions AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - {k - 1})) AS pos
+            FROM base WHERE len(words) >= {k}),
+        grams AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(words[pos:pos+{k - 1}], ' ')) AS h
+            FROM positions),
+        dups AS (
+            SELECT h, min(doc_id * 100000000 + pos) AS first_key
+            FROM grams GROUP BY h HAVING count(*) > 1),
+        marked AS (
+            SELECT DISTINCT g.doc_id, g.pos
+            FROM grams g JOIN dups USING (h)
+            WHERE g.doc_id * 100000000 + g.pos <> dups.first_key),
+        lagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {k}
+                        THEN 0 ELSE 1 END AS brk
+            FROM marked),
+        grouped AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM lagged)
+        SELECT doc_id, min(pos), max(pos) + {k - 1}
+        FROM grouped GROUP BY doc_id, grp""").fetchall()))
+
+
+@given(corpus=_corpus, k=st.integers(2, 5))
+@settings(max_examples=12, deadline=None)
+def test_spans_match_duckdb_on_random_corpora(spark, corpus, k):
+    docs = [(i + 1, t) for i, t in enumerate(corpus)]
+    assert _spark_spans_k(spark, docs, k) == _duckdb_spans(docs, k)
