@@ -1,16 +1,27 @@
--- per-batch corpus prep: quality gate → stratified sample + split
--- assignment (salted-hash: a pure function of doc_id, so batch
--- boundaries and replays can never change membership) → within-batch
--- exact-dedup (keep the lowest doc_id per content hash; the content_md5
--- column keys global dedup at read) → 32/8 token-window chunking
+-- per-batch corpus prep: PII scrub (operators/pii.py patterns, applied
+-- in the same fixed order; content_md5 keys dedup on the ORIGINAL text
+-- so a redaction-rule change can never resurrect duplicates) → quality
+-- gate → stratified sample + split assignment (salted-hash: a pure
+-- function of doc_id, so batch boundaries and replays can never change
+-- membership) → within-batch exact-dedup (keep the lowest doc_id per
+-- content hash; the content_md5 column keys global dedup at read) →
+-- 32/8 token-window chunking
 CREATE OR REPLACE TEMPORARY VIEW buffer_{{.START}}_{{.END}} AS
-WITH scoped AS (
-    SELECT doc_id, text, lang, source,
+WITH redacted AS (
+    SELECT doc_id, lang, source,
            md5(CAST(text AS BINARY))                        AS content_md5,
-           size(split(trim(text), '\\s+'))                  AS n_words,
-           size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS n_punct
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
+               '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>')        AS text
     FROM corpus_source
     WHERE doc_id >= {{.START}} AND doc_id <= {{.END}}
+),
+scoped AS (
+    SELECT doc_id, text, lang, source, content_md5,
+           size(split(trim(text), '\\s+'))                  AS n_words,
+           size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS n_punct
+    FROM redacted
 ),
 quality AS (
     SELECT * FROM scoped

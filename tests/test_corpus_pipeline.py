@@ -69,3 +69,30 @@ def test_corpus_prep_pipeline(spark, tmp_path):
     b = {(r["chunk_id"], r["chunk_text"])
          for r in expected.where(F.col("doc_id") == some_id).collect()}
     assert a == b
+
+
+def test_pipeline_redacts_pii(spark, tmp_path):
+    """A crafted source with an email address must reach the sink with the
+    placeholder, proving the scrub stage runs inside the pipeline."""
+    filler = " ".join(f"word{i}" for i in range(40))
+    src = str(tmp_path / "pii_src")
+    spark.createDataFrame(
+        [(1, f"{filler} contact bob@example.com thanks", "en", "web"),
+         (2, f"{filler} clean document", "en", "web")],
+        "doc_id long, text string, lang string, source string") \
+        .write.parquet(src)
+
+    sink = f"pii_{uuid.uuid4().hex[:8]}"
+    conf = PipelineConfig.from_yaml(
+        os.path.join(EXAMPLES, "corpus_prep", "pipeline.yaml"), env={})
+    templates = TemplateSet.load(os.path.join(EXAMPLES, "corpus_prep"))
+    run_pipeline(SparkExecutor(spark), templates, conf, {
+        "SOURCE_PATH": src,
+        "TARGET_PATH": str(tmp_path / "pii_chunks"),
+        "SINK_TABLE": sink})
+
+    text = " ".join(r["chunk_text"] for r in
+                    spark.table(sink).where(F.col("doc_id") == 1)
+                    .orderBy("chunk_id").collect())
+    # chunk_text is lowercased by the chunking stage
+    assert "<email>" in text and "bob@example.com" not in text
