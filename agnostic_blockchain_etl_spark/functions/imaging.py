@@ -103,8 +103,8 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + rgb
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
-    """(width, height, RGB bytes) from a binary P6 PPM (maxval ≤ 255)."""
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_start) of the P6 header at offset 0."""
     if payload[:2] != b"P6":
         raise ImageFormatError("not a P6 PPM payload")
     # header: three whitespace-separated ints, '#' comments allowed
@@ -126,10 +126,56 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     width, height, maxval = fields
     if width <= 0 or height <= 0 or not 0 < maxval < 256:
         raise ImageFormatError(f"bad PPM header {fields}")
+    return width, height, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB bytes) from a binary P6 PPM (maxval ≤ 255)."""
+    width, height, pos = _parse_ppm_header(payload)
     n = width * height * 3
     if len(payload) < pos + n:
         raise ImageFormatError("truncated PPM pixel data")
     return width, height, bytes(payload[pos:pos + n])
+
+
+# ---------------------------------------------------------------------------
+# Resize (nearest-neighbor) and frame streams
+# ---------------------------------------------------------------------------
+
+def resize_rgb(width: int, height: int, rgb: bytes,
+               new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of top-down RGB bytes (floor source
+    mapping: src = (dst * src_dim) // dst_dim — deterministic, no
+    filtering, exact for integer up/downscales)."""
+    if new_w <= 0 or new_h <= 0:
+        raise ImageFormatError(f"bad target size {new_w}x{new_h}")
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = (y * height) // new_h
+        src_row = sy * width * 3
+        dst_row = y * new_w * 3
+        for x in range(new_w):
+            sx = (x * width) // new_w
+            out[dst_row + 3 * x: dst_row + 3 * x + 3] = \
+                rgb[src_row + 3 * sx: src_row + 3 * sx + 3]
+    return bytes(out)
+
+
+def split_p6_stream(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Frames of a concatenated-P6 stream (the no-codec video container:
+    every frame is a self-describing P6 image, so the stream splits by
+    parsing headers — no index needed). Returns [(w, h, rgb), ...]."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        sub = payload[pos:]
+        w, h, pixel_start = _parse_ppm_header(sub)
+        n = w * h * 3
+        if len(sub) < pixel_start + n:
+            raise ImageFormatError(
+                f"truncated frame {len(frames)} in P6 stream")
+        frames.append((w, h, bytes(sub[pixel_start:pixel_start + n])))
+        pos += pixel_start + n
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -90,6 +90,74 @@ def decode_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
     return assets.mapInPandas(_decode_batches_fn(real_decode), _OUT_SCHEMA)
 
 
+_RESIZE_SCHEMA = ("doc_id BIGINT, width BIGINT, height BIGINT, "
+                  "payload BINARY, checksum BIGINT")
+
+
+def resize_images(assets: DataFrame, target_w: int,
+                  target_h: int) -> DataFrame:
+    """Arrow-batched resize stage: decode (BMP/P6 by magic),
+    nearest-neighbor resample to ``target_w × target_h``, re-encode as
+    P6. Input needs ``doc_id, payload``; output carries the resized
+    payload plus its pixel checksum. The canonical thumbnail/normalize
+    step of an image-corpus pipeline — payload bytes cross the Python
+    boundary once per Arrow batch, and the stage is a 1:1 row map, so
+    upstream partitioning is preserved."""
+    from ..functions.imaging import (decode_bmp, decode_ppm, encode_ppm,
+                                     resize_rgb)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, rgb = (decode_bmp(p) if p[:2] == b"BM"
+                             else decode_ppm(p))
+                out = resize_rgb(w, h, rgb, target_w, target_h)
+                rows.append((int(doc_id), target_w, target_h,
+                             encode_ppm(target_w, target_h, out),
+                             sum(out) % 65536))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "payload", "checksum"])
+
+    return assets.mapInPandas(_resize, _RESIZE_SCHEMA)
+
+
+_FRAMES_SCHEMA = ("doc_id BIGINT, frame_idx BIGINT, width BIGINT, "
+                  "height BIGINT, checksum BIGINT, payload BINARY")
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Arrow-batched frame-sampling stage over a concatenated-P6 "video"
+    payload (every frame is a self-describing P6 image — the no-codec
+    container): keep frames 0, n, 2n, ..., emitting ONE ROW PER KEPT
+    FRAME (a row-exploding pandas stage — output cardinality differs
+    from input, which mapInPandas supports and a pandas_udf does not).
+    Input needs ``doc_id, payload``."""
+    from ..functions.imaging import encode_ppm, split_p6_stream
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, (w, h, rgb) in enumerate(
+                        split_p6_stream(bytes(payload))):
+                    if idx % every_n == 0:
+                        rows.append((int(doc_id), idx, w, h,
+                                     sum(rgb) % 65536,
+                                     encode_ppm(w, h, rgb)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "checksum", "payload"])
+
+    return assets.mapInPandas(_sample, _FRAMES_SCHEMA)
+
+
 @query("multimodal_decode_features", oracle="""
     SELECT doc_id,
            'text/plain'                                           AS modality,

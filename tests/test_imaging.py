@@ -119,3 +119,64 @@ class TestRealDecodeStage:
             assert (g.width, g.height, g.checksum, g.n_bytes) == \
                 (r.exp_w, r.exp_h, r.exp_sum, r.exp_len)
             assert g.modality == r.modality  # metadata passes through
+
+
+class TestResize:
+    def test_nearest_neighbor_exact_upscale(self):
+        # 2x2 -> 4x4: each source pixel becomes a 2x2 block
+        rgb = _rgb(2, 2)
+        out = imaging.resize_rgb(2, 2, rgb, 4, 4)
+        px = lambda b, w, x, y: b[(y * w + x) * 3:(y * w + x) * 3 + 3]
+        for y in range(4):
+            for x in range(4):
+                assert px(out, 4, x, y) == px(rgb, 2, x // 2, y // 2)
+
+    def test_downscale_picks_floor_mapped_pixels(self):
+        rgb = _rgb(4, 4)
+        out = imaging.resize_rgb(4, 4, rgb, 2, 2)
+        px = lambda b, w, x, y: b[(y * w + x) * 3:(y * w + x) * 3 + 3]
+        for y in range(2):
+            for x in range(2):
+                assert px(out, 2, x, y) == px(rgb, 4, x * 2, y * 2)
+
+    def test_resize_stage(self, spark):
+        from agnostic_blockchain_etl_spark.operators.multimodal import (
+            resize_images)
+        rows = [(1, imaging.encode_bmp(5, 7, _rgb(5, 7))),
+                (2, imaging.encode_ppm(4, 4, _rgb(4, 4)))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in resize_images(df, 3, 3).collect()}
+        for doc_id, payload in rows:
+            w, h, rgb = (imaging.decode_bmp(payload)
+                         if bytes(payload)[:2] == b"BM"
+                         else imaging.decode_ppm(payload))
+            expect = imaging.resize_rgb(w, h, rgb, 3, 3)
+            g = got[doc_id]
+            assert (g.width, g.height) == (3, 3)
+            assert g.checksum == sum(expect) % 65536
+            # payload is a decodable P6 carrying exactly the resized pixels
+            assert imaging.decode_ppm(bytes(g.payload)) == (3, 3, expect)
+
+
+class TestFrameSampling:
+    def test_split_p6_stream_roundtrip(self):
+        frames = [_rgb(2, 2), _rgb(2, 2), _rgb(3, 1)]
+        dims = [(2, 2), (2, 2), (3, 1)]
+        stream = b"".join(imaging.encode_ppm(w, h, f)
+                          for (w, h), f in zip(dims, frames))
+        got = imaging.split_p6_stream(stream)
+        assert got == [(w, h, f) for (w, h), f in zip(dims, frames)]
+
+    def test_sample_frames_stage(self, spark):
+        from agnostic_blockchain_etl_spark.operators.multimodal import (
+            sample_frames)
+        # 5-frame "video": frame i has constant pixel value i*10
+        def frame(i):
+            return bytes([i * 10] * (2 * 2 * 3))
+        stream = b"".join(imaging.encode_ppm(2, 2, frame(i))
+                          for i in range(5))
+        df = spark.createDataFrame([(7, stream)],
+                                   "doc_id long, payload binary")
+        got = sorted((r.frame_idx, r.checksum)
+                     for r in sample_frames(df, every_n=2).collect())
+        assert got == [(i, sum(frame(i)) % 65536) for i in (0, 2, 4)]
