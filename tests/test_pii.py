@@ -89,3 +89,37 @@ def test_quality_score_orders_prose_above_junk(spark):
     rows = {r["doc_id"]: r for r in text_stats(docs).collect()}
     assert rows[1]["quality_score"] > rows[2]["quality_score"]
     assert 0.0 <= rows[2]["quality_score"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: Java regex (Spark) vs RE2 (DuckDB) on PII-shaped text
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# alphabet dense in PII metacharacters: digits, dots, @, +, -, (), spaces
+_PII_ALPHABET = "ab01. @+-()x7"
+_pii_text = st.text(alphabet=_PII_ALPHABET, min_size=0, max_size=60)
+
+
+@given(texts=st.lists(_pii_text, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_pii_regex_semantics_match_duckdb(spark, texts):
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    srows = {r["doc_id"]: r for r in
+             pii_scrub(spark.createDataFrame(
+                 docs, "doc_id long, text string")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    for doc_id, n_email, n_ipv4, n_phone, redacted in con.execute(f"""
+            SELECT doc_id,
+                   {count_sql('text', 'email')},
+                   {count_sql('text', 'ipv4')},
+                   {count_sql('text', 'phone')},
+                   {redact_sql('text')}
+            FROM d""").fetchall():
+        s = srows[doc_id]
+        assert (s["n_email"], s["n_ipv4"], s["n_phone"]) == \
+            (n_email, n_ipv4, n_phone), (doc_id, docs[doc_id - 1][1])
+        assert s["redacted"] == redacted, (doc_id, docs[doc_id - 1][1])
