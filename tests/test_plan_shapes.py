@@ -64,3 +64,40 @@ def test_no_quadratic_join(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, \
         f"{name} plans a nested loop join:\n{plan}"
+
+
+def test_span_dedup_linear_plan(spark):
+    """duplicate_spans over an arbitrary doc frame: digest-keyed equi-join
+    only (never cartesian), and the gram scan is read from the in-memory
+    cache on both sides rather than recomputed."""
+    from agnostic_blockchain_etl_spark.operators.spans import duplicate_spans
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    plan = _plan_of(duplicate_spans(docs, 5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # cached gram scan is reused
+
+
+def test_pii_scrub_is_single_scan(spark):
+    """pii_scrub is pure column work: one scan, no shuffle, no join."""
+    from agnostic_blockchain_etl_spark.operators.pii import pii_scrub
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    plan = _plan_of(pii_scrub(docs))
+    assert "Exchange" not in plan and "Join" not in plan
+    # formatted output names each node twice (tree + details): 2 == 1 scan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_mixture_weights_single_aggregation(spark):
+    """mixture_weights: one corpus aggregation; the normalization rides a
+    window over the tiny stratum table, never a driver collect."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        mixture_weights)
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    plan = _plan_of(mixture_weights(docs, {"en": 1, "de": 1}))
+    # formatted output names each node twice (tree + details): 2 == 1 scan
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
