@@ -3,14 +3,26 @@ micro-batching over an unbounded integer domain (SURVEY.md §2.8) — no
 event-time windows, watermarks, or late data anywhere in its workload.
 
 The pipeline runner in ``plans/pipeline.py`` IS that streaming model
-(tip-poll → bounded ranges → ordered commit). This package holds the
-Structured-Streaming-facing helpers for users who want the same pipelines
-as a ``readStream``: a rate-limited cursor source and watermark/window
-wrappers are planned surface (Spark's native ``readStream`` +
-``applyInPandasWithState`` cover custom stateful operators when a workload
-actually needs event-time semantics)."""
+(tip-poll → bounded ranges → ordered commit). This package is the
+Structured-Streaming-facing surface on top of it:
 
+- ``cursor_datasource.CursorDataSource`` — the cursor/tip model as a
+  REAL ``readStream`` source (Spark 4 Python Data Source API):
+  ``format("agn_cursor")`` emits tip-bounded ranges with Spark's
+  checkpoint as the cursor store.
+- ``cursor_source.cursor_stream_batches`` — the same loop as a plain
+  generator for driver-side orchestration.
+- ``windows.py`` — watermarked event-time windows + native
+  ``session_window`` sessionization (stream-equals-batch verified).
+- ``stateful.py`` — custom stateful operators via
+  ``applyInPandasWithState``.
+- ``dedup.py`` — first-seen streaming exact dedup (checkpointed state,
+  watermark-bounded variant).
+"""
+
+from .cursor_datasource import CursorDataSource
 from .cursor_source import cursor_stream_batches
 from .dedup import dedup_stream, dedup_stream_bounded
 
-__all__ = ["cursor_stream_batches", "dedup_stream", "dedup_stream_bounded"]
+__all__ = ["CursorDataSource", "cursor_stream_batches", "dedup_stream",
+           "dedup_stream_bounded"]
