@@ -80,3 +80,43 @@ def test_stale_tip_emits_nothing(spark, tmp_path):
     except Exception:
         n = 0                                    # no files written at all
     assert n == 0
+
+
+def test_streaming_block_ingest_with_rpc(spark, tmp_path):
+    """Full streaming ingest: agn_cursor emits block numbers up to the
+    tip, the batched mapInPandas RPC stage enriches them against the
+    mock chain, and the parsed results land in parquet — the reference's
+    blocks pipeline as ONE readStream."""
+    os.environ["AGN_RPC_MOCK"] = "tests.mock_chain:transport"
+    from agnostic_blockchain_etl_spark.operators.rpc_source import (
+        rpc_response_stage)
+    from tests import mock_chain as mc
+
+    tip = str(tmp_path / "tip_rpc")
+    sink, ckpt = str(tmp_path / "sink_rpc"), str(tmp_path / "ckpt_rpc")
+    (tmp_path / "tip_rpc").write_text("11")
+
+    stream = (spark.readStream.format("agn_cursor")
+              .option("start", 0).option("max_batch_size", 5)
+              .option("tip_path", tip).load())
+    reqs = stream.select(
+        "n", F.lit("eth_getBlockByNumber").alias("method"),
+        F.format_string('["0x%s", false]',
+                        F.lower(F.hex("n"))).alias("params"))
+    enriched = rpc_response_stage(reqs, "mock://chain")
+    parsed = enriched.select(
+        "n",
+        F.get_json_object("response", "$.value.hash").alias("block_hash"),
+        F.get_json_object("response", "$.error").alias("err"))
+    q = (parsed.writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r["n"]: r for r in spark.read.parquet(sink).collect()}
+    assert sorted(rows) == list(range(12))       # tip-bounded, no gaps
+    for n in (0, 7, 11):
+        assert rows[n]["err"] is None
+        assert rows[n]["block_hash"] == "0x" + mc.block_hash(n).hex()
