@@ -149,6 +149,15 @@ def _scoped_cache(df):
     return cached
 
 
+def _scoped_cache_add(df):
+    """Cache WITHOUT popping the live set — for a query whose plan needs
+    several scoped caches at once (e.g. a shared tokenization feeding a
+    gram cache); the next query's ``_scoped_cache`` pops them all."""
+    cached = df.cache()
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
 def _doc_shingles_df(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("documents",))
     return doc_shingles(t["documents"])

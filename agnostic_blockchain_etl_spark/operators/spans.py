@@ -49,21 +49,34 @@ def _kgram_digests(words_col, k: int):
             .otherwise(F.array().cast("array<string>")))
 
 
-def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
+def duplicate_spans(docs: DataFrame, k: int = 10,
+                    words_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, span_start, span_end, span_words) for every maximal span
     of words that duplicates an earlier occurrence somewhere in the
     corpus (first occurrence in (doc_id, pos) order is the keeper and is
     NOT reported). Positions are 1-based word indices; spans of
-    overlapping or adjacent duplicated k-grams merge (gap ≤ k)."""
-    from .dedup import _scoped_cache
+    overlapping or adjacent duplicated k-grams merge (gap ≤ k).
 
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ``words_df`` (doc_id, words) lets a caller share one cached
+    tokenization across several operators: the k slice references would
+    otherwise each re-evaluate the split through project-collapse
+    (measured 2× on the gram scan)."""
+    from .dedup import _scoped_cache, _scoped_cache_add
+
+    if words_df is None:
+        words_src = docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+        cache_fn = _scoped_cache
+    else:
+        words_src = words_df.select("doc_id", "words")
+        cache_fn = _scoped_cache_add   # don't pop the caller's words cache
     # one cached digest scan feeds BOTH sides (the dup-grouping and the
     # position join-back) — the tokenize+md5 pass is the expensive stage
-    grams = _scoped_cache(
-        docs.select("doc_id",
-                    F.posexplode(_kgram_digests(words, k))
-                    .alias("pos0", "h"))
+    grams = cache_fn(
+        words_src.select("doc_id",
+                         F.posexplode(_kgram_digests(F.col("words"), k))
+                         .alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"))
     dups = (grams.groupBy("h")
             .agg(F.count("*").alias("n_occ"),
@@ -86,16 +99,24 @@ def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
                     .alias("span_words")))
 
 
-def span_dedup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
+def span_dedup_stats(docs: DataFrame, k: int = 10,
+                     words_df: DataFrame | None = None) -> DataFrame:
     """Per-document span-dedup summary: how many removable spans, how
     many duplicated words, and the duplicated-word fraction — the
     corpus-health report a pipeline runs before deciding to cut."""
-    spans = duplicate_spans(docs, k)
+    spans = duplicate_spans(docs, k, words_df=words_df)
     per_doc = (spans.groupBy("doc_id")
                .agg(F.count("*").alias("n_dup_spans"),
                     F.sum("span_words").alias("n_dup_words")))
-    n_words = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    return (docs.select("doc_id", n_words.alias("n_words"))
+    if words_df is None:
+        sizes = docs.select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .alias("n_words"))
+    else:
+        sizes = words_df.select("doc_id",
+                                F.size("words").alias("n_words"))
+    return (sizes
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "n_words",
                     F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),

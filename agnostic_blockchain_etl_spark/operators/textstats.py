@@ -288,22 +288,26 @@ def doc_fingerprint_repetition(spark, sf_dir):
     corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    from .dedup import _spark_shingles  # slice-zip construction (see note there)
+    from .dedup import _scoped_cache, _spark_shingles
     from .spans import span_dedup_stats
 
-    d = docs.select(
+    # ONE cached tokenization feeds all three facet families (shingle
+    # fingerprint, repetition branches, span stats): the slice-heavy
+    # consumers would otherwise re-evaluate the split per slice reference
+    # through project-collapse (measured 2× on the span gram scan)
+    d = _scoped_cache(docs.select(
         "doc_id", "text",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")))
     shingles = _spark_shingles(F.col("words"))
     fingerprints = d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "|")
               .cast("binary")).alias("shingle_fingerprint"))
-    spans = span_dedup_stats(docs, _SPAN_K).select(
+    spans = span_dedup_stats(docs, _SPAN_K, words_df=d).select(
         "doc_id", "n_dup_spans", "n_dup_words", "dup_word_frac")
     return (fingerprints
-            .join(repetition_signals(docs), "doc_id", "left")
+            .join(repetition_signals(docs, words_df=d), "doc_id", "left")
             .join(spans, "doc_id", "left")
             .select("doc_id", "content_md5", "shingle_fingerprint",
                     "ttr", "top1_frac", "top2_frac", "top3_frac",
@@ -311,7 +315,8 @@ def doc_fingerprint_repetition(spark, sf_dir):
                     "n_dup_spans", "n_dup_words", "dup_word_frac"))
 
 
-def repetition_signals(docs: DataFrame) -> DataFrame:
+def repetition_signals(docs: DataFrame,
+                       words_df: DataFrame | None = None) -> DataFrame:
     """Gopher-style n-gram repetition quality signals per document:
     type-token ratio plus the corpus-quality workhorses — the fraction of
     all {1,2,3}-grams covered by the single most frequent one — and a
@@ -329,10 +334,12 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     any scale since per-size partial aggregation already collapses each
     branch map-side. Never an O(len²) per-document lambda (a
     higher-order-function count-per-element would re-scan the token
-    array once per token)."""
-    d = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+    array once per token). ``words_df`` (doc_id, words) shares a cached
+    tokenization with sibling operators (see the facet query)."""
+    d = words_df.select("doc_id", "words") if words_df is not None \
+        else docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
     n = F.size("words")
     empty = F.array().cast("array<string>")
     bi = F.when(n >= 2, F.zip_with(
