@@ -183,6 +183,16 @@ def register_all(spark: SparkSession) -> None:
     from .words import register_words
     register_words(spark)
     register_json_helpers(spark)
+    # custom data sources: SQL `USING agn_rpc` / `USING agn_cursor` views
+    # work in pipeline templates once registered (Connect sessions lack
+    # spark.dataSource — degrade to UDF-form there)
+    try:
+        from ..sources.rpc_datasource import RpcDataSource
+        from ..streaming.cursor_datasource import CursorDataSource
+        spark.dataSource.register(RpcDataSource)
+        spark.dataSource.register(CursorDataSource)
+    except Exception:  # noqa: BLE001 — registration is best-effort
+        pass
     spark._agn_udfs_registered = True
 
 

@@ -68,3 +68,22 @@ def test_filter_pushdown_not_needed_for_projection(spark):
     got = {r["n"]: r["num_hex"] for r in out.collect()}
     assert sorted(got) == list(range(0, 20, 2))
     assert got[4] == hex(4)
+
+
+def test_sql_using_view_form(spark):
+    """SQL-verbatim form: a pipeline template can declare the RPC scan as
+    a `USING agn_rpc` view — the closest Spark-SQL analog of the
+    reference's `FROM ethereum_rpc(...)` table function (the source is
+    registered by register_all, so templates need no Python setup)."""
+    from tests import mock_chain as mc
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY VIEW rpc_blocks_sql
+        USING agn_rpc
+        OPTIONS (endpoint 'mock://chain', method 'eth_getBlockByNumber',
+                 start '3', `end` '7', batch_size '2',
+                 params_template '["{n_hex}", false]')""")
+    rows = {r["n"]: r["h"] for r in spark.sql(
+        "SELECT n, get_json_object(response, '$.value.hash') AS h "
+        "FROM rpc_blocks_sql").collect()}
+    assert sorted(rows) == [3, 4, 5, 6, 7]
+    assert rows[5] == "0x" + mc.block_hash(5).hex()
