@@ -113,3 +113,41 @@ def test_bounded_variant_evicts_state_beyond_horizon(spark, tmp_path):
     # watermark evicted doc 1's state, so it is re-admitted
     assert 1 in ids and 2 not in ids
     assert 3 in ids
+
+
+def test_quality_and_pii_layers_run_on_streams(spark, tmp_path):
+    """text_stats and pii_scrub are stateless column work, so the whole
+    quality/PII layer applies to a readStream unchanged — the corpus
+    filter pipeline in continuous-ingest form (stream output equals the
+    batch run on the same data)."""
+    from agnostic_blockchain_etl_spark.operators.pii import pii_scrub
+    from agnostic_blockchain_etl_spark.operators.textstats import text_stats
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, f"{filler} write to eve@example.org now", "en"),
+            (2, f"{filler} perfectly clean prose", "en")]
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING, lang STRING").parquet(src))
+    out = (text_stats(stream)
+           .join(pii_scrub(stream).select("doc_id", "redacted"), "doc_id"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("quality_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.table("quality_stream").collect()}
+    batch = {r["doc_id"]: r for r in
+             text_stats(spark.createDataFrame(
+                 rows, "doc_id long, text string, lang string")).collect()}
+    for d in (1, 2):
+        assert got[d]["quality_score"] == batch[d]["quality_score"]
+        assert got[d]["pii_clean"] == batch[d]["pii_clean"]
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert got[2]["redacted"].endswith("perfectly clean prose")
