@@ -193,7 +193,47 @@ def register_all(spark: SparkSession) -> None:
         spark.dataSource.register(CursorDataSource)
     except Exception:  # noqa: BLE001 — registration is best-effort
         pass
+    _register_rpc_udtf(spark)
     spark._agn_udfs_registered = True
+
+
+def _register_rpc_udtf(spark: SparkSession) -> None:
+    """Register ``ethereum_rpc_range`` as a Python UDTF so SQL can use
+    the reference's table-function shape VERBATIM:
+
+        SELECT * FROM ethereum_rpc_range(0, 99,
+            'eth_getBlockByNumber', '["{n_hex}", false]', 'https://...')
+
+    (reference: `FROM ethereum_rpc(...)` scans in every ingest buffer,
+    examples/ethereum_blocks/create_buffer.sql:38-73). A scalar-args
+    UDTF call evaluates on one task — the distributed forms are the
+    `agn_rpc` data source (partition-planned) and the mapInPandas stage
+    (`operators/rpc_source.py`); this form exists for verbatim-SQL
+    parity and bounded lookups."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n BIGINT, response STRING")
+    class EthereumRpcRange:
+        def eval(self, start: int, end: int, method: str,
+                 params_template: str, endpoint: str):
+            from . import rpc as rpcmod
+            transport = rpcmod.get_default_transport()
+            for n in range(int(start), int(end) + 1):
+                tmpl = (params_template or "[]") \
+                    .replace("{n_hex}", hex(n)).replace("{n}", str(n))
+                try:
+                    params = _json.loads(tmpl)
+                except ValueError:
+                    params = []
+                yield n, rpcmod.ethereum_rpc(method, params, endpoint,
+                                             transport=transport)
+
+    try:
+        spark.udtf.register("ethereum_rpc_range", EthereumRpcRange)
+    except Exception:  # noqa: BLE001 — best-effort (older/Connect sessions)
+        pass
 
 
 def register_json_helpers(spark: SparkSession,

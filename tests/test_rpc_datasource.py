@@ -87,3 +87,16 @@ def test_sql_using_view_form(spark):
         "FROM rpc_blocks_sql").collect()}
     assert sorted(rows) == [3, 4, 5, 6, 7]
     assert rows[5] == "0x" + mc.block_hash(5).hex()
+
+
+def test_udtf_table_function_form(spark):
+    """The reference's exact table-function syntax: SELECT ... FROM
+    ethereum_rpc_range(start, end, method, params_template, endpoint)."""
+    from tests import mock_chain as mc
+    rows = {r["n"]: r["h"] for r in spark.sql("""
+        SELECT n, get_json_object(response, '$.value.hash') AS h
+        FROM ethereum_rpc_range(10, 14, 'eth_getBlockByNumber',
+                                '["{n_hex}", false]', 'mock://chain')
+    """).collect()}
+    assert sorted(rows) == [10, 11, 12, 13, 14]
+    assert rows[12] == "0x" + mc.block_hash(12).hex()
