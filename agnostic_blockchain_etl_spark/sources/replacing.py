@@ -45,3 +45,39 @@ def write_daily_partitioned(df: DataFrame, target: str, ts_col: str,
     a replayed day replaces exactly its own partition."""
     (df.withColumn("date", F.to_date(F.col(ts_col)))
        .write.mode(mode).partitionBy("date").parquet(target))
+
+
+def compact_replacing(spark, path: str, keys: list[str],
+                      version_col: str | None = None,
+                      partition_cols: list[str] | None = None) -> int:
+    """Materialize the Replacing dedup physically — the ``OPTIMIZE TABLE
+    ... FINAL`` analog (ClickHouse merges collapse duplicate ORDER-BY
+    keys in storage; examples/ethereum_blocks/create_table.sql:30-32).
+
+    Reads the parquet table at ``path``, applies :func:`read_replacing`,
+    and rewrites — after which plain reads need no dedup until the next
+    replay. Returns the number of rows in the compacted table.
+
+    The rewrite stages into a sibling directory and swaps via two
+    renames (parquet has no transaction log here; a crash between the
+    renames leaves the original or the staged result, never a partial
+    mix — the same guarantee a ClickHouse merge gives per part). With
+    ``partition_cols`` the output keeps the hive layout, so partition
+    pruning survives compaction; at 100 TB compact per partition on a
+    schedule instead of whole-table."""
+    import os
+    import shutil
+
+    df = read_replacing(spark.read.parquet(path), keys, version_col)
+    staged = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(staged, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staged)
+    n = spark.read.parquet(staged).count()
+    os.rename(path.rstrip("/"), old)
+    os.rename(staged, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -127,3 +127,48 @@ class TestJdbcRemote:
         assert spark.sql(
             "SELECT count(*) c FROM remote_metrics WHERE n >= 50"
         ).collect()[0]["c"] == 50
+
+
+class TestCompactReplacing:
+    def test_compaction_materializes_dedup(self, spark, tmp_path):
+        """OPTIMIZE FINAL analog: after replayed appends create physical
+        duplicates, compaction rewrites the table so plain reads see the
+        deduped state — identical to what read_replacing showed before."""
+        from agnostic_blockchain_etl_spark.sources.replacing import (
+            compact_replacing, read_replacing)
+        path = str(tmp_path / "sink")
+        rows = [(1, "a", 1), (2, "b", 1)]
+        replay = [(1, "a2", 2), (2, "b", 1)]      # key 1 re-ingested, v2
+        schema = "k long, payload string, v long"
+        spark.createDataFrame(rows, schema).write.parquet(path)
+        spark.createDataFrame(replay, schema).write.mode("append") \
+            .parquet(path)
+
+        before = read_replacing(spark.read.parquet(path), ["k"], "v") \
+            .collect()
+        n = compact_replacing(spark, path, ["k"], "v")
+        assert n == 2
+        after = spark.read.parquet(path).collect()   # PLAIN read, no dedup
+        assert sorted((r["k"], r["payload"], r["v"]) for r in after) == \
+            sorted((r["k"], r["payload"], r["v"]) for r in before)
+        assert {r["payload"] for r in after} == {"a2", "b"}  # v2 won
+
+    def test_partitioned_compaction_keeps_layout(self, spark, tmp_path):
+        from agnostic_blockchain_etl_spark.sources.replacing import (
+            compact_replacing)
+        import os
+        path = str(tmp_path / "psink")
+        schema = "k long, day string, v long"
+        spark.createDataFrame(
+            [(1, "2024-01-01", 1), (1, "2024-01-01", 2),
+             (2, "2024-01-02", 1)], schema) \
+            .write.partitionBy("day").parquet(path)
+        n = compact_replacing(spark, path, ["k", "day"], "v",
+                              partition_cols=["day"])
+        assert n == 2
+        assert sorted(d for d in os.listdir(path) if d.startswith("day=")) \
+            == ["day=2024-01-01", "day=2024-01-02"]
+        # partition type inference reads day= values back as DATE
+        got = {(r["k"], str(r["day"])): r["v"]
+               for r in spark.read.parquet(path).collect()}
+        assert got[(1, "2024-01-01")] == 2
