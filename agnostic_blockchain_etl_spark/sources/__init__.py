@@ -2,7 +2,8 @@
 Replacing semantics, proxy (JDBC) tables, refreshable dictionaries."""
 
 from .dictionary import RefreshableDictionary
-from .replacing import read_replacing
+from .replacing import compact_replacing, read_replacing
 from .rpc_datasource import RpcDataSource
 
-__all__ = ["read_replacing", "RefreshableDictionary", "RpcDataSource"]
+__all__ = ["compact_replacing", "read_replacing",
+           "RefreshableDictionary", "RpcDataSource"]
