@@ -16,6 +16,7 @@ from .tables import load_tables
 from .mixture import mixture_weights
 from .multimodal import decode_features, resize_images, sample_frames
 from .pii import pii_scrub
+from .profile import profile_table
 from .spans import duplicate_spans, span_dedup_stats
 from .textstats import repetition_signals, text_stats
 
@@ -34,6 +35,7 @@ __all__ = [
     "duplicate_spans",
     "mixture_weights",
     "pii_scrub",
+    "profile_table",
     "span_dedup_stats",
     "text_stats",
 ]
