@@ -14,7 +14,8 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
 from .similarity import cosine_topk, ivf_train
 from .tables import load_tables
 from .mixture import mixture_weights
-from .multimodal import decode_features, resize_images, sample_frames
+from .multimodal import (audio_feature_stage, decode_features,
+                         resize_images, sample_frames)
 from .pii import pii_scrub
 from .profile import profile_table
 from .spans import duplicate_spans, span_dedup_stats
@@ -30,7 +31,8 @@ __all__ = [
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train",
-    "decode_features", "resize_images", "sample_frames",
+    "audio_feature_stage", "decode_features", "resize_images",
+    "sample_frames",
     "repetition_signals",
     "duplicate_spans",
     "mixture_weights",

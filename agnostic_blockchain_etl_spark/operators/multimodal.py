@@ -125,6 +125,29 @@ def resize_images(assets: DataFrame, target_w: int,
     return assets.mapInPandas(_resize, _RESIZE_SCHEMA)
 
 
+_AUDIO_SCHEMA = ("doc_id BIGINT, sample_rate BIGINT, channels BIGINT, "
+                 "n_frames BIGINT, duration_s DOUBLE, rms DOUBLE, "
+                 "peak BIGINT")
+
+
+def audio_feature_stage(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over RIFF/WAV PCM16
+    payloads (``functions/audio.py`` — real header walk + numpy over the
+    decoded samples). Input needs ``doc_id, payload``; 1:1 row map."""
+    from ..functions.audio import audio_features
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = pd.DataFrame(
+                [audio_features(bytes(p)) for p in pdf["payload"]])
+            out = pdf[["doc_id"]].reset_index(drop=True)
+            yield pd.concat([out, feats], axis=1)
+
+    return assets.mapInPandas(_features, _AUDIO_SCHEMA)
+
+
 _FRAMES_SCHEMA = ("doc_id BIGINT, frame_idx BIGINT, width BIGINT, "
                   "height BIGINT, checksum BIGINT, payload BINARY")
 

@@ -180,3 +180,60 @@ class TestFrameSampling:
         got = sorted((r.frame_idx, r.checksum)
                      for r in sample_frames(df, every_n=2).collect())
         assert got == [(i, sum(frame(i)) % 65536) for i in (0, 2, 4)]
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        import numpy as np
+        from agnostic_blockchain_etl_spark.functions import audio
+        t = np.arange(4800)
+        pcm = (10000 * np.sin(2 * np.pi * 440 * t / 48000)) \
+            .astype("<i2")
+        stereo = np.column_stack([pcm, -pcm]).astype("<i2")
+        payload = audio.encode_wav(48000, 2, stereo.tobytes())
+        rate, ch, got = audio.decode_wav(payload)
+        assert (rate, ch) == (48000, 2)
+        assert (got == stereo).all()
+
+    def test_tolerates_extra_chunks(self):
+        import struct
+        from agnostic_blockchain_etl_spark.functions import audio
+        base = audio.encode_wav(8000, 1, b"\x01\x00\x02\x00")
+        # splice a LIST chunk between WAVE and fmt
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = base[:12] + extra + base[12:]
+        rate, ch, samples = audio.decode_wav(spliced)
+        assert (rate, ch, samples.shape[0]) == (8000, 1, 2)
+
+    def test_rejects_non_pcm16(self):
+        import struct
+        import pytest as _pytest
+        from agnostic_blockchain_etl_spark.functions import audio
+        good = audio.encode_wav(8000, 1, b"\x01\x00")
+        # flip codec id to 3 (float) in the fmt chunk
+        bad = bytearray(good)
+        fmt_at = good.index(b"fmt ") + 8
+        struct.pack_into("<H", bad, fmt_at, 3)
+        with _pytest.raises(audio.AudioFormatError):
+            audio.decode_wav(bytes(bad))
+
+    def test_feature_stage(self, spark):
+        import numpy as np
+        from agnostic_blockchain_etl_spark.functions import audio
+        from agnostic_blockchain_etl_spark.operators.multimodal import (
+            audio_feature_stage)
+        rows = []
+        for doc_id, amp in ((1, 1000), (2, 20000)):
+            pcm = (amp * np.sin(2 * np.pi * np.arange(1600) / 100)) \
+                .astype("<i2")
+            rows.append((doc_id, audio.encode_wav(16000, 1, pcm.tobytes())))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in audio_feature_stage(df).collect()}
+        for doc_id, payload in rows:
+            exp = audio.audio_features(payload)
+            g = got[doc_id]
+            assert (g.sample_rate, g.channels, g.n_frames) == \
+                (16000, 1, 1600)
+            assert g.rms == exp["rms"] and g.peak == exp["peak"]
+            assert g.duration_s == 0.1
+        assert got[2].rms > got[1].rms * 10
