@@ -18,9 +18,11 @@ Design for 100 TB (tested at sf≤0.1):
 - **ngram_jaccard**: exact verification used after candidate generation;
   implemented as shingle-set intersection counting (shuffle on shingle).
 
-Everything is cross-engine deterministic: the shingle/token hash is
-``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` (60-bit), identical in
-Spark (``conv(substr(md5(s),1,15),16,10)``) and DuckDB, so every query here
+Everything is cross-engine deterministic: the shingle/token hash is the
+first 15 hex chars of md5 read as a 60-bit integer — Spark side via
+``conv(substr(md5(s),1,15),16,10)``, DuckDB side via per-nibble integer
+arithmetic (see ``_SQL_HASH60``; deliberately avoids hex-literal string
+casts, whose semantics vary across DuckDB releases) — so every query here
 has a full value-hash oracle. No Python UDFs anywhere — all JVM exprs.
 """
 
@@ -89,7 +91,17 @@ _SQL_SHINGLES = (
     "generate_series(1, len(words) - 2), "
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) "
     "ELSE [] END")
-_SQL_HASH60 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+# Version-stable hex→int: nibble arithmetic over elementary functions only.
+# The terser CAST('0x' || hex AS BIGINT) is NOT portable across DuckDB
+# releases (hex-literal string casts changed semantics; r2's driver run
+# hash-mismatched dedup_signatures — the one query exposing ABSOLUTE hash
+# values — while every within-engine hash join passed). strpos/substr/
+# list_sum and integer shifts predate every release in play and verify
+# bit-identical to the old form (test_dedup_hash_canary).
+_SQL_HASH60 = (
+    "CAST(list_sum(list_transform(generate_series(1, 15), "
+    "i -> (strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1)::BIGINT"
+    " << (4 * (15 - i)))) AS BIGINT)")
 
 
 # ---------------------------------------------------------------------------
