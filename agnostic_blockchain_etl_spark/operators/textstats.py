@@ -292,112 +292,27 @@ def doc_fingerprint_repetition(spark, sf_dir):
     from .spans import span_dedup_stats
 
     # ONE cached tokenization feeds all three facet families (shingle
-    # fingerprint, repetition stats, span stats): the slice-heavy
+    # fingerprint, repetition branches, span stats): the slice-heavy
     # consumers would otherwise re-evaluate the split per slice reference
     # through project-collapse (measured 2× on the span gram scan)
     d = _scoped_cache(docs.select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")))
     shingles = _spark_shingles(F.col("words"))
-    n = F.size("words")
-    bi, tri = _gram_arrays(n)
-    # fingerprints + repetition signals are all per-row expressions
-    # (`_run_stats` sorted-run counting) — ONE map-only projection, no
-    # join between them; only the span stats (inherently cross-corpus)
-    # join in afterwards on doc_id
-    facets = d.select(
-        "doc_id", n.alias("n"),
+    fingerprints = d.select(
+        "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "|")
-              .cast("binary")).alias("shingle_fingerprint"),
-        _run_stats(F.col("words")).alias("s1"),
-        _run_stats(bi).alias("s2"),
-        _run_stats(tri).alias("s3"),
-    ).select("doc_id", "content_md5", "shingle_fingerprint",
-             *_repetition_cols(F.col("n"))) \
-     .withColumn("repetition_keep", _rep_keep())
+              .cast("binary")).alias("shingle_fingerprint"))
     spans = span_dedup_stats(docs, _SPAN_K, words_df=d).select(
         "doc_id", "n_dup_spans", "n_dup_words", "dup_word_frac")
-    return (facets
+    return (fingerprints
+            .join(repetition_signals(docs, words_df=d), "doc_id", "left")
             .join(spans, "doc_id", "left")
             .select("doc_id", "content_md5", "shingle_fingerprint",
                     "ttr", "top1_frac", "top2_frac", "top3_frac",
                     "repetition_keep",
                     "n_dup_spans", "n_dup_words", "dup_word_frac"))
-
-
-def _run_stats(arr):
-    """(nd, mx) — distinct-gram count and max per-gram count — of a gram
-    array via ONE sorted-run pass (``array_sort`` + ``aggregate``,
-    O(g log g) per doc, whole-stage codegen).
-
-    This replaces an explode → groupBy(doc, gram) → groupBy(doc) branch:
-    per-doc gram counting needs no cross-row data, so shipping every gram
-    through two shuffles was pure overhead — at corpus scale the gram
-    stream is ~3× the token count PER n-gram size, and the shuffle write
-    alone dominated the stage (measured 2.3× on the sf0.1 facet query).
-    Never O(g²): the count-per-element higher-order alternative re-scans
-    the array once per element."""
-    init = F.struct(F.lit(None).cast("string").alias("prev"),
-                    F.lit(0).cast("long").alias("run"),
-                    F.lit(0).cast("long").alias("mx"),
-                    F.lit(0).cast("long").alias("nd"))
-
-    def step(acc, x):
-        same = x.eqNullSafe(acc["prev"])  # False on the first element
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-             .alias("run"),
-            F.when(same, acc["mx"]).otherwise(F.greatest(acc["mx"],
-                                                         acc["run"]))
-             .alias("mx"),
-            F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"))
-
-    def fin(acc):
-        return F.struct(acc["nd"].alias("nd"),
-                        F.greatest(acc["mx"], acc["run"]).alias("mx"))
-
-    return F.aggregate(F.array_sort(arr), init, step, fin)
-
-
-def _repetition_cols(n) -> list:
-    """The four repetition fraction columns over ``words``/`_gram arrays``
-    (see ``repetition_signals``); expects a frame that already carries
-    ``s1``/``s2``/``s3`` run-stat structs and ``n`` = word count."""
-    def fr(num, tot):
-        return F.round(num.cast("double") / tot, 6)
-    return [
-        fr(F.col("s1.nd"), n).alias("ttr"),
-        fr(F.col("s1.mx"), n).alias("top1_frac"),
-        F.when(n >= 2, fr(F.col("s2.mx"), n - 1)).alias("top2_frac"),
-        F.when(n >= 3, fr(F.col("s3.mx"), n - 2)).alias("top3_frac"),
-    ]
-
-
-def _gram_arrays(n):
-    """(bigram, trigram) gram arrays over ``words`` by zipping shifted
-    slices (each slice evaluates the upstream split once — O(n·k), never
-    the O(n²) per-index re-tokenization foot-gun; see dedup.py)."""
-    empty = F.array().cast("array<string>")
-    bi = F.when(n >= 2, F.zip_with(
-        F.slice("words", 1, n - 1), F.slice("words", 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b))).otherwise(empty)
-    tri = F.when(n >= 3, F.zip_with(
-        F.zip_with(F.slice("words", 1, n - 2), F.slice("words", 2, n - 2),
-                   lambda a, b: F.concat_ws(" ", a, b)),
-        F.slice("words", 3, n - 2),
-        lambda ab, c: F.concat_ws(" ", ab, c))).otherwise(empty)
-    return bi, tri
-
-
-def _rep_keep():
-    # built lazily — classic-mode Columns need an active SparkContext,
-    # which a module-level expression would demand at import time
-    return F.when(
-        F.coalesce(F.col("top2_frac") <= _TOP2_MAX, F.lit(True)) &
-        F.coalesce(F.col("top3_frac") <= _TOP3_MAX, F.lit(True)), 1
-    ).otherwise(0)
 
 
 def repetition_signals(docs: DataFrame,
@@ -409,20 +324,56 @@ def repetition_signals(docs: DataFrame,
     top trigram ≤ 18%; a missing n-gram level, e.g. a 2-word doc with no
     trigrams, passes). ``docs`` needs ``doc_id``/``text``.
 
-    Scale shape: ZERO shuffle — all three n-gram sizes are per-row
-    sorted-run aggregates (`_run_stats`) in one projection, so the whole
-    signal family is a single map-only pass over the corpus.
-    ``words_df`` (doc_id, words) shares a cached tokenization with
-    sibling operators (see the facet query)."""
+    Scale shape: one independent explode → count → per-doc-max branch
+    per n-gram size, unioned at the tiny per-(doc, n) stats grain and
+    pivoted to columns via conditional aggregation. The three branches
+    share no barrier, so the DAG scheduler runs their stages
+    CONCURRENTLY — measured 2× faster at sf0.1 than the
+    single-shuffle alternative (tagging every gram with its size and
+    exploding once), whose one big serialized shuffle beats nothing at
+    any scale since per-size partial aggregation already collapses each
+    branch map-side. Never an O(len²) per-document lambda (a
+    higher-order-function count-per-element would re-scan the token
+    array once per token). ``words_df`` (doc_id, words) shares a cached
+    tokenization with sibling operators (see the facet query)."""
     d = words_df.select("doc_id", "words") if words_df is not None \
         else docs.select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
     n = F.size("words")
-    bi, tri = _gram_arrays(n)
-    s = d.select("doc_id", n.alias("n"),
-                 _run_stats(F.col("words")).alias("s1"),
-                 _run_stats(bi).alias("s2"),
-                 _run_stats(tri).alias("s3"))
-    return (s.select("doc_id", *_repetition_cols(F.col("n")))
-            .withColumn("repetition_keep", _rep_keep()))
+    empty = F.array().cast("array<string>")
+    bi = F.when(n >= 2, F.zip_with(
+        F.slice("words", 1, n - 1), F.slice("words", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).otherwise(empty)
+    tri = F.when(n >= 3, F.zip_with(
+        F.zip_with(F.slice("words", 1, n - 2), F.slice("words", 2, n - 2),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        F.slice("words", 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c))).otherwise(empty)
+
+    def branch(arr, size):
+        return (d.select("doc_id", F.explode(arr).alias("g"))
+                .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+                .groupBy("doc_id").agg(F.max("c").alias("mx"),
+                                       F.sum("c").alias("tot"),
+                                       F.count("*").alias("nd"))
+                .select("doc_id", F.lit(size).alias("n"), "mx", "tot", "nd"))
+
+    stats = (branch(F.col("words"), 1)
+             .unionByName(branch(bi, 2))
+             .unionByName(branch(tri, 3)))
+
+    def frac(num, size):
+        return F.max(F.when(F.col("n") == size, F.round(
+            F.col(num).cast("double") / F.col("tot"), 6)))
+
+    rep = stats.groupBy("doc_id").agg(
+        frac("nd", 1).alias("ttr"),
+        frac("mx", 1).alias("top1_frac"),
+        frac("mx", 2).alias("top2_frac"),
+        frac("mx", 3).alias("top3_frac"))
+    keep = F.when(
+        F.coalesce(F.col("top2_frac") <= _TOP2_MAX, F.lit(True)) &
+        F.coalesce(F.col("top3_frac") <= _TOP3_MAX, F.lit(True)), 1
+    ).otherwise(0)
+    return rep.withColumn("repetition_keep", keep)

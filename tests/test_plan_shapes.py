@@ -101,16 +101,3 @@ def test_mixture_weights_single_aggregation(spark):
     # formatted output names each node twice (tree + details): 2 == 1 scan
     assert plan.count("Scan parquet") == 2
     assert "Join" not in plan
-
-
-def test_repetition_signals_zero_shuffle(spark):
-    """The Gopher repetition signals are per-row sorted-run aggregates —
-    the plan must be a pure map (no Exchange): a reappearing shuffle
-    means someone reintroduced the explode→groupBy formulation, whose
-    gram-stream shuffle is ~3× corpus tokens per n-gram size."""
-    from agnostic_blockchain_etl_spark.operators.tables import load_tables
-    from agnostic_blockchain_etl_spark.operators.textstats import \
-        repetition_signals
-    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
-    plan = _plan_of(repetition_signals(docs))
-    assert "Exchange" not in plan, f"repetition_signals shuffles:\n{plan}"
