@@ -334,8 +334,14 @@ def repetition_signals(docs: DataFrame,
     any scale since per-size partial aggregation already collapses each
     branch map-side. Never an O(len²) per-document lambda (a
     higher-order-function count-per-element would re-scan the token
-    array once per token). ``words_df`` (doc_id, words) shares a cached
-    tokenization with sibling operators (see the facet query)."""
+    array once per token). A zero-shuffle array_sort + aggregate
+    sorted-run variant was also measured SLOWER (1.7 s vs 1.3 s alone,
+    +1.5 s on the full facet query at sf0.1): Catalyst evaluates
+    lambda bodies interpreted per element while the explode pipeline
+    stays in whole-stage codegen — same verdict as the simhash HOF-fold
+    experiment (see simhash_signatures). ``words_df`` (doc_id, words)
+    shares a cached tokenization with sibling operators (see the facet
+    query)."""
     d = words_df.select("doc_id", "words") if words_df is not None \
         else docs.select(
             "doc_id",
