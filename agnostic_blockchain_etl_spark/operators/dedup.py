@@ -594,39 +594,60 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").localCheckpoint(eager=True))
-    l0 = (e1.groupBy(F.col("src").alias("doc_id"))
-          .agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("label"))
-          .localCheckpoint(eager=True))
-    la = l0.select(F.col("doc_id").alias("src"), F.col("label").alias("ls"))
-    lb = l0.select(F.col("doc_id").alias("dst"), F.col("label").alias("ld"))
-    edges = (e1.join(la, "src").join(lb, "dst")
-             .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
-             .where(F.col("src") != F.col("dst"))
-             .distinct().localCheckpoint(eager=True))
-    # symmetric by construction: e1 is symmetric and re-keying both
-    # endpoints keeps both directions, so every residual vertex appears
-    # as src — the label init below needs no separate distinct pass.
-    labels = (edges.groupBy(F.col("src").alias("doc_id"))
-              .agg(F.min(F.least(F.col("src"), F.col("dst")))
-                   .alias("label"))
+    # Size the ITERATED state's shuffles to the edge subgraph, not the
+    # session conf: the near-dup subgraph is orders of magnitude smaller
+    # than the corpus the session's spark.sql.shuffle.partitions was
+    # tuned for, and every contraction/propagation round re-pays the
+    # per-task scheduling floor across those mostly-empty partitions
+    # (measured ~15% off the sf0.1 clustering at 32 → 4). ~2M edge rows
+    # per partition; the conf is restored before returning, so the
+    # final compose join — and everything the CALLER plans afterwards —
+    # runs at the session setting. Counting e1 is ~free (checkpointed).
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(conf_key)
+    iter_parts = max(1, min(int(session_parts),
+                            e1.count() // 2_000_000 + 1))
+    spark.conf.set(conf_key, str(iter_parts))
+    try:
+        l0 = (e1.groupBy(F.col("src").alias("doc_id"))
+              .agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("label"))
               .localCheckpoint(eager=True))
-    prev_sum = None
-    for _ in range(20):
-        msgs = (edges.join(labels, edges["src"] == labels["doc_id"])
-                .select(F.col("dst").alias("doc_id"), "label")
-                .unionByName(labels)
-                .groupBy("doc_id").agg(F.min("label").alias("label")))
-        par = labels.select(F.col("doc_id").alias("pid"),
-                            F.col("label").alias("plabel"))
-        labels = (msgs.join(par, msgs["label"] == par["pid"])
-                  .select("doc_id", F.col("plabel").alias("label"))
+        la = l0.select(F.col("doc_id").alias("src"),
+                       F.col("label").alias("ls"))
+        lb = l0.select(F.col("doc_id").alias("dst"),
+                       F.col("label").alias("ld"))
+        edges = (e1.join(la, "src").join(lb, "dst")
+                 .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+                 .where(F.col("src") != F.col("dst"))
+                 .distinct().localCheckpoint(eager=True))
+        # symmetric by construction: e1 is symmetric and re-keying both
+        # endpoints keeps both directions, so every residual vertex
+        # appears as src — the label init below needs no separate
+        # distinct pass.
+        labels = (edges.groupBy(F.col("src").alias("doc_id"))
+                  .agg(F.min(F.least(F.col("src"), F.col("dst")))
+                       .alias("label"))
                   .localCheckpoint(eager=True))
-        label_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()[0]
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
+        prev_sum = None
+        for _ in range(20):
+            msgs = (edges.join(labels, edges["src"] == labels["doc_id"])
+                    .select(F.col("dst").alias("doc_id"), "label")
+                    .unionByName(labels)
+                    .groupBy("doc_id").agg(F.min("label").alias("label")))
+            par = labels.select(F.col("doc_id").alias("pid"),
+                                F.col("label").alias("plabel"))
+            labels = (msgs.join(par, msgs["label"] == par["pid"])
+                      .select("doc_id", F.col("plabel").alias("label"))
+                      .localCheckpoint(eager=True))
+            label_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()[0]
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+    finally:
+        spark.conf.set(conf_key, session_parts)
     roots = labels.select(F.col("doc_id").alias("rid"),
                           F.col("label").alias("root"))
     return (l0.join(roots, l0["label"] == roots["rid"], "left")
