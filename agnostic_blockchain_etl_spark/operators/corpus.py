@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import load_tables, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -168,7 +168,7 @@ def vocab_tfidf_terms(spark, sf_dir):
     vocabulary top-k is a TakeOrdered, not a global sort."""
     from .dedup import _scoped_cache
     t = load_tables(spark, sf_dir, ("documents",))
-    words = t["documents"].select(
+    words = spread(t["documents"]).select(
         "doc_id", F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
     tf = _scoped_cache(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tables import load_tables
+from .tables import load_tables, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -182,6 +182,7 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     cross-doc collisions (~n²/2³²) at corpus scale. The 31-bit reduction
     belongs only inside the minhash permutation arithmetic
     (``minhash_wide``), where ``a·x`` must stay within int64."""
+    docs = spread(docs)  # tokenize+hash must not run on one scan task
     return (docs
             .select("doc_id", F.explode(
                 _spark_shingles(_spark_words(F.col("text")))).alias("shingle"))
@@ -346,6 +347,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     (doc, bit)) multiplies the shuffle by 60; wide aggregation keeps the
     shuffle at one row per doc and partial-aggregates map-side. (The
     zero-shuffle HOF-fold variant measured 2.4× slower — see SCALE.md.)"""
+    docs = spread(docs)  # tokenize+hash must not run on one scan task
     hashed = (docs
               .select("doc_id", F.explode(_spark_words(F.col("text"))).alias("tok"))
               .select("doc_id", _spark_hash60(F.col("tok")).alias("h")))

@@ -64,7 +64,8 @@ def duplicate_spans(docs: DataFrame, k: int = 10,
     from .dedup import _scoped_cache, _scoped_cache_add
 
     if words_df is None:
-        words_src = docs.select(
+        from .tables import spread
+        words_src = spread(docs).select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
         cache_fn = _scoped_cache

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pii import count_sql, pii_count, redact, redact_sql
-from .tables import load_tables
+from .tables import load_tables, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -295,7 +295,7 @@ def doc_fingerprint_repetition(spark, sf_dir):
     # fingerprint, repetition branches, span stats): the slice-heavy
     # consumers would otherwise re-evaluate the split per slice reference
     # through project-collapse (measured 2× on the span gram scan)
-    d = _scoped_cache(docs.select(
+    d = _scoped_cache(spread(docs).select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")))
     shingles = _spark_shingles(F.col("words"))
