@@ -90,3 +90,32 @@ class TestEventsUs:
         df = spark.createDataFrame([(self.MICROS,)], "ts long")
         assert str(df.select(epoch_day("ts").alias("d"))
                    .collect()[0].d) == "2024-03-15"
+
+
+class TestSpread:
+    """spread() heals pathologically under-split scans (single-row-group
+    parquet pins fused pipelines to one task) and stays out of plans
+    that are already parallel enough."""
+
+    def test_underpartitioned_source_is_spread(self, spark):
+        from agnostic_blockchain_etl_spark.operators.tables import spread
+        df = spark.range(1000).coalesce(1)
+        out = spread(df)
+        assert out.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+        assert out.count() == 1000
+
+    def test_wellpartitioned_source_untouched(self, spark):
+        from agnostic_blockchain_etl_spark.operators.tables import spread
+        p = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(p)
+        # no healing shuffle: the plan object is returned as-is
+        assert spread(df) is df
+
+    def test_testdata_documents_scan_is_healed(self, spark):
+        # the driver's parquet is single-row-group: the guard must fire
+        from agnostic_blockchain_etl_spark.operators.tables import (
+            load_tables, spread)
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        assert docs.rdd.getNumPartitions() == 1
+        assert spread(docs).rdd.getNumPartitions() > 1
