@@ -555,40 +555,44 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     ``(doc_id, label)`` for every vertex that appears in a pair, where
     ``label`` is the component's minimum vertex id.
 
-    Two phases. **Phase 1 — clique contraction**: every vertex takes the
-    min of its closed neighborhood (``L0(v) = min({v} ∪ N(v))``, one
-    groupBy over the symmetric edge list), then the graph is contracted
-    to its L0 labels (each edge re-keyed to ``(L0(src), L0(dst))``,
-    self-loops dropped, distinct). Near-dup graphs are clique-heavy —
-    a cluster of k mutual duplicates is a k-clique — and a clique
-    contracts to a single supernode in this one step, so the residual
-    graph is a small fraction of the input (measured at sf0.1: 27.9k
-    edges → 9.7k contracted edges over 1.1k supernodes; the previously
-    used 2-hop edge squaring instead *grew* the edge list 12× on the
-    same input). Contraction is component-preserving: v and L0(v) are
-    always in the same component (L0(v) is v or a neighbor), and the
-    component's global-min vertex m has L0(m) = m, so every residual
-    vertex id is an original doc id and the final min survives.
+    **Repeated star contraction** (min-of-closed-neighborhood): each
+    round every vertex takes ``L(v) = min({v} ∪ N(v))`` (one groupBy
+    over the symmetric edge list), then the graph is contracted to its
+    labels (each edge re-keyed to ``(L(src), L(dst))``, self-loops
+    dropped, distinct, checkpointed) and the round's label map is kept.
+    The loop ends when NO edges survive — convergence is structural,
+    not a fixpoint probe, so there are no driver round-trips beyond the
+    emptiness check and a wrong answer cannot be returned silently (the
+    64-round guard raises; contraction at least halves a path's length
+    per round, so 64 covers any graph whose diameter fits in 2⁶⁴).
 
-    **Phase 2 — min-label propagation with path-halving over the
-    residual graph only**: each round every supernode takes the min of
-    its own and its neighbors' labels, then hops through the previous
-    round's table (``L(v) ← L_prev(min-neighbor-label)``) — label
-    distance to the root roughly doubles per round, so chains converge
-    in O(log diameter) rounds. The hop is safe: every label value is a
-    vertex present in the label table and ``L_prev(x) ≤ x``, so the min
-    is never lost. The loop hard-caps at 20 rounds; each round truncates
-    lineage with one eager ``localCheckpoint`` (at cluster scale: a
-    reliable checkpoint dir instead). Convergence is a scalar
-    ``sum(label)``: labels are per-vertex non-increasing, so the sum
-    strictly decreases until the fixpoint (decimal sum: overflow-proof
-    at any vertex-id scale). Final labels compose the two phases:
-    ``L(v) = root(L0(v))``, one left join. The oracle is a
+    Why contraction instead of label propagation over a FIXED edge set:
+    a randomized differential test against union-find (test_llm_ops.py)
+    caught the previous propagation formulation silently mislabeling
+    long chains (min-label hops are edge-limited, and its 20-round cap
+    truncated deep paths — clique-heavy near-dup graphs never exposed
+    it), and fixed-edge iteration re-touches the full residual graph
+    every round, where contraction's working set SHRINKS geometrically
+    (near-dup graphs are clique-heavy — a k-clique collapses to its
+    minimum in one round; measured at sf0.1: 27.9k edges → 9.7k after
+    round one, gone by round three).
+
+    Contraction is component-preserving: v and L(v) are always in the
+    same component (L(v) is v or a neighbor); a path maps edge-by-edge
+    to a connected walk, so components never split. The component's
+    global-min vertex m always has L(m) = m and survives while its
+    component has edges (some surviving edge stays incident to its
+    label), so after the final round the last label map sends every
+    vertex of its graph to its component min. Final labels compose the
+    per-round maps BACKWARD (root ∘ L_k ∘ … ∘ L_1): every composition
+    join is residual-sized except the last (the round-1 map over all
+    paired vertices — absorbed vertices whose label already left the
+    graph resolve via the left-join coalesce). The oracle is a
     recursive-CTE transitive closure — identical fixpoint, engine-exact.
 
     No all-pairs anywhere — edges come from the caller's banded/
-    bucketed candidate join, and the iterated state is the *contracted*
-    near-dup subgraph, orders of magnitude smaller than the corpus."""
+    bucketed candidate join, and the iterated state is the shrinking
+    contracted subgraph, orders of magnitude smaller than the corpus."""
     pairs = pairs.select(
         F.col(pairs.columns[0]).alias("doc_a"),
         F.col(pairs.columns[1]).alias("doc_b"))
@@ -599,12 +603,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # Size the ITERATED state's shuffles to the edge subgraph, not the
     # session conf: the near-dup subgraph is orders of magnitude smaller
     # than the corpus the session's spark.sql.shuffle.partitions was
-    # tuned for, and every contraction/propagation round re-pays the
-    # per-task scheduling floor across those mostly-empty partitions
-    # (measured ~15% off the sf0.1 clustering at 32 → 4). ~2M edge rows
-    # per partition; the conf is restored before returning, so the
-    # final compose join — and everything the CALLER plans afterwards —
-    # runs at the session setting. Counting e1 is ~free (checkpointed).
+    # tuned for, and every contraction round re-pays the per-task
+    # scheduling floor across those mostly-empty partitions (measured
+    # ~15% off the sf0.1 clustering at 32 → 4). ~2M edge rows per
+    # partition; the conf is restored before returning, so the final
+    # compose joins — and everything the CALLER plans afterwards — run
+    # at the session setting. Counting e1 is ~free (checkpointed).
     spark = pairs.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(conf_key)
@@ -612,48 +616,44 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                             e1.count() // 2_000_000 + 1))
     spark.conf.set(conf_key, str(iter_parts))
     try:
-        l0 = (e1.groupBy(F.col("src").alias("doc_id"))
-              .agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("label"))
-              .localCheckpoint(eager=True))
-        la = l0.select(F.col("doc_id").alias("src"),
-                       F.col("label").alias("ls"))
-        lb = l0.select(F.col("doc_id").alias("dst"),
-                       F.col("label").alias("ld"))
-        edges = (e1.join(la, "src").join(lb, "dst")
-                 .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
-                 .where(F.col("src") != F.col("dst"))
-                 .distinct().localCheckpoint(eager=True))
-        # symmetric by construction: e1 is symmetric and re-keying both
-        # endpoints keeps both directions, so every residual vertex
-        # appears as src — the label init below needs no separate
-        # distinct pass.
-        labels = (edges.groupBy(F.col("src").alias("doc_id"))
-                  .agg(F.min(F.least(F.col("src"), F.col("dst")))
-                       .alias("label"))
-                  .localCheckpoint(eager=True))
-        prev_sum = None
-        for _ in range(20):
-            msgs = (edges.join(labels, edges["src"] == labels["doc_id"])
-                    .select(F.col("dst").alias("doc_id"), "label")
-                    .unionByName(labels)
-                    .groupBy("doc_id").agg(F.min("label").alias("label")))
-            par = labels.select(F.col("doc_id").alias("pid"),
-                                F.col("label").alias("plabel"))
-            labels = (msgs.join(par, msgs["label"] == par["pid"])
-                      .select("doc_id", F.col("plabel").alias("label"))
-                      .localCheckpoint(eager=True))
-            label_sum = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).first()[0]
-            if label_sum == prev_sum:
+        mappings = []
+        cur = e1
+        for _round in range(64):
+            lmap = (cur.groupBy(F.col("src").alias("doc_id"))
+                    .agg(F.min(F.least(F.col("src"), F.col("dst")))
+                         .alias("label"))
+                    .localCheckpoint(eager=True))
+            mappings.append(lmap)
+            a = lmap.toDF("src", "ls")
+            b = lmap.toDF("dst", "ld")
+            # re-keying both endpoints of a symmetric edge list keeps
+            # both directions, so the next round's graph stays symmetric
+            # and every surviving vertex appears as src
+            cur = (cur.join(a, "src").join(b, "dst")
+                   .select(F.col("ls").alias("src"),
+                           F.col("ld").alias("dst"))
+                   .where(F.col("src") != F.col("dst"))
+                   .distinct().localCheckpoint(eager=True))
+            if cur.isEmpty():
                 break
-            prev_sum = label_sum
+        else:
+            raise RuntimeError(
+                "connected_components did not contract to empty in 64 "
+                "rounds — wrong labels must never be returned silently")
+        # compose the round maps backward: all joins are residual-sized
+        # except the final one onto the round-1 (all-vertices) map.
+        # No checkpoints here — the chain is ≤ rounds joins over already-
+        # checkpointed maps (linear lineage), evaluated lazily by the
+        # caller at the SESSION partition setting
+        root = mappings[-1]
+        for lmap in reversed(mappings[:-1]):
+            rm = root.toDF("mid", "rlabel")
+            root = (lmap.join(rm, lmap["label"] == rm["mid"], "left")
+                    .select("doc_id",
+                            F.coalesce("rlabel", "label").alias("label")))
     finally:
         spark.conf.set(conf_key, session_parts)
-    roots = labels.select(F.col("doc_id").alias("rid"),
-                          F.col("label").alias("root"))
-    return (l0.join(roots, l0["label"] == roots["rid"], "left")
-            .select("doc_id", F.coalesce("root", "label").alias("label")))
+    return root
 
 
 # ---------------------------------------------------------------------------

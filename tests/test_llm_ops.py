@@ -311,3 +311,64 @@ class TestDataFrameFunnel:
         # chunk grain is unique
         assert (chunks.groupBy("doc_id", "chunk_id").count()
                 .where(F.col("count") > 1).count() == 0)
+
+
+class TestConnectedComponentsDifferential:
+    """Randomized differential check of the distributed two-phase CC
+    (clique contraction + path-halving propagation) against a trivially
+    correct union-find, over graph shapes chosen to stress each phase:
+    long paths (propagation round count / the 20-round cap), stars
+    (single-supernode contraction + hub skew), random sparse GNP
+    (mixed), and dense blobs (clique contraction)."""
+
+    @staticmethod
+    def _expected(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    @staticmethod
+    def _graph(seed):
+        import random
+        rng = random.Random(seed)
+        kind = seed % 4
+        if kind == 0:      # one long path + stragglers
+            chain = rng.sample(range(1000), 120)
+            edges = list(zip(chain, chain[1:]))
+            edges.append((2000, 2001))
+        elif kind == 1:    # star: hub with many leaves
+            hub = rng.randrange(500)
+            edges = [(hub, leaf) for leaf in rng.sample(range(500, 900), 80)]
+        elif kind == 2:    # sparse GNP
+            edges = [(rng.randrange(300), rng.randrange(300))
+                     for _ in range(150)]
+            edges = [(a, b) for a, b in edges if a != b]
+        else:              # a few dense blobs
+            edges = []
+            for blob in range(3):
+                nodes = rng.sample(range(blob * 100, blob * 100 + 50), 12)
+                edges += [(a, b) for i, a in enumerate(nodes)
+                          for b in nodes[i + 1:] if rng.random() < 0.5]
+        return edges
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_union_find(self, spark, seed):
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        edges = self._graph(seed)
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(pairs).collect()}
+        assert got == self._expected(edges)
