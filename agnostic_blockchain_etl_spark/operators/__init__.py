@@ -6,6 +6,7 @@ Every public operator has a ``queries()`` entry in ``__spark_entry__.py``
 paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
+from .bpe import bpe_encode, train_bpe, word_histogram
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
@@ -25,6 +26,7 @@ __all__ = [
     "load_tables",
     # DataFrame-form LLM-data APIs (the gate queries in __spark_entry__
     # are thin wrappers over these, bound to the testdata corpus)
+    "bpe_encode", "train_bpe", "word_histogram",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
