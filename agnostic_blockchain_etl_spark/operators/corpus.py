@@ -75,7 +75,7 @@ def chunk_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk grain with each chunk's (shard, pack_id, pack_offset) training-
     sequence assignment riding along."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return pack_sequences(chunk(t["documents"])).select(
+    return pack_sequences(chunk(spread(t["documents"]))).select(
         "doc_id", "chunk_id", "chunk_text", "n_tokens",
         "shard", "pack_id", "pack_offset")
 

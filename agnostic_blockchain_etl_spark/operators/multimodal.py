@@ -209,7 +209,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the stub's arithmetic, proving batch shape and
     row alignment survive the mapInPandas boundary."""
     t = load_tables(spark, sf_dir, ("documents",))
-    meta = t["documents"].select(
+    # mapInPandas parallelism == input partitions: heal 1-partition scans
+    # or the whole decode stage runs on a single Python worker
+    from .tables import spread
+    meta = spread(t["documents"]).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
             F.lit("text/plain").alias("modality"),

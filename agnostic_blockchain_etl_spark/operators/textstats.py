@@ -114,7 +114,10 @@ _QW_BIAS, _QW_STOP, _QW_PUNCT, _QW_LEN = -1.5, 10.0, -15.0, 0.002
 def text_stats_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate form of `text_stats` over the testdata corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return text_stats(t["documents"])
+    # regex-heavy per-row work: heal a single-row-group scan first (the
+    # operator itself stays a pure zero-shuffle projection — see
+    # test_plan_shapes; spread no-ops on well-split production input)
+    return text_stats(spread(t["documents"]))
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
