@@ -135,7 +135,13 @@ def spread(df: DataFrame) -> DataFrame:
     payload is the raw text column, far smaller than the exploded gram
     stream any of these pipelines produce. At production scale writers
     emit many row groups per file and this is a NO-OP — the guard keeps
-    the healing shuffle out of every properly-split plan."""
+    the healing shuffle out of every properly-split plan.
+
+    Streaming frames pass through untouched: ``.rdd`` is illegal on an
+    unstarted stream, and micro-batch parallelism is the source's
+    concern (maxOffsetsPerTrigger etc.), not a static scan property."""
+    if df.isStreaming:
+        return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= cores:
         return df.repartition(cores)

@@ -119,3 +119,9 @@ class TestSpread:
         docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
         assert docs.rdd.getNumPartitions() == 1
         assert spread(docs).rdd.getNumPartitions() > 1
+
+    def test_streaming_frame_passes_through(self, spark):
+        # .rdd is illegal on an unstarted stream — spread must no-op
+        from agnostic_blockchain_etl_spark.operators.tables import spread
+        stream = spark.readStream.format("rate").load()
+        assert spread(stream) is stream
