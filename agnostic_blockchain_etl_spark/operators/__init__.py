@@ -7,6 +7,7 @@ paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
 from .bpe import bpe_encode, train_bpe, word_histogram
+from .langid import detect_language, train_language_profiles
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
@@ -27,6 +28,7 @@ __all__ = [
     # DataFrame-form LLM-data APIs (the gate queries in __spark_entry__
     # are thin wrappers over these, bound to the testdata corpus)
     "bpe_encode", "train_bpe", "word_histogram",
+    "detect_language", "train_language_profiles",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
