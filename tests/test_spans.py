@@ -173,3 +173,52 @@ def _duckdb_spans(docs, k):
 def test_spans_match_duckdb_on_random_corpora(spark, corpus, k):
     docs = [(i + 1, t) for i, t in enumerate(corpus)]
     assert _spark_spans_k(spark, docs, k) == _duckdb_spans(docs, k)
+
+
+class TestSpansDifferential:
+    """Randomized differential check against an independent brute-force
+    reference: mark every k-gram position whose digest-equal gram occurs
+    elsewhere and is not the corpus-first occurrence (by (doc, pos)
+    order), merge marked positions with gap <= k, extend span ends by
+    k-1. Corpora are generated from a tiny vocabulary so duplicated
+    k-grams arise by chance in shapes no hand-written fixture contains
+    (overlapping runs, within-doc repeats, triple occurrences)."""
+
+    @staticmethod
+    def _expected(docs, k):
+        from collections import defaultdict
+        grams = defaultdict(list)  # gram -> [(doc, pos)]
+        words_of = {}
+        for doc_id, text in docs:
+            ws = text.lower().split()
+            words_of[doc_id] = ws
+            for i in range(len(ws) - k + 1):
+                grams[tuple(ws[i:i + k])].append((doc_id, i + 1))
+        marked = defaultdict(list)  # doc -> [pos]
+        for occs in grams.values():
+            if len(occs) > 1:
+                for doc_id, pos in sorted(occs)[1:]:
+                    marked[doc_id].append(pos)
+        out = []
+        for doc_id, positions in marked.items():
+            positions = sorted(set(positions))
+            start = prev = positions[0]
+            for p in positions[1:]:
+                if p - prev <= k:
+                    prev = p
+                else:
+                    out.append((doc_id, start, prev + k - 1))
+                    start = prev = p
+            out.append((doc_id, start, prev + k - 1))
+        return sorted(out)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_bruteforce(self, spark, seed):
+        import random
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab => many repeats
+        docs = [(d, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(2, 60))))
+                for d in range(1, 15)]
+        k = 3 + (seed % 2)
+        assert _spark_spans_k(spark, docs, k) == self._expected(docs, k)

@@ -151,3 +151,43 @@ def test_quality_and_pii_layers_run_on_streams(spark, tmp_path):
         assert got[d]["pii_clean"] == batch[d]["pii_clean"]
     assert "<EMAIL>" in got[1]["redacted"]
     assert got[2]["redacted"].endswith("perfectly clean prose")
+
+
+def test_langid_and_bpe_encode_run_on_streams(spark, tmp_path):
+    """The round-3 additions are stateless per-row stages too: language
+    detection (pure projection over profile literals) and BPE encoding
+    (Arrow-batched kernel) apply to a readStream unchanged, and the
+    stream output equals the batch run on the same rows."""
+    from agnostic_blockchain_etl_spark.operators.bpe import (
+        bpe_encode, train_bpe_merges)
+    from agnostic_blockchain_etl_spark.operators.langid import \
+        detect_language
+
+    rows = [(1, "kala pesu talo kala vesi kala pesu"),
+            (2, "zorro grillo burro zorro torre grillo")]
+    src = str(tmp_path / "lsrc")
+    os.makedirs(src)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    profiles = {"aa": ["kal", "ala", "pes"], "bb": ["zor", "orr", "gri"]}
+    merges = train_bpe_merges([("kala", 3), ("zorro", 2)], 5)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = (detect_language(stream, profiles)
+           .join(bpe_encode(stream, merges)
+                 .select("doc_id", "n_bpe_tokens"), "doc_id"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("langid_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.table("langid_stream").collect()}
+    assert got[1]["detected_lang"] == "aa"
+    assert got[2]["detected_lang"] == "bb"
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    batch = {r["doc_id"]: r for r in
+             bpe_encode(batch_df, merges).collect()}
+    for d in (1, 2):
+        assert got[d]["n_bpe_tokens"] == batch[d]["n_bpe_tokens"]
