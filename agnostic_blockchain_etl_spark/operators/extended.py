@@ -17,7 +17,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import epoch_day, events_us, load_tables
+from .tables import epoch_day, events_us, load_tables, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -173,7 +173,10 @@ def evm_kernel_roundtrip(spark, sf_dir):
     row. A wrong hash, topic layout, or ABI word decode flips a hashed
     column."""
     t = load_tables(spark, sf_dir, ("documents",))
-    t["documents"].createOrReplaceTempView("documents")
+    # ~5 pure-Python keccaks per row: a single-row-group scan would pin
+    # every kernel invocation to ONE Arrow worker (measured 16 s at
+    # sf0.1; ~1 s spread across the session's workers)
+    spread(t["documents"]).createOrReplaceTempView("documents")
     return spark.sql("""
         WITH built AS (
             SELECT doc_id, source,
