@@ -549,7 +549,8 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
          .alias("is_canonical"))
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(pairs: DataFrame,
+                         local_finish_edges: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected pair frame (first two
     columns = the two vertex ids, e.g. ``doc_a``/``doc_b``): returns
     ``(doc_id, label)`` for every vertex that appears in a pair, where
@@ -592,7 +593,22 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
     No all-pairs anywhere — edges come from the caller's banded/
     bucketed candidate join, and the iterated state is the shrinking
-    contracted subgraph, orders of magnitude smaller than the corpus."""
+    contracted subgraph, orders of magnitude smaller than the corpus.
+
+    **Hybrid local finish**: once the residual graph has at most
+    ``local_finish_edges`` symmetric edge rows (driver-bounded: 1M rows
+    ≈ 16 MB of ids), the remaining rounds collapse into one collect +
+    union-find on the driver — the same pattern GraphFrames uses to cut
+    its algorithm's tail. Each distributed round costs a fixed number
+    of jobs (label groupBy, contraction join, checkpoint) regardless of
+    how small the residual got, and contraction shrinks the graph
+    geometrically, so the tail rounds are pure scheduling overhead: at
+    sf0.1 the whole near-dup graph (55.8k symmetric rows) finishes
+    locally in one job where three distributed rounds took ~2.5 s. At
+    100 TB the first rounds still run distributed; the threshold only
+    decides where the geometric tail is cut. ``local_finish_edges=0``
+    forces the pure distributed path (used by the differential tests so
+    both paths stay covered)."""
     pairs = pairs.select(
         F.col(pairs.columns[0]).alias("doc_a"),
         F.col(pairs.columns[1]).alias("doc_b"))
@@ -617,8 +633,19 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     spark.conf.set(conf_key, str(iter_parts))
     try:
         mappings = []
+        local_root = None
         cur = e1
         for _round in range(64):
+            # counting a checkpointed frame is ~free and doubles as the
+            # emptiness probe the loop already needed
+            n_edges = cur.count()
+            if n_edges == 0:
+                break
+            if n_edges <= local_finish_edges:
+                local_root = spark.createDataFrame(
+                    _union_find_min(cur.collect()),
+                    "doc_id long, label long")
+                break
             lmap = (cur.groupBy(F.col("src").alias("doc_id"))
                     .agg(F.min(F.least(F.col("src"), F.col("dst")))
                          .alias("label"))
@@ -634,8 +661,6 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                            F.col("ld").alias("dst"))
                    .where(F.col("src") != F.col("dst"))
                    .distinct().localCheckpoint(eager=True))
-            if cur.isEmpty():
-                break
         else:
             raise RuntimeError(
                 "connected_components did not contract to empty in 64 "
@@ -644,9 +669,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         # except the final one onto the round-1 (all-vertices) map.
         # No checkpoints here — the chain is ≤ rounds joins over already-
         # checkpointed maps (linear lineage), evaluated lazily by the
-        # caller at the SESSION partition setting
-        root = mappings[-1]
-        for lmap in reversed(mappings[:-1]):
+        # caller at the SESSION partition setting. The local-finish root
+        # (labels for the residual graph's vertices — exactly what the
+        # remaining distributed rounds would have produced) composes
+        # through the SAME fold; vertices whose label already left the
+        # graph resolve via the left-join coalesce either way.
+        if local_root is not None:
+            root, rest = local_root, mappings
+        elif mappings:
+            root, rest = mappings[-1], mappings[:-1]
+        else:
+            return spark.createDataFrame([], "doc_id long, label long")
+        for lmap in reversed(rest):
             rm = root.toDF("mid", "rlabel")
             root = (lmap.join(rm, lmap["label"] == rm["mid"], "left")
                     .select("doc_id",
@@ -654,6 +688,32 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     finally:
         spark.conf.set(conf_key, session_parts)
     return root
+
+
+def _union_find_min(rows) -> list:
+    """Union-find with min-id representatives over collected residual
+    edges: attach the larger root under the smaller, so every final root
+    IS its component's minimum vertex id. Path compression keeps the
+    forest near-flat; input is the symmetric edge list (duplicates are
+    harmless unions). Returns ``[(vertex, component_min)]`` for every
+    vertex present in an edge."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:      # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(v, find(v)) for v in parent]
 
 
 # ---------------------------------------------------------------------------

@@ -362,13 +362,21 @@ class TestConnectedComponentsDifferential:
                           for b in nodes[i + 1:] if rng.random() < 0.5]
         return edges
 
+    # local_finish_edges=0 forces the pure distributed contraction path;
+    # the default exercises the driver union-find finish — both must
+    # agree with the reference union-find on every graph shape
     @pytest.mark.parametrize("seed", range(4))
-    def test_matches_union_find(self, spark, seed):
+    # 50 lands BETWEEN the initial and round-1 residual sizes of these
+    # graphs, so distributed rounds run first and the union-find finish
+    # composes through the per-round label maps
+    @pytest.mark.parametrize("local_finish", [0, 50, 1_000_000])
+    def test_matches_union_find(self, spark, seed, local_finish):
         from agnostic_blockchain_etl_spark.operators import (
             connected_components)
         edges = self._graph(seed)
         pairs = spark.createDataFrame(
             [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
         got = {r["doc_id"]: r["label"]
-               for r in connected_components(pairs).collect()}
+               for r in connected_components(
+                   pairs, local_finish_edges=local_finish).collect()}
         assert got == self._expected(edges)
