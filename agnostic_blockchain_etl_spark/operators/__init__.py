@@ -13,7 +13,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
                     minhash_wide, ngram_jaccard_pairs, simhash_pairs,
                     simhash_signatures)
-from .similarity import cosine_topk, ivf_train
+from .similarity import cosine_topk, ivf_train, semantic_dedup
 from .tables import load_tables
 from .mixture import mixture_weights
 from .multimodal import (audio_feature_stage, decode_features,
@@ -34,7 +34,7 @@ __all__ = [
     "duplicate_clusters", "exact_dedup",
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
     "simhash_pairs", "simhash_signatures",
-    "cosine_topk", "ivf_train",
+    "cosine_topk", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
     "repetition_signals",

@@ -364,3 +364,77 @@ def emb_label_centroids(spark, sf_dir):
                     F.col("col").alias("v"))
             .groupBy("label", "dim")
             .agg(F.round(F.avg("v"), 6).alias("centroid_v")))
+
+
+def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
+                   iters: int = 2) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a k-means
+    codebook, find cosine-≥``tau`` pairs WITHIN each cluster only, take
+    connected components over those pairs, and keep one representative
+    per duplicate group — the member LEAST similar to its cluster
+    centroid (the paper's keep rule: low-similarity examples carry the
+    most marginal information), ties broken by lowest ``vec_id``.
+
+    Returns one row per input vector: ``(vec_id, group_id,
+    cosine_to_centroid, keep)`` where ``group_id`` is the duplicate
+    group's minimum ``vec_id`` (singletons are their own group and are
+    always kept).
+
+    Scale shape: the ``nlist``-row codebook broadcasts; assignment is a
+    single broadcast pass over the corpus; the pairwise stage shuffles
+    each vector once on ``list_id`` so the quadratic term is bounded by
+    the largest cluster, not the corpus — ``nlist`` grows with corpus
+    size to hold expected cluster size constant (the paper runs 50k
+    clusters over 5B embeddings). A pathologically popular cluster is
+    the skew risk; the mitigation at 100 TB is splitting oversized lists
+    with a secondary sign-LSH key (``emb_near_dup_pairs``' bucketing)
+    before the self-join. Components then iterate only the near-dup
+    edge subgraph (`dedup.connected_components`), which is tiny
+    relative to the corpus at any realistic duplicate rate.
+
+    ``emb`` needs ``vec_id`` and an array-typed ``embedding``."""
+    from .dedup import connected_components
+
+    vecs = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("e"))
+    codebook = ivf_train(emb.sparkSession, emb, nlist, iters) \
+        .select("list_id", F.col("centroid").alias("ce"))
+
+    cos_c = (_dot(F.col("e"), F.col("ce")) /
+             (_norm(F.col("e")) * _norm(F.col("ce"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sc").desc(), "list_id")
+    assigned = (vecs.crossJoin(F.broadcast(codebook))
+                .withColumn("sc", cos_c)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                # carry the norm so the pairwise stage computes it once
+                # per vector instead of once per candidate pair
+                .select("vec_id", "e", "list_id",
+                        _norm(F.col("e")).alias("nrm"),
+                        F.round(F.col("sc"), 4).alias("cc")))
+
+    a = assigned.select(F.col("vec_id").alias("doc_a"),
+                        F.col("e").alias("ea"),
+                        F.col("nrm").alias("na"), "list_id")
+    b = assigned.select(F.col("vec_id").alias("doc_b"),
+                        F.col("e").alias("eb"),
+                        F.col("nrm").alias("nb"), "list_id")
+    cos_ab = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (a.join(b, "list_id")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .where(F.round(cos_ab, 6) >= tau)
+             .select("doc_a", "doc_b"))
+
+    labels = connected_components(pairs)
+    member = (assigned.select("vec_id", "cc")
+              .join(labels.withColumnRenamed("doc_id", "vec_id"),
+                    "vec_id", "left")
+              .withColumn("group_id",
+                          F.coalesce(F.col("label"), F.col("vec_id"))))
+    kw = Window.partitionBy("group_id").orderBy(F.col("cc").asc(), "vec_id")
+    return (member
+            .withColumn("keep",
+                        (F.row_number().over(kw) == 1).cast("int"))
+            .select("vec_id", "group_id",
+                    F.col("cc").alias("cosine_to_centroid"), "keep"))
