@@ -8,6 +8,7 @@ paired with DuckDB oracle SQL for the driver's correctness gate.
 
 from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
+from .lm import perplexity_score, train_unigram_lm
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
@@ -29,6 +30,7 @@ __all__ = [
     # are thin wrappers over these, bound to the testdata corpus)
     "bpe_encode", "train_bpe", "word_histogram",
     "detect_language", "train_language_profiles",
+    "perplexity_score", "train_unigram_lm",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",

@@ -1,0 +1,98 @@
+"""Unigram language-model quality scoring (the CCNet recipe,
+Wenzek et al. 2020, arXiv:1911.00359: score each document by LM
+negative-log-likelihood per token and bucket the corpus into
+head/middle/tail quality terciles — CCNet uses a KenLM 5-gram; the
+engine ships the unigram form whose statistics are exactly computable
+and cross-engine checkable, with the same scoring/bucketing plumbing).
+
+Model (fully deterministic, engine-portable):
+
+- tokenize with the corpus-wide whitespace rule (`dedup._spark_words`);
+- keep the ``vocab_size`` most frequent words (ties broken
+  lexicographically) over a training frame;
+- add-one smoothing against the KEPT vocab: ``p(w) = (c_w + 1) /
+  (T + V + 1)`` for in-vocab words, ``p(oov) = 1 / (T + V + 1)`` where
+  ``T`` is the total token count of the training frame and ``V`` the
+  kept-vocab size — every probability is positive and the model sums to
+  ≤ 1 over vocab ∪ {oov};
+- a document's score is the mean negative log-likelihood of its tokens
+  (lower = more "in-distribution"), empty docs score the OOV nll;
+- buckets: head/middle/tail at the exact NLL terciles of the scored
+  corpus (CCNet's split), computed with interpolated percentiles.
+
+Scale shape: training is one word-count shuffle with map-side partial
+aggregation plus a top-V ``TakeOrderedAndProject`` (the vocab is
+driver-small by construction); scoring broadcasts the V-row vocab and
+needs one (doc_id)-keyed shuffle for the per-doc mean; the tercile
+boundaries are a 1-row aggregate broadcast back over the scores. No
+Python in any hot path. At 100 TB the vocab table is still tiny (V is
+a knob), so the score stage stays a single broadcast-join pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _spark_words
+
+_DEFAULT_VOCAB = 30_000
+
+
+def train_unigram_lm(docs: DataFrame, text_col: str = "text",
+                     vocab_size: int = _DEFAULT_VOCAB) -> DataFrame:
+    """Train the unigram model; returns a small frame of
+    ``(word, nll)`` with ONE extra row ``(NULL, oov_nll)`` carrying the
+    out-of-vocabulary cost, so the whole model is a single broadcastable
+    artifact (persist it as parquet to reuse across scoring runs)."""
+    words = (docs.select(F.explode(_spark_words(F.col(text_col)))
+                         .alias("word"))
+             .groupBy("word").agg(F.count("*").alias("c")))
+    top = (words.orderBy(F.col("c").desc(), "word").limit(vocab_size))
+    # T counts EVERY token (in- and out-of-vocab); V counts kept words.
+    totals = top.agg(F.sum("c").alias("kept")).crossJoin(
+        words.agg(F.sum("c").alias("t"), F.count("*").alias("n_words")))
+    stats = totals.select(
+        "t", F.least(F.lit(vocab_size), F.col("n_words")).alias("v"))
+    scored = (top.crossJoin(F.broadcast(stats))
+              .select("word",
+                      (-F.log((F.col("c") + 1) /
+                              (F.col("t") + F.col("v") + 1))).alias("nll")))
+    oov = stats.select(F.lit(None).cast("string").alias("word"),
+                       (-F.log(1 / (F.col("t") + F.col("v") + 1)))
+                       .alias("nll"))
+    return scored.unionAll(oov)
+
+
+def perplexity_score(docs: DataFrame, model: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Score ``docs`` (needs ``doc_id``) against a trained model frame:
+    returns ``(doc_id, n_tokens, avg_nll, bucket)`` with ``avg_nll``
+    rounded to 6 and ``bucket`` ∈ head|middle|tail at the exact NLL
+    terciles of this scored set (head = lowest NLL, the CCNet keep
+    set)."""
+    oov = model.where(F.col("word").isNull()) \
+               .select(F.col("nll").alias("oov_nll"))
+    vocab = model.where(F.col("word").isNotNull())
+    toks = docs.select("doc_id",
+                       F.explode_outer(_spark_words(F.col(text_col)))
+                       .alias("word"))
+    per_doc = (toks.join(F.broadcast(vocab), "word", "left")
+               .crossJoin(F.broadcast(oov))
+               .groupBy("doc_id")
+               .agg(F.count("word").alias("n_tokens"),
+                    F.round(F.coalesce(F.avg(F.coalesce("nll", "oov_nll")),
+                                       F.first("oov_nll")), 6)
+                     .alias("avg_nll")))
+    # boundaries round to the same 6dp grid as the scores: interpolated
+    # percentiles differ by 1 ulp across engines (a+(b-a)*f vs
+    # a*(1-f)+b*f), and a doc sitting exactly ON a boundary would
+    # otherwise flip buckets between engines
+    bounds = per_doc.agg(
+        F.round(F.expr("percentile(avg_nll, 1.0/3.0)"), 6).alias("b1"),
+        F.round(F.expr("percentile(avg_nll, 2.0/3.0)"), 6).alias("b2"))
+    return (per_doc.crossJoin(F.broadcast(bounds))
+            .select("doc_id", "n_tokens", "avg_nll",
+                    F.when(F.col("avg_nll") <= F.col("b1"), "head")
+                     .when(F.col("avg_nll") <= F.col("b2"), "middle")
+                     .otherwise("tail").alias("bucket")))

@@ -1,0 +1,123 @@
+"""Unigram-LM perplexity scoring: DuckDB cross-engine parity of the full
+train+score pipeline, plus the semantic properties the parity check can't
+state (in-distribution text scores lower, OOV text lands in tail, the
+smoothed model is a proper sub-distribution)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.lm import (  # noqa: E402
+    perplexity_score, train_unigram_lm)
+
+# A corpus with a clear "in-distribution" register (common words, many
+# repeats) and two off-register docs: one rare-word, one gibberish.
+DOCS = [
+    (1, "the cat sat on the mat and the dog sat on the rug"),
+    (2, "the dog and the cat ran to the mat near the rug"),
+    (3, "a cat and a dog sat near the mat on a rug"),
+    (4, "the the the cat cat dog dog mat mat rug rug and and"),
+    (5, "sat ran near the cat dog mat rug on and a to the"),
+    (6, "the perspicacious cat pondered zygomorphic phantasmagoria "
+        "on the mat"),                                             # mixed
+    (7, "xqzt vvkpl wjrn mmtb qqos zzli ffgh aauu"),               # oov
+    (8, "the cat"),
+    (9, "dog on rug"),
+    (10, "and the dog ran to the cat on the mat near a rug"),
+]
+VOCAB = 12
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _spark_scores(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_unigram_lm(df, vocab_size=VOCAB)
+    return {r.doc_id: (r.n_tokens, r.avg_nll, r.bucket)
+            for r in perplexity_score(df, model).collect()}
+
+
+def _duck_scores():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+    rows = con.execute(f"""
+        WITH words_t AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS word
+            FROM d),
+        counts AS (SELECT word, count(*) AS c FROM words_t GROUP BY word),
+        top AS (SELECT word, c FROM counts
+                ORDER BY c DESC, word LIMIT {VOCAB}),
+        stats AS (SELECT (SELECT sum(c) FROM counts) AS t,
+                         (SELECT least({VOCAB}, count(*)) FROM counts) AS v),
+        vocab AS (SELECT word, -ln((c + 1.0) / (t + v + 1)) AS nll
+                  FROM top CROSS JOIN stats),
+        oov AS (SELECT -ln(1.0 / (t + v + 1)) AS oov_nll FROM stats),
+        perdoc AS (
+            SELECT w.doc_id, count(w.word) AS n_tokens,
+                   round(avg(coalesce(vb.nll, o.oov_nll)), 6) AS avg_nll
+            FROM words_t w
+            LEFT JOIN vocab vb USING (word) CROSS JOIN oov o
+            GROUP BY w.doc_id),
+        bounds AS (SELECT round(quantile_cont(avg_nll, 1.0/3.0), 6) AS b1,
+                          round(quantile_cont(avg_nll, 2.0/3.0), 6) AS b2
+                   FROM perdoc)
+        SELECT doc_id, n_tokens, avg_nll,
+               CASE WHEN avg_nll <= b1 THEN 'head'
+                    WHEN avg_nll <= b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM perdoc CROSS JOIN bounds
+    """).fetchall()
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+def test_cross_engine_parity(spark):
+    got, want = _spark_scores(spark), _duck_scores()
+    assert set(got) == set(want)
+    for doc_id in want:
+        g, w = got[doc_id], want[doc_id]
+        assert g[0] == w[0], f"n_tokens mismatch doc {doc_id}"
+        assert abs(g[1] - w[1]) <= 1e-6, f"avg_nll mismatch doc {doc_id}"
+        assert g[2] == w[2], f"bucket mismatch doc {doc_id}: {g} vs {w}"
+
+
+def test_off_register_docs_score_worse(spark):
+    s = _spark_scores(spark)
+    in_dist = max(s[d][1] for d in (1, 2, 3, 10))
+    assert s[6][1] > in_dist, "rare-word doc must score above in-dist docs"
+    assert s[7][1] > s[6][1], "pure-OOV doc must score worst of all"
+    assert s[7][2] == "tail"
+
+
+def test_buckets_are_terciles(spark):
+    s = _spark_scores(spark)
+    from collections import Counter
+    c = Counter(v[2] for v in s.values())
+    # 10 docs -> no bucket may dominate; each tercile is populated
+    assert set(c) == {"head", "middle", "tail"}
+    assert max(c.values()) <= 5
+
+
+def test_model_is_sub_distribution(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_unigram_lm(df, vocab_size=VOCAB).collect()
+    oov = [r for r in model if r.word is None]
+    assert len(oov) == 1
+    total = sum(math.exp(-r.nll) for r in model)
+    assert 0.0 < total <= 1.0 + 1e-9
+    # every kept word is strictly cheaper than OOV
+    assert all(r.nll < oov[0].nll for r in model if r.word is not None)
