@@ -20,6 +20,7 @@ from .mixture import mixture_weights
 from .multimodal import (audio_feature_stage, decode_features,
                          resize_images, sample_frames)
 from .pii import pii_scrub
+from .shards import balanced_shard_assign, write_training_shards
 from .profile import profile_table
 from .spans import duplicate_spans, span_dedup_stats
 from .textstats import repetition_signals, text_stats
@@ -43,6 +44,7 @@ __all__ = [
     "duplicate_spans",
     "mixture_weights",
     "pii_scrub",
+    "balanced_shard_assign", "write_training_shards",
     "profile_table",
     "span_dedup_stats",
     "text_stats",
