@@ -71,6 +71,44 @@ def test_corpus_prep_pipeline(spark, tmp_path):
     assert a == b
 
 
+def test_postpass_lm_scoring_and_shard_write(spark, tmp_path):
+    """The global post-pass a real corpus pipeline runs AFTER micro-batch
+    ingest: train the unigram LM on the sink's train split, score every
+    chunk, and write the train split as token-balanced shards — the new
+    operators compose with the pipeline machinery's output unchanged."""
+    from agnostic_blockchain_etl_spark.operators import (
+        perplexity_score, train_unigram_lm, write_training_shards)
+
+    sink = f"post_{uuid.uuid4().hex[:8]}"
+    conf = PipelineConfig.from_yaml(
+        os.path.join(EXAMPLES, "corpus_prep", "pipeline.yaml"), env={})
+    templates = TemplateSet.load(os.path.join(EXAMPLES, "corpus_prep"))
+    run_pipeline(SparkExecutor(spark), templates, conf, {
+        "SOURCE_PATH": f"{SF_DIR}/documents.parquet",
+        "TARGET_PATH": str(tmp_path / "post_chunks"),
+        "SINK_TABLE": sink})
+    chunks = spark.table(sink)
+    train = chunks.where(F.col("split") == "train")
+
+    model = train_unigram_lm(train, text_col="chunk_text", vocab_size=5000)
+    scored = perplexity_score(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text")),
+        model)
+    assert scored.count() == chunks.count()
+    buckets = {r.bucket for r in
+               scored.select("bucket").distinct().collect()}
+    assert buckets == {"head", "middle", "tail"}
+
+    summary = write_training_shards(
+        train, str(tmp_path / "train_shards"), "n_tokens", 4,
+        key_col="doc_id", order_cols=("doc_id", "chunk_id")).collect()
+    ws = [r.total_weight for r in summary]
+    assert len(ws) == 4 and max(ws) / min(ws) < 1.3
+    assert sum(r.n_rows for r in summary) == train.count()
+
+
 def test_pipeline_redacts_pii(spark, tmp_path):
     """A crafted source with an email address must reach the sink with the
     placeholder, proving the scrub stage runs inside the pipeline."""
