@@ -10,6 +10,7 @@ from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
 from .lm import perplexity_score, train_unigram_lm
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
+from .curate import curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_lsh_pairs,
                     minhash_wide, ngram_jaccard_pairs, simhash_pairs,
@@ -33,6 +34,7 @@ __all__ = [
     "detect_language", "train_language_profiles",
     "perplexity_score", "train_unigram_lm",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
+    "curate_corpus",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
     "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",

@@ -1,0 +1,129 @@
+"""One-call corpus curation: the full pre-training data recipe
+(FineWeb/CCNet-shaped) composed from the engine's operators —
+
+    PII scrub → quality signals → exact dedup → MinHash-LSH near-dup
+    clustering → (optional) benchmark decontamination → unigram-LM
+    perplexity buckets → final keep flag
+
+**Flag, don't filter**: every stage ANNOTATES the corpus with its
+verdict and the final ``keep`` is the conjunction, computed in one DAG.
+That is the Spark-first shape — no stage materializes a filtered copy of
+a 100 TB corpus, Catalyst fuses the scrub/quality/score projections onto
+one scan, and the per-stage report is ONE aggregation over the final
+frame instead of a count() action per stage. It is also what a data
+auditor needs: the reason a document died is a column, not an absence.
+
+Dedup (exact and near-dup) keys on the ORIGINAL text, not the redacted
+text, mirroring ``examples/corpus_prep``: a redaction-rule change must
+never resurrect duplicates.
+
+The LM is trained only on documents that survive every earlier stage —
+scoring against a model fit to the kept distribution, not to the
+garbage being removed — then every document is scored (so the report
+can show what the tail looked like).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components, exact_dedup, minhash_lsh_pairs
+from .lm import perplexity_score, train_unigram_lm
+from .pii import pii_scrub
+from .textstats import text_stats
+
+
+def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
+                  vocab_size: int = 20_000,
+                  max_contamination: float = 0.2,
+                  drop_tail: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
+    curation verdict and return ``(annotated, report)``.
+
+    ``annotated``: doc_id, text (redacted), lang, n_words, pii_clean,
+    quality_keep, exact_keep, neardup_keep, decontam_keep, bucket,
+    avg_nll, keep — one row per input document.
+
+    ``report``: a single row of per-stage survivor counts plus the kept
+    token total — the number a capacity plan actually wants."""
+    base = docs.select("doc_id", "text", "lang")
+
+    scrub = pii_scrub(base).select("doc_id", "pii_clean",
+                                   F.col("redacted"))
+    quality = (text_stats(base.join(scrub.select("doc_id", "redacted"),
+                                    "doc_id")
+                          .select("doc_id",
+                                  F.col("redacted").alias("text"), "lang"))
+               .select("doc_id", F.col("ws_tokens").alias("n_words"),
+                       "quality_keep"))
+
+    exact = exact_dedup(base)
+    exact_flag = (base
+                  .select("doc_id",
+                          F.md5(F.col("text").cast("binary"))
+                          .alias("content_key"))
+                  .join(exact.select("content_key", "keep_doc_id"),
+                        "content_key")
+                  .select("doc_id",
+                          (F.col("doc_id") == F.col("keep_doc_id"))
+                          .cast("int").alias("exact_keep")))
+
+    labels = connected_components(minhash_lsh_pairs(base)
+                                  .select("doc_a", "doc_b"))
+    neardup_flag = (base.select("doc_id")
+                    .join(labels.withColumnRenamed("doc_id", "d")
+                          .withColumnRenamed("label", "cluster"),
+                          F.col("doc_id") == F.col("d"), "left")
+                    .select("doc_id",
+                            F.when(F.col("cluster").isNull()
+                                   | (F.col("cluster") == F.col("doc_id")),
+                                   1).otherwise(0).alias("neardup_keep")))
+
+    annotated = (base.join(scrub, "doc_id")
+                 .join(quality, "doc_id")
+                 .join(exact_flag, "doc_id")
+                 .join(neardup_flag, "doc_id"))
+
+    if eval_docs is not None:
+        from .dedup import decontaminate
+        contam = decontaminate(base, eval_docs, max_contamination) \
+            .select("doc_id", "decontam_keep")
+        annotated = annotated.join(contam, "doc_id", "left") \
+            .withColumn("decontam_keep",
+                        F.coalesce("decontam_keep", F.lit(1)))
+    else:
+        annotated = annotated.withColumn("decontam_keep", F.lit(1))
+
+    pre_lm_keep = (F.col("pii_clean") * F.col("quality_keep")
+                   * F.col("exact_keep") * F.col("neardup_keep")
+                   * F.col("decontam_keep"))
+    survivors = annotated.where(pre_lm_keep == 1) \
+        .select("doc_id", F.col("redacted").alias("text"))
+    model = train_unigram_lm(survivors, vocab_size=vocab_size)
+    scored = perplexity_score(
+        annotated.select("doc_id", F.col("redacted").alias("text")), model)
+
+    lm_keep = (F.col("bucket") != "tail").cast("int") if drop_tail \
+        else F.lit(1)
+    final = (annotated
+             .join(scored.select("doc_id", "avg_nll", "bucket"), "doc_id")
+             .withColumn("lm_keep", lm_keep)
+             .withColumn("keep", (pre_lm_keep * F.col("lm_keep"))
+                         .cast("int"))
+             .select("doc_id", F.col("redacted").alias("text"), "lang",
+                     "n_words", "pii_clean", "quality_keep", "exact_keep",
+                     "neardup_keep", "decontam_keep", "avg_nll", "bucket",
+                     "lm_keep", "keep"))
+
+    report = final.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pii_clean").alias("n_pii_clean"),
+        F.sum("quality_keep").alias("n_quality"),
+        F.sum("exact_keep").alias("n_exact"),
+        F.sum("neardup_keep").alias("n_neardup"),
+        F.sum("decontam_keep").alias("n_decontam"),
+        F.sum("lm_keep").alias("n_lm"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("n_words")).alias("kept_tokens"))
+    return final, report

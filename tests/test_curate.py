@@ -1,0 +1,107 @@
+"""One-call corpus curation: every stage's verdict lands as a column,
+the final keep is their conjunction, planted bad documents die for the
+right reason, and the report is consistent with the flags."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.curate import (  # noqa: E402
+    curate_corpus)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Real corpus plus planted offenders: an exact duplicate (doc_id
+    900001 copies the corpus's min doc), a PII doc, and a too-short doc."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    filler = " ".join(f"token{i}" for i in range(40))
+    planted = spark.createDataFrame(
+        [(900001, victim.text, victim.lang),
+         (900002, f"{filler} write to alice@example.com today", "en"),
+         (900003, "way too short", "en")],
+        "doc_id long, text string, lang string")
+    return docs.unionByName(planted), victim.doc_id
+
+
+@pytest.fixture(scope="module")
+def curated(spark, corpus):
+    docs, victim_id = corpus
+    annotated, report = curate_corpus(docs, vocab_size=5000)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    return rows, report.collect()[0], victim_id, docs.count()
+
+
+def test_every_doc_annotated_once(curated):
+    rows, report, _, n = curated
+    assert len(rows) == n == report.n_docs
+
+
+def test_keep_is_conjunction_of_flags(curated):
+    rows, _, _, _ = curated
+    for r in rows.values():
+        assert r.keep == (r.pii_clean * r.quality_keep * r.exact_keep
+                          * r.neardup_keep * r.decontam_keep * r.lm_keep)
+
+
+def test_planted_offenders_die_for_the_right_reason(curated):
+    rows, _, victim_id, _ = curated
+    dup = rows[900001]
+    assert dup.exact_keep == 0 and dup.keep == 0
+    assert rows[victim_id].exact_keep == 1, "first occurrence survives"
+    pii = rows[900002]
+    assert pii.pii_clean == 0 and pii.keep == 0
+    assert "alice@example.com" not in pii.text, "output text is redacted"
+    assert "<EMAIL>" in pii.text
+    short = rows[900003]
+    assert short.quality_keep == 0 and short.keep == 0
+
+
+def test_report_matches_flags(curated):
+    rows, report, _, _ = curated
+    assert report.n_kept == sum(r.keep for r in rows.values())
+    assert report.n_exact == sum(r.exact_keep for r in rows.values())
+    assert report.kept_tokens == sum(r.n_words for r in rows.values()
+                                     if r.keep)
+    assert 0 < report.n_kept < report.n_docs
+
+
+def test_lm_buckets_cover_terciles(curated):
+    rows, _, _, _ = curated
+    buckets = {r.bucket for r in rows.values()}
+    assert buckets == {"head", "middle", "tail"}
+    # drop_tail: every tail doc is lm-dropped, every head doc lm-kept
+    for r in rows.values():
+        assert r.lm_keep == (0 if r.bucket == "tail" else 1)
+
+
+def test_decontamination_flag(spark, corpus):
+    """Using a slice of the corpus as the 'benchmark' must flag exactly
+    those documents as contaminated."""
+    docs, _ = corpus
+    eval_docs = docs.orderBy("doc_id").limit(5)
+    eval_ids = {r.doc_id for r in eval_docs.select("doc_id").collect()}
+    annotated, _ = curate_corpus(docs, eval_docs=eval_docs,
+                                 vocab_size=5000)
+    flags = {r.doc_id: r.decontam_keep for r in annotated.collect()}
+    for d in eval_ids:
+        assert flags[d] == 0, f"doc {d} is verbatim in the eval set"
+    clean = [d for d in flags if d not in eval_ids and d != 900001]
+    assert sum(flags[d] for d in clean) > len(clean) * 0.9
