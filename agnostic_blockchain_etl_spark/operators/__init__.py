@@ -12,9 +12,11 @@ from .lm import perplexity_score, train_unigram_lm
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .curate import curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
-                    duplicate_clusters, exact_dedup, minhash_lsh_pairs,
-                    minhash_wide, ngram_jaccard_pairs, simhash_pairs,
-                    simhash_signatures)
+                    duplicate_clusters, exact_dedup, minhash_bands,
+                    minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
+                    simhash_pairs, simhash_signatures)
+from .incremental import (incremental_dedup, incremental_neardup_pairs,
+                          signature_store)
 from .similarity import cosine_topk, ivf_train, semantic_dedup
 from .tables import load_tables
 from .mixture import mixture_weights
@@ -37,7 +39,9 @@ __all__ = [
     "curate_corpus",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
-    "minhash_lsh_pairs", "minhash_wide", "ngram_jaccard_pairs",
+    "minhash_bands", "minhash_lsh_pairs", "minhash_wide",
+    "ngram_jaccard_pairs",
+    "incremental_dedup", "incremental_neardup_pairs", "signature_store",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",

@@ -289,6 +289,20 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(t["documents"])
 
 
+def minhash_bands(wide: DataFrame) -> DataFrame:
+    """LSH band digests of a `minhash_wide` frame, unpivoted to one
+    ``(doc_id, band, bucket)`` row per band — the join key of every LSH
+    candidate search (within-corpus and incremental-vs-store alike)."""
+    band_cols = [
+        F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
+                                 for r in range(_R)]).cast("binary"))
+         .alias(f"band{j}") for j in range(_B)]
+    return wide.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        f"stack({_B}, " + ", ".join(f"{j}, band{j}" for j in range(_B)) +
+        ") as (band, bucket)")
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified by exact Jaccard.
 
@@ -300,14 +314,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # expensive stage — compute it once)
     doc_sh_full = _scoped_cache(doc_shingles(docs).select("doc_id", "h"))
     wide = minhash_wide(doc_sh_full)
-    band_cols = [
-        F.md5(F.concat_ws("-", *[F.col(f"m{j * _R + r}").cast("string")
-                                 for r in range(_R)]).cast("binary"))
-         .alias(f"band{j}") for j in range(_B)]
-    bands = wide.select("doc_id", *band_cols).selectExpr(
-        "doc_id",
-        f"stack({_B}, " + ", ".join(f"{j}, band{j}" for j in range(_B)) +
-        ") as (band, bucket)")
+    bands = minhash_bands(wide)
     cand = (bands.alias("x")
             .join(bands.alias("y"),
                   (F.col("x.band") == F.col("y.band")) &

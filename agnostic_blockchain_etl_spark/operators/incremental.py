@@ -1,0 +1,131 @@
+"""Incremental near-dup dedup against a persisted signature store — the
+day-2 operation of a 100 TB corpus: yesterday's corpus is already
+deduplicated and its MinHash signatures sit in a store table; today's
+batch must be checked against HISTORY and against ITSELF without ever
+re-reading (let alone re-shingling) the historical text.
+
+The store holds one row per retained document: the K-component MinHash
+signature (`dedup.minhash_wide`'s m0..m15). Everything the incremental
+pass needs derives from it:
+
+- **candidates** come from LSH band-digest equality (`minhash_bands`),
+  new-vs-store and new-vs-new — the same banding as the full-corpus
+  pass, so a pair the batch pipeline would have caught is caught here;
+- **verification** uses the unbiased MinHash estimate of Jaccard (the
+  fraction of matching signature components) instead of exact shingle
+  intersection — historical shingle sets are exactly what a store must
+  NOT keep (they are the size of the corpus; K longs per doc is not).
+  Estimator granularity is 1/K; pick the threshold on that grid.
+
+Scale shape: the store is read once per batch as a (band, bucket)-keyed
+join — at production scale the store is WRITTEN bucketed by band digest
+(`sources/bucketed.py`) so this join co-locates without a store-side
+shuffle and the new batch (the small side) is the only thing moving.
+Store updates append only the KEPT documents' signatures, so the store
+stays exactly one row per retained doc and replaying a batch is
+idempotent at the store level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (_K, connected_components, doc_shingles, minhash_bands,
+                    minhash_wide)
+
+_EST_THRESHOLD = 0.5   # on the 1/K grid; K=16 -> 8+ matching components
+
+
+def signature_store(docs: DataFrame) -> DataFrame:
+    """Build the persistable signature artifact for ``docs``
+    (``doc_id``/``text``): one row per doc, ``doc_id, m0..m{K-1}``.
+    Persist as parquet (bucketed by band digest at scale) and feed back
+    into :func:`incremental_dedup` for every subsequent batch."""
+    return minhash_wide(doc_shingles(docs).select("doc_id", "h"))
+
+
+def _est_jaccard(a: DataFrame, b: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Annotate candidate ``(doc_a, doc_b)`` pairs with the MinHash
+    Jaccard estimate: mean over K components of [m_i(a) == m_i(b)]."""
+    eq = [(F.col(f"xa.m{i}") == F.col(f"xb.m{i}")).cast("int")
+          for i in range(_K)]
+    est = sum(eq) / float(_K)
+    return (pairs
+            .join(a.alias("xa"), F.col("xa.doc_id") == F.col("doc_a"))
+            .join(b.alias("xb"), F.col("xb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.round(est, 4).alias("est_jaccard")))
+
+
+def incremental_neardup_pairs(new_docs: DataFrame, store: DataFrame,
+                              threshold: float = _EST_THRESHOLD
+                              ) -> DataFrame:
+    """Near-dup pairs of a new batch: ``(doc_a, doc_b, est_jaccard,
+    against)`` where ``against`` is ``'history'`` (doc_a in the store,
+    doc_b in the batch) or ``'batch'`` (both new, doc_a < doc_b).
+    ``new_docs`` doc_ids must be disjoint from the store's."""
+    new_sigs = signature_store(new_docs)
+    new_bands = minhash_bands(new_sigs)
+    store_bands = minhash_bands(store)
+
+    hist_cand = (store_bands.alias("x").join(
+        new_bands.alias("y"),
+        (F.col("x.band") == F.col("y.band")) &
+        (F.col("x.bucket") == F.col("y.bucket")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct())
+    batch_cand = (new_bands.alias("x").join(
+        new_bands.alias("y"),
+        (F.col("x.band") == F.col("y.band")) &
+        (F.col("x.bucket") == F.col("y.bucket")) &
+        (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct())
+
+    hist = _est_jaccard(store, new_sigs, hist_cand) \
+        .withColumn("against", F.lit("history"))
+    batch = _est_jaccard(new_sigs, new_sigs, batch_cand) \
+        .withColumn("against", F.lit("batch"))
+    return (hist.unionByName(batch)
+            .where(F.col("est_jaccard") >= threshold))
+
+
+def incremental_dedup(new_docs: DataFrame, store: DataFrame,
+                      threshold: float = _EST_THRESHOLD
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Run the incremental pass: returns ``(annotated, updated_store)``.
+
+    ``annotated`` is one row per NEW doc: ``doc_id, dup_of_history,
+    batch_group, keep`` — a doc is kept iff it matches nothing in the
+    store and is the canonical (minimum-id) member of its within-batch
+    duplicate group. ``updated_store`` is the store plus the kept new
+    docs' signatures (dropped dups never enter, so replay is
+    idempotent)."""
+    new_sigs = signature_store(new_docs)
+    pairs = incremental_neardup_pairs(new_docs, store, threshold)
+
+    hist_hit = (pairs.where(F.col("against") == "history")
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.min("doc_a").alias("dup_of_history")))
+    batch_groups = connected_components(
+        pairs.where(F.col("against") == "batch")
+        .select("doc_a", "doc_b"))
+
+    annotated = (new_docs.select("doc_id")
+                 .join(hist_hit, "doc_id", "left")
+                 .join(batch_groups.withColumnRenamed("label",
+                                                      "batch_group"),
+                       "doc_id", "left")
+                 .select("doc_id", "dup_of_history",
+                         F.coalesce("batch_group", "doc_id")
+                         .alias("batch_group"))
+                 .withColumn("keep",
+                             (F.col("dup_of_history").isNull() &
+                              (F.col("batch_group") == F.col("doc_id")))
+                             .cast("int")))
+    kept_sigs = new_sigs.join(
+        annotated.where(F.col("keep") == 1).select("doc_id"), "doc_id")
+    return annotated, store.unionByName(kept_sigs)

@@ -1,0 +1,119 @@
+"""Incremental dedup against a signature store: planted duplicates are
+caught against history and within the batch, clean documents pass, the
+store update is exactly the kept set, and replaying a batch is
+idempotent. The estimator is sanity-checked against exact Jaccard on
+the planted near-pair."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.incremental import (  # noqa: E402
+    incremental_dedup, incremental_neardup_pairs, signature_store)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="module")
+def setting(spark):
+    """History = corpus docs with even doc_id; batch = a disjoint slice
+    of odd docs plus planted offenders: an exact copy of a history doc,
+    a near copy (last 3 words dropped), and an exact within-batch dup."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch_base = docs.where((F.col("doc_id") % 2 == 1) &
+                            (F.col("doc_id") < 100))
+    victim = history.orderBy("doc_id").limit(1).collect()[0]
+    near_text = " ".join(victim.text.split()[:-3])
+    batch_doc = batch_base.orderBy("doc_id").limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(910000, victim.text),          # exact dup of history
+         (910001, near_text),            # near dup of history
+         (910002, batch_doc.text)],      # exact dup WITHIN the batch
+        "doc_id long, text string")
+    batch = batch_base.unionByName(planted)
+    store = signature_store(history)
+    return history, batch, store, victim.doc_id, batch_doc.doc_id
+
+
+def test_planted_dups_caught(spark, setting):
+    _, batch, store, victim_id, batch_victim = setting
+    ann = {r.doc_id: r for r in
+           incremental_dedup(batch, store)[0].collect()}
+    exact = ann[910000]
+    assert exact.dup_of_history == victim_id and exact.keep == 0
+    near = ann[910001]
+    # the near copy may estimate-match any member of the victim's
+    # near-dup family in history (the synthetic corpus plants families);
+    # the contract is that a history match exists and the doc dies
+    assert near.dup_of_history is not None and near.keep == 0
+    within = ann[910002]
+    assert within.dup_of_history is None
+    assert within.batch_group == batch_victim and within.keep == 0
+    assert ann[batch_victim].keep == 1, "canonical batch member survives"
+
+
+def test_estimator_vs_exact_jaccard(spark, setting):
+    """The MinHash estimate for the exact-copy pair must be 1.0, and the
+    near-copy estimate must be within estimator noise (1/sqrt(K) ≈ 0.25)
+    of the true shingle Jaccard."""
+    from agnostic_blockchain_etl_spark.operators.dedup import doc_shingles
+    history, batch, store, victim_id, _ = setting
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in incremental_neardup_pairs(batch, store,
+                                                threshold=0.0).collect()}
+    assert pairs[(victim_id, 910000)] == 1.0
+    found = sorted((a, j) for (a, b), j in pairs.items() if b == 910001)
+    assert found, "the near copy must band-match some history doc"
+    a_id, est = found[0]
+    both = doc_shingles(
+        history.where(F.col("doc_id") == a_id)
+        .unionByName(batch.where(F.col("doc_id") == 910001))) \
+        .select("doc_id", "h").collect()
+    a = {r.h for r in both if r.doc_id == a_id}
+    b = {r.h for r in both if r.doc_id == 910001}
+    true_j = len(a & b) / len(a | b)
+    assert abs(est - true_j) <= 0.25
+
+
+def test_store_update_is_kept_set_and_replay_idempotent(spark, setting):
+    _, batch, store, _, _ = setting
+    ann, updated = incremental_dedup(batch, store)
+    kept = {r.doc_id for r in ann.where(F.col("keep") == 1).collect()}
+    store_ids = {r.doc_id for r in store.select("doc_id").collect()}
+    updated_ids = {r.doc_id for r in updated.select("doc_id").collect()}
+    assert updated_ids == store_ids | kept
+    # replaying the SAME batch against the updated store: every doc now
+    # collides with its own stored signature -> nothing new is kept
+    replay = batch.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    replay_ann, _ = incremental_dedup(replay, updated)
+    replay_kept = replay_ann.where(F.col("keep") == 1).count()
+    assert replay_kept == 0, "a replayed batch must add nothing"
+
+
+def test_disjoint_batch_all_kept(spark):
+    """A batch with no relation to history or itself keeps everything."""
+    hist = spark.createDataFrame(
+        [(1, " ".join(f"alpha{i}" for i in range(30)))],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"beta{i}" for i in range(30))),
+         (101, " ".join(f"gamma{i}" for i in range(30)))],
+        "doc_id long, text string")
+    ann, updated = incremental_dedup(batch, signature_store(hist))
+    assert all(r.keep == 1 for r in ann.collect())
+    assert updated.count() == 3
