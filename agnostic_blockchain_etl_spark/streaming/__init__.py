@@ -17,7 +17,9 @@ Structured-Streaming-facing surface on top of it:
 - ``stateful.py`` — custom stateful operators via
   ``applyInPandasWithState``.
 - ``dedup.py`` — first-seen streaming exact dedup (checkpointed state,
-  watermark-bounded variant).
+  watermark-bounded variant), plus foreachBatch incremental NEAR-dup
+  against the signature store (per-batch-directory writes with a
+  batch_id snapshot rule → exactly-once under replay).
 """
 
 from .cursor_datasource import CursorDataSource

@@ -37,6 +37,55 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .dropDuplicates([KEY_COL]))
 
 
+def incremental_neardup_stream(docs: DataFrame, store_path: str,
+                               out_path: str, checkpoint: str,
+                               threshold: float | None = None):
+    """NEAR-dup dedup over an unbounded stream: each micro-batch runs
+    the batch-form :func:`operators.incremental.incremental_dedup`
+    against the signature store parquet at ``store_path`` via
+    ``foreachBatch``, writes the annotated batch under
+    ``{out_path}/batch_id=N`` and appends the kept docs' signatures
+    under ``{store_path}/batch_id=N``. Returns the started query.
+
+    Exactly-once across failures WITHOUT a transactional sink: both
+    writes go to a deterministic per-batch directory in overwrite mode
+    (a replayed batch overwrites its own previous attempt), and the
+    store read EXCLUDES partitions with ``batch_id >= N`` — so a replay
+    of batch N sees exactly the state every first attempt saw and can
+    never collide with its own half-written signatures. Batch ids are
+    monotonic per checkpoint, which is what makes the exclusion a
+    consistent snapshot rule.
+
+    Near-dup state cannot ride the engine's keyed state store the way
+    exact dedup does (`dedup_stream`): LSH candidate lookup is a JOIN
+    against all historical band digests, not a point lookup on one key
+    — so the state lives in the store table and each batch pays one
+    bounded join against it (see `operators/incremental.py` for the
+    100 TB layout)."""
+    from ..operators.incremental import _EST_THRESHOLD, incremental_dedup
+    tau = _EST_THRESHOLD if threshold is None else threshold
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators.incremental import signature_store
+        try:
+            store = (spark.read.parquet(store_path)
+                     .where(F.col("batch_id") < batch_id)
+                     .drop("batch_id"))
+        except Exception:  # first batch: no store yet
+            store = signature_store(batch_df.limit(0))
+        ann, _ = incremental_dedup(batch_df, store, tau)
+        ann.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        kept = ann.where(F.col("keep") == 1).select("doc_id")
+        (signature_store(batch_df).join(kept, "doc_id")
+         .write.mode("overwrite")
+         .parquet(f"{store_path}/batch_id={batch_id}"))
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def dedup_stream_bounded(docs: DataFrame, ts_col: str,
                          horizon: str = "1 hour",
                          text_col: str = "text") -> DataFrame:

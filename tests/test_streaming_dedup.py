@@ -64,6 +64,48 @@ def test_first_seen_wins_across_batches_and_restart(spark, tmp_path):
     assert got.where(F.col("text") == "beta").first()["doc_id"] == 2
 
 
+def test_incremental_neardup_stream(spark, tmp_path):
+    """Near-dup dedup over micro-batches via the signature store: an
+    exact re-crawl AND a near-copy (few words changed) arriving in later
+    batches are both suppressed — and the suppression survives a query
+    restart because the state is the store table, not query memory."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        incremental_neardup_stream)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("nsrc", "nout", "nstore", "nckpt"))
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " changed tail"
+    other = " ".join(f"z{i}" for i in range(40))
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = incremental_neardup_stream(stream, store, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batch(spark, src, [(1, base), (2, other)])
+    _write_batch(spark, src, [(3, base), (4, near)])     # exact + near dup
+    drain()
+    ann = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[1].keep == 1 and ann[2].keep == 1
+    assert ann[3].keep == 0 and ann[3].dup_of_history == 1
+    assert ann[4].keep == 0 and ann[4].dup_of_history == 1
+
+    # restart: a new query on the same checkpoint+store still remembers
+    _write_batch(spark, src, [(5, base), (6, "fresh " * 30)])
+    drain()
+    ann = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[5].keep == 0 and ann[5].dup_of_history == 1
+    assert ann[6].keep == 1
+    # store holds exactly the kept docs' signatures
+    kept = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert kept == {1, 2, 6}
+
+
 def test_bounded_variant_evicts_state_beyond_horizon(spark, tmp_path):
     src, sink, ckpt = (str(tmp_path / d)
                        for d in ("bsrc", "bsink", "bckpt"))
