@@ -24,7 +24,7 @@ from .multimodal import (audio_feature_stage, decode_features,
                          resize_images, sample_frames)
 from .pii import pii_scrub
 from .shards import balanced_shard_assign, write_training_shards
-from .profile import profile_table
+from .profile import merge_profile_sketches, profile_sketch, profile_table
 from .spans import duplicate_spans, span_dedup_stats
 from .textstats import repetition_signals, text_stats
 
@@ -51,7 +51,7 @@ __all__ = [
     "mixture_weights",
     "pii_scrub",
     "balanced_shard_assign", "write_training_shards",
-    "profile_table",
+    "profile_table", "profile_sketch", "merge_profile_sketches",
     "span_dedup_stats",
     "text_stats",
 ]

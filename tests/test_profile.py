@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agnostic_blockchain_etl_spark.operators.profile import (  # noqa: E402
-    profile_table)
+    merge_profile_sketches, profile_sketch, profile_table)
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +65,49 @@ def test_profile_real_table(spark):
     assert prof["lang"]["approx_distinct"] >= 2
     assert all(r["n_rows"] == prof["doc_id"]["n_rows"]
                for r in prof.values())
+
+
+def test_incremental_profile_matches_one_shot(spark):
+    """Profile the corpus in 3 disjoint batches via mergeable sketches;
+    the merged result must match profiling the union in one shot — exact
+    fields exactly, distinct estimates within HLL error of the truth."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sketches = batches[0].transform(profile_sketch)
+    for b in batches[1:]:
+        sketches = sketches.unionByName(profile_sketch(b))
+    merged = {r["column"]: r for r in
+              merge_profile_sketches(sketches).collect()}
+    oneshot = {r["column"]: r for r in profile_table(docs).collect()}
+
+    assert set(merged) == set(oneshot)
+    for col in oneshot:
+        m, o = merged[col], oneshot[col]
+        assert m["n_rows"] == o["n_rows"], col
+        assert m["n_nulls"] == o["n_nulls"], col
+        assert m["min_value"] == o["min_value"], col
+        assert m["max_value"] == o["max_value"], col
+        if o["mean_value"] is not None:
+            assert abs(m["mean_value"] - o["mean_value"]) <= 1e-5, col
+        if m["approx_distinct"] is not None:
+            exact = docs.select(col).where(F.col(col).isNotNull()) \
+                .distinct().count()
+            assert abs(m["approx_distinct"] - exact) <= max(2, exact * 0.05), col
+
+
+def test_sketch_merge_is_order_and_split_invariant(spark):
+    """Merging [A,B] and [B,A] and a different split of the same rows all
+    yield identical profiles (the mergeability contract)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}", float(i % 11)) for i in range(200)],
+        "id long, s string, v double")
+    a, b = df.where("id < 120"), df.where("id >= 120")
+    c, d = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+
+    def profile_of(*parts):
+        sk = profile_sketch(parts[0])
+        for p in parts[1:]:
+            sk = sk.unionByName(profile_sketch(p))
+        return sorted(map(tuple, merge_profile_sketches(sk).collect()))
+
+    assert profile_of(a, b) == profile_of(b, a) == profile_of(c, d)
