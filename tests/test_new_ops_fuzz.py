@@ -1,0 +1,145 @@
+"""Property fuzz for the round-3 additions: shard balancing holds its
+LPT bound on arbitrary weight distributions, the LM train+score pipeline
+stays DuckDB-parity on random corpora (not just the crafted one), and
+the MinHash estimate tracks true Jaccard on random document pairs.
+
+Example counts are small (each case runs Spark jobs); the generators
+aim at the structural edge cases — empty-ish buckets, all-equal weights,
+whale weights, single-word docs — rather than volume.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+class TestShardFuzz:
+    @given(seed=st.integers(0, 10**6), n_shards=st.integers(2, 6),
+           whale=st.booleans())
+    @settings(max_examples=6, deadline=None)
+    def test_lpt_bound_and_coverage(self, spark, seed, n_shards, whale):
+        from agnostic_blockchain_etl_spark.operators.shards import (
+            balanced_shard_assign)
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([1, 5, 50, 500])) for i in range(300)]
+        if whale:
+            rows.append((300, 50_000))
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = balanced_shard_assign(df, "n_tokens", n_shards,
+                                    n_buckets=64).collect()
+        assert len(out) == len(rows)
+        assert {r.shard for r in out} <= set(range(n_shards))
+        loads = {}
+        for r in out:
+            loads[r.shard] = loads.get(r.shard, 0) + r.n_tokens
+        # LPT bound: max load <= mean + heaviest bucket. Recompute the
+        # bucket weights exactly as the operator does.
+        bw = {r.b: r.w for r in df.withColumn(
+            "b", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+            .groupBy("b").agg(F.sum("n_tokens").alias("w")).collect()}
+        mean = sum(loads.values()) / n_shards
+        assert max(loads.values()) <= mean + max(bw.values()) + 1e-9
+
+
+class TestLmFuzz:
+    @given(seed=st.integers(0, 10**6))
+    @settings(max_examples=5, deadline=None)
+    def test_duckdb_parity_on_random_corpora(self, spark, seed):
+        from agnostic_blockchain_etl_spark.operators.lm import (
+            perplexity_score, train_unigram_lm)
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+                for i in range(12)]
+        V = 15
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.avg_nll, r.bucket)
+               for r in perplexity_score(
+                   df, train_unigram_lm(df, vocab_size=V)).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+        rows = con.execute(f"""
+            WITH words_t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS word
+                FROM d),
+            counts AS (SELECT word, count(*) AS c FROM words_t
+                       GROUP BY word),
+            top AS (SELECT word, c FROM counts
+                    ORDER BY c DESC, word LIMIT {V}),
+            stats AS (SELECT (SELECT sum(c) FROM counts) AS t,
+                             (SELECT least({V}, count(*)) FROM counts)
+                                 AS v),
+            vocab AS (SELECT word, -ln((c + 1.0) / (t + v + 1)) AS nll
+                      FROM top CROSS JOIN stats),
+            oov AS (SELECT -ln(1.0 / (t + v + 1)) AS oov_nll FROM stats),
+            perdoc AS (
+                SELECT w.doc_id, count(w.word) AS n_tokens,
+                       round(avg(coalesce(vb.nll, o.oov_nll)), 6)
+                           AS avg_nll
+                FROM words_t w
+                LEFT JOIN vocab vb USING (word) CROSS JOIN oov o
+                GROUP BY w.doc_id),
+            bounds AS (SELECT round(quantile_cont(avg_nll, 1.0/3.0), 6)
+                                  AS b1,
+                              round(quantile_cont(avg_nll, 2.0/3.0), 6)
+                                  AS b2
+                       FROM perdoc)
+            SELECT doc_id, n_tokens, avg_nll,
+                   CASE WHEN avg_nll <= b1 THEN 'head'
+                        WHEN avg_nll <= b2 THEN 'middle'
+                        ELSE 'tail' END
+            FROM perdoc CROSS JOIN bounds
+        """).fetchall()
+        want = {r[0]: (r[1], r[2], r[3]) for r in rows}
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0], (seed, d)
+            assert abs(got[d][1] - want[d][1]) <= 1e-6, (seed, d)
+            assert got[d][2] == want[d][2], (seed, d)
+
+
+class TestMinhashEstimatorFuzz:
+    @given(seed=st.integers(0, 10**6), overlap=st.integers(0, 40))
+    @settings(max_examples=6, deadline=None)
+    def test_estimate_tracks_true_jaccard(self, spark, seed, overlap):
+        """Two docs sharing `overlap` of 40 trailing words: the K=16
+        estimate must sit within 4 standard errors of true shingle
+        Jaccard (catches systematic estimator bugs, tolerates noise)."""
+        from agnostic_blockchain_etl_spark.operators.dedup import (
+            doc_shingles)
+        from agnostic_blockchain_etl_spark.operators.incremental import (
+            _est_jaccard, signature_store)
+        rng = random.Random(seed)
+        shared = [f"s{rng.randrange(10**9)}" for _ in range(overlap)]
+        a_txt = " ".join([f"a{i}" for i in range(40 - overlap)] + shared)
+        b_txt = " ".join([f"b{i}" for i in range(40 - overlap)] + shared)
+        df = spark.createDataFrame([(1, a_txt), (2, b_txt)],
+                                   "doc_id long, text string")
+        sh = doc_shingles(df).select("doc_id", "h").collect()
+        sa = {r.h for r in sh if r.doc_id == 1}
+        sb = {r.h for r in sh if r.doc_id == 2}
+        true_j = len(sa & sb) / len(sa | sb)
+        sigs = signature_store(df)
+        pair = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        est = _est_jaccard(sigs, sigs, pair).collect()[0].est_jaccard
+        se = (true_j * (1 - true_j) / 16) ** 0.5
+        assert abs(est - true_j) <= 4 * se + 1e-9, (seed, overlap)
