@@ -136,12 +136,16 @@ def time_bucket_rollup(spark, sf_dir):
                    .alias("avg_order"))
              .select(F.lit("week").alias("facet"), "bucket", "n_orders",
                      "revenue", "avg_order",
-                     F.lit(None).cast("timestamp").alias("min_plus30")))
+                     F.lit(None).cast("timestamp_ntz").alias("min_plus30")))
     months = (t["orders"]
               .groupBy(F.date_format("o_orderdate", "yyyyMM").alias("bucket"))
               .agg(F.count("*").alias("n_orders"),
+                   # NTZ, not TIMESTAMP: an instant-typed midnight is
+                   # minted in the SESSION timezone and py-collects in
+                   # machine time — found by the --plain-session
+                   # hostile-tz gate run; DuckDB's TIMESTAMP is naive
                    F.min(F.date_add(F.col("o_orderdate").cast("date"), 30))
-                    .cast("timestamp").alias("min_plus30"))
+                    .cast("timestamp_ntz").alias("min_plus30"))
               .select(F.lit("month").alias("facet"), "bucket", "n_orders",
                       F.lit(None).cast("double").alias("revenue"),
                       F.lit(None).cast("double").alias("avg_order"),

@@ -81,13 +81,29 @@ def compare(name: str, spark, sf_dir: str, q, oracle: str | None) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    plain = "--plain-session" in args
+    if plain:
+        args.remove("--plain-session")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from agnostic_blockchain_etl_spark.session import get_session
-    spark = get_session(master="local[8]",
-                        conf={"spark.sql.shuffle.partitions": "8"})
+    if plain:
+        # Driver-like session: NONE of the repo factory's confs, and a
+        # deliberately hostile session timezone — queries must be
+        # conf-independent (every query registers its own UDFs and
+        # adapts to the parquet schema via load_tables)
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.sql.session.timeZone", "America/New_York")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from agnostic_blockchain_etl_spark.session import get_session
+        spark = get_session(master="local[8]",
+                            conf={"spark.sql.shuffle.partitions": "8"})
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
     for name, q in qs.items():
