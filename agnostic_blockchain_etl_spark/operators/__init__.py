@@ -16,7 +16,8 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
                     simhash_pairs, simhash_signatures)
 from .incremental import (incremental_dedup, incremental_neardup_pairs,
-                          signature_store)
+                          signature_store, stored_neardup_pairs,
+                          write_signature_store_tables)
 from .similarity import cosine_topk, ivf_train, semantic_dedup
 from .tables import load_tables
 from .mixture import mixture_weights
@@ -42,6 +43,7 @@ __all__ = [
     "minhash_bands", "minhash_lsh_pairs", "minhash_wide",
     "ngram_jaccard_pairs",
     "incremental_dedup", "incremental_neardup_pairs", "signature_store",
+    "stored_neardup_pairs", "write_signature_store_tables",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",

@@ -93,6 +93,46 @@ def incremental_neardup_pairs(new_docs: DataFrame, store: DataFrame,
             .where(F.col("est_jaccard") >= threshold))
 
 
+def write_signature_store_tables(store: DataFrame, name: str,
+                                 buckets: int = 64,
+                                 mode: str = "overwrite") -> None:
+    """Persist the store as the 100 TB layout the module docstring
+    promises: ``{name}_sigs`` bucketed by ``doc_id`` (signature lookups
+    for estimate verification) and ``{name}_bands`` bucketed by
+    ``bucket`` (the LSH band digest — the candidate-join key). The
+    write pays the bucketing shuffle ONCE; every subsequent batch joins
+    against both tables with no store-side Exchange (plan-asserted in
+    test_incremental.py). Append kept batches with ``mode='append'`` —
+    Spark appends into the existing bucket spec."""
+    from ..sources.bucketed import write_bucketed
+    write_bucketed(store, f"{name}_sigs", "doc_id", buckets, mode=mode)
+    write_bucketed(minhash_bands(store), f"{name}_bands", "bucket",
+                   buckets, mode=mode)
+
+
+def stored_neardup_pairs(new_docs: DataFrame, name: str,
+                         threshold: float = _EST_THRESHOLD) -> DataFrame:
+    """`incremental_neardup_pairs`, history side read from the bucketed
+    store tables: the new batch (the small side) shuffles to the
+    store's bucket layout; the store itself is scanned in place."""
+    spark = new_docs.sparkSession
+    new_sigs = signature_store(new_docs)
+    new_bands = minhash_bands(new_sigs)
+    store_bands = spark.table(f"{name}_bands")
+    store_sigs = spark.table(f"{name}_sigs")
+
+    hist_cand = (store_bands.alias("x").join(
+        new_bands.alias("y"),
+        (F.col("x.band") == F.col("y.band")) &
+        (F.col("x.bucket") == F.col("y.bucket")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct())
+    return (_est_jaccard(store_sigs, new_sigs, hist_cand)
+            .withColumn("against", F.lit("history"))
+            .where(F.col("est_jaccard") >= threshold))
+
+
 def incremental_dedup(new_docs: DataFrame, store: DataFrame,
                       threshold: float = _EST_THRESHOLD
                       ) -> tuple[DataFrame, DataFrame]:

@@ -105,6 +105,44 @@ def test_store_update_is_kept_set_and_replay_idempotent(spark, setting):
     assert replay_kept == 0, "a replayed batch must add nothing"
 
 
+def test_bucketed_store_tables_match_and_skip_store_shuffle(spark, setting,
+                                                            tmp_path):
+    """The persisted two-table store layout returns the same history
+    pairs as the in-memory form, and the plan scans the store WITHOUT a
+    store-side Exchange (the write paid the bucketing shuffle once)."""
+    import contextlib
+    import io
+    import uuid
+    from agnostic_blockchain_etl_spark.operators.incremental import (
+        stored_neardup_pairs, write_signature_store_tables)
+
+    _, batch, store, _, _ = setting
+    name = f"sigstore_{uuid.uuid4().hex[:8]}"
+    try:
+        write_signature_store_tables(store, name, buckets=8)
+        got = stored_neardup_pairs(batch, name)
+        want = {(r.doc_a, r.doc_b, r.est_jaccard) for r in
+                incremental_neardup_pairs(batch, store).collect()
+                if r.against == "history"}
+        assert {(r.doc_a, r.doc_b, r.est_jaccard)
+                for r in got.collect()} == want
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        # the bands-table scan must feed its join bucketed, not through
+        # an Exchange: every Exchange in the plan belongs to the NEW
+        # side / aggregation, so one fewer than the in-memory form
+        scan_lines = [ln for ln in plan.splitlines()
+                      if f"{name}_bands" in ln and "Scan" in ln]
+        assert scan_lines, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+
+
 def test_disjoint_batch_all_kept(spark):
     """A batch with no relation to history or itself keeps everything."""
     hist = spark.createDataFrame(
