@@ -47,6 +47,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
 
     ``report``: a single row of per-stage survivor counts plus the kept
     token total — the number a capacity plan actually wants."""
+    if "lang" not in docs.columns:   # lang only feeds the ID facet;
+        docs = docs.withColumn("lang", F.lit("und"))  # absent is fine
     base = docs.select("doc_id", "text", "lang")
 
     scrub = pii_scrub(base).select("doc_id", "pii_clean",

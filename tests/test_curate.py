@@ -105,3 +105,17 @@ def test_decontamination_flag(spark, corpus):
         assert flags[d] == 0, f"doc {d} is verbatim in the eval set"
     clean = [d for d in flags if d not in eval_ids and d != 900001]
     assert sum(flags[d] for d in clean) > len(clean) * 0.9
+
+
+def test_curate_without_lang_column(spark):
+    """lang only feeds the language-ID facet; a corpus without it curates
+    with an 'und' default instead of failing."""
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, filler), (2, filler + " tail"), (3, filler)],
+        "doc_id long, text string")
+    annotated, report = curate_corpus(docs, vocab_size=100)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    assert len(rows) == 3
+    assert rows[3].exact_keep == 0          # dup of doc 1 still caught
+    assert report.collect()[0].n_docs == 3
