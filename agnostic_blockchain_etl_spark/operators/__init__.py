@@ -18,7 +18,8 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
 from .incremental import (incremental_dedup, incremental_neardup_pairs,
                           signature_store, stored_neardup_pairs,
                           write_signature_store_tables)
-from .similarity import cosine_topk, ivf_train, semantic_dedup
+from .similarity import (cosine_topk, ivf_search, ivf_train,
+                         semantic_dedup)
 from .tables import load_tables
 from .mixture import mixture_weights
 from .multimodal import (audio_feature_stage, decode_features,
@@ -45,7 +46,7 @@ __all__ = [
     "incremental_dedup", "incremental_neardup_pairs", "signature_store",
     "stored_neardup_pairs", "write_signature_store_tables",
     "simhash_pairs", "simhash_signatures",
-    "cosine_topk", "ivf_train", "semantic_dedup",
+    "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
     "repetition_signals",

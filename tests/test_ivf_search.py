@@ -1,0 +1,87 @@
+"""Kernel IVF search: at nprobe = nlist the result must EQUAL exact
+brute-force top-k (the recall dial's endpoint — pins assignment, probe,
+scoring, and ranking in one assertion); at lower nprobe it returns a
+subset of probed-list neighbors with correct internal ranking."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+K, NLIST = 5, 8
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="module")
+def setting(spark):
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_train
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    corpus = emb.where("vec_id >= 8")
+    queries = emb.where("vec_id < 8")
+    cb = ivf_train(spark, corpus, NLIST, iters=1)
+    return corpus, queries, cb
+
+
+def _brute_force(corpus_rows, query_rows, k):
+    C = np.array([list(r.embedding) for r in corpus_rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cids = np.array([r.vec_id for r in corpus_rows])
+    out = {}
+    for q in query_rows:
+        qv = np.array(list(q.embedding), dtype=np.float64)
+        cos = np.round(C @ qv / (cn * np.linalg.norm(qv)), 6)
+        order = sorted(range(len(cids)), key=lambda i: (-cos[i], cids[i]))
+        out[q.vec_id] = [(int(cids[i]), float(cos[i]))
+                         for i in order[:k]]
+    return out
+
+
+def test_full_probe_equals_brute_force(spark, setting):
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_search
+    corpus, queries, cb = setting
+    got = {}
+    for r in ivf_search(corpus, queries.select("vec_id", "embedding"),
+                        cb, k=K, nprobe=NLIST).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.cosine))
+    want = _brute_force(corpus.collect(), queries.collect(), K)
+    assert set(got) == set(want)
+    for qid in want:
+        mine = [(n, c) for _, n, c in sorted(got[qid])]
+        assert len(mine) == K
+        for (gn, gc), (wn, wc) in zip(mine, want[qid]):
+            assert abs(gc - wc) <= 2e-6, (qid, gn, wn)
+            # ids must match except where cosines tie at the boundary
+            if abs(gc - wc) == 0:
+                assert gn == wn, (qid, mine, want[qid])
+
+
+def test_partial_probe_is_subset_with_valid_ranks(spark, setting):
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_search
+    corpus, queries, cb = setting
+    res = ivf_search(corpus, queries.select("vec_id", "embedding"),
+                     cb, k=K, nprobe=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.collect()}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+        assert len(rows) <= K
