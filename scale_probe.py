@@ -70,7 +70,18 @@ def _extra_probes() -> dict:
     def p_shard_assign(spark, sf):
         return balanced_shard_assign(_docs(spark, sf), "n_chars", 16)
 
+    def p_ivf_search(spark, sf):
+        from agnostic_blockchain_etl_spark.operators import (ivf_search,
+                                                             ivf_train)
+        emb = load_tables(spark, sf, ("embeddings",))["embeddings"]
+        corpus = emb.where("vec_id % 100 != 0")
+        queries = emb.where("vec_id % 100 = 0") \
+                     .select("vec_id", "embedding")
+        cb = ivf_train(spark, corpus, 64, iters=1)
+        return ivf_search(corpus, queries, cb, k=10, nprobe=4)
+
     return {"x_semantic_dedup": p_semantic_dedup,
+            "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,
             "x_incremental_dedup": p_incremental_dedup,
