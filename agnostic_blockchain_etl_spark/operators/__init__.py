@@ -27,7 +27,8 @@ from .multimodal import (audio_feature_stage, decode_features,
 from .pii import pii_scrub
 from .shards import balanced_shard_assign, write_training_shards
 from .profile import merge_profile_sketches, profile_sketch, profile_table
-from .spans import duplicate_spans, span_dedup_stats
+from .spans import (duplicate_spans, remove_duplicate_spans,
+                    span_dedup_stats)
 from .textstats import repetition_signals, text_stats
 
 __all__ = [
@@ -50,7 +51,7 @@ __all__ = [
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
     "repetition_signals",
-    "duplicate_spans",
+    "duplicate_spans", "remove_duplicate_spans",
     "mixture_weights",
     "pii_scrub",
     "balanced_shard_assign", "write_training_shards",

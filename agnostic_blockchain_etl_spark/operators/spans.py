@@ -125,3 +125,42 @@ def span_dedup_stats(docs: DataFrame, k: int = 10,
                     F.round(F.coalesce("n_dup_words", F.lit(0))
                             .cast("double") / F.col("n_words"), 4)
                     .alias("dup_word_frac")))
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
+    """The transform Lee et al. 2022 actually apply: DELETE every later
+    occurrence of a duplicated ≥k-word run, keeping the corpus-wide
+    first occurrence intact. Returns ``(doc_id, text, n_words,
+    n_removed)`` where ``text`` is the cleaned document (words outside
+    any reported span, original order, single-space joined, lowercased
+    by the shared tokenizer) — `duplicate_spans` is the report, this is
+    the surgery.
+
+    Scale shape: the span frame is tiny (only duplicated regions), so it
+    aggregates to one ``spans`` array per affected doc and joins back
+    LEFT — untouched documents pay one null-check; affected documents
+    rebuild via a single filter over (word, position) pairs, JVM-side
+    (per-word span containment is O(spans-per-doc), and spans-per-doc is
+    small by construction since overlapping spans merged)."""
+    spans = (duplicate_spans(docs, k)
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("spans")))
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words"))
+    pos_words = F.zip_with(
+        F.col("words"),
+        F.sequence(F.lit(1), F.size("words")),
+        lambda w, i: F.struct(w.alias("w"), i.alias("i")))
+    in_span = lambda pw: F.exists(                      # noqa: E731
+        F.col("spans"), lambda s: (pw["i"] >= s["span_start"]) &
+                                  (pw["i"] <= s["span_end"]))
+    kept = F.when(F.col("spans").isNull(), F.col("words")) \
+        .otherwise(F.transform(F.filter(pos_words, lambda pw: ~in_span(pw)),
+                               lambda pw: pw["w"]))
+    return (words.join(spans, "doc_id", "left")
+            .select("doc_id",
+                    F.array_join(kept, " ").alias("text"),
+                    F.size(kept).alias("n_words"),
+                    (F.size("words") - F.size(kept)).alias("n_removed")))

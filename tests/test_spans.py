@@ -222,3 +222,35 @@ class TestSpansDifferential:
                 for d in range(1, 15)]
         k = 3 + (seed % 2)
         assert _spark_spans_k(spark, docs, k) == self._expected(docs, k)
+
+
+def test_remove_duplicate_spans(spark):
+    """The cleaned corpus keeps the first occurrence of the boilerplate
+    verbatim and excises every later copy; untouched docs pass through
+    byte-identical (modulo the shared lowercase tokenizer)."""
+    from agnostic_blockchain_etl_spark.operators.spans import (
+        remove_duplicate_spans)
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(
+               spark.createDataFrame(DOCS, "doc_id long, text string"),
+               K).collect()}
+    assert out[1].text == DOCS[0][1].lower() and out[1].n_removed == 0
+    assert out[3].text == DOCS[2][1].lower()
+    # doc 2: boilerplate words 4..12 removed, head and tail survive
+    assert out[2].text == "unrelated words here and a different tail entirely"
+    assert out[2].n_removed == 9
+    # doc 4 was ENTIRELY boilerplate -> empty text, all words removed
+    assert out[4].text == "" and out[4].n_removed == 9
+    # word accounting is exact
+    for d, t in DOCS:
+        assert out[d].n_words + out[d].n_removed == len(t.split())
+
+
+def test_removal_leaves_no_duplicate_spans_behind(spark):
+    """Fixpoint: running the detector on the CLEANED corpus finds
+    nothing (the definition of successful span dedup)."""
+    from agnostic_blockchain_etl_spark.operators.spans import (
+        remove_duplicate_spans)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cleaned = remove_duplicate_spans(docs, K).select("doc_id", "text")
+    assert duplicate_spans(cleaned, K).count() == 0
