@@ -8,7 +8,8 @@ paired with DuckDB oracle SQL for the driver's correctness gate.
 
 from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
-from .lm import perplexity_score, train_unigram_lm
+from .lm import (bigram_perplexity_score, perplexity_score,
+                 train_bigram_lm, train_unigram_lm)
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .curate import curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
@@ -38,6 +39,7 @@ __all__ = [
     "bpe_encode", "train_bpe", "word_histogram",
     "detect_language", "train_language_profiles",
     "perplexity_score", "train_unigram_lm",
+    "bigram_perplexity_score", "train_bigram_lm",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "curate_corpus",
     "connected_components", "decontaminate", "doc_shingles",

@@ -88,6 +88,10 @@ def perplexity_score(docs: DataFrame, model: DataFrame,
     # percentiles differ by 1 ulp across engines (a+(b-a)*f vs
     # a*(1-f)+b*f), and a doc sitting exactly ON a boundary would
     # otherwise flip buckets between engines
+    return _bucketize(per_doc)
+
+
+def _bucketize(per_doc: DataFrame) -> DataFrame:
     bounds = per_doc.agg(
         F.round(F.expr("percentile(avg_nll, 1.0/3.0)"), 6).alias("b1"),
         F.round(F.expr("percentile(avg_nll, 2.0/3.0)"), 6).alias("b2"))
@@ -96,3 +100,83 @@ def perplexity_score(docs: DataFrame, model: DataFrame,
                     F.when(F.col("avg_nll") <= F.col("b1"), "head")
                      .when(F.col("avg_nll") <= F.col("b2"), "middle")
                      .otherwise("tail").alias("bucket")))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    vocab_size: int = _DEFAULT_VOCAB,
+                    max_bigrams: int = 200_000) -> DataFrame:
+    """Interpolated bigram model — one step toward CCNet's KenLM 5-gram
+    while staying exactly computable cross-engine. The artifact is ONE
+    frame of three row kinds (broadcastable, like the unigram model):
+
+    - ``(prev=NULL, word, p)``   — add-one unigram probability;
+    - ``(prev=NULL, NULL, p)``   — the OOV unigram probability;
+    - ``(prev, word, p)``        — raw conditional ``c(prev,word) /
+      c(prev,·)`` for the ``max_bigrams`` most frequent bigrams (ties:
+      lexicographic) — unstored bigrams contribute 0 and interpolation
+      (see :func:`bigram_perplexity_score`) absorbs them.
+
+    Training is two count shuffles (words; adjacent pairs) plus a
+    top-M ``TakeOrderedAndProject``; the bigram table is bounded by the
+    knob, not the corpus, so scoring stays a broadcast join at 100 TB."""
+    words = docs.select(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                        .alias("ws"))
+    n = F.size("ws")
+    pairs = (words.where(n >= 2)
+             .select(F.explode(F.zip_with(
+                 F.slice("ws", 1, n - 1), F.slice("ws", 2, n - 1),
+                 lambda a, b: F.struct(a.alias("prev"), b.alias("word"))))
+                 .alias("pw"))
+             .select("pw.prev", "pw.word"))
+    big = pairs.groupBy("prev", "word").agg(F.count("*").alias("c"))
+    prev_tot = big.groupBy("prev").agg(F.sum("c").alias("ct"))
+    top_big = (big.orderBy(F.col("c").desc(), "prev", "word")
+               .limit(max_bigrams)
+               .join(prev_tot, "prev")
+               .select("prev", "word", (F.col("c") / F.col("ct"))
+                       .alias("p")))
+    uni = train_unigram_lm(docs, text_col, vocab_size) \
+        .select(F.lit(None).cast("string").alias("prev"), "word",
+                F.exp(-F.col("nll")).alias("p"))
+    return uni.unionByName(top_big)
+
+
+def bigram_perplexity_score(docs: DataFrame, model: DataFrame,
+                            lam: float = 0.7,
+                            text_col: str = "text") -> DataFrame:
+    """Score with the interpolated model: token 1 costs
+    ``-ln(p_uni)``; token i>1 costs ``-ln(lam*p_bi + (1-lam)*p_uni)``
+    (``p_bi = 0`` when the bigram is not stored — interpolation keeps
+    every probability positive). Same output contract and tercile
+    buckets as :func:`perplexity_score`."""
+    uni = (model.where(F.col("prev").isNull() & F.col("word").isNotNull())
+           .select("word", F.col("p").alias("pu")))
+    oov = (model.where(F.col("prev").isNull() & F.col("word").isNull())
+           .select(F.col("p").alias("poov")))
+    big = (model.where(F.col("prev").isNotNull())
+           .select("prev", "word", F.col("p").alias("pb")))
+
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size("ws")
+    toks = (docs.select("doc_id", ws.alias("ws"))
+            .select("doc_id", F.posexplode_outer(F.zip_with(
+                F.col("ws"),
+                F.concat(F.array(F.lit(None).cast("string")),
+                         F.slice("ws", 1, n - 1)),
+                lambda w, p: F.struct(w.alias("word"), p.alias("prev"))))
+                .alias("i", "pw"))
+            .select("doc_id", "pw.word", "pw.prev"))
+    pu = F.coalesce("pu", "poov")
+    p_tok = F.when(F.col("prev").isNull(), pu) \
+             .otherwise(lam * F.coalesce("pb", F.lit(0.0)) +
+                        (1 - lam) * pu)
+    per_doc = (toks
+               .join(F.broadcast(uni), "word", "left")
+               .join(F.broadcast(big), ["prev", "word"], "left")
+               .crossJoin(F.broadcast(oov))
+               .groupBy("doc_id")
+               .agg(F.count("word").alias("n_tokens"),
+                    F.round(F.coalesce(F.avg(-F.log(p_tok)),
+                                       F.first(-F.log("poov"))), 6)
+                     .alias("avg_nll")))
+    return _bucketize(per_doc)

@@ -121,3 +121,116 @@ def test_model_is_sub_distribution(spark):
     assert 0.0 < total <= 1.0 + 1e-9
     # every kept word is strictly cheaper than OOV
     assert all(r.nll < oov[0].nll for r in model if r.word is not None)
+
+
+BIGRAM_V, BIGRAM_M, LAM = 12, 50, 0.7
+
+
+def _duck_bigram_scores(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    rows = con.execute(f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM d),
+        toks AS (
+            SELECT doc_id, i, ws[i] AS word,
+                   CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws))) AS i
+                  FROM base)),
+        counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        top AS (SELECT word, c FROM counts
+                ORDER BY c DESC, word LIMIT {BIGRAM_V}),
+        stats AS (SELECT (SELECT sum(c) FROM counts) AS t,
+                         (SELECT least({BIGRAM_V}, count(*)) FROM counts)
+                             AS v),
+        uni AS (SELECT word, (c + 1.0) / (t + v + 1) AS pu
+                FROM top CROSS JOIN stats),
+        oov AS (SELECT 1.0 / (t + v + 1) AS poov FROM stats),
+        big_all AS (
+            SELECT prev, word, count(*) AS c FROM toks
+            WHERE prev IS NOT NULL GROUP BY prev, word),
+        prev_tot AS (SELECT prev, sum(c) AS ct FROM big_all GROUP BY prev),
+        big AS (
+            SELECT b.prev, b.word, b.c / pt.ct AS pb
+            FROM (SELECT * FROM big_all
+                  ORDER BY c DESC, prev, word LIMIT {BIGRAM_M}) b
+            JOIN prev_tot pt USING (prev)),
+        scored AS (
+            SELECT t.doc_id,
+                   CASE WHEN t.prev IS NULL
+                        THEN coalesce(u.pu, o.poov)
+                        ELSE {LAM} * coalesce(bg.pb, 0.0)
+                             + (1 - {LAM}) * coalesce(u.pu, o.poov)
+                   END AS p
+            FROM toks t
+            LEFT JOIN uni u USING (word)
+            LEFT JOIN big bg ON bg.prev = t.prev AND bg.word = t.word
+            CROSS JOIN oov o),
+        perdoc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(p)), 6) AS avg_nll
+            FROM scored GROUP BY doc_id),
+        bounds AS (SELECT round(quantile_cont(avg_nll, 1.0/3.0), 6) AS b1,
+                          round(quantile_cont(avg_nll, 2.0/3.0), 6) AS b2
+                   FROM perdoc)
+        SELECT doc_id, n_tokens, avg_nll,
+               CASE WHEN avg_nll <= b1 THEN 'head'
+                    WHEN avg_nll <= b2 THEN 'middle'
+                    ELSE 'tail' END
+        FROM perdoc CROSS JOIN bounds
+    """).fetchall()
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+def test_bigram_cross_engine_parity(spark):
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        bigram_perplexity_score, train_bigram_lm)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_bigram_lm(df, vocab_size=BIGRAM_V,
+                            max_bigrams=BIGRAM_M)
+    got = {r.doc_id: (r.n_tokens, r.avg_nll, r.bucket)
+           for r in bigram_perplexity_score(df, model, lam=LAM).collect()}
+    want = _duck_bigram_scores(DOCS)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) <= 1e-6, d
+        assert got[d][2] == want[d][2], d
+
+
+def test_bigram_model_punishes_scrambling(spark):
+    """Scrambling a document preserves its unigram distribution but
+    destroys its bigrams — the interpolated model must score the
+    scrambled copy strictly worse, while the pure unigram model cannot
+    tell them apart."""
+    import random
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        bigram_perplexity_score, perplexity_score, train_bigram_lm,
+        train_unigram_lm)
+    rng = random.Random(7)
+    train = [(i, t) for i, t in DOCS]
+    orig = "the cat sat on the mat and the dog sat on the rug"
+    words = orig.split()
+    while True:   # a scramble that breaks every original bigram start
+        rng.shuffle(words)
+        scrambled = " ".join(words)
+        if scrambled != orig:
+            break
+    score_docs = [(100, orig), (101, scrambled)]
+    df_train = spark.createDataFrame(train, "doc_id long, text string")
+    df_score = spark.createDataFrame(score_docs,
+                                     "doc_id long, text string")
+    bmodel = train_bigram_lm(df_train, vocab_size=BIGRAM_V,
+                             max_bigrams=BIGRAM_M)
+    bs = {r.doc_id: r.avg_nll
+          for r in bigram_perplexity_score(df_score, bmodel,
+                                           lam=LAM).collect()}
+    assert bs[101] > bs[100], "scrambled must cost more under bigrams"
+    umodel = train_unigram_lm(df_train, vocab_size=BIGRAM_V)
+    us = {r.doc_id: r.avg_nll
+          for r in perplexity_score(df_score, umodel).collect()}
+    assert abs(us[100] - us[101]) <= 1e-6, "unigrams are order-blind"
