@@ -11,7 +11,7 @@ from .langid import detect_language, train_language_profiles
 from .lm import (bigram_perplexity_score, perplexity_score,
                  train_bigram_lm, train_unigram_lm)
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
-from .curate import curate_corpus
+from .curate import corpus_datacard, curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_bands,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
@@ -41,7 +41,7 @@ __all__ = [
     "perplexity_score", "train_unigram_lm",
     "bigram_perplexity_score", "train_bigram_lm",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
-    "curate_corpus",
+    "curate_corpus", "corpus_datacard",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
     "minhash_bands", "minhash_lsh_pairs", "minhash_wide",

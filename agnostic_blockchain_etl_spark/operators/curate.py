@@ -37,7 +37,8 @@ from .textstats import text_stats
 def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   vocab_size: int = 20_000,
                   max_contamination: float = 0.2,
-                  drop_tail: bool = True) -> tuple[DataFrame, DataFrame]:
+                  drop_tail: bool = True,
+                  lm: str = "unigram") -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
@@ -102,9 +103,16 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                    * F.col("decontam_keep"))
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
-    model = train_unigram_lm(survivors, vocab_size=vocab_size)
-    scored = perplexity_score(
-        annotated.select("doc_id", F.col("redacted").alias("text")), model)
+    to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
+    if lm == "bigram":
+        from .lm import bigram_perplexity_score, train_bigram_lm
+        scored = bigram_perplexity_score(
+            to_score, train_bigram_lm(survivors, vocab_size=vocab_size))
+    elif lm == "unigram":
+        scored = perplexity_score(
+            to_score, train_unigram_lm(survivors, vocab_size=vocab_size))
+    else:
+        raise ValueError(f"lm must be 'unigram' or 'bigram', got {lm!r}")
 
     lm_keep = (F.col("bucket") != "tail").cast("int") if drop_tail \
         else F.lit(1)
@@ -129,3 +137,46 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("keep").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_words")).alias("kept_tokens"))
     return final, report
+
+
+def corpus_datacard(annotated: DataFrame) -> DataFrame:
+    """Dataset-card summary of a curated corpus (the numbers an HF-style
+    datacard publishes), computed from :func:`curate_corpus`'s annotated
+    frame in TWO aggregations (global facets; per-language facets) —
+    never a pass per metric. Long form: ``(section, key, value)`` with
+    value as double (counts are exact integers in double range).
+
+    Sections: ``size`` (docs/tokens in and kept), ``attrition`` (docs
+    removed by each stage, counted independently), ``quality`` (LM
+    bucket distribution of the KEPT set), ``language`` (kept docs and
+    tokens per language)."""
+    g = annotated.agg(
+        F.count("*").alias("docs_in"),
+        F.sum("n_words").alias("tokens_in"),
+        F.sum("keep").alias("docs_kept"),
+        F.sum(F.col("keep") * F.col("n_words")).alias("tokens_kept"),
+        *[F.sum(1 - F.col(c)).alias(f"drop_{c}")
+          for c in ("pii_clean", "quality_keep", "exact_keep",
+                    "neardup_keep", "decontam_keep", "lm_keep")],
+        *[F.sum(F.when(F.col("keep") == 1, 1).otherwise(0) *
+                F.when(F.col("bucket") == b, 1).otherwise(0))
+          .alias(f"bucket_{b}") for b in ("head", "middle", "tail")]
+    ).collect()[0]
+    rows = ([("size", k, float(g[f]))
+             for k, f in (("docs_in", "docs_in"), ("tokens_in", "tokens_in"),
+                          ("docs_kept", "docs_kept"),
+                          ("tokens_kept", "tokens_kept"))]
+            + [("attrition", c, float(g[f"drop_{c}"]))
+               for c in ("pii_clean", "quality_keep", "exact_keep",
+                         "neardup_keep", "decontam_keep", "lm_keep")]
+            + [("quality", f"kept_{b}", float(g[f"bucket_{b}"]))
+               for b in ("head", "middle", "tail")])
+    lang = (annotated.where(F.col("keep") == 1)
+            .groupBy("lang")
+            .agg(F.count("*").alias("docs"), F.sum("n_words").alias("toks"))
+            .collect())
+    for r in sorted(lang, key=lambda r: r.lang):
+        rows.append(("language", f"{r.lang}_docs", float(r.docs)))
+        rows.append(("language", f"{r.lang}_tokens", float(r.toks)))
+    return annotated.sparkSession.createDataFrame(
+        rows, "section string, key string, value double")

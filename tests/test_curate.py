@@ -119,3 +119,34 @@ def test_curate_without_lang_column(spark):
     assert len(rows) == 3
     assert rows[3].exact_keep == 0          # dup of doc 1 still caught
     assert report.collect()[0].n_docs == 3
+
+
+def test_bigram_lm_option(spark, corpus):
+    docs, _ = corpus
+    annotated, report = curate_corpus(docs, vocab_size=2000, lm="bigram")
+    r = report.collect()[0]
+    assert r.n_docs == docs.count() and 0 < r.n_kept < r.n_docs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lm must be"):
+        curate_corpus(docs, lm="trigram")
+
+
+def test_corpus_datacard(spark, curated):
+    from agnostic_blockchain_etl_spark.operators.curate import (
+        corpus_datacard)
+    rows, report, _, n = curated
+    # rebuild a small annotated frame from the collected rows
+    import pandas as pd
+    ann = spark.createDataFrame(pd.DataFrame([r.asDict() for r in
+                                              rows.values()]))
+    card = {(r.section, r.key): r.value
+            for r in corpus_datacard(ann).collect()}
+    assert card[("size", "docs_in")] == n
+    assert card[("size", "docs_kept")] == report.n_kept
+    assert card[("size", "tokens_kept")] == report.kept_tokens
+    assert card[("attrition", "exact_keep")] == n - report.n_exact
+    kept_buckets = sum(v for (s, k), v in card.items() if s == "quality")
+    assert kept_buckets == report.n_kept
+    lang_docs = sum(v for (s, k), v in card.items()
+                    if s == "language" and k.endswith("_docs"))
+    assert lang_docs == report.n_kept
