@@ -140,6 +140,26 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Library operators beyond the 50-slot gate window (semantic dedup,
+    # LM scoring, curation, incremental dedup, shard assign, IVF search)
+    # are timed the same way but reported under "extras", OUTSIDE the
+    # headline total — the headline stays the cross-round comparison
+    # unit (it keeps its query set), while the extras still land in the
+    # artifact. Correctness for these lives in pytest, not the oracle.
+    from scale_probe import _extra_probes
+    extras_d: dict[str, object] = {}
+    for name, q in sorted(_extra_probes().items()):
+        try:
+            q(spark, sf_dir).write.format("noop") \
+                            .mode("overwrite").save()   # warm
+            t0 = time.monotonic()
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            extras_d[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            extras_d[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        spark.catalog.clearCache()
+    out["extras"] = extras_d
+
     # --concurrent[=N]: ALSO measure wall-clock with N queries in flight
     # through the FAIR scheduler (how a cluster actually runs a query
     # inventory — per-query times above stay the per-plan comparison
