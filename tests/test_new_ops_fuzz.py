@@ -143,3 +143,56 @@ class TestMinhashEstimatorFuzz:
         est = _est_jaccard(sigs, sigs, pair).collect()[0].est_jaccard
         se = (true_j * (1 - true_j) / 16) ** 0.5
         assert abs(est - true_j) <= 4 * se + 1e-9, (seed, overlap)
+
+
+class TestSpanRemovalFuzz:
+    @given(seed=st.integers(0, 10**6))
+    @settings(max_examples=5, deadline=None)
+    def test_matches_independent_reference(self, spark, seed):
+        """Random corpora with planted shared runs: the cleaned output
+        must equal an independent python implementation of the same
+        contract (k-gram first-occurrence marking, gap<=k merge,
+        span excision)."""
+        from agnostic_blockchain_etl_spark.operators.spans import (
+            remove_duplicate_spans)
+        rng = random.Random(seed)
+        k = 4
+        shared = [f"s{seed}_{i}" for i in range(rng.randint(4, 9))]
+        docs = []
+        for d in range(6):
+            words = [f"d{d}w{i}" for i in range(rng.randint(0, 12))]
+            if rng.random() < 0.7:
+                at = rng.randint(0, len(words))
+                words = words[:at] + shared + words[at:]
+            docs.append((d, " ".join(words) if words else "x"))
+
+        # independent reference
+        toks = {d: t.lower().split() for d, t in docs}
+        first = {}
+        marked = {d: set() for d in toks}
+        for d in sorted(toks):
+            ws = toks[d]
+            for p in range(len(ws) - k + 1):
+                g = tuple(ws[p:p + k])
+                if g in first:
+                    marked[d].add(p + 1)
+                else:
+                    first[g] = (d, p + 1)
+        expect = {}
+        for d, ws in toks.items():
+            pos = sorted(marked[d])
+            spans = []
+            for p in pos:
+                if spans and p - spans[-1][1] <= k:
+                    spans[-1] = (spans[-1][0], p)
+                else:
+                    spans.append((p, p))
+            spans = [(s, e + k - 1) for s, e in spans]
+            kept = [w for i, w in enumerate(ws, 1)
+                    if not any(s <= i <= e for s, e in spans)]
+            expect[d] = " ".join(kept)
+
+        got = {r.doc_id: r.text for r in remove_duplicate_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            k).collect()}
+        assert got == expect, seed
