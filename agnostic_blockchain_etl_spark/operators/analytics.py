@@ -221,7 +221,8 @@ def moving_average(spark, sf_dir):
 @query("approx_sketches", oracle="""
     SELECT l_returnflag,
            CAST(count(DISTINCT l_partkey) AS BIGINT)      AS exact_distinct,
-           round(quantile_cont(l_extendedprice, 0.5), 2)  AS exact_p50,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.5) / 100.0, 2)          AS exact_p50,
            CAST(1 AS INT) AS hll_ok,
            CAST(1 AS INT) AS pct_ok
     FROM lineitem GROUP BY l_returnflag
@@ -249,7 +250,13 @@ def approx_sketches(spark, sf_dir):
     sketches = (li.groupBy("l_returnflag")
                 .agg(F.approx_count_distinct("l_partkey", 0.02)
                       .alias("hll_distinct"),
-                     F.expr("percentile(l_extendedprice, 0.5)")
+                     # interpolate over exact CENT integers: both engines
+                     # then midpoint the same longs — a double-vs-decimal
+                     # source difference otherwise flips the .xx5 rounding
+                     # tie at the median (caught by the decimal-drift gate
+                     # replay, tables._DBL note)
+                     F.expr("percentile(cast(round(l_extendedprice * 100) "
+                            "as bigint), 0.5) / 100.0")
                       .alias("exact_p50"),
                      F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
                       .alias("approx_p50")))
