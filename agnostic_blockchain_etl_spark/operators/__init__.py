@@ -25,7 +25,7 @@ from .tables import load_tables
 from .mixture import mixture_weights
 from .multimodal import (audio_feature_stage, decode_features,
                          resize_images, sample_frames)
-from .pii import pii_scrub
+from .pii import luhn_valid, pii_scrub, pii_scrub_extended
 from .shards import balanced_shard_assign, write_training_shards
 from .profile import merge_profile_sketches, profile_sketch, profile_table
 from .spans import (duplicate_spans, remove_duplicate_spans,
@@ -55,7 +55,7 @@ __all__ = [
     "repetition_signals",
     "duplicate_spans", "remove_duplicate_spans",
     "mixture_weights",
-    "pii_scrub",
+    "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "balanced_shard_assign", "write_training_shards",
     "profile_table", "profile_sketch", "merge_profile_sketches",
     "span_dedup_stats",

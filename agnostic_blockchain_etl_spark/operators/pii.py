@@ -78,3 +78,94 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     total.cast("long").alias("n_pii"),
                     F.when(total == 0, 1).otherwise(0).alias("pii_clean"),
                     redact(F.col("_text")).alias("redacted")))
+
+
+# ---------------------------------------------------------------------------
+# Credit cards: regex candidates + Luhn validation (regex alone
+# false-positives on every 13-19 digit run — order ids, hashes, phone
+# numbers; the checksum is what makes the signal usable). Kept OUT of
+# PII_PATTERNS so the base scrub (and the gate oracles derived from it)
+# is untouched; `pii_scrub_extended` adds the column.
+# ---------------------------------------------------------------------------
+
+# contiguous runs and 4-4-4-4 grouped forms (space or dash)
+CCN_PATTERNS: tuple[str, ...] = (
+    r"\b\d{13,19}\b",
+    r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b",
+)
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum over a digit-only string column — pure JVM HOF
+    arithmetic, portable to DuckDB (see :func:`luhn_sql`): reverse the
+    digits, double every second one, subtract 9 when the double exceeds
+    9, valid iff the sum is ≡ 0 (mod 10)."""
+    rev = F.reverse(col)
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda i: F.when(
+            i % 2 == 1, F.substr(rev, i, F.lit(1)).cast("int")
+        ).otherwise(
+            F.when(F.substr(rev, i, F.lit(1)).cast("int") * 2 > 9,
+                   F.substr(rev, i, F.lit(1)).cast("int") * 2 - 9)
+            .otherwise(F.substr(rev, i, F.lit(1)).cast("int") * 2)))
+    return F.aggregate(terms, F.lit(0),
+                       lambda a, x: a + x) % 10 == 0
+
+
+def luhn_sql(expr: str) -> str:
+    """DuckDB twin of :func:`luhn_valid` over a digit-string expr."""
+    rev = f"reverse({expr})"
+    d = f"CAST(substr({rev}, i, 1) AS INT)"
+    return (f"list_sum(list_transform(generate_series(1, len({rev})), "
+            f"i -> CASE WHEN i % 2 = 1 THEN {d} "
+            f"WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)) "
+            f"% 10 = 0")
+
+
+def ccn_count(col: Column) -> Column:
+    """Number of Luhn-VALID card-number candidates in ``col``."""
+    cands = F.concat(*[F.regexp_extract_all(col, F.lit(p), F.lit(0))
+                       for p in CCN_PATTERNS])
+    digits = F.transform(cands,
+                         lambda s: F.regexp_replace(s, r"[ -]", ""))
+    return F.size(F.filter(digits, luhn_valid))
+
+
+def ccn_count_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ccn_count`."""
+    cands = " || ".join(f"regexp_extract_all({expr}, '{p}')"
+                        for p in CCN_PATTERNS)
+    return (f"len(list_filter(list_transform({cands}, "
+            f"s -> regexp_replace(s, '[ -]', '', 'g')), "
+            f"s -> {luhn_sql('s')}))")
+
+
+def pii_scrub_extended(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """:func:`pii_scrub` plus card numbers: adds ``n_ccn`` (Luhn-valid
+    candidates) and, for documents carrying at least one valid card,
+    redacts every card-shaped run to ``<CCN>`` BEFORE the base patterns
+    (a card run would otherwise be swallowed by the loose phone
+    pattern). The doc-level decision — redact all card-shaped runs in a
+    document with ≥1 validated card — is deliberately conservative:
+    per-match conditional replacement is not expressible with
+    regexp_replace, and a doc that leaks one card gets its whole digit
+    neighborhood cleaned."""
+    c = F.col(text_col)
+    n_ccn = ccn_count(c)
+    ccn_redacted = c
+    for p in CCN_PATTERNS:
+        ccn_redacted = F.regexp_replace(ccn_redacted, p, "<CCN>")
+    pre = F.when(n_ccn > 0, ccn_redacted).otherwise(c)
+    counts = [pii_count(c, k).alias(f"n_{k}") for k, _, _ in PII_PATTERNS]
+    total = sum(F.col(f"n_{k}") for k, _, _ in PII_PATTERNS) \
+        + F.col("n_ccn")
+    return (docs
+            .select("doc_id", pre.alias("_text"), *counts,
+                    n_ccn.alias("n_ccn"))
+            .select("doc_id",
+                    *[f"n_{k}" for k, _, _ in PII_PATTERNS], "n_ccn",
+                    total.cast("long").alias("n_pii"),
+                    F.when(total == 0, 1).otherwise(0).alias("pii_clean"),
+                    redact(F.col("_text")).alias("redacted")))

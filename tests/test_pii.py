@@ -123,3 +123,82 @@ def test_pii_regex_semantics_match_duckdb(spark, texts):
         assert (s["n_email"], s["n_ipv4"], s["n_phone"]) == \
             (n_email, n_ipv4, n_phone), (doc_id, docs[doc_id - 1][1])
         assert s["redacted"] == redacted, (doc_id, docs[doc_id - 1][1])
+
+
+class TestCreditCards:
+    VALID = ["4532015112830366",          # visa, luhn-valid
+             "5425233430109903",          # mastercard, luhn-valid
+             "4532 0151 1283 0366",       # grouped form
+             "4532-0151-1283-0366"]
+    INVALID = ["4532015112830367",        # one digit off
+               "1234567812345678",
+               "1234 5678 1234 5678"]
+
+    def test_luhn_known_vectors(self, spark):
+        from agnostic_blockchain_etl_spark.operators.pii import luhn_valid
+        from pyspark.sql import functions as F
+        nums = [(s.replace(" ", "").replace("-", ""),)
+                for s in self.VALID + self.INVALID]
+        df = spark.createDataFrame(nums, "s string")
+        got = {r.s: r.ok for r in
+               df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()}
+        for s in self.VALID:
+            assert got[s.replace(" ", "").replace("-", "")] is True, s
+        for s in self.INVALID:
+            assert got[s.replace(" ", "").replace("-", "")] is False, s
+
+    def test_extended_scrub_redacts_valid_cards_only(self, spark):
+        from agnostic_blockchain_etl_spark.operators.pii import (
+            pii_scrub_extended)
+        docs = [(1, f"pay with {self.VALID[0]} please"),
+                (2, f"card {self.VALID[2]} on file"),
+                (3, f"order id {self.INVALID[0]} shipped"),
+                (4, "no digits here at all")]
+        out = {r.doc_id: r for r in pii_scrub_extended(
+            spark.createDataFrame(docs, "doc_id long, text string"))
+            .collect()}
+        assert out[1].n_ccn == 1 and "<CCN>" in out[1].redacted
+        assert self.VALID[0] not in out[1].redacted
+        assert out[2].n_ccn == 1 and "<CCN>" in out[2].redacted
+        # luhn-invalid run: counted 0, NOT ccn-redacted (the loose phone
+        # pattern may still catch it downstream — that is the base scrub)
+        assert out[3].n_ccn == 0 and "<CCN>" not in out[3].redacted
+        assert out[4].n_ccn == 0 and out[4].pii_clean == 1
+        assert out[1].pii_clean == 0
+
+    def test_ccn_count_duckdb_parity(self, spark):
+        """Random digit runs (some forced luhn-valid by check digit):
+        Spark count == DuckDB twin count on every doc."""
+        import random
+        from pyspark.sql import functions as F
+        from agnostic_blockchain_etl_spark.operators.pii import (
+            ccn_count, ccn_count_sql)
+
+        def make_valid(rng, n):
+            ds = [rng.randint(0, 9) for _ in range(n - 1)]
+            total = 0
+            for i, d in enumerate(reversed(ds)):
+                dd = d * 2 if i % 2 == 0 else d   # check digit at end
+                total += dd - 9 if dd > 9 else dd
+            return "".join(map(str, ds)) + str((10 - total % 10) % 10)
+
+        rng = random.Random(11)
+        docs = []
+        for i in range(30):
+            parts = [f"w{j}" for j in range(rng.randint(2, 6))]
+            if rng.random() < 0.5:
+                parts.append(make_valid(rng, rng.choice([13, 16, 19])))
+            if rng.random() < 0.5:
+                parts.append("".join(str(rng.randint(0, 9))
+                                     for _ in range(16)))
+            docs.append((i, " ".join(parts)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.n for r in
+               df.select("doc_id", ccn_count(F.col("text")).alias("n"))
+               .collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+        want = dict(con.execute(
+            f"SELECT doc_id, {ccn_count_sql('text')} FROM d").fetchall())
+        assert got == {k: (v or 0) for k, v in want.items()}
