@@ -10,6 +10,7 @@ from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
 from .lm import (bigram_perplexity_score, perplexity_score,
                  train_bigram_lm, train_unigram_lm)
+from .clean import c4_clean
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .curate import corpus_datacard, curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
@@ -41,7 +42,7 @@ __all__ = [
     "perplexity_score", "train_unigram_lm",
     "bigram_perplexity_score", "train_bigram_lm",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
-    "curate_corpus", "corpus_datacard",
+    "curate_corpus", "corpus_datacard", "c4_clean",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
     "minhash_bands", "minhash_lsh_pairs", "minhash_wide",

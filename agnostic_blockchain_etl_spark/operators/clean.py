@@ -1,0 +1,44 @@
+"""C4-style line-level cleaning (Raffel et al. 2020, the rules behind
+the C4 corpus): keep only lines that end in terminal punctuation and
+carry at least ``min_words`` words, drop lines mentioning javascript,
+and kill whole documents containing "lorem ipsum" or curly braces or
+retaining fewer than ``min_lines`` kept lines.
+
+Spark-first shape: the whole transform is ONE projection of array HOFs
+over ``split(text, '\\n')`` — no explode, no shuffle, linear at 100 TB;
+the DuckDB twin (`test_clean.py`) pins the semantics cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TERMINAL = r'[.!?"]\s*$'
+_MIN_WORDS = 3
+_MIN_LINES = 3
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_words: int = _MIN_WORDS,
+             min_lines: int = _MIN_LINES) -> DataFrame:
+    """Returns ``(doc_id, text, n_lines, n_kept_lines, c4_keep)``:
+    ``text`` is the document rebuilt from its kept lines, ``c4_keep``
+    the page-level verdict. Flag-don't-filter, like `curate_corpus` —
+    callers decide what to do with killed pages."""
+    lines = F.split(F.col(text_col), "\n")
+    lkeep = F.filter(
+        lines,
+        lambda l: l.rlike(_TERMINAL) &
+        (F.size(F.split(F.trim(l), r"\s+")) >= min_words) &
+        ~F.lower(l).contains("javascript"))
+    low = F.lower(F.col(text_col))
+    page_ok = (~low.contains("lorem ipsum") &
+               ~F.col(text_col).contains("{") &
+               (F.size(lkeep) >= min_lines))
+    return docs.select(
+        "doc_id",
+        F.array_join(lkeep, "\n").alias("text"),
+        F.size(lines).alias("n_lines"),
+        F.size(lkeep).alias("n_kept_lines"),
+        page_ok.cast("int").alias("c4_keep"))
