@@ -31,7 +31,7 @@ from .shards import balanced_shard_assign, write_training_shards
 from .profile import merge_profile_sketches, profile_sketch, profile_table
 from .spans import (duplicate_spans, remove_duplicate_spans,
                     span_dedup_stats)
-from .textstats import repetition_signals, text_stats
+from .textstats import gopher_quality, repetition_signals, text_stats
 
 __all__ = [
     "load_tables",
@@ -53,7 +53,7 @@ __all__ = [
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
-    "repetition_signals",
+    "repetition_signals", "gopher_quality",
     "duplicate_spans", "remove_duplicate_spans",
     "mixture_weights",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",

@@ -386,3 +386,65 @@ def repetition_signals(docs: DataFrame,
         F.coalesce(F.col("top3_frac") <= _TOP3_MAX, F.lit(True)), 1
     ).otherwise(0)
     return rep.withColumn("repetition_keep", keep)
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    table A1) as one zero-shuffle projection — the repetition half of
+    the table lives in `repetition_signals`; this is the document-shape
+    half. Returns one row per doc with every signal and its rule flag,
+    plus the conjunction ``gopher_keep``:
+
+    - 50 ≤ word count ≤ 100 000;
+    - 3 ≤ mean word length ≤ 10;
+    - ≥ 80% of words contain at least one alphabetic character;
+    - symbol-to-word ratio (``#`` and ``…``/``...``) ≤ 0.1;
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis;
+    - ≥ 2 of the required stop words (the/be/to/of/and/that/have/with).
+
+    Flag-don't-filter, like the rest of the curation layer."""
+    c = F.col(text_col)
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(words)
+    mean_len = (F.aggregate(words, F.lit(0),
+                            lambda a, w: a + F.length(w)).cast("double")
+                / F.greatest(n, F.lit(1)))
+    alpha_frac = (F.size(F.filter(words,
+                                  lambda w: w.rlike("[a-z]"))).cast("double")
+                  / F.greatest(n, F.lit(1)))
+    n_symbols = (F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"),
+                                             F.lit(0))))
+    sym_ratio = n_symbols.cast("double") / F.greatest(n, F.lit(1))
+    lines = F.split(c, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])"))).cast("double")
+        / nl)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("double") / nl)
+    stops = F.size(F.array_distinct(F.filter(
+        words, lambda w: w.isin("the", "be", "to", "of", "and",
+                                "that", "have", "with"))))
+    rules = {
+        "wc_ok": (n >= 50) & (n <= 100_000),
+        "wordlen_ok": (mean_len >= 3) & (mean_len <= 10),
+        "alpha_ok": alpha_frac >= 0.80,
+        "symbol_ok": sym_ratio <= 0.1,
+        "bullet_ok": bullet_frac <= 0.90,
+        "ellipsis_ok": ellipsis_frac <= 0.30,
+        "stopword_ok": stops >= 2,
+    }
+    keep = None
+    for flag in rules.values():
+        keep = flag if keep is None else (keep & flag)
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        stops.alias("n_req_stopwords"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        keep.cast("int").alias("gopher_keep"))
