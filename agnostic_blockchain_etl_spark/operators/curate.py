@@ -38,7 +38,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   vocab_size: int = 20_000,
                   max_contamination: float = 0.2,
                   drop_tail: bool = True,
-                  lm: str = "unigram") -> tuple[DataFrame, DataFrame]:
+                  lm: str = "unigram",
+                  gopher: bool = False) -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
@@ -98,9 +99,22 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     else:
         annotated = annotated.withColumn("decontam_keep", F.lit(1))
 
+    if gopher:
+        # the full document-shape rule set on the REDACTED text (what
+        # survives is what trains); off by default — the 50-word floor
+        # is tuned for web pages, not short-document corpora
+        from .textstats import gopher_quality
+        gf = gopher_quality(
+            annotated.select("doc_id",
+                             F.col("redacted").alias("text"))) \
+            .select("doc_id", "gopher_keep")
+        annotated = annotated.join(gf, "doc_id")
+    else:
+        annotated = annotated.withColumn("gopher_keep", F.lit(1))
+
     pre_lm_keep = (F.col("pii_clean") * F.col("quality_keep")
                    * F.col("exact_keep") * F.col("neardup_keep")
-                   * F.col("decontam_keep"))
+                   * F.col("decontam_keep") * F.col("gopher_keep"))
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
     to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
@@ -123,8 +137,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                          .cast("int"))
              .select("doc_id", F.col("redacted").alias("text"), "lang",
                      "n_words", "pii_clean", "quality_keep", "exact_keep",
-                     "neardup_keep", "decontam_keep", "avg_nll", "bucket",
-                     "lm_keep", "keep"))
+                     "neardup_keep", "decontam_keep", "gopher_keep",
+                     "avg_nll", "bucket", "lm_keep", "keep"))
 
     report = final.agg(
         F.count("*").alias("n_docs"),
@@ -133,6 +147,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("exact_keep").alias("n_exact"),
         F.sum("neardup_keep").alias("n_neardup"),
         F.sum("decontam_keep").alias("n_decontam"),
+        F.sum("gopher_keep").alias("n_gopher"),
         F.sum("lm_keep").alias("n_lm"),
         F.sum("keep").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_words")).alias("kept_tokens"))
@@ -157,7 +172,8 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
         F.sum(F.col("keep") * F.col("n_words")).alias("tokens_kept"),
         *[F.sum(1 - F.col(c)).alias(f"drop_{c}")
           for c in ("pii_clean", "quality_keep", "exact_keep",
-                    "neardup_keep", "decontam_keep", "lm_keep")],
+                    "neardup_keep", "decontam_keep", "gopher_keep",
+                    "lm_keep")],
         *[F.sum(F.when(F.col("keep") == 1, 1).otherwise(0) *
                 F.when(F.col("bucket") == b, 1).otherwise(0))
           .alias(f"bucket_{b}") for b in ("head", "middle", "tail")]
@@ -168,7 +184,8 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
                           ("tokens_kept", "tokens_kept"))]
             + [("attrition", c, float(g[f"drop_{c}"]))
                for c in ("pii_clean", "quality_keep", "exact_keep",
-                         "neardup_keep", "decontam_keep", "lm_keep")]
+                         "neardup_keep", "decontam_keep", "gopher_keep",
+                         "lm_keep")]
             + [("quality", f"kept_{b}", float(g[f"bucket_{b}"]))
                for b in ("head", "middle", "tail")])
     lang = (annotated.where(F.col("keep") == 1)

@@ -150,3 +150,18 @@ def test_corpus_datacard(spark, curated):
     lang_docs = sum(v for (s, k), v in card.items()
                     if s == "language" and k.endswith("_docs"))
     assert lang_docs == report.n_kept
+
+
+def test_gopher_stage_opt_in(spark, corpus):
+    """gopher=True adds the document-shape conjunction to the keep rule;
+    the synthetic corpus's short docs fail the 50-word floor, so the
+    flag must actually bite."""
+    docs, _ = corpus
+    annotated, report = curate_corpus(docs, vocab_size=2000, gopher=True)
+    r = report.collect()[0]
+    assert r.n_gopher < r.n_docs, "short docs must fail the wc floor"
+    for row in annotated.collect():
+        expect = (row.pii_clean * row.quality_keep * row.exact_keep
+                  * row.neardup_keep * row.decontam_keep
+                  * row.gopher_keep * row.lm_keep)
+        assert row.keep == expect
