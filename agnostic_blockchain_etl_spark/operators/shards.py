@@ -37,15 +37,24 @@ _DEFAULT_BUCKETS = 1024
 
 def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
                           key_col: str = "doc_id",
-                          n_buckets: int = _DEFAULT_BUCKETS) -> DataFrame:
-    """Annotate ``df`` with a ``shard`` column (0..n_shards-1) balancing
-    ``sum(weight_col)`` per shard. All input columns survive.
+                          n_buckets: int = _DEFAULT_BUCKETS,
+                          shard_col: str = "shard") -> DataFrame:
+    """Annotate ``df`` with a ``shard_col`` column (0..n_shards-1)
+    balancing ``sum(weight_col)`` per shard. All input columns survive;
+    a clashing input column is an explicit error (pack_sequences e.g.
+    already emits a ``shard`` packing-stream id — pass ``shard_col`` or
+    rename rather than letting a silent overwrite eat data).
 
     Rows sharing ``key_col`` land in the same shard (bucket granularity),
     so a document's chunks never straddle shards."""
     if n_buckets < n_shards:
         raise ValueError(
             f"n_buckets ({n_buckets}) must be >= n_shards ({n_shards})")
+    if shard_col in df.columns:
+        raise ValueError(
+            f"input already has a {shard_col!r} column "
+            "(pack_sequences' packing-stream id?) — pass a different "
+            "shard_col= or rename the input column")
     bucketed = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         .cast("int"))
@@ -62,7 +71,8 @@ def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
         mapping.append((row["_bucket"], shard))
         heapq.heappush(heap, (load + (row["_w"] or 0), shard))
     spark = df.sparkSession
-    map_df = spark.createDataFrame(mapping, "_bucket int, shard int")
+    map_df = spark.createDataFrame(mapping,
+                                   f"_bucket int, {shard_col} int")
     return (bucketed.join(F.broadcast(map_df), "_bucket")
             .drop("_bucket"))
 
@@ -70,7 +80,8 @@ def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
 def write_training_shards(df: DataFrame, path: str, weight_col: str,
                           n_shards: int, key_col: str = "doc_id",
                           order_cols: tuple[str, ...] = ("doc_id",),
-                          n_buckets: int = _DEFAULT_BUCKETS) -> DataFrame:
+                          n_buckets: int = _DEFAULT_BUCKETS,
+                          shard_col: str = "shard") -> DataFrame:
     """Write ``df`` to ``path`` as ``shard=N`` parquet partitions with
     balanced token totals and a deterministic row order inside each
     shard. Returns the per-shard summary ``(shard, n_rows, total_weight)``
@@ -82,13 +93,14 @@ def write_training_shards(df: DataFrame, path: str, weight_col: str,
     splits a shard across tasks at the cost of multiple files per
     shard)."""
     assigned = balanced_shard_assign(df, weight_col, n_shards,
-                                     key_col=key_col, n_buckets=n_buckets)
-    (assigned.repartition(F.col("shard"))
-     .sortWithinPartitions("shard", *order_cols)
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+                                     key_col=key_col, n_buckets=n_buckets,
+                                     shard_col=shard_col)
+    (assigned.repartition(F.col(shard_col))
+     .sortWithinPartitions(shard_col, *order_cols)
+     .write.mode("overwrite").partitionBy(shard_col).parquet(path))
     spark = df.sparkSession
     return (spark.read.parquet(path)
-            .groupBy("shard")
+            .groupBy(shard_col)
             .agg(F.count("*").alias("n_rows"),
                  F.sum(weight_col).alias("total_weight"))
-            .orderBy("shard"))
+            .orderBy(shard_col))

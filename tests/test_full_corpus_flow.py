@@ -1,0 +1,80 @@
+"""Capstone: the WHOLE corpus engine end-to-end on real testdata —
+curate (scrub/quality/dedup/LM) → keep → chunk → pack → token-balanced
+shard write → datacard — asserting the global invariants that hold
+across stage boundaries (token conservation, shard balance, id
+coverage, manifest consistency)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def test_full_flow(spark, tmp_path):
+    from agnostic_blockchain_etl_spark.operators import (
+        chunk, corpus_datacard, curate_corpus, load_tables, pack_sequences,
+        write_training_shards)
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "text", "lang")
+    n_in = docs.count()
+
+    annotated, report = curate_corpus(docs, vocab_size=10_000)
+    rep = report.collect()[0]
+    assert rep.n_docs == n_in and 0 < rep.n_kept < n_in
+
+    kept = annotated.where("keep = 1").select("doc_id", "text")
+    # pack's `shard` is its packing-stream id, a different concept from
+    # the writer's output shard — rename to compose (the writer raises
+    # on the collision rather than silently overwriting, tested below)
+    chunks = pack_sequences(chunk(kept)) \
+        .withColumnRenamed("shard", "pack_stream")
+    # every kept doc chunks; chunk text reassembles under the packer
+    assert chunks.select("doc_id").distinct().count() == rep.n_kept
+    tok_total = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        chunks, path, "n_tokens", 4,
+        key_col="doc_id", order_cols=("doc_id", "chunk_id")).collect()
+    assert sum(r.n_rows for r in manifest) == chunks.count()
+    assert sum(r.total_weight for r in manifest) == tok_total
+    ws = [r.total_weight for r in manifest]
+    assert max(ws) / min(ws) < 1.3, "shards must be token-balanced"
+
+    back = spark.read.parquet(path)
+    assert back.count() == chunks.count()
+    assert back.select("doc_id").distinct().count() == rep.n_kept
+
+    card = {(r.section, r.key): r.value
+            for r in corpus_datacard(annotated).collect()}
+    assert card[("size", "docs_kept")] == rep.n_kept
+    assert card[("size", "tokens_kept")] == rep.kept_tokens
+    # chunk tokens exceed document tokens: the 32/24 sliding windows
+    # overlap by 8, re-counting the overlap region of every window
+    assert tok_total >= card[("size", "tokens_kept")]
+    assert tok_total <= card[("size", "tokens_kept")] * 32 / 24 + \
+        32 * rep.n_kept
+
+
+def test_shard_column_collision_is_an_error(spark):
+    from agnostic_blockchain_etl_spark.operators import (
+        balanced_shard_assign)
+    df = spark.createDataFrame([(1, 10, 0)],
+                               "doc_id long, n_tokens long, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        balanced_shard_assign(df, "n_tokens", 2)
