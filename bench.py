@@ -107,11 +107,12 @@ def main() -> None:
     # query cache reuse is part of the operator; cross-pass reuse is not)
     spark.catalog.clearCache()
 
-    # two timed passes, min per query: a single pass is exposed to one-off
-    # GC pauses / OS scheduling noise (measured ±2-3 s swings on identical
-    # plans); the min of two steady-state runs is the reproducible number.
+    # three timed passes, min per query: a single pass is exposed to
+    # one-off GC pauses / OS scheduling noise (measured up to ±10 s total
+    # swings across identical full runs); the min of three steady-state
+    # runs is the reproducible number at ~35 s extra runtime.
     timings: dict[str, object] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             if name in failed:
                 timings[name] = {"err": failed[name]}
