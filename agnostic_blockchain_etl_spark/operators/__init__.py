@@ -9,7 +9,8 @@ paired with DuckDB oracle SQL for the driver's correctness gate.
 from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
 from .lm import (bigram_perplexity_score, perplexity_score,
-                 train_bigram_lm, train_unigram_lm)
+                 perplexity_score_rowwise, train_bigram_lm,
+                 train_unigram_lm)
 from .clean import c4_clean
 from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
 from .curate import corpus_datacard, curate_corpus
@@ -41,6 +42,7 @@ __all__ = [
     "detect_language", "train_language_profiles",
     "perplexity_score", "train_unigram_lm",
     "bigram_perplexity_score", "train_bigram_lm",
+    "perplexity_score_rowwise",
     "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
     "curate_corpus", "corpus_datacard", "c4_clean",
     "connected_components", "decontaminate", "doc_shingles",

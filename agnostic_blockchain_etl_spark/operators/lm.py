@@ -31,8 +31,9 @@ a knob), so the score stage stays a single broadcast-join pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+import pandas as pd  # module-level: pandas-UDF type hints are strings
+from pyspark.sql import DataFrame  # under future-annotations and must
+from pyspark.sql import functions as F  # resolve in module globals
 
 from .dedup import _spark_words
 
@@ -180,3 +181,41 @@ def bigram_perplexity_score(docs: DataFrame, model: DataFrame,
                                        F.first(-F.log("poov"))), 6)
                      .alias("avg_nll")))
     return _bucketize(per_doc)
+
+
+def perplexity_score_rowwise(docs: DataFrame, model: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Stream-safe scorer: the batch form explodes tokens and groups by
+    doc — illegal on an unbounded stream without watermark machinery the
+    semantics don't need. This form scores each document IN ITS ROW via
+    an Arrow-batched kernel holding the collected model (a bounded
+    artifact — top-V rows, same class as the IVF codebook and the shard
+    map), so it runs identically on static frames and readStream sources
+    (test_lm.py proves batch parity and drives a real stream).
+
+    Returns ``(doc_id, n_tokens, avg_nll)`` — no buckets: terciles are a
+    corpus-level statistic, which IS a batch concept; bucket a stream by
+    broadcasting boundaries trained on a reference corpus."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rows = model.collect()
+    oov = next(float(r.nll) for r in rows if r.word is None)
+    nll = {r.word: float(r.nll) for r in rows if r.word is not None}
+    ws = re.compile(r"\s+")
+
+    @pandas_udf("struct<n_tokens:bigint, avg_nll:double>")
+    def score(col: pd.Series) -> pd.DataFrame:
+        ns, avgs = [], []
+        for text in col:
+            words = ws.split(text.strip().lower()) if text is not None \
+                else [""]
+            total = sum(nll.get(w, oov) for w in words)
+            ns.append(len(words))
+            avgs.append(round(total / len(words), 6) if words else oov)
+        return pd.DataFrame({"n_tokens": ns, "avg_nll": avgs})
+
+    return (docs.withColumn("_s", score(F.col(text_col)))
+            .select("doc_id", F.col("_s.n_tokens").alias("n_tokens"),
+                    F.col("_s.avg_nll").alias("avg_nll")))

@@ -234,3 +234,38 @@ def test_bigram_model_punishes_scrambling(spark):
     us = {r.doc_id: r.avg_nll
           for r in perplexity_score(df_score, umodel).collect()}
     assert abs(us[100] - us[101]) <= 1e-6, "unigrams are order-blind"
+
+
+def test_rowwise_scorer_matches_batch_and_runs_on_stream(spark, tmp_path):
+    """The stream-safe kernel scorer must agree with the batch
+    explode+group scorer on every doc, and actually execute on a
+    readStream source (the batch form cannot)."""
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        perplexity_score_rowwise)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_unigram_lm(df, vocab_size=VOCAB)
+    batch = {r.doc_id: (r.n_tokens, r.avg_nll)
+             for r in perplexity_score(df, model).collect()}
+    roww = {r.doc_id: (r.n_tokens, r.avg_nll)
+            for r in perplexity_score_rowwise(df, model).collect()}
+    assert set(batch) == set(roww)
+    for d in batch:
+        assert batch[d][0] == roww[d][0], d
+        assert abs(batch[d][1] - roww[d][1]) <= 1e-6, d
+
+    src = str(tmp_path / "lmsrc")
+    df.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    sink = str(tmp_path / "lmsink")
+    q = (perplexity_score_rowwise(stream, model)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "lmckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r.doc_id: (r.n_tokens, r.avg_nll)
+                for r in spark.read.parquet(sink).collect()}
+    assert streamed == roww
