@@ -39,7 +39,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   max_contamination: float = 0.2,
                   drop_tail: bool = True,
                   lm: str = "unigram",
-                  gopher: bool = False) -> tuple[DataFrame, DataFrame]:
+                  gopher: bool = False,
+                  c4: bool = False) -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
@@ -51,7 +52,22 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     token total — the number a capacity plan actually wants."""
     if "lang" not in docs.columns:   # lang only feeds the ID facet;
         docs = docs.withColumn("lang", F.lit("und"))  # absent is fine
+    if c4:
+        # line-level surgery FIRST: every later stage (dedup keys
+        # included) sees the C4-cleaned text, mirroring the published
+        # pipeline order; the page verdict joins the keep conjunction.
+        # Off by default — newline-free short-document corpora would
+        # lose every page to the min-kept-lines floor.
+        from .clean import c4_clean
+        cleaned = c4_clean(docs).select(
+            "doc_id", F.col("text").alias("_c4_text"),
+            F.col("c4_keep").alias("_c4_keep"))
+        docs = (docs.drop("text").join(cleaned, "doc_id")
+                .withColumnRenamed("_c4_text", "text"))
+    else:
+        docs = docs.withColumn("_c4_keep", F.lit(1))
     base = docs.select("doc_id", "text", "lang")
+    c4_flag = docs.select("doc_id", F.col("_c4_keep").alias("c4_keep"))
 
     scrub = pii_scrub(base).select("doc_id", "pii_clean",
                                    F.col("redacted"))
@@ -87,7 +103,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     annotated = (base.join(scrub, "doc_id")
                  .join(quality, "doc_id")
                  .join(exact_flag, "doc_id")
-                 .join(neardup_flag, "doc_id"))
+                 .join(neardup_flag, "doc_id")
+                 .join(c4_flag, "doc_id"))
 
     if eval_docs is not None:
         from .dedup import decontaminate
@@ -114,7 +131,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
 
     pre_lm_keep = (F.col("pii_clean") * F.col("quality_keep")
                    * F.col("exact_keep") * F.col("neardup_keep")
-                   * F.col("decontam_keep") * F.col("gopher_keep"))
+                   * F.col("decontam_keep") * F.col("gopher_keep")
+                   * F.col("c4_keep"))
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
     to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
@@ -138,7 +156,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
              .select("doc_id", F.col("redacted").alias("text"), "lang",
                      "n_words", "pii_clean", "quality_keep", "exact_keep",
                      "neardup_keep", "decontam_keep", "gopher_keep",
-                     "avg_nll", "bucket", "lm_keep", "keep"))
+                     "c4_keep", "avg_nll", "bucket", "lm_keep", "keep"))
 
     report = final.agg(
         F.count("*").alias("n_docs"),
@@ -148,6 +166,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("neardup_keep").alias("n_neardup"),
         F.sum("decontam_keep").alias("n_decontam"),
         F.sum("gopher_keep").alias("n_gopher"),
+        F.sum("c4_keep").alias("n_c4"),
         F.sum("lm_keep").alias("n_lm"),
         F.sum("keep").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_words")).alias("kept_tokens"))

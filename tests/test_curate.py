@@ -165,3 +165,24 @@ def test_gopher_stage_opt_in(spark, corpus):
                   * row.neardup_keep * row.decontam_keep
                   * row.gopher_keep * row.lm_keep)
         assert row.keep == expect
+
+
+def test_c4_stage_opt_in(spark):
+    """c4=True rewrites text from kept lines and the page verdict joins
+    the keep conjunction; later stages (dedup keys included) see the
+    CLEANED text."""
+    good_line = "This is a proper sentence with enough words to pass."
+    page = "\n".join([good_line] * 4)
+    docs = spark.createDataFrame(
+        [(1, page + "\nnoise line without punct"),
+         (2, page),                 # exact dup of 1 AFTER cleaning
+         (3, "bare words only\nno punctuation anywhere here")],
+        "doc_id long, text string")
+    annotated, report = curate_corpus(docs, vocab_size=500, c4=True)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    assert rows[3].c4_keep == 0 and rows[3].keep == 0
+    assert rows[1].c4_keep == 1 and rows[2].c4_keep == 1
+    # after line surgery docs 1 and 2 are byte-identical -> exact dedup
+    # must catch what the RAW texts would have missed
+    assert rows[1].exact_keep == 1 and rows[2].exact_keep == 0
+    assert report.collect()[0].n_c4 == 2
