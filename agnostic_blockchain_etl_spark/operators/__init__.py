@@ -18,8 +18,10 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_bands,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
                     simhash_pairs, simhash_signatures)
-from .incremental import (incremental_dedup, incremental_neardup_pairs,
-                          signature_store, stored_neardup_pairs,
+from .incremental import (digest_store, incremental_dedup,
+                          incremental_exact_dedup,
+                          incremental_neardup_pairs, signature_store,
+                          stored_neardup_pairs,
                           write_signature_store_tables)
 from .similarity import (cosine_topk, ivf_search, ivf_train,
                          semantic_dedup)
@@ -51,6 +53,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "incremental_dedup", "incremental_neardup_pairs", "signature_store",
     "stored_neardup_pairs", "write_signature_store_tables",
+    "digest_store", "incremental_exact_dedup",
     "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",

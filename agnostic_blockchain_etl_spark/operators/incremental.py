@@ -169,3 +169,45 @@ def incremental_dedup(new_docs: DataFrame, store: DataFrame,
     kept_sigs = new_sigs.join(
         annotated.where(F.col("keep") == 1).select("doc_id"), "doc_id")
     return annotated, store.unionByName(kept_sigs)
+
+
+def digest_store(docs: DataFrame) -> DataFrame:
+    """Exact-dedup store: one 16-byte md5 digest per retained document
+    (`doc_id, content_key`) — the exact counterpart of the MinHash
+    signature store, and the batch twin of `streaming/dedup.py`'s
+    state-store keys."""
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_key"))
+
+
+def incremental_exact_dedup(new_docs: DataFrame, store: DataFrame
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Exact first-seen dedup of a batch against a digest store:
+    returns ``(annotated, updated_store)`` with one row per new doc —
+    ``doc_id, content_key, dup_of_history (nullable), keep`` — keeping
+    a doc iff its digest is absent from history AND it is the lowest
+    doc_id carrying that digest within the batch. The store grows by
+    the kept docs only, so replay is idempotent.
+
+    Scale: the probe is one join keyed on the 16-byte digest (broadcast
+    when history is small, shuffle-on-digest otherwise — at 100 TB the
+    store is written bucketed by content_key so the probe co-locates
+    like `write_signature_store_tables`); the within-batch canonical is
+    one min-aggregation."""
+    new_d = digest_store(new_docs)
+    hist = (new_d.join(store.select(F.col("content_key"),
+                                    F.col("doc_id").alias("dup_of_history")),
+                       "content_key", "left")
+            .groupBy("doc_id", "content_key")
+            .agg(F.min("dup_of_history").alias("dup_of_history")))
+    batch_min = new_d.groupBy("content_key") \
+        .agg(F.min("doc_id").alias("batch_canonical"))
+    annotated = (hist.join(batch_min, "content_key")
+                 .withColumn("keep",
+                             (F.col("dup_of_history").isNull() &
+                              (F.col("doc_id") == F.col("batch_canonical")))
+                             .cast("int"))
+                 .select("doc_id", "content_key", "dup_of_history", "keep"))
+    kept = new_d.join(annotated.where(F.col("keep") == 1)
+                      .select("doc_id"), "doc_id")
+    return annotated, store.unionByName(kept)

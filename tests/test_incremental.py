@@ -155,3 +155,28 @@ def test_disjoint_batch_all_kept(spark):
     ann, updated = incremental_dedup(batch, signature_store(hist))
     assert all(r.keep == 1 for r in ann.collect())
     assert updated.count() == 3
+
+
+def test_incremental_exact_dedup(spark):
+    from agnostic_blockchain_etl_spark.operators.incremental import (
+        digest_store, incremental_exact_dedup)
+    hist = spark.createDataFrame(
+        [(1, "alpha text here"), (2, "beta text here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha text here"),      # dup of history doc 1
+         (11, "gamma fresh text"),
+         (12, "gamma fresh text"),     # within-batch dup of 11
+         (13, "delta fresh text")],
+        "doc_id long, text string")
+    ann, updated = incremental_exact_dedup(batch, digest_store(hist))
+    rows = {r.doc_id: r for r in ann.collect()}
+    assert rows[10].dup_of_history == 1 and rows[10].keep == 0
+    assert rows[11].keep == 1 and rows[12].keep == 0
+    assert rows[12].dup_of_history is None, "batch dup, not history dup"
+    assert rows[13].keep == 1
+    assert {r.doc_id for r in updated.collect()} == {1, 2, 11, 13}
+    # replay: everything now collides with the stored digests
+    replay = batch.withColumn("doc_id", F.col("doc_id") + 100)
+    ann2, _ = incremental_exact_dedup(replay, updated)
+    assert ann2.where(F.col("keep") == 1).count() == 0
