@@ -203,17 +203,27 @@ def perplexity_score_rowwise(docs: DataFrame, model: DataFrame,
     rows = model.collect()
     oov = next(float(r.nll) for r in rows if r.word is None)
     nll = {r.word: float(r.nll) for r in rows if r.word is not None}
-    ws = re.compile(r"\s+")
+    # mirror the JVM tokenizer EXACTLY: Java \s is the ASCII class
+    # [ \t\n\x0b\f\r] (Python re's \s is Unicode-aware and would split
+    # on NBSP etc., breaking batch/stream parity), and Spark trim()
+    # strips only the space character — not Python str.strip()'s
+    # Unicode whitespace set
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("struct<n_tokens:bigint, avg_nll:double>")
     def score(col: pd.Series) -> pd.DataFrame:
         ns, avgs = [], []
         for text in col:
-            words = ws.split(text.strip().lower()) if text is not None \
-                else [""]
+            if text is None:
+                # batch form: explode_outer of a null array yields one
+                # null word → count("word") = 0, avg coalesces to oov
+                ns.append(0)
+                avgs.append(round(oov, 6))
+                continue
+            words = ws.split(text.strip(" ").lower())
             total = sum(nll.get(w, oov) for w in words)
             ns.append(len(words))
-            avgs.append(round(total / len(words), 6) if words else oov)
+            avgs.append(round(total / len(words), 6))
         return pd.DataFrame({"n_tokens": ns, "avg_nll": avgs})
 
     return (docs.withColumn("_s", score(F.col(text_col)))

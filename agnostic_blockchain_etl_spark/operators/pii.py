@@ -151,14 +151,21 @@ def pii_scrub_extended(docs: DataFrame,
     document with ≥1 validated card — is deliberately conservative:
     per-match conditional replacement is not expressible with
     regexp_replace, and a doc that leaks one card gets its whole digit
-    neighborhood cleaned."""
+    neighborhood cleaned.
+
+    The base-family counts are computed over the CARD-REDACTED text (not
+    the original): a card run also matched by the loose phone pattern
+    would otherwise be counted in both ``n_phone`` and ``n_ccn`` —
+    double-counting ``n_pii`` and disagreeing with the redacted output,
+    where that run became ``<CCN>``. Counting over ``pre`` attributes
+    each run to exactly one family, matching the redaction."""
     c = F.col(text_col)
     n_ccn = ccn_count(c)
     ccn_redacted = c
     for p in CCN_PATTERNS:
         ccn_redacted = F.regexp_replace(ccn_redacted, p, "<CCN>")
     pre = F.when(n_ccn > 0, ccn_redacted).otherwise(c)
-    counts = [pii_count(c, k).alias(f"n_{k}") for k, _, _ in PII_PATTERNS]
+    counts = [pii_count(pre, k).alias(f"n_{k}") for k, _, _ in PII_PATTERNS]
     total = sum(F.col(f"n_{k}") for k, _, _ in PII_PATTERNS) \
         + F.col("n_ccn")
     return (docs

@@ -419,10 +419,12 @@ def ivf_search(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
         s = (Q / qn[:, None]) @ ((C.T / cn))          # nq × nc cosines
         nids = corpus_pdf["vec_id"].to_numpy()
         qids = probes_pdf["query_id"].to_numpy()
-        kk = min(k, s.shape[1])
-        take = (np.argsort(-s, axis=1, kind="stable")[:, :kk]
-                if kk < s.shape[1] else
-                np.argsort(-s, axis=1, kind="stable"))
+        # k+1 candidates per list: an in-corpus query vector scores 1.0
+        # against itself and would otherwise displace its true k-th
+        # neighbor before the self-match filter below runs (the final
+        # window cuts back to k)
+        kk = min(k + 1, s.shape[1])
+        take = np.argsort(-s, axis=1, kind="stable")[:, :kk]
         rows_q = np.repeat(qids, take.shape[1])
         rows_n = nids[take.ravel()]
         rows_c = s[np.repeat(np.arange(len(qids)), take.shape[1]),

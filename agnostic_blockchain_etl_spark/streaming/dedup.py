@@ -67,12 +67,24 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
         from ..operators.incremental import signature_store
         try:
             store = (spark.read.parquet(store_path)
                      .where(F.col("batch_id") < batch_id)
                      .drop("batch_id"))
-        except Exception:  # first batch: no store yet
+        except AnalysisException as exc:
+            # ONLY the missing-store path means "first batch". A
+            # transient IO error or a corrupt store partition must fail
+            # the micro-batch (the checkpoint replays it) — swallowing
+            # it would silently discard the whole dedup history and
+            # re-admit duplicates.
+            getter = getattr(exc, "getCondition", None) \
+                or getattr(exc, "getErrorClass", lambda: None)
+            if (getter() or "") != "PATH_NOT_FOUND" \
+                    and "Path does not exist" not in str(exc):
+                raise
             store = signature_store(batch_df.limit(0))
         ann, _ = incremental_dedup(batch_df, store, tau)
         ann.write.mode("overwrite").parquet(

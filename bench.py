@@ -173,15 +173,19 @@ def main() -> None:
         n_threads = int(conc.split("=", 1)[1]) if "=" in conc else 8
         names = [n for n in HEADLINE if n not in failed]
 
-        def run_one(name):
+        # pool assignment by list index, NOT hash(name): Python string
+        # hashes are PYTHONHASHSEED-randomized per process, which made
+        # the pool distribution (and concurrent_wall_sec) irreproducible
+        def run_one(item):
+            i, name = item
             spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", f"bench{hash(name) % n_threads}")
+                "spark.scheduler.pool", f"bench{i % n_threads}")
             qs[name](spark, sf_dir).write.format("noop") \
                                    .mode("overwrite").save()
 
         t0 = time.monotonic()
         with ThreadPoolExecutor(n_threads) as pool:
-            list(pool.map(run_one, names))
+            list(pool.map(run_one, list(enumerate(names))))
         out["concurrent_wall_sec"] = round(time.monotonic() - t0, 3)
         out["concurrent_threads"] = n_threads
     print(json.dumps(out))

@@ -85,3 +85,31 @@ def test_partial_probe_is_subset_with_valid_ranks(spark, setting):
         assert cosines == sorted(cosines, reverse=True)
         assert all(r.neighbor_id != qid for r in rows)
         assert len(rows) <= K
+
+
+def test_in_corpus_queries_keep_their_true_kth_neighbor(spark, setting):
+    """A query vector that is ALSO in the corpus scores 1.0 against
+    itself; the kernel must take k+1 candidates per list so the
+    self-match filter cannot cost the true k-th neighbor (the
+    nprobe=nlist == brute-force guarantee must hold for in-corpus
+    queries too)."""
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_search
+    corpus, _, cb = setting
+    # query with corpus members themselves
+    queries = corpus.where("vec_id < 20").select("vec_id", "embedding")
+    got = {}
+    for r in ivf_search(corpus, queries, cb, k=K, nprobe=NLIST).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    corpus_rows = corpus.collect()
+    want = _brute_force([c for c in corpus_rows],
+                        [q for q in corpus_rows if q.vec_id < 20], K + 1)
+    # brute force with k+1 then drop self gives the true top-k sans self
+    for qid, rows in got.items():
+        expect = [(n, c) for n, c in want[qid] if n != qid][:K]
+        mine = [(n, c) for _, n, c in sorted(rows)]
+        assert len(mine) == K, qid
+        assert all(n != qid for n, _ in mine), qid
+        for (gn, gc), (wn, wc) in zip(mine, expect):
+            assert abs(gc - wc) <= 2e-6, (qid, gn, wn)
+            if abs(gc - wc) == 0:
+                assert gn == wn, (qid, mine, expect)

@@ -269,3 +269,34 @@ def test_rowwise_scorer_matches_batch_and_runs_on_stream(spark, tmp_path):
     streamed = {r.doc_id: (r.n_tokens, r.avg_nll)
                 for r in spark.read.parquet(sink).collect()}
     assert streamed == roww
+
+
+def test_rowwise_scorer_parity_on_hostile_whitespace_and_nulls(spark):
+    """Batch/stream parity must hold on the inputs that distinguish the
+    tokenizers: Unicode whitespace (Java \\s is ASCII-only; Python re's
+    \\s is not), non-space ASCII whitespace at the edges (Spark trim()
+    strips only ' '), and null documents (explode_outer yields
+    n_tokens=0 + the OOV nll)."""
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        perplexity_score_rowwise)
+    hostile = [
+        (1, "the cat sat"),        # NBSP: one JVM token, not two
+        (2, "\tthe cat\n"),             # edge tab/newline survive trim
+        (3, None),                      # null doc
+        (4, ""),                        # empty doc
+        (5, "  the   cat  "),           # space runs
+        (6, "the cat"),            # EM space
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_unigram_lm(train, vocab_size=VOCAB)
+    batch = {r.doc_id: (r.n_tokens, r.avg_nll)
+             for r in perplexity_score(df, model)
+             .select("doc_id", "n_tokens", "avg_nll").collect()}
+    roww = {r.doc_id: (r.n_tokens, r.avg_nll)
+            for r in perplexity_score_rowwise(df, model).collect()}
+    assert set(batch) == set(roww)
+    for d in batch:
+        assert batch[d][0] == roww[d][0], (d, batch[d], roww[d])
+        assert abs(batch[d][1] - roww[d][1]) <= 1e-6, d
+    assert batch[3][0] == 0   # null doc scores 0 tokens in BOTH forms

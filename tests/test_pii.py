@@ -202,3 +202,26 @@ class TestCreditCards:
         want = dict(con.execute(
             f"SELECT doc_id, {ccn_count_sql('text')} FROM d").fetchall())
         assert got == {k: (v or 0) for k, v in want.items()}
+
+
+def test_extended_scrub_attributes_each_run_to_one_family(spark):
+    """A card run that the loose phone pattern also matches must be
+    counted ONCE (as ccn, since it wins the redaction): base counts are
+    computed over the card-redacted text, so n_pii never double-counts
+    and n_phone agrees with the redacted output."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from agnostic_blockchain_etl_spark.operators.pii import (
+        pii_scrub_extended)
+    card = "4532 0151 1283 0366"            # luhn-valid, phone-shaped
+    docs = [(1, f"pay {card} today"),
+            (2, f"pay {card} or call +1 (415) 555-0134")]
+    out = {r.doc_id: r for r in pii_scrub_extended(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    # doc 1: the only digit run is the card — phone must NOT also claim it
+    assert out[1].n_ccn == 1 and out[1].n_phone == 0
+    assert out[1].n_pii == 1
+    assert "<CCN>" in out[1].redacted and "<PHONE>" not in out[1].redacted
+    # doc 2: one card + one real phone, each counted exactly once
+    assert out[2].n_ccn == 1 and out[2].n_phone == 1
+    assert out[2].n_pii == 2
+    assert "<CCN>" in out[2].redacted and "<PHONE>" in out[2].redacted

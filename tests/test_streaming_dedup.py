@@ -233,3 +233,35 @@ def test_langid_and_bpe_encode_run_on_streams(spark, tmp_path):
              bpe_encode(batch_df, merges).collect()}
     for d in (1, 2):
         assert got[d]["n_bpe_tokens"] == batch[d]["n_bpe_tokens"]
+
+
+def test_neardup_stream_corrupt_store_fails_batch_not_history(spark,
+                                                              tmp_path):
+    """A store-read failure that is NOT path-not-found must fail the
+    micro-batch (checkpoint replays it) — swallowing it would silently
+    reset the dedup history and re-admit every historical duplicate."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        incremental_neardup_stream)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("csrc", "cout", "cstore", "cckpt"))
+    # a store path that EXISTS but is unreadable as parquet
+    os.makedirs(store)
+    with open(os.path.join(store, "garbage.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    _write_batch(spark, src, [(1, "alpha beta gamma " * 10)])
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = incremental_neardup_stream(stream, store, out, ckpt)
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # nothing was emitted: the batch failed instead of dropping history
+    assert not os.path.exists(out) or not any(
+        n.endswith(".parquet")
+        for _, _, fs in os.walk(out) for n in fs)
