@@ -28,6 +28,8 @@ has a full value-hash oracle. No Python UDFs anywhere — all JVM exprs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,13 +139,30 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_LIVE_CACHES: list = []
+_CACHE_TLS = threading.local()
+
+
+def _live_caches() -> list:
+    """Per-THREAD live-cache registry. The registry used to be a single
+    process-global list, which meant that under concurrent execution
+    (``bench.py --concurrent``, FAIR scheduler pools) query B's first
+    ``_scoped_cache`` call unpersisted query A's cache MID-FLIGHT —
+    recompute kept results correct but silently defeated the
+    single-scan design. Queries submitted from one thread still reclaim
+    that thread's previous working set, which is the sequential-
+    inventory memory bound the scoping exists for; cross-thread
+    unpersists are now structurally impossible (test_llm_ops.py pins
+    this)."""
+    if not hasattr(_CACHE_TLS, "caches"):
+        _CACHE_TLS.caches = []
+    return _CACHE_TLS.caches
 
 
 def _scoped_cache(df):
-    """Cache ``df`` and unpersist any cache from a previous dedup query —
-    bounds cached-memory growth to one query's working set when the whole
-    queries() inventory runs in a single session.
+    """Cache ``df`` and unpersist any cache from a previous dedup query
+    ON THIS THREAD — bounds cached-memory growth to one query's working
+    set per executing thread when the whole queries() inventory runs in
+    a single session.
 
     Deliberately NOT eagerly materialized: a pre-materializing count()
     job was measured strictly slower at sf0.1 (+5 s across the headline,
@@ -151,22 +170,24 @@ def _scoped_cache(df):
     racing-scan recompute it prevents). Lazy fill means concurrent
     first-use scans can race and duplicate some upstream compute — an
     accepted, measured trade."""
-    while _LIVE_CACHES:
+    live = _live_caches()
+    while live:
         try:
-            _LIVE_CACHES.pop().unpersist()
+            live.pop().unpersist()
         except Exception:
             pass
     cached = df.cache()
-    _LIVE_CACHES.append(cached)
+    live.append(cached)
     return cached
 
 
 def _scoped_cache_add(df):
     """Cache WITHOUT popping the live set — for a query whose plan needs
     several scoped caches at once (e.g. a shared tokenization feeding a
-    gram cache); the next query's ``_scoped_cache`` pops them all."""
+    gram cache); the next same-thread query's ``_scoped_cache`` pops
+    them all."""
     cached = df.cache()
-    _LIVE_CACHES.append(cached)
+    _live_caches().append(cached)
     return cached
 
 
@@ -629,71 +650,79 @@ def connected_components(pairs: DataFrame,
     # tuned for, and every contraction round re-pays the per-task
     # scheduling floor across those mostly-empty partitions (measured
     # ~15% off the sf0.1 clustering at 32 → 4). ~2M edge rows per
-    # partition; the conf is restored before returning, so the final
-    # compose joins — and everything the CALLER plans afterwards — run
-    # at the session setting. Counting e1 is ~free (checkpointed).
+    # partition. Sizing is done with EXPLICIT repartition(iter_parts,
+    # key) on the loop frames — never by mutating the session's
+    # spark.sql.shuffle.partitions, which any query planned CONCURRENTLY
+    # in that window would inherit (as low as 1). Each repartition lands
+    # exactly where the following groupBy/join/distinct needed an
+    # Exchange on the same key anyway, so the plan pays the same shuffle
+    # count, just at the right width; the final compose joins — and
+    # everything the caller plans afterwards — run at the session
+    # setting, untouched. Counting e1 is ~free (checkpointed).
     spark = pairs.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    session_parts = spark.conf.get(conf_key)
-    iter_parts = max(1, min(int(session_parts),
-                            e1.count() // 2_000_000 + 1))
-    spark.conf.set(conf_key, str(iter_parts))
-    try:
-        mappings = []
-        local_root = None
-        cur = e1
-        for _round in range(64):
-            # counting a checkpointed frame is ~free and doubles as the
-            # emptiness probe the loop already needed
-            n_edges = cur.count()
-            if n_edges == 0:
-                break
-            if n_edges <= local_finish_edges:
-                local_root = spark.createDataFrame(
-                    _union_find_min(cur.collect()),
-                    "doc_id long, label long")
-                break
-            lmap = (cur.groupBy(F.col("src").alias("doc_id"))
-                    .agg(F.min(F.least(F.col("src"), F.col("dst")))
-                         .alias("label"))
-                    .localCheckpoint(eager=True))
-            mappings.append(lmap)
-            a = lmap.toDF("src", "ls")
-            b = lmap.toDF("dst", "ld")
-            # re-keying both endpoints of a symmetric edge list keeps
-            # both directions, so the next round's graph stays symmetric
-            # and every surviving vertex appears as src
-            cur = (cur.join(a, "src").join(b, "dst")
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    iter_parts = max(1, min(session_parts, e1.count() // 2_000_000 + 1))
+
+    def _sized(df, *cols):
+        return df.repartition(iter_parts, *cols)
+
+    mappings = []
+    local_root = None
+    cur = e1
+    for _round in range(64):
+        # counting a checkpointed frame is ~free and doubles as the
+        # emptiness probe the loop already needed
+        n_edges = cur.count()
+        if n_edges == 0:
+            break
+        if n_edges <= local_finish_edges:
+            local_root = spark.createDataFrame(
+                _union_find_min(cur.collect()),
+                "doc_id long, label long")
+            break
+        lmap = (_sized(cur, "src")
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min(F.least(F.col("src"), F.col("dst")))
+                     .alias("label"))
+                .localCheckpoint(eager=True))
+        mappings.append(lmap)
+        a = lmap.toDF("src", "ls")
+        b = lmap.toDF("dst", "ld")
+        # re-keying both endpoints of a symmetric edge list keeps
+        # both directions, so the next round's graph stays symmetric
+        # and every surviving vertex appears as src
+        rekeyed = (_sized(cur, "src").join(_sized(a, "src"), "src")
+                   .select("dst", "ls"))
+        rekeyed = (_sized(rekeyed, "dst").join(_sized(b, "dst"), "dst")
                    .select(F.col("ls").alias("src"),
                            F.col("ld").alias("dst"))
-                   .where(F.col("src") != F.col("dst"))
-                   .distinct().localCheckpoint(eager=True))
-        else:
-            raise RuntimeError(
-                "connected_components did not contract to empty in 64 "
-                "rounds — wrong labels must never be returned silently")
-        # compose the round maps backward: all joins are residual-sized
-        # except the final one onto the round-1 (all-vertices) map.
-        # No checkpoints here — the chain is ≤ rounds joins over already-
-        # checkpointed maps (linear lineage), evaluated lazily by the
-        # caller at the SESSION partition setting. The local-finish root
-        # (labels for the residual graph's vertices — exactly what the
-        # remaining distributed rounds would have produced) composes
-        # through the SAME fold; vertices whose label already left the
-        # graph resolve via the left-join coalesce either way.
-        if local_root is not None:
-            root, rest = local_root, mappings
-        elif mappings:
-            root, rest = mappings[-1], mappings[:-1]
-        else:
-            return spark.createDataFrame([], "doc_id long, label long")
-        for lmap in reversed(rest):
-            rm = root.toDF("mid", "rlabel")
-            root = (lmap.join(rm, lmap["label"] == rm["mid"], "left")
-                    .select("doc_id",
-                            F.coalesce("rlabel", "label").alias("label")))
-    finally:
-        spark.conf.set(conf_key, session_parts)
+                   .where(F.col("src") != F.col("dst")))
+        cur = (_sized(rekeyed, "src", "dst")
+               .distinct().localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            "connected_components did not contract to empty in 64 "
+            "rounds — wrong labels must never be returned silently")
+    # compose the round maps backward: all joins are residual-sized
+    # except the final one onto the round-1 (all-vertices) map.
+    # No checkpoints here — the chain is ≤ rounds joins over already-
+    # checkpointed maps (linear lineage), evaluated lazily by the
+    # caller at the SESSION partition setting. The local-finish root
+    # (labels for the residual graph's vertices — exactly what the
+    # remaining distributed rounds would have produced) composes
+    # through the SAME fold; vertices whose label already left the
+    # graph resolve via the left-join coalesce either way.
+    if local_root is not None:
+        root, rest = local_root, mappings
+    elif mappings:
+        root, rest = mappings[-1], mappings[:-1]
+    else:
+        return spark.createDataFrame([], "doc_id long, label long")
+    for lmap in reversed(rest):
+        rm = root.toDF("mid", "rlabel")
+        root = (lmap.join(rm, lmap["label"] == rm["mid"], "left")
+                .select("doc_id",
+                        F.coalesce("rlabel", "label").alias("label")))
     return root
 
 

@@ -380,3 +380,72 @@ class TestConnectedComponentsDifferential:
                for r in connected_components(
                    pairs, local_finish_edges=local_finish).collect()}
         assert got == self._expected(edges)
+
+
+class TestConcurrencyHygiene:
+    """Session-global state must survive concurrent query execution:
+    no cross-thread cache unpersists, no session-conf mutation from
+    inside iterating operators."""
+
+    def test_scoped_cache_is_per_thread(self, spark):
+        import threading
+
+        from agnostic_blockchain_etl_spark.operators.dedup import (
+            _scoped_cache)
+        a = _scoped_cache(spark.range(100).selectExpr("id", "id * 2 AS x"))
+        a.count()
+        assert a.storageLevel.useMemory
+        done = threading.Event()
+
+        def other_query():
+            b = _scoped_cache(spark.range(50))
+            b.count()
+            done.set()
+
+        t = threading.Thread(target=other_query)
+        t.start()
+        t.join()
+        assert done.is_set()
+        # thread B's scope must NOT have unpersisted thread A's cache
+        assert a.storageLevel.useMemory
+        # but the NEXT same-thread scope does reclaim it (memory bound)
+        _scoped_cache(spark.range(10))
+        assert not a.storageLevel.useMemory
+
+    def test_connected_components_never_mutates_session_conf(self, spark):
+        """A query planned concurrently with the clustering loop must
+        inherit the session's shuffle partitioning, not an
+        iteration-sized value — so the loop may not touch
+        spark.sql.shuffle.partitions at all."""
+        import threading
+
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        conf_key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(conf_key)
+        # clique-shaped components (near-dup graph shape): a couple of
+        # distributed rounds, not the linear tail a long path would pay
+        edges = [(g * 100 + i, g * 100 + j)
+                 for g in range(4)
+                 for i in range(12) for j in range(i + 1, 12)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        result = {}
+        seen_confs = []
+
+        def run():
+            result.update(
+                {r["doc_id"]: r["label"]
+                 for r in connected_components(
+                     pairs, local_finish_edges=0).collect()})
+
+        t = threading.Thread(target=run)
+        t.start()
+        import time
+        while t.is_alive():
+            seen_confs.append(spark.conf.get(conf_key))
+            time.sleep(0.05)
+        t.join()
+        assert set(seen_confs) <= {before}, set(seen_confs)
+        assert spark.conf.get(conf_key) == before
+        assert result == {g * 100 + i: g * 100
+                          for g in range(4) for i in range(12)}
