@@ -10,7 +10,9 @@ Design for 100 TB (tested at sf≤0.1):
   on (band, bucket) — candidate pairs are generated per bucket, never all
   pairs. Bucket skew (a degenerate bucket holding half the corpus) is the
   known hazard: AQE skew-join splitting handles moderate skew; degenerate
-  buckets should be length-capped upstream.
+  buckets are dropped-and-logged via the ``max_bucket_size`` knob
+  (:func:`cap_group_size` — a bucket holding half the corpus carries no
+  discriminative information, only a quadratic candidate term).
 - **simhash**: per-doc 60-bit signature via bitwise majority of token
   hashes — embarrassingly parallel; near-dup pairs via banded-prefix
   grouping (7 bands > Hamming radius 6 → pigeonhole-lossless), so the
@@ -28,6 +30,7 @@ has a full value-hash oracle. No Python UDFs anywhere — all JVM exprs.
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -191,6 +194,68 @@ def _scoped_cache_add(df):
     return cached
 
 
+# ---------------------------------------------------------------------------
+# Skew guards: candidate generation over shared keys (shingles, LSH
+# buckets) is linear only while no single key's group is corpus-sized.
+# A boilerplate shingle shared by 10^6 documents — or a degenerate LSH
+# bucket — makes the within-group candidate term quadratic regardless of
+# AQE. These guards bound that term explicitly and LOG what they drop.
+# ---------------------------------------------------------------------------
+
+_LOG = logging.getLogger(__name__)
+
+
+def drop_hot_keys(df: DataFrame, key: str, max_df: int,
+                  what: str) -> DataFrame:
+    """Remove rows whose ``key`` value occurs in more than ``max_df``
+    rows of ``df`` — the boilerplate defense before a shared-key
+    self-join. An n-gram shared by more documents than the cap is
+    boilerplate (headers, licence blocks, templates): it contributes
+    ~df²/2 candidate pairs and near-zero Jaccard evidence each.
+
+    Hot keys are BY DEFINITION few (each needs > max_df rows), so they
+    are a bounded driver-side set: one aggregation finds them, the
+    anti-join probe broadcasts. Dropped keys are logged with row
+    counts, never silent. Cost (one extra pass over ``df`` — cached by
+    every caller — plus the anti-join) is only paid when a cap is
+    requested."""
+    counts = df.groupBy(key).agg(F.count("*").alias("_df"))
+    hot = counts.where(F.col("_df") > max_df)
+    stats = hot.agg(F.count("*").alias("k"),
+                    F.coalesce(F.sum("_df"), F.lit(0)).alias("n")).first()
+    if not stats["k"]:
+        return df
+    _LOG.warning("%s: dropping %d hot '%s' values (df > %d; %d rows) "
+                 "before the candidate join",
+                 what, stats["k"], key, max_df, stats["n"])
+    return df.join(F.broadcast(hot.select(key)), key, "left_anti")
+
+
+def cap_group_size(df: DataFrame, keys: list[str], max_size: int,
+                   what: str) -> DataFrame:
+    """Drop every group (over ``keys``) larger than ``max_size`` rows —
+    the degenerate-LSH-bucket defense. A (band, bucket) group holding a
+    corpus-sized slice means the band digest carries no discriminative
+    information for those rows; keeping it only buys a quadratic
+    candidate term (true near-dups still meet in their other,
+    non-degenerate bands with probability 1 - (miss rate)^(B-1)).
+
+    The group count rides a window over exactly the keys the downstream
+    candidate join shuffles on — no new shuffle shape; dropped groups
+    are logged with row counts."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys)
+    sized = df.withColumn("_gs", F.count("*").over(w))
+    stats = (sized.where(F.col("_gs") > max_size)
+             .agg(F.count("*").alias("n"),
+                  F.countDistinct(*keys).alias("groups")).first())
+    if stats["n"]:
+        _LOG.warning("%s: dropping %d oversized groups (> %d rows; "
+                     "%d rows total) before the candidate join",
+                     what, stats["groups"], max_size, stats["n"])
+    return sized.where(F.col("_gs") <= max_size).drop("_gs")
+
+
 def _doc_shingles_df(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("documents",))
     return doc_shingles(t["documents"])
@@ -324,18 +389,29 @@ def minhash_bands(wide: DataFrame) -> DataFrame:
         ") as (band, bucket)")
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified by exact Jaccard.
 
     The scale path: candidates come only from shared (band, bucket) —
     the shuffle is keyed on bucket digests, never all-pairs. Verification
-    joins shingle sets only for candidate pairs."""
+    joins shingle sets only for candidate pairs.
+
+    ``max_bucket_size`` (the 100 TB skew guard, default off) drops-and-
+    logs degenerate (band, bucket) groups larger than the cap before the
+    candidate self-join (:func:`cap_group_size`): candidate work is then
+    bounded by B·n·cap instead of the largest bucket squared. Pairs
+    whose every band is degenerate are lost — the documented recall
+    trade for bounded compute (test_skew_guards.py pins both sides)."""
     # one cached shingle scan feeds BOTH the signature aggregation and the
     # three verification reads below (the md5 hashing pass is the most
     # expensive stage — compute it once)
     doc_sh_full = _scoped_cache(doc_shingles(docs).select("doc_id", "h"))
     wide = minhash_wide(doc_sh_full)
     bands = minhash_bands(wide)
+    if max_bucket_size is not None:
+        bands = cap_group_size(bands, ["band", "bucket"], max_bucket_size,
+                               "minhash_lsh_pairs")
     cand = (bands.alias("x")
             .join(bands.alias("y"),
                   (F.col("x.band") == F.col("y.band")) &
@@ -781,12 +857,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(t["documents"])
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.10) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.10,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Scale: the only shuffle is on shingle (candidate generation); pairs
-    never materialize beyond shared-shingle groups. Hot shingles (boiler-
-    plate) are the skew hazard — cap group sizes upstream at 100 TB."""
+    never materialize beyond shared-shingle groups. Hot shingles
+    (boilerplate) are the skew hazard: ``max_shingle_df`` (default off)
+    drops-and-logs shingle hashes whose document frequency exceeds the
+    cap BEFORE the self-join (:func:`drop_hot_keys`), bounding the
+    candidate term at n·cap. With the cap on, per-doc set sizes and the
+    Jaccard are computed over the RETAINED shingle vocabulary — i.e.
+    similarity net of boilerplate, which is usually what a corpus pass
+    wants anyway (two docs sharing only a licence header are not
+    near-dups)."""
     # join on the 60-bit shingle hash, not the string — the shuffle carries
     # 8-byte keys; shingle strings never leave the scan stage. The per-doc
     # set size rides along on every exploded row (a tiny window over the
@@ -795,6 +879,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.10) -> DataFrame:
     # (broadcast-joining separately-aggregated sizes measured slower —
     # SCALE.md "measured negative result".)
     doc_sh = _scoped_cache(doc_shingles(docs).select("doc_id", "h"))
+    if max_shingle_df is not None:
+        doc_sh = drop_hot_keys(doc_sh, "h", max_shingle_df,
+                               "ngram_jaccard_pairs")
     from pyspark.sql import Window
     sized = doc_sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id")))

@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import (_K, connected_components, doc_shingles, minhash_bands,
-                    minhash_wide)
+from .dedup import (_K, cap_group_size, connected_components, doc_shingles,
+                    minhash_bands, minhash_wide)
 
 _EST_THRESHOLD = 0.5   # on the 1/K grid; K=16 -> 8+ matching components
 
@@ -59,15 +59,30 @@ def _est_jaccard(a: DataFrame, b: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def incremental_neardup_pairs(new_docs: DataFrame, store: DataFrame,
-                              threshold: float = _EST_THRESHOLD
+                              threshold: float = _EST_THRESHOLD,
+                              max_bucket_size: int | None = None
                               ) -> DataFrame:
     """Near-dup pairs of a new batch: ``(doc_a, doc_b, est_jaccard,
     against)`` where ``against`` is ``'history'`` (doc_a in the store,
     doc_b in the batch) or ``'batch'`` (both new, doc_a < doc_b).
-    ``new_docs`` doc_ids must be disjoint from the store's."""
+    ``new_docs`` doc_ids must be disjoint from the store's.
+
+    ``max_bucket_size`` (default off) caps each side's (band, bucket)
+    group size before the candidate joins (`dedup.cap_group_size`) —
+    the day-2 store accumulates every boilerplate-heavy batch's
+    signatures, so a degenerate store bucket is the realistic skew
+    hazard here; with the cap, per-batch candidate work is bounded by
+    batch_size · cap per band regardless of store history."""
     new_sigs = signature_store(new_docs)
     new_bands = minhash_bands(new_sigs)
     store_bands = minhash_bands(store)
+    if max_bucket_size is not None:
+        new_bands = cap_group_size(new_bands, ["band", "bucket"],
+                                   max_bucket_size,
+                                   "incremental_neardup_pairs[batch]")
+        store_bands = cap_group_size(store_bands, ["band", "bucket"],
+                                     max_bucket_size,
+                                     "incremental_neardup_pairs[store]")
 
     hist_cand = (store_bands.alias("x").join(
         new_bands.alias("y"),

@@ -121,6 +121,16 @@ _SQL_SIG = (
         for i in range(_SIGN_BITS)) + " AS BIGINT)")
 
 
+def _sign_bucket_expr(vec_col: str = "e"):
+    """8-bit coordinate-hyperplane sign signature of an array column —
+    the deterministic LSH bucket key (also the secondary split key for
+    oversized semantic-dedup clusters)."""
+    return sum(
+        (F.when(F.element_at(vec_col, i + 1) >= 0,
+                F.lit(1 << i)).otherwise(0)
+         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
+
+
 @query("emb_lsh_bucketed_search", oracle=f"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb),
@@ -144,10 +154,7 @@ def emb_lsh_bucketed_search(spark, sf_dir):
     cosine within the bucket. The recall/cost knob is the bit count."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
-    sig_expr = sum(
-        (F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
-         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
-    sig = emb.withColumn("bucket", sig_expr)
+    sig = emb.withColumn("bucket", _sign_bucket_expr("e"))
     q = (sig.where(F.col("vec_id") < _N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
                  F.col("bucket").alias("qbucket")))
@@ -184,10 +191,7 @@ def emb_near_dup_pairs(spark, sf_dir):
     pair space never materializes globally."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("e"))
-    sig_expr = sum(
-        (F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
-         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
-    sig = emb.withColumn("bucket", sig_expr)
+    sig = emb.withColumn("bucket", _sign_bucket_expr("e"))
     a, b = sig.alias("a"), sig.alias("b")
     cos = (_dot(F.col("a.e"), F.col("b.e")) /
            (_norm(F.col("a.e")) * _norm(F.col("b.e"))))
@@ -512,8 +516,69 @@ def emb_label_centroids(spark, sf_dir):
             .agg(F.round(F.avg("v"), 6).alias("centroid_v")))
 
 
+def _cluster_pairs(assigned: DataFrame, tau: float,
+                   max_cluster_size: int | None = None) -> DataFrame:
+    """Cosine-≥``tau`` pairs WITHIN each cluster of an ``assigned``
+    frame (``vec_id, e, list_id``), as per-group BLAS kernels.
+
+    ``max_cluster_size`` is the two-level skew guard for a
+    pathologically popular cluster (the `semantic_dedup` hazard):
+
+    1. clusters over the cap are SPLIT with a secondary sign-LSH
+       subkey (`_sign_bucket_expr` — up to 2^8 subgroups): near-dup
+       vectors have near-identical coordinate signs, so true duplicate
+       pairs overwhelmingly co-locate while the cluster's bulk spreads;
+    2. a subgroup STILL over the cap is sign-degenerate (an
+       identical-vector flood) — the kernel falls back to a STAR probe
+       against the subgroup's minimum-id member: O(m) scores instead of
+       O(m²), and since such a flood is mutually near-identical, the
+       star edges connect exactly what the full pairwise would have
+       (connected components only need a spanning set, not all edges).
+
+    Both levels trade recall at the margins for bounded compute —
+    cross-subgroup pairs and flood members not within tau of the pivot
+    are missed — and both are exercised by test_skew_guards.py. With
+    the cap on, per-group kernel cost is bounded by max(cap², m)."""
+    keyed = assigned.select("list_id", "vec_id", "e")
+    if max_cluster_size is not None:
+        sized = keyed.withColumn(
+            "_cs", F.count("*").over(Window.partitionBy("list_id")))
+        keyed = (sized.withColumn(
+            "sub", F.when(F.col("_cs") > max_cluster_size,
+                          _sign_bucket_expr("e")).otherwise(F.lit(0)))
+            .drop("_cs"))
+    else:
+        keyed = keyed.withColumn("sub", F.lit(0))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        E = np.vstack(pdf["e"].to_numpy())
+        n = np.linalg.norm(E, axis=1)
+        n[n == 0.0] = 1.0
+        En = E / n[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        if max_cluster_size is not None and len(ids) > max_cluster_size:
+            pivot = int(np.argmin(ids))
+            s = En @ En[pivot]
+            keep = np.round(s, 6) >= tau
+            keep[pivot] = False
+            others = ids[keep]
+            return pd.DataFrame({
+                "doc_a": np.minimum(ids[pivot], others),
+                "doc_b": np.maximum(ids[pivot], others)})
+        s = En @ En.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = np.round(s[iu], 6) >= tau
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame({"doc_a": np.minimum(a, b),
+                             "doc_b": np.maximum(a, b)})
+
+    return (keyed.groupBy("list_id", "sub")
+            .applyInPandas(_pairs, "doc_a long, doc_b long"))
+
+
 def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
-                   iters: int = 2) -> DataFrame:
+                   iters: int = 2,
+                   max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a k-means
     codebook, find cosine-≥``tau`` pairs WITHIN each cluster only, take
@@ -533,9 +598,11 @@ def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
     the largest cluster, not the corpus — ``nlist`` grows with corpus
     size to hold expected cluster size constant (the paper runs 50k
     clusters over 5B embeddings). A pathologically popular cluster is
-    the skew risk; the mitigation at 100 TB is splitting oversized lists
-    with a secondary sign-LSH key (``emb_near_dup_pairs``' bucketing)
-    before the self-join. Components then iterate only the near-dup
+    the skew risk; ``max_cluster_size`` (default off) is the shipped
+    guard — oversized clusters split on a secondary sign-LSH subkey,
+    and sign-degenerate floods fall back to a star probe (see
+    :func:`_cluster_pairs` for the two levels and their recall trade).
+    Components then iterate only the near-dup
     edge subgraph (`dedup.connected_components`), which is tiny
     relative to the corpus at any realistic duplicate rate.
 
@@ -559,22 +626,9 @@ def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
     # vectors cross the Arrow boundary ONCE; En @ En.T scores every pair
     # in vectorized float64; only pairs ≥ tau leave the kernel. Memory
     # is m² doubles per cluster — bounded because nlist scales with the
-    # corpus to hold m constant.
-    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        E = np.vstack(pdf["e"].to_numpy())
-        n = np.linalg.norm(E, axis=1)
-        n[n == 0.0] = 1.0
-        s = (E / n[:, None]) @ (E / n[:, None]).T
-        ids = pdf["vec_id"].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        keep = np.round(s[iu], 6) >= tau
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        return pd.DataFrame({"doc_a": np.minimum(a, b),
-                             "doc_b": np.maximum(a, b)})
-
-    pairs = (assigned.select("list_id", "vec_id", "e")
-             .groupBy("list_id")
-             .applyInPandas(_pairs, "doc_a long, doc_b long"))
+    # corpus to hold m constant, and hard-bounded by max_cluster_size
+    # when set (see _cluster_pairs).
+    pairs = _cluster_pairs(assigned, tau, max_cluster_size)
 
     labels = connected_components(pairs)
     member = (assigned.select("vec_id", "cc")
