@@ -38,57 +38,65 @@ def _events_us(spark, sf_dir):
     return events_us(t["events"])
 
 
-@query("percentiles_exact", oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
-""")
-def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). The 100 TB path swaps in approx_percentile
-    (t-digest) — same plan shape, bounded memory."""
-    t = load_tables(spark, sf_dir, ("events",))
-    return (t["events"].groupBy("event_type")
-            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
-
-
 @query("stats_distinct_agg", oracle="""
     SELECT l_returnflag,
            round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_discount), 4)      AS qty_disc_covar,
            round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
            CAST(count(DISTINCT l_partkey) AS BIGINT)         AS distinct_parts,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT)         AS distinct_supps
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)         AS distinct_supps,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.5) / 100.0, 2)              AS price_p50,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.9) / 100.0, 2)              AS price_p90,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.99) / 100.0, 2)             AS price_p99,
+           string_agg(DISTINCT strftime(l_shipdate, '%Y'), ','
+                      ORDER BY strftime(l_shipdate, '%Y'))  AS ship_years
     FROM lineitem GROUP BY l_returnflag
 """)
 def stats_distinct_agg(spark, sf_dir):
-    """Correlation / covariance / stddev per group — algebraic moments,
-    map-side combinable — plus distinct aggregation (§2.5; Spark expands
-    count-distinct to a two-stage partial-distinct plan, no driver
-    collect). One grouping key, one query."""
+    """Grouped statistics: correlation / covariance / stddev (algebraic
+    moments, map-side combinable), distinct aggregation (§2.5; Spark
+    expands count-distinct to a two-stage partial-distinct plan, no
+    driver collect), exact interpolated percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, interpolated over exact
+    CENT integers so both engines midpoint the same longs — the 100 TB
+    path swaps in approx_percentile, same plan shape), and ordered
+    string aggregation (canonical sorted-distinct concat, identical
+    bytes in both engines). The percentile and listagg facets were
+    standalone gate rows through round 3 (`percentiles_exact`,
+    `ordered_string_agg`); they consolidated here in round 4 to free
+    gate-window slots for `semantic_dedup_seeded` and
+    `incremental_neardup_pairs` — same capabilities, same oracles, one
+    grouping key."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    # moments and count-distincts in separate branches: fusing them makes
-    # Spark Expand-multiply every row through the moment buffers (see
-    # approx_sketches); the branches share the scan, run concurrently,
-    # and recombine over a 3-row broadcast join
+    # moments/percentiles and count-distincts in separate branches:
+    # fusing them makes Spark Expand-multiply every row through the
+    # moment buffers (see approx_sketches); the branches share the scan,
+    # run concurrently, and recombine over a 3-row broadcast join
     li = spread(t["lineitem"])
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
     moments = (li.groupBy("l_returnflag")
                .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
                      .alias("qty_price_corr"),
                     F.round(F.covar_samp("l_quantity", "l_discount"), 4)
                      .alias("qty_disc_covar"),
                     F.round(F.stddev_samp("l_extendedprice"), 4)
-                     .alias("price_stddev")))
+                     .alias("price_stddev"),
+                    *[F.round(F.expr(f"percentile({cents}, {q}) / 100.0"), 2)
+                       .alias(f"price_p{int(q * 100)}")
+                      for q in (0.5, 0.9, 0.99)],
+                    F.array_join(F.array_sort(F.collect_set(
+                        F.date_format("l_shipdate", "yyyy"))), ",")
+                     .alias("ship_years")))
     distincts = (li.groupBy("l_returnflag")
                  .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
                       F.countDistinct("l_suppkey").alias("distinct_supps")))
     return (moments.join(F.broadcast(distincts), "l_returnflag")
             .select("l_returnflag", "qty_price_corr", "qty_disc_covar",
-                    "price_stddev", "distinct_parts", "distinct_supps"))
+                    "price_stddev", "distinct_parts", "distinct_supps",
+                    "price_p50", "price_p90", "price_p99", "ship_years"))
 
 
 @query("time_bucket_rollup", oracle="""
@@ -272,15 +280,3 @@ def approx_sketches(spark, sf_dir):
          .cast("int").alias("pct_ok"))
 
 
-@query("ordered_string_agg", oracle="""
-    SELECT c_mktsegment,
-           string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS customers
-    FROM customer GROUP BY c_mktsegment
-""")
-def ordered_string_agg(spark, sf_dir):
-    """Ordered string aggregation (listagg): canonical sorted-distinct
-    concat, identical bytes in both engines."""
-    t = load_tables(spark, sf_dir, ("customer",))
-    return (t["customer"].groupBy("c_mktsegment")
-            .agg(F.array_join(F.array_sort(F.collect_set("c_name")), ",")
-                 .alias("customers")))

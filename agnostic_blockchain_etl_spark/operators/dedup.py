@@ -983,3 +983,59 @@ def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
         F.when(F.col("n_shingles") == 0, F.lit(1))
          .when(ratio < max_contamination, F.lit(1))
          .otherwise(F.lit(0)).alias("decontam_keep"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup (gate form — the library op lives in
+# operators/incremental.py; this pins its full path under the driver
+# oracle: signature store -> LSH band candidates -> MinHash estimate)
+# ---------------------------------------------------------------------------
+
+_INCR_NEW_MOD = 4   # doc_id % 4 == 0 -> today's batch; rest -> the store
+
+_SQL_EST16 = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(_K))
+
+
+@query("incremental_neardup_pairs", oracle=_SQL_MINHASH_BASE + f"""
+    , mh AS (
+        SELECT doc_id, {_SQL_SIG_WIDE} FROM sig GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, perm // {_R} AS band,
+               md5(array_to_string(list(minhash ORDER BY perm), '-'))
+                   AS bucket
+        FROM sig GROUP BY doc_id, perm // {_R}),
+    newb AS (SELECT * FROM bands WHERE doc_id % {_INCR_NEW_MOD} = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % {_INCR_NEW_MOD} <> 0),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               'history' AS against
+        FROM oldb x JOIN newb y
+          ON x.band = y.band AND x.bucket = y.bucket
+        UNION ALL
+        SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+        FROM newb x JOIN newb y
+          ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(({_SQL_EST16}) / {_K}.0, 4) AS est_jaccard, c.against
+    FROM cand c
+    JOIN mh a ON a.doc_id = c.doc_a
+    JOIN mh b ON b.doc_id = c.doc_b
+    WHERE ({_SQL_EST16}) / {_K}.0 >= 0.5
+""")
+def incremental_neardup_pairs_gate(spark, sf_dir):
+    """Gate form of `incremental.incremental_neardup_pairs` — the day-2
+    operation: the corpus splits deterministically into a signature
+    STORE (doc_id % 4 != 0 — only their `signature_store` rows are
+    consulted, exactly as a persisted store would be; the historical
+    TEXT is never re-read) and today's BATCH (doc_id % 4 == 0), checked
+    against history and against itself via LSH band candidates and the
+    MinHash Jaccard estimate (mean of matching signature components —
+    pure arithmetic over m0..m15, hence fully SQL-expressible)."""
+    from .incremental import incremental_neardup_pairs, signature_store
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    is_new = F.col("doc_id") % _INCR_NEW_MOD == 0
+    store = signature_store(docs.where(~is_new))
+    return incremental_neardup_pairs(docs.where(is_new), store)

@@ -578,7 +578,8 @@ def _cluster_pairs(assigned: DataFrame, tau: float,
 
 def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
                    iters: int = 2,
-                   max_cluster_size: int | None = None) -> DataFrame:
+                   max_cluster_size: int | None = None,
+                   codebook: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a k-means
     codebook, find cosine-≥``tau`` pairs WITHIN each cluster only, take
@@ -606,15 +607,19 @@ def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
     edge subgraph (`dedup.connected_components`), which is tiny
     relative to the corpus at any realistic duplicate rate.
 
-    ``emb`` needs ``vec_id`` and an array-typed ``embedding``."""
+    ``emb`` needs ``vec_id`` and an array-typed ``embedding``. Pass
+    ``codebook`` (``list_id, centroid`` — e.g. a persisted `ivf_train`
+    artifact, or a deterministic seed set) to skip the in-line Lloyd
+    training; ``nlist``/``iters`` are then ignored."""
     from .dedup import connected_components
 
     vecs = emb.select("vec_id",
                       F.col("embedding").cast("array<double>").alias("e"))
-    codebook = [(r.list_id, list(r.centroid)) for r in
-                ivf_train(emb.sparkSession, emb, nlist, iters).collect()]
+    if codebook is None:
+        codebook = ivf_train(emb.sparkSession, emb, nlist, iters)
+    cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     # zero-shuffle codebook-kernel argmax (see _nearest_assign)
-    assigned = (_nearest_assign(vecs, codebook)
+    assigned = (_nearest_assign(vecs, cb)
                 .select("vec_id", "e", "list_id",
                         F.round(F.col("sc"), 4).alias("cc")))
 
@@ -642,3 +647,72 @@ def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
                         (F.row_number().over(kw) == 1).cast("int"))
             .select("vec_id", "group_id",
                     F.col("cc").alias("cosine_to_centroid"), "keep"))
+
+
+_SEM_NLIST = 8    # seed codebook size for the gate form
+_SEM_TAU = 0.40   # within-cluster duplicate threshold (synthetic corpus
+                  # max pairwise cosine ~0.5 -> ~20 dup pairs at sf0.01)
+
+
+@query("semantic_dedup_seeded", oracle=f"""
+    WITH RECURSIVE emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS seed_id, e AS se FROM emb
+        ORDER BY vec_id LIMIT {_SEM_NLIST}),
+    assigned AS (
+        SELECT vec_id, e, seed_id AS list_id, round(sc, 4) AS cc FROM (
+            SELECT c.vec_id, c.e, s.seed_id,
+                   {_sql_cos_of('c.e', 's.se')} AS sc,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_sql_cos_of('c.e', 's.se')} DESC, s.seed_id)
+                       AS rn
+            FROM emb c CROSS JOIN seeds s)
+        WHERE rn = 1),
+    prs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM assigned a JOIN assigned b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        WHERE round({_sql_cos_of('a.e', 'b.e')}, 6) >= {_SEM_TAU}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM prs),
+    reach(v, u) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+    labels AS (SELECT v AS vec_id, min(u) AS label FROM reach GROUP BY v),
+    member AS (
+        SELECT a.vec_id, coalesce(l.label, a.vec_id) AS group_id, a.cc
+        FROM assigned a LEFT JOIN labels l ON l.vec_id = a.vec_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY group_id
+                      ORDER BY cc ASC, vec_id) AS rn
+        FROM member)
+    SELECT vec_id, group_id, cc AS cosine_to_centroid,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ranked
+""")
+def semantic_dedup_seeded(spark, sf_dir):
+    """Gate form of `semantic_dedup` (SemDeDup) with a DETERMINISTIC
+    seed codebook — the `_SEM_NLIST` lowest vec_ids' raw vectors,
+    list_id = seed vec_id (the `emb_ivf_topk` convention): Lloyd
+    refinement averages float sums whose summation order is
+    engine-specific, so the gate pins the full downstream pipeline
+    instead — kernel cluster assignment (`_nearest_assign` argmax, ties
+    to lowest list id), within-cluster pairwise kernel at
+    tau={_SEM_TAU}, connected components over the duplicate pairs, and
+    the paper's keep rule (least-similar-to-centroid, then lowest
+    vec_id) — against a recursive-CTE transitive-closure SQL twin.
+    Lloyd convergence itself is property-tested (TestIvfTrain);
+    `semantic_dedup`'s kernels are ALSO differentially tested against
+    an independent numpy implementation (test_semdedup.py)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    vecs = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("e"))
+    cb = (vecs.orderBy("vec_id").limit(_SEM_NLIST)
+          .select(F.col("vec_id").cast("int").alias("list_id"),
+                  F.col("e").alias("centroid")))
+    return semantic_dedup(emb, tau=_SEM_TAU, codebook=cb)

@@ -43,7 +43,8 @@ HEADLINE = [
     "multimodal_decode_features",
     "asof_join_last_click",
     "sessionization",
-    "percentiles_exact",
+    "semantic_dedup_seeded",
+    "incremental_neardup_pairs",
     "range_join_banded",
     "skew_salted_join",
     "chunk_pack_documents",
@@ -59,7 +60,6 @@ HEADLINE = [
     "time_bucket_rollup",
     "moving_average",
     "approx_sketches",
-    "ordered_string_agg",
     "set_ops",
     "rollup_cube_agg",
     "evm_kernel_roundtrip",
