@@ -10,8 +10,15 @@ stride/padding handling, channel reorder, vertical flip), not a stub:
   pixels in BGR order.
 - **PPM (P6)**, the netpbm binary RGB format: ASCII header
   ``P6 <w> <h> <maxval>`` (with ``#`` comments), then raw RGB rows.
+- **PNG** (non-interlaced, 8-bit gray/RGB/RGBA): PNG's only compression
+  is DEFLATE — stdlib ``zlib`` — plus five per-scanline byte filters
+  (None/Sub/Up/Average/Paeth, RFC 2083 §6), so a complete spec-correct
+  decoder needs no codec library: chunk walk with CRC verification,
+  one ``zlib.decompress`` over the concatenated IDAT stream, then
+  per-row unfiltering. Adam7 interlace and 16-bit depth are rejected
+  with named errors (the container-shipped generator never emits them).
 
-Both decoders return the same feature dict the multimodal stage emits
+All decoders return the same feature dict the multimodal stage emits
 (``n_bytes``/``width``/``height``/``checksum``), with ``checksum``
 computed over the DECODED top-down RGB pixel bytes — so a wrong stride,
 channel order, or row direction changes the answer. ``encode_bmp`` /
@@ -21,6 +28,7 @@ channel order, or row direction changes the answer. ``encode_bmp`` /
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 class ImageFormatError(ValueError):
@@ -139,6 +147,128 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}   # gray, truecolor, truecolor+alpha
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data +
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Build an 8-bit truecolor PNG from top-down RGB bytes (filter 0
+    on every scanline — valid PNG, used for tests and fixtures)."""
+    if len(rgb) != width * height * 3:
+        raise ImageFormatError(
+            f"rgb length {len(rgb)} != {width}x{height}x3")
+    stride = width * 3
+    raw = b"".join(b"\x00" + rgb[y * stride:(y + 1) * stride]
+                   for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr) +
+            _png_chunk(b"IDAT", zlib.compress(raw)) +
+            _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from an 8-bit non-interlaced
+    PNG (color types 0/2/6; gray replicates to RGB, alpha is dropped).
+    Chunk CRCs are verified — corruption raises, never mis-decodes."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ImageFormatError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(payload):
+        length, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ImageFormatError(f"truncated PNG chunk {typ!r}")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ImageFormatError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ImageFormatError("PNG missing IHDR/IDAT/IEND")
+    width, height, depth, ctype, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if width <= 0 or height <= 0:
+        raise ImageFormatError(f"bad PNG dimensions {width}x{height}")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ImageFormatError(
+            f"unsupported PNG: depth={depth} color_type={ctype} "
+            "(8-bit gray/RGB/RGBA only)")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ImageFormatError(
+            f"unsupported PNG: compression={comp} filter={filt} "
+            f"interlace={interlace} (Adam7 not supported)")
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"corrupt PNG IDAT stream: {exc}") from exc
+    if len(raw) != (stride + 1) * height:
+        raise ImageFormatError(
+            f"PNG pixel payload is {len(raw)} bytes, expected "
+            f"{(stride + 1) * height}")
+    # per-scanline unfiltering (RFC 2083 §6): each row leads with its
+    # filter byte; Sub/Up/Average/Paeth predict from the left (a), the
+    # row above (b), and the upper-left (c) at channel offset
+    prev = bytearray(stride)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:      # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ImageFormatError(f"bad PNG filter type {f} in row {y}")
+        prev = row
+        dst = y * width * 3
+        if ctype == 2:
+            out[dst:dst + stride] = row
+        elif ctype == 6:        # drop alpha
+            for x in range(width):
+                out[dst + 3 * x: dst + 3 * x + 3] = row[4 * x: 4 * x + 3]
+        else:                   # gray -> replicate
+            for x in range(width):
+                g = row[x]
+                out[dst + 3 * x: dst + 3 * x + 3] = bytes((g, g, g))
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Resize (nearest-neighbor) and frame streams
 # ---------------------------------------------------------------------------
 
@@ -188,8 +318,11 @@ def decode_image(payload: bytes) -> dict:
         width, height, rgb = decode_bmp(payload)
     elif payload[:2] == b"P6":
         width, height, rgb = decode_ppm(payload)
+    elif payload[:8] == _PNG_MAGIC:
+        width, height, rgb = decode_png(payload)
     else:
         raise ImageFormatError(
-            f"unrecognized image magic {payload[:2]!r} (BMP/P6 supported)")
+            f"unrecognized image magic {payload[:2]!r} "
+            "(BMP/P6/PNG supported)")
     return {"n_bytes": len(payload), "width": width, "height": height,
             "checksum": sum(rgb) % 65536}

@@ -9,14 +9,15 @@ Partitioning carries the payload column only through the stages that read
 it — everything else projects it away (column pruning keeps the scan
 narrow).
 
-Decode kernels: ``real_decode=True`` runs the pure-Python BMP/PPM
+Decode kernels: ``real_decode=True`` runs the pure-Python BMP/PPM/PNG
 decoder in ``functions/imaging.py`` (header parse, stride/padding,
-BGR→RGB reorder, bottom-up flip — real decoding, no external libs);
-``real_decode=False`` derives a deterministic fake feature row from the
-payload bytes, used by the gate query whose payloads are text bytes, not
-images. Formats beyond BMP/P6 (JPEG/PNG/audio/video) need codecs this
-container doesn't ship — swap ``imaging.decode_image`` for a library
-call; the Spark plumbing is format-agnostic.
+BGR→RGB reorder, bottom-up flip, zlib inflate + scanline unfiltering —
+real decoding, no external libs); ``real_decode=False`` derives a
+deterministic fake feature row from the payload bytes, used by the gate
+query whose payloads are text bytes, not images. Remaining formats
+(JPEG/MP3) need entropy/DCT codecs this container doesn't ship — swap
+``imaging.decode_image`` for a library call; the Spark plumbing is
+format-agnostic.
 """
 
 from __future__ import annotations

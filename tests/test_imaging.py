@@ -72,15 +72,104 @@ class TestPpmCodec:
             imaging.decode_ppm(imaging.encode_ppm(2, 2, _rgb(2, 2))[:-1])
 
 
+class TestPngCodec:
+    @pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (5, 7), (8, 8)])
+    def test_roundtrip_filter0(self, w, h):
+        rgb = _rgb(w, h)
+        assert imaging.decode_png(imaging.encode_png(w, h, rgb)) == \
+            (w, h, rgb)
+
+    @staticmethod
+    def _forward_filter(width, height, raw_rows, ch, filters):
+        """Reference forward-filtering (RFC 2083 §6) so the decoder's
+        unfiltering is checked against an independent implementation."""
+        stride = width * ch
+        prev = bytes(stride)
+        out = bytearray()
+        for y, f in zip(range(height), filters):
+            row = raw_rows[y * stride:(y + 1) * stride]
+            enc = bytearray([f])
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    p = 0
+                elif f == 1:
+                    p = a
+                elif f == 2:
+                    p = b
+                elif f == 3:
+                    p = (a + b) >> 1
+                else:
+                    p = imaging._paeth(a, b, c)
+                enc.append((row[i] - p) & 0xFF)
+            out += enc
+            prev = row
+        return bytes(out)
+
+    def _make_png(self, width, height, ctype, raw_rows, filters):
+        import struct as _s
+        import zlib as _z
+        ch = imaging._PNG_CHANNELS[ctype]
+        ihdr = _s.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+        raw = self._forward_filter(width, height, raw_rows, ch, filters)
+        return (imaging._PNG_MAGIC + imaging._png_chunk(b"IHDR", ihdr) +
+                imaging._png_chunk(b"IDAT", _z.compress(raw)) +
+                imaging._png_chunk(b"IEND", b""))
+
+    def test_all_filter_types_unfilter_correctly(self):
+        w, h = 4, 5
+        rgb = _rgb(w, h)
+        payload = self._make_png(w, h, 2, rgb, [0, 1, 2, 3, 4])
+        assert imaging.decode_png(payload) == (w, h, rgb)
+
+    def test_rgba_drops_alpha_and_gray_replicates(self):
+        w, h = 3, 2
+        rgb = _rgb(w, h)
+        rgba = b"".join(rgb[3 * i:3 * i + 3] + bytes([200 + i])
+                        for i in range(w * h))
+        assert imaging.decode_png(
+            self._make_png(w, h, 6, rgba, [1, 4])) == (w, h, rgb)
+        gray = bytes(range(10, 10 + w * h))
+        want = b"".join(bytes((g, g, g)) for g in gray)
+        assert imaging.decode_png(
+            self._make_png(w, h, 0, gray, [2, 3])) == (w, h, want)
+
+    def test_rejects_crc_corruption_and_truncation(self):
+        good = imaging.encode_png(4, 4, _rgb(4, 4))
+        bad = bytearray(good)
+        bad[40] ^= 0xFF                  # a byte inside IDAT
+        with pytest.raises(imaging.ImageFormatError, match="CRC"):
+            imaging.decode_png(bytes(bad))
+        with pytest.raises(imaging.ImageFormatError):
+            imaging.decode_png(good[:-10])
+
+    def test_rejects_interlace_and_16bit(self):
+        import struct as _s
+        w, h = 2, 2
+        for depth, interlace, msg in ((8, 1, "interlace"), (16, 0, "depth")):
+            ihdr = _s.pack(">IIBBBBB", w, h, depth, 2, 0, 0, interlace)
+            payload = (imaging._PNG_MAGIC + imaging._png_chunk(b"IHDR", ihdr)
+                       + imaging._png_chunk(b"IDAT", b"x")
+                       + imaging._png_chunk(b"IEND", b""))
+            with pytest.raises(imaging.ImageFormatError, match=msg):
+                imaging.decode_png(payload)
+
+
 class TestDecodeDispatch:
     def test_magic_sniff_and_feature_row(self):
         bmp = imaging.encode_bmp(3, 2, _rgb(3, 2))
         ppm = imaging.encode_ppm(3, 2, _rgb(3, 2))
+        png = imaging.encode_png(3, 2, _rgb(3, 2))
         fb, fp = imaging.decode_image(bmp), imaging.decode_image(ppm)
+        fg = imaging.decode_image(png)
         # same pixels -> same checksum, format-specific n_bytes
-        assert fb["checksum"] == fp["checksum"] == sum(_rgb(3, 2)) % 65536
+        assert fb["checksum"] == fp["checksum"] == fg["checksum"] \
+            == sum(_rgb(3, 2)) % 65536
         assert (fb["width"], fb["height"]) == (3, 2)
-        assert fb["n_bytes"] == len(bmp) and fp["n_bytes"] == len(ppm)
+        assert (fg["width"], fg["height"]) == (3, 2)
+        assert fb["n_bytes"] == len(bmp) and fg["n_bytes"] == len(png)
 
     def test_unknown_magic(self):
         with pytest.raises(imaging.ImageFormatError, match="magic"):
@@ -102,7 +191,8 @@ class TestRealDecodeStage:
         for i, (w, h, enc, tag) in enumerate([
                 (3, 2, imaging.encode_bmp, "image/bmp"),
                 (5, 7, imaging.encode_bmp, "image/bmp"),
-                (4, 4, imaging.encode_ppm, "image/x-portable-pixmap")]):
+                (4, 4, imaging.encode_ppm, "image/x-portable-pixmap"),
+                (6, 3, imaging.encode_png, "image/png")]):
             payload = enc(w, h, _rgb(w, h))
             rows.append((i, payload, tag, 0, 1, w, h,
                          sum(_rgb(w, h)) % 65536, len(payload)))
