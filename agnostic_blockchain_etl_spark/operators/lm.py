@@ -229,3 +229,111 @@ def perplexity_score_rowwise(docs: DataFrame, model: DataFrame,
     return (docs.withColumn("_s", score(F.col(text_col)))
             .select("doc_id", F.col("_s.n_tokens").alias("n_tokens"),
                     F.col("_s.avg_nll").alias("avg_nll")))
+
+
+def train_trigram_lm(docs: DataFrame, text_col: str = "text",
+                     vocab_size: int = _DEFAULT_VOCAB,
+                     max_bigrams: int = 200_000,
+                     max_trigrams: int = 200_000) -> DataFrame:
+    """Interpolated trigram model — one more zip-shift past
+    :func:`train_bigram_lm`, materially closer to CCNet's KenLM-5
+    behavior at the same bounded-artifact shape. ONE broadcastable frame
+    of four row kinds ``(prev2, prev, word, p)``:
+
+    - ``(NULL, NULL, word, p)``  — add-one unigram probability;
+    - ``(NULL, NULL, NULL, p)``  — the OOV unigram probability;
+    - ``(NULL, prev, word, p)``  — bigram conditional (top
+      ``max_bigrams``);
+    - ``(prev2, prev, word, p)`` — raw conditional ``c(prev2,prev,word)
+      / c(prev2,prev,·)`` for the ``max_trigrams`` most frequent
+      trigrams (ties: lexicographic) — unstored trigrams contribute 0
+      and interpolation absorbs them.
+
+    Training adds one count shuffle (adjacent triples) plus a top-M
+    ``TakeOrderedAndProject`` on top of the bigram pipeline; the
+    artifact stays bounded by the knobs, so scoring remains a broadcast
+    join at 100 TB."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size("ws")
+    words = docs.select(ws.alias("ws"))
+    triples = (words.where(n >= 3)
+               .select(F.explode(F.zip_with(
+                   F.zip_with(F.slice("ws", 1, n - 2),
+                              F.slice("ws", 2, n - 2),
+                              lambda a, b: F.struct(a.alias("prev2"),
+                                                    b.alias("prev"))),
+                   F.slice("ws", 3, n - 2),
+                   lambda ab, c: F.struct(ab["prev2"].alias("prev2"),
+                                          ab["prev"].alias("prev"),
+                                          c.alias("word")))).alias("t"))
+               .select("t.prev2", "t.prev", "t.word"))
+    tri = triples.groupBy("prev2", "prev", "word") \
+        .agg(F.count("*").alias("c"))
+    ctx_tot = tri.groupBy("prev2", "prev").agg(F.sum("c").alias("ct"))
+    top_tri = (tri.orderBy(F.col("c").desc(), "prev2", "prev", "word")
+               .limit(max_trigrams)
+               .join(ctx_tot, ["prev2", "prev"])
+               .select("prev2", "prev", "word",
+                       (F.col("c") / F.col("ct")).alias("p")))
+    bi = train_bigram_lm(docs, text_col, vocab_size, max_bigrams) \
+        .select(F.lit(None).cast("string").alias("prev2"), "prev",
+                "word", "p")
+    return bi.unionByName(top_tri)
+
+
+def trigram_perplexity_score(docs: DataFrame, model: DataFrame,
+                             lam3: float = 0.5, lam2: float = 0.3,
+                             text_col: str = "text") -> DataFrame:
+    """Score with the interpolated trigram model; the unavailable-order
+    mass folds onto the highest available lower order so every position
+    mixes to exactly 1:
+
+    - token 1: ``-ln(p_uni)``;
+    - token 2: ``-ln((lam3+lam2)·p_bi + lam1·p_uni)``;
+    - token ≥3: ``-ln(lam3·p_tri + lam2·p_bi + lam1·p_uni)``
+
+    with ``lam1 = 1 - lam3 - lam2`` and unstored n-grams contributing 0
+    (interpolation keeps every probability positive). Same output
+    contract and tercile buckets as :func:`perplexity_score`."""
+    lam1 = 1 - lam3 - lam2
+    uni = (model.where(F.col("prev2").isNull() & F.col("prev").isNull() &
+                       F.col("word").isNotNull())
+           .select("word", F.col("p").alias("pu")))
+    oov = (model.where(F.col("prev2").isNull() & F.col("prev").isNull() &
+                       F.col("word").isNull())
+           .select(F.col("p").alias("poov")))
+    big = (model.where(F.col("prev2").isNull() & F.col("prev").isNotNull())
+           .select("prev", "word", F.col("p").alias("pb")))
+    tri = (model.where(F.col("prev2").isNotNull())
+           .select("prev2", "prev", "word", F.col("p").alias("pt")))
+
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size("ws")
+    null_s = F.lit(None).cast("string")
+    prev_arr = F.concat(F.array(null_s), F.slice("ws", 1, n - 1))
+    prev2_arr = F.concat(F.array(null_s, null_s),
+                         F.slice("ws", 1, F.greatest(n - 2, F.lit(0))))
+    toks = (docs.select("doc_id", ws.alias("ws"))
+            .select("doc_id",
+                    F.explode_outer(F.arrays_zip(
+                        F.col("ws").alias("word"),
+                        prev_arr.alias("prev"),
+                        prev2_arr.alias("prev2"))).alias("t"))
+            .select("doc_id", "t.word", "t.prev", "t.prev2"))
+    pu = F.coalesce("pu", "poov")
+    p_tok = (F.when(F.col("prev").isNull(), pu)
+             .when(F.col("prev2").isNull(),
+                   (lam3 + lam2) * F.coalesce("pb", F.lit(0.0)) + lam1 * pu)
+             .otherwise(lam3 * F.coalesce("pt", F.lit(0.0)) +
+                        lam2 * F.coalesce("pb", F.lit(0.0)) + lam1 * pu))
+    per_doc = (toks
+               .join(F.broadcast(uni), "word", "left")
+               .join(F.broadcast(big), ["prev", "word"], "left")
+               .join(F.broadcast(tri), ["prev2", "prev", "word"], "left")
+               .crossJoin(F.broadcast(oov))
+               .groupBy("doc_id")
+               .agg(F.count("word").alias("n_tokens"),
+                    F.round(F.coalesce(F.avg(-F.log(p_tok)),
+                                       F.first(-F.log("poov"))), 6)
+                     .alias("avg_nll")))
+    return _bucketize(per_doc)

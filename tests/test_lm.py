@@ -300,3 +300,138 @@ def test_rowwise_scorer_parity_on_hostile_whitespace_and_nulls(spark):
         assert batch[d][0] == roww[d][0], (d, batch[d], roww[d])
         assert abs(batch[d][1] - roww[d][1]) <= 1e-6, d
     assert batch[3][0] == 0   # null doc scores 0 tokens in BOTH forms
+
+
+TRI_V, TRI_M, TRI_T = 12, 50, 60
+L3, L2 = 0.5, 0.3
+L1 = 1 - L3 - L2          # interpolated into SQL verbatim so both
+                          # engines mix with the IDENTICAL double
+
+
+def _duck_trigram_scores(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    rows = con.execute(f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM d),
+        toks AS (
+            SELECT doc_id, i, ws[i] AS word,
+                   CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev,
+                   CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS prev2
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws))) AS i
+                  FROM base)),
+        counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        top AS (SELECT word, c FROM counts
+                ORDER BY c DESC, word LIMIT {TRI_V}),
+        stats AS (SELECT (SELECT sum(c) FROM counts) AS t,
+                         (SELECT least({TRI_V}, count(*)) FROM counts)
+                             AS v),
+        uni AS (SELECT word, (c + 1.0) / (t + v + 1) AS pu
+                FROM top CROSS JOIN stats),
+        oov AS (SELECT 1.0 / (t + v + 1) AS poov FROM stats),
+        big_all AS (
+            SELECT prev, word, count(*) AS c FROM toks
+            WHERE prev IS NOT NULL GROUP BY prev, word),
+        prev_tot AS (SELECT prev, sum(c) AS ct FROM big_all GROUP BY prev),
+        big AS (
+            SELECT b.prev, b.word, b.c / pt.ct AS pb
+            FROM (SELECT * FROM big_all
+                  ORDER BY c DESC, prev, word LIMIT {TRI_M}) b
+            JOIN prev_tot pt USING (prev)),
+        tri_all AS (
+            SELECT prev2, prev, word, count(*) AS c FROM toks
+            WHERE prev2 IS NOT NULL GROUP BY prev2, prev, word),
+        ctx_tot AS (SELECT prev2, prev, sum(c) AS ct FROM tri_all
+                    GROUP BY prev2, prev),
+        tri AS (
+            SELECT s.prev2, s.prev, s.word, s.c / ct.ct AS pt
+            FROM (SELECT * FROM tri_all
+                  ORDER BY c DESC, prev2, prev, word LIMIT {TRI_T}) s
+            JOIN ctx_tot ct USING (prev2, prev)),
+        scored AS (
+            SELECT t.doc_id,
+                   CASE WHEN t.prev IS NULL
+                        THEN coalesce(u.pu, o.poov)
+                        WHEN t.prev2 IS NULL
+                        THEN ({L3} + {L2}) * coalesce(bg.pb, 0.0)
+                             + {L1!r} * coalesce(u.pu, o.poov)
+                        ELSE {L3} * coalesce(tg.pt, 0.0)
+                             + {L2} * coalesce(bg.pb, 0.0)
+                             + {L1!r} * coalesce(u.pu, o.poov)
+                   END AS p
+            FROM toks t
+            LEFT JOIN uni u USING (word)
+            LEFT JOIN big bg ON bg.prev = t.prev AND bg.word = t.word
+            LEFT JOIN tri tg ON tg.prev2 = t.prev2 AND tg.prev = t.prev
+                            AND tg.word = t.word
+            CROSS JOIN oov o),
+        perdoc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(p)), 6) AS avg_nll
+            FROM scored GROUP BY doc_id),
+        bounds AS (SELECT round(quantile_cont(avg_nll, 1.0/3.0), 6) AS b1,
+                          round(quantile_cont(avg_nll, 2.0/3.0), 6) AS b2
+                   FROM perdoc)
+        SELECT doc_id, n_tokens, avg_nll,
+               CASE WHEN avg_nll <= b1 THEN 'head'
+                    WHEN avg_nll <= b2 THEN 'middle'
+                    ELSE 'tail' END
+        FROM perdoc CROSS JOIN bounds
+    """).fetchall()
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+def test_trigram_cross_engine_parity(spark):
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        train_trigram_lm, trigram_perplexity_score)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_trigram_lm(df, vocab_size=TRI_V, max_bigrams=TRI_M,
+                             max_trigrams=TRI_T)
+    got = {r.doc_id: (r.n_tokens, r.avg_nll, r.bucket)
+           for r in trigram_perplexity_score(df, model, lam3=L3,
+                                             lam2=L2).collect()}
+    want = _duck_trigram_scores(DOCS)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) <= 1e-6, d
+        assert got[d][2] == want[d][2], d
+
+
+def test_trigram_punishes_scrambling_harder_than_bigram(spark):
+    """Scrambling preserves unigrams, destroys most bigrams, and
+    destroys trigrams at least as hard — the trigram model's NLL
+    penalty for the scramble must EXCEED the bigram model's (the
+    order-sensitivity property, strengthened one order)."""
+    import random
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        bigram_perplexity_score, train_bigram_lm, train_trigram_lm,
+        trigram_perplexity_score)
+    rng = random.Random(11)
+    orig = "the cat sat on the mat and the dog sat on the rug"
+    words = orig.split()
+    while True:
+        rng.shuffle(words)
+        scrambled = " ".join(words)
+        if scrambled != orig:
+            break
+    df_train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    df_score = spark.createDataFrame([(100, orig), (101, scrambled)],
+                                     "doc_id long, text string")
+    tmodel = train_trigram_lm(df_train, vocab_size=TRI_V,
+                              max_bigrams=TRI_M, max_trigrams=TRI_T)
+    ts = {r.doc_id: r.avg_nll
+          for r in trigram_perplexity_score(df_score, tmodel, lam3=L3,
+                                            lam2=L2).collect()}
+    bmodel = train_bigram_lm(df_train, vocab_size=TRI_V,
+                             max_bigrams=TRI_M)
+    bs = {r.doc_id: r.avg_nll
+          for r in bigram_perplexity_score(df_score, bmodel,
+                                           lam=LAM).collect()}
+    assert ts[101] > ts[100], "scramble must cost more under trigrams"
+    assert (ts[101] - ts[100]) > (bs[101] - bs[100]), \
+        "trigram penalty must exceed the bigram penalty"
