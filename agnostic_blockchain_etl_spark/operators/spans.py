@@ -164,3 +164,72 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
                     F.array_join(kept, " ").alias("text"),
                     F.size(kept).alias("n_words"),
                     (F.size("words") - F.size(kept)).alias("n_removed")))
+
+
+def decontaminate_spans(train_docs: DataFrame, eval_docs: DataFrame,
+                        k: int = 10) -> DataFrame:
+    """Span-level benchmark decontamination — the middle ground between
+    keeping a contaminated document and dropping it whole
+    (`dedup.decontaminate` flags whole documents; this EXCISES the
+    overlapping spans and keeps the clean remainder, the Llama-2-style
+    treatment): every run of ≥ ``k`` consecutive train words that
+    appears verbatim anywhere in the eval/benchmark set is deleted from
+    the train document. Returns ``(doc_id, text, n_words, n_removed)``
+    over ALL train docs — untouched documents pass through with
+    ``n_removed = 0`` (text normalized by the shared tokenizer:
+    lowercased, single-space joined).
+
+    Unlike `remove_duplicate_spans` there is no first-occurrence
+    keeper: eval text must not survive in the train set at all, so
+    EVERY match is excised.
+
+    Scale shape: the eval side is a benchmark suite (bounded), so its
+    distinct k-gram digest set is explicitly ``broadcast()`` — the
+    100 TB train corpus is scanned once with a map-side probe (the same
+    shape as `decontaminate`); the span merge shuffles only MATCHED
+    positions (a tiny fraction at any realistic contamination rate);
+    the surgery joins the per-doc span arrays back LEFT."""
+    tok = lambda c: F.split(F.lower(F.trim(c)), r"\s+")   # noqa: E731
+    eval_grams = (eval_docs
+                  .select(F.explode(_kgram_digests(tok(F.col("text")), k))
+                          .alias("h"))
+                  .distinct())
+    from .tables import spread
+    words = spread(train_docs).select("doc_id",
+                                      tok(F.col("text")).alias("words"))
+    train_grams = (words
+                   .select("doc_id",
+                           F.posexplode(_kgram_digests(F.col("words"), k))
+                           .alias("pos0", "h"))
+                   .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"))
+    marked = (train_grams.join(F.broadcast(eval_grams), "h")
+              .select("doc_id", "pos").distinct())
+    # adjacent/overlapping matched k-grams merge into maximal spans
+    # (gap ≤ k), exactly as in duplicate_spans: a contaminated run of
+    # length L ≥ k marks positions p..p+L-k, merging to span p..p+L-1
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1)
+    ).over(w)
+    spans = (marked.withColumn("grp", grp)
+             .groupBy("doc_id", "grp")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + (k - 1)).alias("span_end"))
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("spans")))
+    pos_words = F.zip_with(
+        F.col("words"),
+        F.sequence(F.lit(1), F.size("words")),
+        lambda wd, i: F.struct(wd.alias("w"), i.alias("i")))
+    in_span = lambda pw: F.exists(                      # noqa: E731
+        F.col("spans"), lambda s: (pw["i"] >= s["span_start"]) &
+                                  (pw["i"] <= s["span_end"]))
+    kept = F.when(F.col("spans").isNull(), F.col("words")) \
+        .otherwise(F.transform(F.filter(pos_words, lambda pw: ~in_span(pw)),
+                               lambda pw: pw["w"]))
+    return (words.join(spans, "doc_id", "left")
+            .select("doc_id",
+                    F.array_join(kept, " ").alias("text"),
+                    F.size(kept).alias("n_words"),
+                    (F.size("words") - F.size(kept)).alias("n_removed")))

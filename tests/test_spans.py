@@ -254,3 +254,59 @@ def test_removal_leaves_no_duplicate_spans_behind(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     cleaned = remove_duplicate_spans(docs, K).select("doc_id", "text")
     assert duplicate_spans(cleaned, K).count() == 0
+
+
+class TestDecontaminateSpans:
+    K = 5
+
+    def _frames(self, spark):
+        eval_passage = " ".join(f"e{i}" for i in range(15))
+        train = [
+            # planted: the 15-word eval passage verbatim, mid-document
+            (1, "alpha beta gamma " + eval_passage + " delta epsilon"),
+            # clean document, no overlap at all
+            (2, " ".join(f"c{i}" for i in range(20))),
+            # whole document IS eval content
+            (3, eval_passage),
+            # shorter than k: can never match
+            (4, "tiny doc"),
+        ]
+        evals = [(100, "header text " + eval_passage + " footer words")]
+        return (spark.createDataFrame(train, "doc_id long, text string"),
+                spark.createDataFrame(evals, "doc_id long, text string"))
+
+    def test_excises_planted_overlap_keeps_remainder(self, spark):
+        from agnostic_blockchain_etl_spark.operators.spans import (
+            decontaminate_spans)
+        train, evals = self._frames(spark)
+        got = {r.doc_id: r for r in
+               decontaminate_spans(train, evals, k=self.K).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        # doc 1: exactly the 15 planted words removed, remainder intact
+        assert got[1].text == "alpha beta gamma delta epsilon"
+        assert got[1].n_removed == 15 and got[1].n_words == 5
+        # doc 2: untouched
+        assert got[2].n_removed == 0
+        assert got[2].text == " ".join(f"c{i}" for i in range(20))
+        # doc 3: fully excised
+        assert got[3].text == "" and got[3].n_words == 0 \
+            and got[3].n_removed == 15
+        # doc 4: below k, untouched
+        assert got[4].n_removed == 0 and got[4].text == "tiny doc"
+
+    def test_no_first_occurrence_keeper(self, spark):
+        """Unlike span DEDUP, the eval passage must not survive in ANY
+        train doc — two train docs carrying the same eval run both lose
+        it."""
+        from agnostic_blockchain_etl_spark.operators.spans import (
+            decontaminate_spans)
+        passage = " ".join(f"p{i}" for i in range(8))
+        train = spark.createDataFrame(
+            [(1, "lead " + passage), (2, passage + " tail")],
+            "doc_id long, text string")
+        evals = spark.createDataFrame([(9, passage)],
+                                      "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               decontaminate_spans(train, evals, k=self.K).collect()}
+        assert got[1].text == "lead" and got[1].n_removed == 8
+        assert got[2].text == "tail" and got[2].n_removed == 8
