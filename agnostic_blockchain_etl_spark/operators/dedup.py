@@ -668,8 +668,22 @@ def connected_components(pairs: DataFrame,
     The loop ends when NO edges survive — convergence is structural,
     not a fixpoint probe, so there are no driver round-trips beyond the
     emptiness check and a wrong answer cannot be returned silently (the
-    64-round guard raises; contraction at least halves a path's length
-    per round, so 64 covers any graph whose diameter fits in 2⁶⁴).
+    64-round guard raises).
+
+    **Adaptive pointer-jumping for chain-shaped graphs**: plain star
+    contraction collapses cliques in one round but shrinks a PATH only
+    linearly (L(v) = v-1 shifts every edge down by one — measured, not
+    hypothetical), so a deep-chain component could exhaust any fixed
+    round budget. The loop watches the shrink rate; when two
+    consecutive rounds shrink the edge list by less than 25%, the
+    round's label map is flattened to its min-label fixpoint by
+    pointer doubling (`_flatten_labels` — each self-join of the
+    VERTEX-sized map doubles the chase depth, so a depth-d chain
+    flattens in ceil(log2 d) joins) before contracting, which
+    collapses any chain in one round. Clique-heavy near-dup graphs
+    never trigger it; adversarial path graphs converge in
+    O(log diameter) map joins (test: a 240-vertex path with the local
+    finish disabled).
 
     Why contraction instead of label propagation over a FIXED edge set:
     a randomized differential test against union-find (test_llm_ops.py)
@@ -745,6 +759,8 @@ def connected_components(pairs: DataFrame,
     mappings = []
     local_root = None
     cur = e1
+    prev_edges = None
+    slow_rounds = 0
     for _round in range(64):
         # counting a checkpointed frame is ~free and doubles as the
         # emptiness probe the loop already needed
@@ -761,6 +777,17 @@ def connected_components(pairs: DataFrame,
                 .agg(F.min(F.least(F.col("src"), F.col("dst")))
                      .alias("label"))
                 .localCheckpoint(eager=True))
+        # chain-shaped residuals shrink linearly under star contraction;
+        # after two consecutive sub-25% rounds, flatten the label forest
+        # so the contraction below collapses the whole chain at once
+        if prev_edges is not None and n_edges * 4 > prev_edges * 3:
+            slow_rounds += 1
+        else:
+            slow_rounds = 0
+        prev_edges = n_edges
+        if slow_rounds >= 2:
+            lmap = _flatten_labels(lmap)
+            slow_rounds = 0
         mappings.append(lmap)
         a = lmap.toDF("src", "ls")
         b = lmap.toDF("dst", "ld")
@@ -800,6 +827,32 @@ def connected_components(pairs: DataFrame,
                 .select("doc_id",
                         F.coalesce("rlabel", "label").alias("label")))
     return root
+
+
+def _flatten_labels(lmap: DataFrame) -> DataFrame:
+    """Pointer-jumping to the min-label fixpoint: compose the
+    ``(doc_id → label)`` map with itself until stable. Every hop
+    strictly decreases the label (L(v) ≤ v by construction), so the
+    map is a forest with decreasing chains and each self-join DOUBLES
+    the chase depth — a depth-d chain flattens in ceil(log2 d) passes.
+    The flattened map sends every vertex to its chain's root, which
+    stays inside the vertex's component (each hop follows a real
+    neighbor edge), so contraction with the flattened map preserves
+    components exactly like the unflattened one."""
+    for _ in range(64):
+        m = lmap.toDF("jid", "jlabel")
+        new_label = F.coalesce("jlabel", lmap["label"])
+        jumped = (lmap.join(m, lmap["label"] == m["jid"], "left")
+                  .select(lmap["doc_id"], new_label.alias("label"),
+                          (new_label != lmap["label"]).alias("_chg"))
+                  .localCheckpoint(eager=True))
+        changed = jumped.where(F.col("_chg")).count()
+        lmap = jumped.drop("_chg")
+        if changed == 0:
+            return lmap
+    raise RuntimeError(
+        "label forest failed to flatten in 64 pointer-jumping passes — "
+        "wrong labels must never be returned silently")
 
 
 def _union_find_min(rows) -> list:

@@ -449,3 +449,32 @@ class TestConcurrencyHygiene:
         assert spark.conf.get(conf_key) == before
         assert result == {g * 100 + i: g * 100
                           for g in range(4) for i in range(12)}
+
+
+class TestChainGraphConvergence:
+    def test_deep_path_converges_without_local_finish(self, spark):
+        """Star contraction shrinks a path only LINEARLY (measured:
+        each round shifts labels down by one), so a 240-vertex chain
+        would exhaust the 64-round guard; the adaptive pointer-jumping
+        must flatten the label forest and collapse the chain instead."""
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        n = 240
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                      "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(
+                   pairs, local_finish_edges=0).collect()}
+        assert got == {i: 0 for i in range(n + 1)}
+
+    def test_two_chains_keep_separate_minima(self, spark):
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        edges = [(i, i + 1) for i in range(80)] + \
+                [(1000 + i, 1001 + i) for i in range(80)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(
+                   pairs, local_finish_edges=0).collect()}
+        assert all(v == 0 for k, v in got.items() if k < 1000)
+        assert all(v == 1000 for k, v in got.items() if k >= 1000)
