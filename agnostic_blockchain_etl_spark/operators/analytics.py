@@ -14,7 +14,7 @@ entity, which partitions cleanly by user at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .tables import avg_units, events_us, load_tables, spread
