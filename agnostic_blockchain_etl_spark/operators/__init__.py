@@ -32,6 +32,8 @@ from .multimodal import (audio_feature_stage, decode_features,
 from .pii import luhn_valid, pii_scrub, pii_scrub_extended
 from .shards import balanced_shard_assign, write_training_shards
 from .profile import merge_profile_sketches, profile_sketch, profile_table
+from .dsir import (dsir_log_weights, dsir_sample,
+                   hashed_bucket_logprobs)
 from .spans import (decontaminate_spans, duplicate_spans,
                     remove_duplicate_spans,
                     span_dedup_stats)
@@ -60,7 +62,8 @@ __all__ = [
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
     "repetition_signals", "gopher_quality",
-    "decontaminate_spans", "duplicate_spans", "remove_duplicate_spans",
+    "decontaminate_spans", "dsir_log_weights", "dsir_sample",
+    "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
     "mixture_weights",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "balanced_shard_assign", "write_training_shards",

@@ -1,0 +1,150 @@
+"""DSIR-style data selection via importance resampling (Xie et al.
+2023, arXiv:2302.03169 "Data Selection for Language Models via
+Importance Resampling"): pick raw-corpus documents whose hashed-n-gram
+distribution looks like a small TARGET domain — the standard recipe for
+building a domain-matched pre-training subset from a 100 TB crawl.
+
+The method in the paper's own terms:
+
+1. featurize every document as a bag of hashed n-grams (unigrams +
+   adjacent bigrams, hashed into ``B`` buckets);
+2. fit two bag-of-buckets unigram distributions — ``p`` on the target
+   set, ``q`` on the raw corpus (add-one smoothing over the B buckets);
+3. each raw document's importance log-weight is
+   ``Σ_features [ log p(b) − log q(b) ]``;
+4. resample without replacement ∝ the importance weight via the
+   Gumbel-top-k trick (entirely in the log domain, so extreme ratios
+   cannot overflow).
+
+Spark-first scale shape: the feature space is ``B`` hash buckets (a
+knob, default 8192), so BOTH distributions are bounded B-row artifacts
+— training each is one count shuffle densified against ``range(B)``;
+scoring broadcasts the B-row log-ratio table and pays one
+(doc_id)-keyed aggregation over the exploded features (the
+`lm.perplexity_score` shape); selection is a global top-k, planned as
+``TakeOrderedAndProject`` (per-partition heaps, never a full sort). No
+Python anywhere — the feature hash is the corpus-wide portable 60-bit
+md5 (`dedup._spark_hash60`), so every stage has an exact DuckDB twin
+(differential-tested in tests/test_dsir.py).
+
+Determinism: the Gumbel noise draws ``u`` as a pure hash of doc_id
+(salt ``'dsir:'``) exactly like `corpus.weighted_sample` — membership
+is reproducible across runs/engines/partitionings, and new corpus rows
+never re-draw old ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _spark_hash60, _spark_words
+
+_DEFAULT_BUCKETS = 8192
+_TWO60 = float(1 << 60)
+
+
+def _hashed_features(docs: DataFrame, buckets: int,
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, b) — one row per token FEATURE (unigrams + adjacent
+    bigrams, multiplicity kept: DSIR is a bag model), ``b`` the
+    portable 60-bit hash modulo ``buckets``."""
+    words = docs.select("doc_id",
+                        _spark_words(F.col(text_col)).alias("ws"))
+    n = F.size("ws")
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice("ws", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))) \
+        .otherwise(F.array().cast("array<string>"))
+    return (words
+            .select("doc_id",
+                    F.explode(F.concat(F.col("ws"), bigrams)).alias("g"))
+            .select("doc_id",
+                    (_spark_hash60(F.col("g")) % buckets).alias("b")))
+
+
+def hashed_bucket_logprobs(docs: DataFrame,
+                           buckets: int = _DEFAULT_BUCKETS,
+                           text_col: str = "text") -> DataFrame:
+    """DENSE (b, logp) over all ``buckets`` buckets with add-one
+    smoothing: ``p(b) = (c_b + 1) / (T + B)`` — every bucket has
+    positive probability and the distribution sums to exactly 1, so
+    log-ratios are always finite. One count shuffle + a B-row densify
+    join; the output is a bounded broadcastable artifact (persist it to
+    reuse a raw-corpus distribution across many target domains)."""
+    counts = (_hashed_features(docs, buckets, text_col)
+              .groupBy("b").agg(F.count("*").alias("c")))
+    spark = docs.sparkSession
+    dense = (spark.range(buckets).toDF("b")
+             .join(counts, "b", "left")
+             .select("b", F.coalesce("c", F.lit(0)).alias("c")))
+    tot = dense.agg(F.sum("c").alias("t"))
+    return (dense.crossJoin(F.broadcast(tot))
+            .select("b", F.log((F.col("c") + 1).cast("double") /
+                               (F.col("t") + buckets)).alias("logp")))
+
+
+def dsir_log_weights(raw_docs: DataFrame, target_docs: DataFrame,
+                     buckets: int = _DEFAULT_BUCKETS,
+                     text_col: str = "text",
+                     per_token: bool = False) -> DataFrame:
+    """One row per raw document: ``(doc_id, n_feats, log_weight)`` with
+    ``log_weight = Σ_features [ log p_target(b) − log p_raw(b) ]``
+    (rounded to 6; the paper's importance log-ratio). Documents with no
+    features (null text) score 0 — indistinguishable from either
+    distribution. ``per_token=True`` divides by the feature count,
+    scoring density instead of total evidence (long documents otherwise
+    dominate both tails).
+
+    Scale: the log-ratio table is B rows → broadcast; the raw corpus is
+    scanned once; the only corpus-sized shuffle is the per-doc sum."""
+    pt = hashed_bucket_logprobs(target_docs, buckets, text_col) \
+        .withColumnRenamed("logp", "lp_t")
+    pr = hashed_bucket_logprobs(raw_docs, buckets, text_col) \
+        .withColumnRenamed("logp", "lp_r")
+    table = pt.join(pr, "b").select(
+        "b", (F.col("lp_t") - F.col("lp_r")).alias("lr"))
+    feats = _hashed_features(raw_docs, buckets, text_col)
+    total = F.sum("lr")
+    score = (total / F.count("*")) if per_token else total
+    agg = (feats.join(F.broadcast(table), "b")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_feats"),
+                F.round(score, 6).alias("log_weight")))
+    return (raw_docs.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.coalesce("log_weight", F.lit(0.0))
+                     .alias("log_weight")))
+
+
+def dsir_sample(raw_docs: DataFrame, target_docs: DataFrame, k: int,
+                buckets: int = _DEFAULT_BUCKETS,
+                text_col: str = "text",
+                per_token: bool = False) -> DataFrame:
+    """The selection step: ``k`` raw documents sampled WITHOUT
+    replacement with probability ∝ ``exp(log_weight)`` via the
+    Gumbel-top-k trick — key = ``log_weight + g`` with
+    ``g = −ln(−ln(u))`` and ``u ∈ (0,1]`` a pure hash of doc_id (salt
+    ``'dsir:'``), take the k largest keys. Working in the log domain
+    sidesteps the overflow `corpus.weighted_sample`'s ``ln(u)/w``
+    priority would hit when ``w = exp(log_weight)`` spans hundreds of
+    nats; the two are the same Plackett-Luce draw. Returns the selected
+    rows of ``raw_docs`` with ``n_feats``/``log_weight`` attached.
+
+    Scale: scoring as in `dsir_log_weights`; selection is a global
+    top-k (TakeOrderedAndProject — per-partition heaps, no full
+    sort)."""
+    lw = dsir_log_weights(raw_docs, target_docs, buckets, text_col,
+                          per_token)
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit("dsir:"),
+                           F.col("doc_id").cast("string")).cast("binary")),
+            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    gumbel = -F.log(-F.log(u))
+    return (raw_docs.join(lw, "doc_id")
+            .withColumn("__key", F.col("log_weight") + gumbel)
+            .orderBy(F.col("__key").desc(), "doc_id")
+            .limit(k)
+            .drop("__key"))
