@@ -70,6 +70,15 @@ def _extra_probes() -> dict:
     def p_shard_assign(spark, sf):
         return balanced_shard_assign(_docs(spark, sf), "n_chars", 16)
 
+    def p_dsir_sample(spark, sf):
+        from agnostic_blockchain_etl_spark.operators import dsir_sample
+        d = _docs(spark, sf)
+        # target = a deterministic domain-ish slice; select 10% of corpus
+        target = d.where(F.col("doc_id") % 17 == 0) \
+                  .select("doc_id", "text")
+        k = max(10, d.count() // 10)
+        return dsir_sample(d.select("doc_id", "text"), target, k=k)
+
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
                                                              ivf_train)
@@ -80,7 +89,8 @@ def _extra_probes() -> dict:
         cb = ivf_train(spark, corpus, 64, iters=1)
         return ivf_search(corpus, queries, cb, k=10, nprobe=4)
 
-    return {"x_semantic_dedup": p_semantic_dedup,
+    return {"x_dsir_sample": p_dsir_sample,
+            "x_semantic_dedup": p_semantic_dedup,
             "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,
