@@ -17,6 +17,7 @@ from .curate import corpus_datacard, curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_bands,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
+                    select_cluster_canonical,
                     simhash_pairs, simhash_signatures)
 from .incremental import (digest_store, incremental_dedup,
                           incremental_exact_dedup,
@@ -34,6 +35,10 @@ from .shards import balanced_shard_assign, write_training_shards
 from .profile import merge_profile_sketches, profile_sketch, profile_table
 from .dsir import (dsir_log_weights, dsir_sample,
                    hashed_bucket_logprobs)
+from .paragraphs import (dedup_paragraphs, doc_paragraphs,
+                         paragraph_frequency)
+from .quality import (quality_classifier_score, quality_pareto_keep,
+                      train_quality_classifier)
 from .spans import (decontaminate_spans, duplicate_spans,
                     remove_duplicate_spans,
                     span_dedup_stats)
@@ -57,7 +62,7 @@ __all__ = [
     "incremental_dedup", "incremental_neardup_pairs", "signature_store",
     "stored_neardup_pairs", "write_signature_store_tables",
     "digest_store", "incremental_exact_dedup",
-    "simhash_pairs", "simhash_signatures",
+    "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
     "sample_frames",
@@ -66,6 +71,9 @@ __all__ = [
     "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
     "mixture_weights",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
+    "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
+    "quality_classifier_score", "quality_pareto_keep",
+    "train_quality_classifier",
     "balanced_shard_assign", "write_training_shards",
     "profile_table", "profile_sketch", "merge_profile_sketches",
     "span_dedup_stats",

@@ -40,13 +40,17 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   drop_tail: bool = True,
                   lm: str = "unigram",
                   gopher: bool = False,
-                  c4: bool = False) -> tuple[DataFrame, DataFrame]:
+                  c4: bool = False,
+                  paragraphs: bool = False) -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
     ``annotated``: doc_id, text (redacted), lang, n_words, pii_clean,
-    quality_keep, exact_keep, neardup_keep, decontam_keep, bucket,
-    avg_nll, keep — one row per input document.
+    quality_keep, exact_keep, neardup_keep, decontam_keep, c4_keep,
+    gopher_keep, para_removed, bucket, avg_nll, keep — one row per
+    input document. ``paragraphs=True`` excises corpus-duplicated
+    boilerplate paragraphs (`paragraphs.dedup_paragraphs`) before any
+    content-keyed stage; ``para_removed`` counts what was cut.
 
     ``report``: a single row of per-stage survivor counts plus the kept
     token total — the number a capacity plan actually wants."""
@@ -66,7 +70,23 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                 .withColumnRenamed("_c4_text", "text"))
     else:
         docs = docs.withColumn("_c4_keep", F.lit(1))
+    if paragraphs:
+        # corpus-wide boilerplate-paragraph excision (Dolma-style),
+        # AFTER c4's per-line surgery and BEFORE every content-keyed
+        # stage: dedup keys and LM training see the de-boilerplated
+        # text. Off by default — single-paragraph corpora gain nothing
+        # and genuinely-quoted shared passages would be excised.
+        from .paragraphs import dedup_paragraphs
+        rebuilt = dedup_paragraphs(docs.select("doc_id", "text")).select(
+            "doc_id", F.col("text").alias("_p_text"),
+            F.col("n_removed").alias("_para_removed"))
+        docs = (docs.drop("text").join(rebuilt, "doc_id")
+                .withColumnRenamed("_p_text", "text"))
+    else:
+        docs = docs.withColumn("_para_removed", F.lit(0).cast("long"))
     base = docs.select("doc_id", "text", "lang")
+    para_removed = docs.select(
+        "doc_id", F.col("_para_removed").alias("para_removed"))
     c4_flag = docs.select("doc_id", F.col("_c4_keep").alias("c4_keep"))
 
     scrub = pii_scrub(base).select("doc_id", "pii_clean",
@@ -104,7 +124,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                  .join(quality, "doc_id")
                  .join(exact_flag, "doc_id")
                  .join(neardup_flag, "doc_id")
-                 .join(c4_flag, "doc_id"))
+                 .join(c4_flag, "doc_id")
+                 .join(para_removed, "doc_id"))
 
     if eval_docs is not None:
         from .dedup import decontaminate
@@ -156,7 +177,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
              .select("doc_id", F.col("redacted").alias("text"), "lang",
                      "n_words", "pii_clean", "quality_keep", "exact_keep",
                      "neardup_keep", "decontam_keep", "gopher_keep",
-                     "c4_keep", "avg_nll", "bucket", "lm_keep", "keep"))
+                     "c4_keep", "para_removed", "avg_nll", "bucket",
+                     "lm_keep", "keep"))
 
     report = final.agg(
         F.count("*").alias("n_docs"),
@@ -168,6 +190,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("gopher_keep").alias("n_gopher"),
         F.sum("c4_keep").alias("n_c4"),
         F.sum("lm_keep").alias("n_lm"),
+        F.sum("para_removed").alias("n_paras_removed"),
         F.sum("keep").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_words")).alias("kept_tokens"))
     return final, report

@@ -653,6 +653,41 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
          .alias("is_canonical"))
 
 
+def select_cluster_canonical(clusters: DataFrame, scores: DataFrame,
+                             score_col: str,
+                             higher_is_better: bool = True) -> DataFrame:
+    """Quality-aware keeper selection (the FineWeb / RefinedWeb practice
+    of keeping the BEST duplicate, not the first-seen one): given a
+    cluster assignment frame ``(doc_id, cluster_id, ...)`` (e.g.
+    `duplicate_clusters` output) and a per-doc score frame ``(doc_id,
+    score_col)`` (e.g. `quality.quality_classifier_score` or the
+    textstats quality score), re-pick each cluster's canonical as the
+    argmax (or argmin) score, ties broken by smallest doc_id so the
+    choice is deterministic. Returns the clusters frame with
+    ``is_canonical`` recomputed (and the score attached).
+
+    Scale shape: one equi-join on doc_id plus ONE cluster-keyed
+    aggregation using max-of-struct (map-side combinable — deliberately
+    not a window, which would sort every cluster's rows), then a
+    broadcast-sized rejoin? No: clusters are corpus-sized, so the
+    winner frame rejoins on cluster_id as a plain shuffle join — two
+    shuffles total, both on uniform keys."""
+    sgn = 1.0 if higher_is_better else -1.0
+    joined = clusters.select("doc_id", "cluster_id").join(
+        scores.select("doc_id", F.col(score_col).alias("__s")), "doc_id")
+    winners = (joined
+               .groupBy("cluster_id")
+               .agg(F.max(F.struct((F.lit(sgn) * F.col("__s")).alias("k"),
+                                   (-F.col("doc_id")).alias("nid")))
+                    .alias("w"))
+               .select("cluster_id", (-F.col("w.nid")).alias("__win")))
+    return (joined.join(winners, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    F.col("__s").alias(score_col),
+                    F.when(F.col("doc_id") == F.col("__win"), 1)
+                     .otherwise(0).alias("is_canonical")))
+
+
 def connected_components(pairs: DataFrame,
                          local_finish_edges: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected pair frame (first two

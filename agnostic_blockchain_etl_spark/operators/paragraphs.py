@@ -1,0 +1,95 @@
+"""Paragraph-level exact deduplication (the Dolma / RefinedWeb recipe:
+Soldaini et al. 2024, Penedo et al. 2023): a boilerplate paragraph —
+nav bars, cookie banners, license footers — repeats across thousands
+of pages while the surrounding documents are unique, so document-level
+dedup never touches it. Split each document into paragraphs, count
+each distinct paragraph's document frequency corpus-wide, and excise
+the over-represented ones, keeping the document.
+
+Semantics (deterministic, engine-portable):
+
+- paragraphs = ``split(text, '\\n')``; a paragraph participates in
+  dedup iff its trimmed form is non-empty and at least ``min_chars``
+  long (blank / tiny lines are never counted and always kept in
+  place, so formatting survives);
+- a participating paragraph is DUPLICATED iff its 60-bit content hash
+  appears in ≥ ``min_df`` distinct documents;
+- ``keep_first=True`` (default): the document with the smallest
+  ``doc_id`` keeps its occurrence (the corpus keeps exactly one copy —
+  the `dedup_exact` first-seen convention); ``False``: every
+  occurrence is removed (the RefinedWeb stance — boilerplate is noise
+  everywhere);
+- output rebuilds ``text`` with surviving paragraphs joined by
+  ``'\\n'`` in original order, plus per-doc removal counts.
+
+Spark-first scale shape: one posexplode scan; the paragraph
+document-frequency table is corpus-sized (NOT broadcastable at
+100 TB), so membership is a shuffle join keyed by the 8-byte paragraph
+hash — map-side partial aggregation on the DF count, AQE handles the
+skewed empty/boilerplate keys (the blank-line filter already removes
+the worst hot key); reassembly is one (doc_id)-keyed aggregation with
+``array_sort`` on carried positions (no window function, no global
+sort). Everything is JVM-side built-ins; exact DuckDB twin in
+tests/test_paragraphs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _spark_hash60
+
+
+def doc_paragraphs(docs: DataFrame, text_col: str = "text",
+                   min_chars: int = 1) -> DataFrame:
+    """(doc_id, pos, para, h) — one row per paragraph, in order;
+    ``h`` is the portable 60-bit hash for participating paragraphs and
+    NULL for blank/short ones (they never join, never count)."""
+    trimmed = F.trim(F.col("para"))
+    return (docs
+            .select("doc_id",
+                    F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                    F.lit("")), "\n"))
+                    .alias("pos", "para"))
+            .withColumn("h", F.when(F.length(trimmed) >= min_chars,
+                                    _spark_hash60(trimmed))))
+
+
+def paragraph_frequency(paras: DataFrame) -> DataFrame:
+    """(h, df, first_doc) over a `doc_paragraphs` frame: per distinct
+    paragraph hash, the number of distinct documents containing it and
+    the smallest doc_id among them (the keep-first canonical owner).
+    One hash-keyed aggregation with map-side combine."""
+    return (paras.where(F.col("h").isNotNull())
+            .groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("df"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     min_df: int = 2, min_chars: int = 1,
+                     keep_first: bool = True) -> DataFrame:
+    """Remove corpus-duplicated paragraphs from every document; returns
+    ``(doc_id, text, n_paragraphs, n_removed)`` with ``text`` rebuilt
+    from the surviving paragraphs in original order (documents losing
+    every paragraph survive with empty text — flag-don't-drop, callers
+    filter)."""
+    paras = doc_paragraphs(docs, text_col, min_chars)
+    freq = paragraph_frequency(paras)
+    dup = F.col("df") >= min_df
+    drop = dup & (~F.col("is_first") if keep_first else F.lit(True))
+    marked = (paras.join(freq, "h", "left")
+              .withColumn("is_first", F.col("doc_id") == F.col("first_doc"))
+              .withColumn("drop",
+                          F.coalesce(drop, F.lit(False))))
+    return (marked.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(
+                     F.when(~F.col("drop"),
+                            F.struct("pos", "para")))).alias("kept"),
+                 F.count("*").alias("n_paragraphs"),
+                 F.sum(F.col("drop").cast("int")).alias("n_removed"))
+            .select("doc_id",
+                    F.array_join(F.transform("kept", lambda s: s.para),
+                                 "\n").alias(text_col),
+                    "n_paragraphs", "n_removed"))

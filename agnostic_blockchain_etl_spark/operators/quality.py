@@ -1,0 +1,184 @@
+"""Trained model-based quality filtering (the GPT-3 / CCNet recipe,
+Brown et al. 2020 appendix A; Wenzek et al. 2020): fit a linear
+classifier to discriminate a curated high-quality reference corpus
+from the raw crawl, score every raw document, and keep documents via
+the Pareto-thresholded rule ``score > 1 - pareto(alpha)`` so some
+lower-scored text survives (GPT-3 uses alpha = 9).
+
+This is the TRAINED counterpart of `textstats`'s frozen-weight
+classifier score, and the discriminative counterpart of `dsir`'s
+generative importance weights — all three share the corpus-wide
+tokenization (`dedup._spark_words`) and the classifier shares DSIR's
+hashed unigram+bigram feature space, so a corpus featurized once can
+feed both selectors.
+
+Model: logistic regression over ``B`` hashed feature buckets with
+per-document MEAN bucket activation (fastText-style length
+normalization: ``x_db = count_db / n_feats_d``), trained by full-batch
+gradient descent with L2 on the weights (not the bias).
+
+Spark-first scale shape: the training set for a quality filter is a
+bounded SAMPLE by construction (curated reference + a crawl sample —
+CCNet uses Wikipedia vs Common Crawl), so the featurized design frame
+is cached once and each of the ``iters`` epochs is one broadcast join
+(B-row weight table) + one (doc)-keyed aggregation + one B-row
+gradient aggregation collected to the driver (B floats — a bounded
+artifact, like `similarity.ivf_train`'s codebook). SCORING is the
+100 TB-sized pass and costs exactly one broadcast of the (B+1)-row
+model and one (doc_id)-keyed aggregation — the `dsir_log_weights`
+shape. No Python in any per-row path; the driver holds only the B+1
+model floats per epoch.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dsir import _hashed_features
+
+_DEFAULT_BUCKETS = 4096
+_BIAS_BUCKET = -1          # model-frame row carrying the intercept
+_TWO60 = float(1 << 60)
+
+
+def _design(docs: DataFrame, y: int, buckets: int,
+            text_col: str) -> DataFrame:
+    """(key, y, b, x) — one row per distinct (document, bucket) with
+    ``x`` the mean activation ``count_db / n_feats_d``; ``key`` is
+    (y, doc_id) so pos/neg frames may reuse doc_ids."""
+    feats = _hashed_features(docs, buckets, text_col)
+    counts = (feats.groupBy("doc_id", "b")
+              .agg(F.count("*").alias("c")))
+    n = (feats.groupBy("doc_id")
+         .agg(F.count("*").alias("n")))
+    return (counts.join(n, "doc_id")
+            .select(F.concat(F.lit(f"{y}:"),
+                             F.col("doc_id").cast("string")).alias("key"),
+                    F.lit(y).alias("y"), "b",
+                    (F.col("c").cast("double") / F.col("n")).alias("x")))
+
+
+def train_quality_classifier(pos_docs: DataFrame, neg_docs: DataFrame,
+                             buckets: int = _DEFAULT_BUCKETS,
+                             iters: int = 40, lr: float = 2.0,
+                             l2: float = 1e-4,
+                             text_col: str = "text") -> DataFrame:
+    """Fit the logistic model (pos = 1 = high quality) and return it as
+    ONE small frame ``(b, w)`` over all ``buckets`` buckets plus a row
+    ``(-1, bias)`` — a single broadcastable artifact (persist it to
+    parquet to reuse across scoring runs). Deterministic up to
+    floating-point sum order.
+
+    Full-batch GD with the bias folded in as a constant feature
+    (bucket ``-1``, activation 1), so each epoch is exactly: one
+    broadcast join of the (B+1)-row weight table, one (doc)-keyed
+    margin aggregation, one (bucket)-keyed gradient aggregation
+    collected to B+1 driver floats. Docs with no features (null text)
+    contribute nothing and are ignored — a quality-filter training
+    pair is text by construction."""
+    import numpy as np
+
+    feat = _design(pos_docs, 1, buckets, text_col).unionAll(
+        _design(neg_docs, 0, buckets, text_col))
+    bias_rows = (feat.select("key", "y").distinct()
+                 .select("key", "y", F.lit(_BIAS_BUCKET).alias("b"),
+                         F.lit(1.0).alias("x")))
+    design = feat.unionAll(bias_rows).persist()
+    try:
+        n_docs = bias_rows.count()
+        if n_docs == 0:
+            raise ValueError("empty training set")
+        spark = pos_docs.sparkSession
+        w = np.zeros(buckets)        # w[B] slot lives separately: bias
+        bias = 0.0
+        for _ in range(iters):
+            rows = [(int(b), float(wb)) for b, wb in enumerate(w)]
+            rows.append((_BIAS_BUCKET, float(bias)))
+            wdf = F.broadcast(spark.createDataFrame(rows,
+                                                    "b int, w double"))
+            err = (design.join(wdf, "b")
+                   .groupBy("key", "y")
+                   .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+                   .select("key",
+                           (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                            - F.col("y")).alias("err")))
+            grad_rows = (design.join(err, "key")
+                         .groupBy("b")
+                         .agg(F.sum(F.col("err") * F.col("x"))
+                              .alias("g"))
+                         .collect())
+            g = np.zeros(buckets)
+            gb = 0.0
+            for r in grad_rows:
+                if r.b == _BIAS_BUCKET:
+                    gb = r.g
+                else:
+                    g[r.b] = r.g
+            w -= lr * (g / n_docs + l2 * w)   # no L2 on the bias
+            bias -= lr * gb / n_docs
+        rows = [(int(b), float(wb)) for b, wb in enumerate(w)]
+        rows.append((_BIAS_BUCKET, float(bias)))
+        return spark.createDataFrame(rows, "b int, w double")
+    finally:
+        design.unpersist()
+
+
+def quality_classifier_score(docs: DataFrame, model: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Score ``docs`` (needs ``doc_id``) against a trained model frame:
+    ``(doc_id, n_feats, q_score)`` with ``q_score = σ(bias + Σ x_b w_b)``
+    rounded to 6 — the probability the document looks like the curated
+    reference. Documents with no features score ``σ(bias)``.
+
+    One broadcast of the (B+1)-row model + one (doc_id)-keyed
+    aggregation: the shape that runs over the full 100 TB corpus."""
+    bias = model.where(F.col("b") == _BIAS_BUCKET) \
+                .select(F.col("w").alias("bias"))
+    weights = model.where(F.col("b") != _BIAS_BUCKET)
+    feats = _hashed_features(docs, _model_buckets(model), text_col)
+    per_doc = (feats.join(F.broadcast(weights), "b")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_feats"),
+                    F.avg("w").alias("mw")))
+    return (docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .crossJoin(F.broadcast(bias))
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.round(F.lit(1.0) /
+                            (F.lit(1.0) +
+                             F.exp(-(F.coalesce("mw", F.lit(0.0))
+                                     + F.col("bias")))), 6)
+                     .alias("q_score")))
+
+
+def _model_buckets(model: DataFrame) -> int:
+    """B is recoverable from the model itself (max bucket id + 1): the
+    model frame is self-describing, so score-time callers cannot pass a
+    mismatched bucket count."""
+    return int(model.agg(F.max("b")).first()[0]) + 1
+
+
+def quality_pareto_keep(scored: DataFrame, alpha: float = 9.0,
+                        salt: str = "quality:") -> DataFrame:
+    """GPT-3's keep rule over a `quality_classifier_score` frame: keep a
+    document iff ``q_score > 1 - x`` with ``x ~ Pareto(alpha)``
+    (``x = u^(-1/alpha) - 1``, ``u ∈ (0,1]`` a pure hash of doc_id) —
+    high scores always survive, low scores survive occasionally, so the
+    kept set is not a hard cliff at a threshold. Deterministic across
+    runs/partitionings; adds ``keep`` to the frame. Zero shuffle."""
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col("doc_id").cast("string")).cast("binary")),
+            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    x = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.withColumn(
+        "keep", (F.col("q_score") > (F.lit(1.0) - x)).cast("boolean"))
+
+
+def sigmoid(z: float) -> float:
+    """Driver-side reference sigmoid (used by tests/doc examples)."""
+    return 1.0 / (1.0 + math.exp(-z))

@@ -167,6 +167,31 @@ def test_gopher_stage_opt_in(spark, corpus):
         assert row.keep == expect
 
 
+def test_paragraphs_stage_opt_in(spark):
+    """paragraphs=True excises corpus-duplicated boilerplate paragraphs
+    before any content-keyed stage: two docs identical except for the
+    shared footer become exact duplicates AFTER the excision."""
+    footer = "(c) 2026 example corp - navigation home about contact"
+    docs = spark.createDataFrame(
+        [(1, "These words form the first unique body.\n" + footer),
+         (2, "A second entirely different body follows.\n" + footer),
+         (3, "The third body shares nothing but the footer.\n" + footer)],
+        "doc_id long, text string")
+    annotated, report = curate_corpus(docs, vocab_size=500,
+                                      paragraphs=True)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    # doc 1 (smallest id) keeps the footer; 2 and 3 lose it
+    assert rows[1].para_removed == 0
+    assert rows[2].para_removed == 1 and rows[3].para_removed == 1
+    assert footer in rows[1].text
+    assert footer not in rows[2].text and footer not in rows[3].text
+    assert report.collect()[0].n_paras_removed == 2
+    # off by default: same corpus, no excision
+    ann2, _ = curate_corpus(docs, vocab_size=500)
+    assert all(r.para_removed == 0 for r in ann2.collect())
+    assert all(footer in r.text for r in ann2.collect())
+
+
 def test_c4_stage_opt_in(spark):
     """c4=True rewrites text from kept lines and the page verdict joins
     the keep conjunction; later stages (dedup keys included) see the

@@ -1,0 +1,143 @@
+"""Paragraph-level dedup: planted-boilerplate semantics, ordering and
+blank-line preservation, keep-first vs remove-all, and exact DuckDB
+parity over a randomized corpus."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.dedup import (  # noqa: E402
+    _SQL_HASH60)
+from agnostic_blockchain_etl_spark.operators.paragraphs import (  # noqa: E402
+    dedup_paragraphs)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+BOILER = "(c) 2026 example corp - all rights reserved"
+
+
+def test_planted_boilerplate_removed_keep_first(spark):
+    docs = [
+        (1, f"alpha body one\n{BOILER}\nmore alpha"),
+        (2, f"{BOILER}\nbeta body two"),
+        (3, f"gamma body three\n\n{BOILER}"),
+        (4, "delta body four with no boilerplate"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    # doc 1 (smallest doc_id) keeps the paragraph; 2 and 3 lose it
+    assert got[1].text == docs[0][1] and got[1].n_removed == 0
+    assert got[2].text == "beta body two" and got[2].n_removed == 1
+    assert got[3].text == "gamma body three\n"     # blank line preserved
+    assert got[3].n_removed == 1
+    assert got[4].text == docs[3][1] and got[4].n_removed == 0
+
+
+def test_remove_all_occurrences(spark):
+    docs = [(1, f"a\n{BOILER}"), (2, f"{BOILER}\nb")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           dedup_paragraphs(df, keep_first=False).collect()}
+    assert got[1] == "a" and got[2] == "b"
+
+
+def test_within_doc_repeat_is_not_corpus_duplicate(spark):
+    docs = [(1, "same line\nsame line\nunique"), (2, "other")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert got[1].n_removed == 0        # df counts DISTINCT documents
+    assert got[1].text == docs[0][1]
+
+
+def test_min_chars_shield(spark):
+    docs = [(1, "x\nbody one"), (2, "x\nbody two"), (3, "x\nbody three")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_removed for r in
+           dedup_paragraphs(df, min_chars=2).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}    # 1-char lines never participate
+    got2 = {r.doc_id: r.n_removed for r in
+            dedup_paragraphs(df, min_chars=1).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1}
+
+
+def _rand_corpus():
+    import random
+    rng = random.Random(11)
+    shared = [f"shared paragraph number {i}" for i in range(6)]
+    docs = []
+    for d in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            r = rng.random()
+            if r < 0.35:
+                lines.append(rng.choice(shared))
+            elif r < 0.45:
+                lines.append("")
+            elif r < 0.5:
+                lines.append("  ")
+            else:
+                lines.append(f"unique d{d} {rng.randint(0, 10**9)}")
+        docs.append((d, "\n".join(lines)))
+    docs.append((998, None))
+    docs.append((999, ""))
+    return docs
+
+
+def test_duckdb_parity_randomized(spark):
+    docs = _rand_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+           for r in dedup_paragraphs(df, min_df=3).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(f"""
+        WITH lines AS (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), chr(10)) AS ls
+            FROM docs),
+        p AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ls)),
+                          i -> {{'pos': i, 'para': ls[i]}}),
+                          recursive := true)
+            FROM lines),
+        h AS (
+            SELECT doc_id, pos, para,
+                   CASE WHEN length(trim(para)) >= 1 THEN (
+                       SELECT {_SQL_HASH60}
+                       FROM (SELECT trim(para) AS shingle)) END AS h
+            FROM p),
+        f AS (
+            SELECT h, count(DISTINCT doc_id) AS df,
+                   min(doc_id) AS first_doc
+            FROM h WHERE h IS NOT NULL GROUP BY h),
+        m AS (
+            SELECT h.doc_id, h.pos, h.para,
+                   coalesce(f.df >= 3 AND h.doc_id != f.first_doc,
+                            FALSE) AS dropped
+            FROM h LEFT JOIN f USING (h))
+        SELECT doc_id,
+               coalesce(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_paragraphs,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM m GROUP BY doc_id
+    """).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == want[d], (d, got[d], want[d])
