@@ -41,19 +41,36 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   lm: str = "unigram",
                   gopher: bool = False,
                   c4: bool = False,
-                  paragraphs: bool = False) -> tuple[DataFrame, DataFrame]:
+                  paragraphs: bool = False,
+                  quality_model: DataFrame | None = None,
+                  quality_alpha: float = 9.0,
+                  best_duplicate: bool = False) -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
     ``annotated``: doc_id, text (redacted), lang, n_words, pii_clean,
     quality_keep, exact_keep, neardup_keep, decontam_keep, c4_keep,
-    gopher_keep, para_removed, bucket, avg_nll, keep — one row per
-    input document. ``paragraphs=True`` excises corpus-duplicated
-    boilerplate paragraphs (`paragraphs.dedup_paragraphs`) before any
-    content-keyed stage; ``para_removed`` counts what was cut.
+    gopher_keep, para_removed, q_score, clf_keep, bucket, avg_nll,
+    keep — one row per input document. ``paragraphs=True`` excises
+    corpus-duplicated boilerplate paragraphs
+    (`paragraphs.dedup_paragraphs`) before any content-keyed stage;
+    ``para_removed`` counts what was cut.
+
+    ``quality_model``: a trained `quality.train_quality_classifier`
+    frame — scores every document (``q_score``) and joins the GPT-3
+    Pareto keep rule (``clf_keep``, `quality.quality_pareto_keep` with
+    ``quality_alpha``) into the conjunction. Without a model both
+    columns are neutral (``q_score`` null, ``clf_keep`` 1).
+
+    ``best_duplicate=True`` (requires ``quality_model``): near-dup
+    clusters keep their HIGHEST-``q_score`` member (the FineWeb /
+    RefinedWeb keep-the-best practice, `dedup.select_cluster_canonical`)
+    instead of the smallest-doc_id first-seen one.
 
     ``report``: a single row of per-stage survivor counts plus the kept
     token total — the number a capacity plan actually wants."""
+    if best_duplicate and quality_model is None:
+        raise ValueError("best_duplicate=True requires a quality_model")
     if "lang" not in docs.columns:   # lang only feeds the ID facet;
         docs = docs.withColumn("lang", F.lit("und"))  # absent is fine
     if c4:
@@ -98,6 +115,24 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                .select("doc_id", F.col("ws_tokens").alias("n_words"),
                        "quality_keep"))
 
+    if quality_model is not None:
+        # trained GPT-3/CCNet filter on the REDACTED text (what
+        # survives is what trains): one broadcast of the (B+1)-row
+        # model + one doc-keyed aggregation, then the zero-shuffle
+        # Pareto keep projection.
+        from .quality import quality_classifier_score, quality_pareto_keep
+        clf = quality_pareto_keep(
+            quality_classifier_score(
+                scrub.select("doc_id", F.col("redacted").alias("text")),
+                quality_model),
+            alpha=quality_alpha).select(
+                "doc_id", "q_score",
+                F.col("keep").cast("int").alias("clf_keep"))
+    else:
+        clf = scrub.select("doc_id",
+                           F.lit(None).cast("double").alias("q_score"),
+                           F.lit(1).alias("clf_keep"))
+
     exact = exact_dedup(base)
     exact_flag = (base
                   .select("doc_id",
@@ -111,21 +146,40 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
 
     labels = connected_components(minhash_lsh_pairs(base)
                                   .select("doc_a", "doc_b"))
-    neardup_flag = (base.select("doc_id")
-                    .join(labels.withColumnRenamed("doc_id", "d")
-                          .withColumnRenamed("label", "cluster"),
-                          F.col("doc_id") == F.col("d"), "left")
-                    .select("doc_id",
-                            F.when(F.col("cluster").isNull()
-                                   | (F.col("cluster") == F.col("doc_id")),
-                                   1).otherwise(0).alias("neardup_keep")))
+    if best_duplicate:
+        # re-pick each cluster's survivor as the argmax q_score (ties →
+        # smallest doc_id): one score join + one max-of-struct
+        # aggregation, no window (dedup.select_cluster_canonical).
+        from .dedup import select_cluster_canonical
+        canon = select_cluster_canonical(
+            labels.withColumnRenamed("label", "cluster_id"),
+            clf.select("doc_id", "q_score"), "q_score")
+        neardup_flag = (base.select("doc_id")
+                        .join(canon.select(F.col("doc_id").alias("d"),
+                                           "is_canonical"),
+                              F.col("doc_id") == F.col("d"), "left")
+                        .select("doc_id",
+                                F.coalesce("is_canonical", F.lit(1))
+                                .alias("neardup_keep")))
+    else:
+        neardup_flag = (base.select("doc_id")
+                        .join(labels.withColumnRenamed("doc_id", "d")
+                              .withColumnRenamed("label", "cluster"),
+                              F.col("doc_id") == F.col("d"), "left")
+                        .select("doc_id",
+                                F.when(F.col("cluster").isNull()
+                                       | (F.col("cluster")
+                                          == F.col("doc_id")),
+                                       1).otherwise(0)
+                                 .alias("neardup_keep")))
 
     annotated = (base.join(scrub, "doc_id")
                  .join(quality, "doc_id")
                  .join(exact_flag, "doc_id")
                  .join(neardup_flag, "doc_id")
                  .join(c4_flag, "doc_id")
-                 .join(para_removed, "doc_id"))
+                 .join(para_removed, "doc_id")
+                 .join(clf, "doc_id"))
 
     if eval_docs is not None:
         from .dedup import decontaminate
@@ -153,7 +207,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     pre_lm_keep = (F.col("pii_clean") * F.col("quality_keep")
                    * F.col("exact_keep") * F.col("neardup_keep")
                    * F.col("decontam_keep") * F.col("gopher_keep")
-                   * F.col("c4_keep"))
+                   * F.col("c4_keep") * F.col("clf_keep"))
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
     to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
@@ -177,8 +231,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
              .select("doc_id", F.col("redacted").alias("text"), "lang",
                      "n_words", "pii_clean", "quality_keep", "exact_keep",
                      "neardup_keep", "decontam_keep", "gopher_keep",
-                     "c4_keep", "para_removed", "avg_nll", "bucket",
-                     "lm_keep", "keep"))
+                     "c4_keep", "para_removed", "q_score", "clf_keep",
+                     "avg_nll", "bucket", "lm_keep", "keep"))
 
     report = final.agg(
         F.count("*").alias("n_docs"),
@@ -189,6 +243,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("decontam_keep").alias("n_decontam"),
         F.sum("gopher_keep").alias("n_gopher"),
         F.sum("c4_keep").alias("n_c4"),
+        F.sum("clf_keep").alias("n_clf"),
         F.sum("lm_keep").alias("n_lm"),
         F.sum("para_removed").alias("n_paras_removed"),
         F.sum("keep").alias("n_kept"),
@@ -215,7 +270,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
         *[F.sum(1 - F.col(c)).alias(f"drop_{c}")
           for c in ("pii_clean", "quality_keep", "exact_keep",
                     "neardup_keep", "decontam_keep", "gopher_keep",
-                    "lm_keep")],
+                    "clf_keep", "lm_keep")],
         *[F.sum(F.when(F.col("keep") == 1, 1).otherwise(0) *
                 F.when(F.col("bucket") == b, 1).otherwise(0))
           .alias(f"bucket_{b}") for b in ("head", "middle", "tail")]
@@ -227,7 +282,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
             + [("attrition", c, float(g[f"drop_{c}"]))
                for c in ("pii_clean", "quality_keep", "exact_keep",
                          "neardup_keep", "decontam_keep", "gopher_keep",
-                         "lm_keep")]
+                         "clf_keep", "lm_keep")]
             + [("quality", f"kept_{b}", float(g[f"bucket_{b}"]))
                for b in ("head", "middle", "tail")])
     lang = (annotated.where(F.col("keep") == 1)

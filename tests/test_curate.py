@@ -58,7 +58,9 @@ def test_keep_is_conjunction_of_flags(curated):
     rows, _, _, _ = curated
     for r in rows.values():
         assert r.keep == (r.pii_clean * r.quality_keep * r.exact_keep
-                          * r.neardup_keep * r.decontam_keep * r.lm_keep)
+                          * r.neardup_keep * r.decontam_keep * r.clf_keep
+                          * r.lm_keep)
+        assert r.clf_keep == 1 and r.q_score is None   # no model passed
 
 
 def test_planted_offenders_die_for_the_right_reason(curated):
@@ -211,3 +213,59 @@ def test_c4_stage_opt_in(spark):
     # must catch what the RAW texts would have missed
     assert rows[1].exact_keep == 1 and rows[2].exact_keep == 0
     assert report.collect()[0].n_c4 == 2
+
+
+def test_quality_model_stage_opt_in(spark):
+    """quality_model=<trained frame> scores every doc and joins the
+    Pareto keep into the conjunction; best_duplicate=True re-picks each
+    near-dup cluster's survivor as the argmax q_score."""
+    from agnostic_blockchain_etl_spark.operators.quality import (
+        train_quality_classifier)
+    import random
+    rng = random.Random(3)
+    hi = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    lo = ["buy", "cheap", "pills", "click", "here", "now", "win", "cash"]
+
+    def doc(vocab, n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    model = train_quality_classifier(
+        spark.createDataFrame([(i, doc(hi, 25)) for i in range(25)],
+                              "doc_id long, text string"),
+        spark.createDataFrame([(i, doc(lo, 25)) for i in range(25)],
+                              "doc_id long, text string"),
+        buckets=256, iters=20)
+
+    # two near-duplicates: doc 11 is doc 10 with spammy filler appended,
+    # so the classifier scores 11 LOWER; first-seen would keep 10 anyway
+    # — make the LOW-quality one first-seen to prove best_duplicate wins.
+    body = doc(hi, 60)
+    docs = spark.createDataFrame(
+        [(10, body + " buy cheap pills click here now win cash " * 3, "en"),
+         (11, body, "en"),
+         (20, doc(hi, 60), "en"),
+         (30, doc(lo, 60), "en")],
+        "doc_id long, text string, lang string")
+
+    ann, report = curate_corpus(docs, vocab_size=500, quality_model=model,
+                                best_duplicate=True)
+    rows = {r.doc_id: r for r in ann.collect()}
+    assert all(r.q_score is not None for r in rows.values())
+    assert rows[11].q_score > rows[10].q_score
+    # best_duplicate: the higher-scored near-dup survives, not doc 10
+    assert rows[11].neardup_keep == 1 and rows[10].neardup_keep == 0
+    assert report.collect()[0].n_clf == sum(
+        r.clf_keep for r in rows.values())
+    # conjunction includes clf_keep
+    for r in rows.values():
+        assert r.keep == (r.pii_clean * r.quality_keep * r.exact_keep
+                          * r.neardup_keep * r.decontam_keep * r.clf_keep
+                          * r.lm_keep)
+    # first-seen default keeps doc 10 on the same corpus
+    ann2, _ = curate_corpus(docs, vocab_size=500, quality_model=model)
+    rows2 = {r.doc_id: r for r in ann2.collect()}
+    assert rows2[10].neardup_keep == 1 and rows2[11].neardup_keep == 0
+    # guard: best_duplicate without a model is an error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, best_duplicate=True)
