@@ -199,35 +199,50 @@ def vocab_tfidf_terms(spark, sf_dir):
     return vocab.unionByName(ranked)
 
 
-@query("embedding_quantize_int8", oracle="""
-    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+@query("emb_quantize_centroid_facets", oracle="""
+    WITH emb AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     scaled AS (
-        SELECT vec_id, e,
+        SELECT vec_id, label, e,
                127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
         FROM emb),
     expanded AS (
-        SELECT vec_id, dim, e[dim] AS v, scale
+        SELECT label, dim, e[dim] AS v,
+               CAST(floor(e[dim] * scale + 0.5) AS BIGINT) AS q
         FROM scaled CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim))
-    SELECT vec_id, CAST(dim AS INT) AS dim,
-           CAST(CAST(floor(v * scale + 0.5) AS BIGINT) AS INT) AS q,
-           round(scale, 6) AS scale6
-    FROM expanded
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(v), 6)              AS centroid_v,
+           CAST(sum(q) AS BIGINT)        AS sum_q,
+           CAST(count(*) AS BIGINT)      AS n
+    FROM expanded GROUP BY label, dim
 """)
-def embedding_quantize_int8(spark, sf_dir):
-    """Symmetric int8 quantization per vector (max-abs scaling) — the
-    storage/serving compression stage. floor(x+0.5) rounding is spelled
-    out so both engines use identical IEEE ops. Per-row arithmetic, no
-    shuffle."""
+def emb_quantize_centroid_facets(spark, sf_dir):
+    """Symmetric int8 quantization (max-abs scaling, the storage/serving
+    compression stage) and per-label centroids (the aggregation shape of
+    IVF list training) in ONE gate row (consolidating the r1-r3
+    ``embedding_quantize_int8`` + ``emb_label_centroids`` rows; both
+    stay value-pinned — ``sum_q`` is the exact integer sum of every
+    vector's int8 codes per (label, dim), so any per-vector quantization
+    change flips it). floor(x+0.5) rounding is spelled out so both
+    engines use identical IEEE ops.
+
+    Scale: per-row arithmetic for the quantization (no shuffle), then
+    one shuffle keyed (label, dim) with partial aggregation — centroid
+    training over billions of vectors stays a single pass."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        "label", F.col("embedding").cast("array<double>").alias("e"))
     scaled = emb.withColumn(
         "scale", 127.0 / F.array_max(F.transform("e", lambda x: F.abs(x))))
-    return (scaled.select("vec_id", "scale", F.posexplode("e"))
-            .select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"),
+    return (scaled.select("label", "scale", F.posexplode("e"))
+            .select("label", (F.col("pos") + 1).cast("int").alias("dim"),
+                    F.col("col").alias("v"),
                     F.floor(F.col("col") * F.col("scale") + 0.5)
-                     .cast("long").cast("int").alias("q"),
-                    F.round("scale", 6).alias("scale6")))
+                     .cast("long").alias("q"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid_v"),
+                 F.sum("q").cast("long").alias("sum_q"),
+                 F.count("*").alias("n")))
 
 
 _SAMPLE_RATES = {"en": 60, "es": 45, "de": 45, "fr": 25}  # keep-% per stratum
@@ -235,36 +250,106 @@ _RATE_CASE_SQL = ("CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()) + " ELSE 0 END")
 
 
-@query("corpus_stratified_sample", oracle=f"""
-    SELECT doc_id, lang,
-           CAST(sample_bucket AS INT) AS sample_bucket,
-           CASE WHEN split_bucket < 8 THEN 'train'
-                WHEN split_bucket = 8 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (
-        SELECT doc_id, lang,
-               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
-                    AS BIGINT) % 100 AS sample_bucket,
-               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
-                    AS BIGINT) % 10  AS split_bucket
-        FROM documents)
-    WHERE sample_bucket < {_RATE_CASE_SQL}
-""")
-def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus sampling + split assignment, the class-balancing
-    stage of a training-data pipeline: each language stratum keeps a
-    configured fraction of its documents, and every kept document gets a
-    deterministic train/val/test split (80/10/10).
+_CAP_HASH_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, 15), "
+    "i -> (strpos('0123456789abcdef', substr(md5('sourcecap:' || "
+    "CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+    " << (4 * (15 - i)))) AS BIGINT)")
+_CAP = 15
+_WSAMPLE_K = 200
+_TWO60 = float(1 << 60)
 
-    Sampling is HASH-based, not ``rand()``: membership is a pure function
-    of doc_id (md5 with a per-purpose salt), so the sample is reproducible
-    across runs/engines, stable under re-partitioning, and new documents
-    never reshuffle old ones — the properties a 100 TB corpus refresh
-    needs. Zero shuffle: one scan, per-row arithmetic, filter pushes into
-    the column pruning. The independent salts ('sample:' vs 'split:') keep
-    the two decisions uncorrelated."""
+
+@query("corpus_sampling_facets", oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 100 AS sample_bucket,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 10  AS split_bucket,
+               CAST(1 + len(list_distinct({_SQL_WORDS})) AS DOUBLE)
+                   / (1 + len({_SQL_WORDS}))             AS w,
+               (CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) + 1)
+                   / {_TWO60!r}                          AS u,
+               {_CAP_HASH_SQL}                             AS caph
+        FROM documents),
+    topk AS (SELECT doc_id FROM base ORDER BY ln(u) / w DESC, doc_id
+             LIMIT {_WSAMPLE_K}),
+    cap AS (SELECT doc_id,
+                   CASE WHEN row_number() OVER (PARTITION BY source
+                                                ORDER BY caph, doc_id)
+                             <= {_CAP} THEN 1 ELSE 0 END AS cap_keep
+            FROM base)
+    SELECT b.doc_id, b.lang,
+           CAST(b.sample_bucket AS INT) AS sample_bucket,
+           CASE WHEN b.sample_bucket < ({_RATE_CASE_SQL})
+                THEN 1 ELSE 0 END       AS strat_keep,
+           CASE WHEN b.split_bucket < 8 THEN 'train'
+                WHEN b.split_bucket = 8 THEN 'val'
+                ELSE 'test' END         AS split,
+           round(b.w, 6)                AS weight,
+           CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS topk_keep,
+           c.cap_keep                   AS cap_keep
+    FROM base b LEFT JOIN topk t USING (doc_id)
+    JOIN cap c ON b.doc_id = c.doc_id
+""")
+def corpus_sampling_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every deterministic-sampling decision of the training-data
+    pipeline as one per-document flag frame (consolidating the r1-r3
+    ``corpus_stratified_sample`` + ``weighted_sample_topk`` gate rows
+    and adding the per-source frequency cap — all value-pinned):
+
+    - ``strat_keep``/``split``: hash-stratified per-language sampling +
+      80/10/10 split (`stratified_sample` semantics);
+    - ``weight``/``topk_keep``: Efraimidis-Spirakis A-Res weighted
+      sampling without replacement, k = 200, lexical-diversity weight
+      (`weighted_sample` — selection planned as TakeOrderedAndProject);
+    - ``cap_keep``: exact per-source frequency cap at 15
+      (`sourcecap.source_cap` — the C4/FineWeb hot-domain guard).
+
+    Every decision is a pure function of doc_id (md5, per-purpose salt:
+    'sample:'/'split:'/'wsample:'/'sourcecap:'), so membership is
+    reproducible across runs/engines/partitionings and new corpus rows
+    never reshuffle old ones. Scale: per-row hashing (zero shuffle),
+    one top-k heap, one per-source rank (salt-bucketable for hot
+    domains — see `source_cap`), one broadcast-sized membership join
+    (the top-k frame is k rows)."""
+    from .sourcecap import source_cap
     t = load_tables(spark, sf_dir, ("documents",))
-    return stratified_sample(t["documents"])
+    docs = t["documents"]
+
+    def bucket(salt: str, mod: int):
+        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                  .cast("binary"))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = ((F.lit(1) + F.size(F.array_distinct(words))).cast("double")
+         / (F.lit(1) + F.size(words)))
+    rate = F.coalesce(*([F.when(F.col("lang") == k, F.lit(v))
+                         for k, v in _SAMPLE_RATES.items()] + [F.lit(0)]))
+    base = docs.select(
+        "doc_id", "lang", "source", w.alias("w"),
+        bucket("sample:", 100).cast("int").alias("sample_bucket"),
+        bucket("split:", 10).alias("split_bucket"),
+        rate.alias("rate"))
+    topk = (weighted_sample(docs.withColumn("w", w), "w", _WSAMPLE_K)
+            .select("doc_id", F.lit(1).alias("topk_keep")))
+    cap = source_cap(docs.select("doc_id", "source"), _CAP) \
+        .select("doc_id", "cap_keep")
+    return (base
+            .join(F.broadcast(topk), "doc_id", "left")
+            .join(cap, "doc_id")
+            .select("doc_id", "lang", "sample_bucket",
+                    (F.col("sample_bucket") < F.col("rate")).cast("int")
+                     .alias("strat_keep"),
+                    F.when(F.col("split_bucket") < 8, "train")
+                     .when(F.col("split_bucket") == 8, "val")
+                     .otherwise("test").alias("split"),
+                    F.round("w", 6).alias("weight"),
+                    F.coalesce("topk_keep", F.lit(0)).alias("topk_keep"),
+                    "cap_keep"))
 
 
 def stratified_sample(docs: DataFrame,
@@ -293,37 +378,6 @@ def stratified_sample(docs: DataFrame,
                     F.when(F.col("split_bucket") < 8, "train")
                      .when(F.col("split_bucket") == 8, "val")
                      .otherwise("test").alias("split")))
-
-
-_WSAMPLE_K = 200
-_TWO60 = float(1 << 60)
-
-
-@query("weighted_sample_topk", oracle=f"""
-    WITH scored AS (
-        SELECT doc_id, lang,
-               CAST(1 + len(list_distinct({_SQL_WORDS})) AS DOUBLE)
-                   / (1 + len({_SQL_WORDS}))                    AS w,
-               (CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
-                                    1, 15) AS BIGINT) + 1)
-                   / {_TWO60!r}                                 AS u
-        FROM documents)
-    SELECT doc_id, lang, round(w, 6) AS weight
-    FROM scored
-    ORDER BY ln(u) / w DESC, doc_id
-    LIMIT {_WSAMPLE_K}
-""")
-def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate form of `weighted_sample` with a lexical-diversity weight
-    (type-token-ratio-ish: (1+distinct words)/(1+words)) over the
-    testdata corpus."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"]
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    w = ((F.lit(1) + F.size(F.array_distinct(words))).cast("double")
-         / (F.lit(1) + F.size(words)))
-    return weighted_sample(docs.withColumn("w", w), "w", _WSAMPLE_K) \
-        .select("doc_id", "lang", F.round("w", 6).alias("weight"))
 
 
 def weighted_sample(docs: DataFrame, weight_col: str, k: int) -> DataFrame:

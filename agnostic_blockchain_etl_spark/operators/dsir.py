@@ -148,3 +148,69 @@ def dsir_sample(raw_docs: DataFrame, target_docs: DataFrame, k: int,
             .orderBy(F.col("__key").desc(), "doc_id")
             .limit(k)
             .drop("__key"))
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+_GATE_B = 4096
+
+from .dedup import _SQL_HASH60, _SQL_WORDS  # noqa: E402
+
+_FEATS_SQL = f"""
+        SELECT doc_id, unnest(list_concat(words,
+            CASE WHEN len(words) >= 2 THEN list_transform(
+                generate_series(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1])
+            ELSE [] END)) AS shingle
+        FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM {{t}})"""
+
+
+@query("dsir_log_weights", oracle=f"""
+    WITH rawd AS (SELECT doc_id, text FROM documents),
+    targ AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    rf AS (SELECT doc_id, ({_SQL_HASH60}) % {_GATE_B} AS b
+           FROM ({_FEATS_SQL.format(t='rawd')})),
+    tf AS (SELECT doc_id, ({_SQL_HASH60}) % {_GATE_B} AS b
+           FROM ({_FEATS_SQL.format(t='targ')})),
+    cr AS (SELECT b, count(*) AS c FROM rf GROUP BY b),
+    ct AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
+    tr AS (SELECT count(*) AS t FROM rf),
+    tt AS (SELECT count(*) AS t FROM tf),
+    lr AS (
+        SELECT cr.b,
+               ln((coalesce(ct.c, 0) + 1.0) / (tt.t + {_GATE_B}))
+               - ln((cr.c + 1.0) / (tr.t + {_GATE_B})) AS lr
+        FROM cr LEFT JOIN ct USING (b) CROSS JOIN tr CROSS JOIN tt),
+    per AS (
+        SELECT rf.doc_id, count(*) AS n_feats, round(sum(lr.lr), 6) AS lw
+        FROM rf JOIN lr USING (b) GROUP BY rf.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+           coalesce(per.lw, 0.0)                    AS log_weight
+    FROM rawd d LEFT JOIN per ON d.doc_id = per.doc_id
+""")
+def dsir_log_weights_gate(spark, sf_dir):
+    """Gate form of `dsir_log_weights` over the testdata corpus: the
+    English subset is the target domain, the whole corpus is the raw
+    pool — every document's importance log-weight toward
+    'looks like the en slice' is value-pinned against the exact DuckDB
+    replay of the hashed-bigram bag model."""
+    from pyspark.sql import functions as F
+    from .tables import load_tables
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text", "lang")
+    return dsir_log_weights(docs.select("doc_id", "text"),
+                            docs.where(F.col("lang") == "en")
+                                .select("doc_id", "text"),
+                            buckets=_GATE_B)

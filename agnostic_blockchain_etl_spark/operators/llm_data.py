@@ -1,10 +1,12 @@
 """Aggregated LLM-data-pipeline operator registry: dedup + similarity +
 text analysis + multimodal (BASELINE.json north-star ops)."""
 
-from . import dedup, multimodal, similarity, textstats
+from . import (dedup, dsir, multimodal, paragraphs, quality, similarity,
+               textstats)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
-for _mod in (textstats, dedup, similarity, multimodal):
+for _mod in (textstats, dedup, paragraphs, dsir, quality, similarity,
+             multimodal):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -38,7 +38,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _spark_hash60
+from .dedup import _SQL_HASH60, _spark_hash60
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
 
 
 def doc_paragraphs(docs: DataFrame, text_col: str = "text",
@@ -93,3 +105,72 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                     F.array_join(F.transform("kept", lambda s: s.para),
                                  "\n").alias(text_col),
                     "n_paragraphs", "n_removed"))
+
+
+_GATE_CHUNK = 8   # words per synthesized paragraph in the gate query
+
+
+@query("dedup_paragraphs", oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+        FROM documents),
+    chunked AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   generate_series(1, CAST(ceil(len(words) / {_GATE_CHUNK}.0)
+                                           AS BIGINT)),
+                   i -> array_to_string(
+                       words[(i-1)*{_GATE_CHUNK}+1 : i*{_GATE_CHUNK}], ' ')),
+                   chr(10)) AS text
+        FROM w),
+    lines AS (
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM chunked),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                      i -> {{'pos': i, 'para': ls[i]}}),
+                      recursive := true)
+        FROM lines),
+    h AS (
+        SELECT doc_id, pos, para,
+               CASE WHEN length(trim(para)) >= 1 THEN (
+                   SELECT {_SQL_HASH60}
+                   FROM (SELECT trim(para) AS shingle)) END AS h
+        FROM p),
+    f AS (
+        SELECT h, count(DISTINCT doc_id) AS df, min(doc_id) AS first_doc
+        FROM h WHERE h IS NOT NULL GROUP BY h),
+    m AS (
+        SELECT h.doc_id, h.pos, h.para,
+               coalesce(f.df >= 2 AND h.doc_id != f.first_doc,
+                        FALSE) AS dropped
+        FROM h LEFT JOIN f USING (h))
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT dropped), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_paragraphs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM m GROUP BY doc_id
+""")
+def dedup_paragraphs_gate(spark, sf_dir):
+    """Gate form of `dedup_paragraphs` over the testdata corpus: the
+    documents have no newlines, so the gate deterministically
+    synthesizes paragraphs by re-lining every 8 words (the corpus DOES
+    share 8-word runs across documents — 153 at sf0.01 — so removals
+    are exercised), then runs the full keep-first excision. Both
+    engines chunk identically (plain space split, inclusive slices)."""
+    from .tables import load_tables
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nchunks = F.ceil(F.size(words) / float(_GATE_CHUNK)).cast("int")
+    chunked = t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), nchunks),
+                        lambda i: F.array_join(
+                            F.slice(words, (i - 1) * _GATE_CHUNK + 1,
+                                    _GATE_CHUNK), " ")),
+            "\n").alias("text"))
+    return dedup_paragraphs(chunked)

@@ -182,3 +182,68 @@ def quality_pareto_keep(scored: DataFrame, alpha: float = 9.0,
 def sigmoid(z: float) -> float:
     """Driver-side reference sigmoid (used by tests/doc examples)."""
     return 1.0 / (1.0 + math.exp(-z))
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Fixed 16-bucket literal model for the gate: training is not
+# SQL-expressible (iterative GD), but SCORING — the pass that actually
+# runs over 100 TB — is, so the gate pins it against DuckDB with a
+# deterministic hand-written model. Weights (b-8)/10 parse to identical
+# doubles in both engines.
+_GATE_B = 16
+_GATE_MODEL = [(b, (b - 8) / 10.0) for b in range(_GATE_B)] \
+    + [(_BIAS_BUCKET, 0.1)]
+
+
+def _gate_model_sql() -> str:
+    rows = ", ".join(f"({b}, {w!r})" for b, w in _GATE_MODEL)
+    return f"(VALUES {rows}) AS model(b, w)"
+
+
+from .dedup import _SQL_HASH60, _SQL_WORDS  # noqa: E402
+
+
+@query("quality_score_fixed_model", oracle=f"""
+    WITH f AS (
+        SELECT doc_id, ({_SQL_HASH60}) % {_GATE_B} AS b
+        FROM (
+            SELECT doc_id, unnest(list_concat(words,
+                CASE WHEN len(words) >= 2 THEN list_transform(
+                    generate_series(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1])
+                ELSE [] END)) AS shingle
+            FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents))),
+    per AS (
+        SELECT f.doc_id, count(*) AS n, avg(model.w) AS mw
+        FROM f JOIN {_gate_model_sql()} ON f.b = model.b
+        GROUP BY f.doc_id),
+    bias AS (SELECT w FROM {_gate_model_sql()} WHERE b = {_BIAS_BUCKET})
+    SELECT d.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_feats,
+           round(1.0 / (1.0 + exp(-(coalesce(per.mw, 0) + bias.w))), 6)
+               AS q_score
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    CROSS JOIN bias
+""")
+def quality_score_fixed_model_gate(spark, sf_dir):
+    """Gate form of `quality_classifier_score`: the 100 TB scoring pass
+    (one B+1-row model broadcast + one doc-keyed aggregation) pinned
+    against DuckDB with a fixed literal model — training stays covered
+    by the exact numpy GD replay in tests/test_quality.py."""
+    from .tables import load_tables
+    t = load_tables(spark, sf_dir, ("documents",))
+    model = spark.createDataFrame(_GATE_MODEL, "b int, w double")
+    return quality_classifier_score(
+        t["documents"].select("doc_id", "text"), model)

@@ -132,47 +132,45 @@ def group_window_first(spark, sf_dir):
 # Projections / filters (§2.3)
 # ---------------------------------------------------------------------------
 
-@query("projection_facets", oracle="""
+@query("projection_struct_facets", oracle="""
     SELECT * EXCLUDE (l_shipdate)
            REPLACE (lower(l_returnflag) AS l_returnflag),
-           round(l_extendedprice * (1 - l_discount), 4)   AS net_price
+           round(l_extendedprice * (1 - l_discount), 4)   AS net_price,
+           l_extendedprice                                AS s_price,
+           lower(l_returnflag)                            AS s_flag
     FROM lineitem
+    WHERE l_orderkey >= 100 AND l_orderkey <= 500
 """)
-def projection_facets(spark, sf_dir):
-    """Projection surface in one plan (§2.3): ``SELECT * EXCEPT (col)``
+def projection_struct_facets(spark, sf_dir):
+    """Projection surface in one plan (§2.3, consolidating the r1-r3
+    ``projection_facets`` + ``cursor_struct_projection`` gate rows —
+    both stay value-pinned): the per-batch cursor predicate
+    (decoded_logs create_buffer.sql:18) over ``SELECT * EXCEPT (col)``
     (decoded_logs create_buffer.sql:24) → ``df.drop``, ``SELECT t.*
     EXCEPT (c), f(c) AS c`` (decoded_logs_to_daily_parquet
-    transform.sql:11-16) → ``withColumn``, and a computed aliased column
-    (blocks create_buffer.sql:13-36). Still pure column pruning — the
-    dropped column never leaves the scan."""
+    transform.sql:11-16) → ``withColumn``, a computed aliased column
+    (blocks create_buffer.sql:13-36), and a named-struct round-trip
+    (logs create_buffer.sql:16-20, traces :71-91): build ``tuple(a AS
+    x, …)``, read fields back by dot path — Catalyst collapses the
+    round-trip so ``s_price``/``s_flag`` cost nothing. Scale: the range
+    predicate pushes to parquet row-group min/max stats (what makes
+    incremental batches cheap) and the dropped column never leaves the
+    scan."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (t["lineitem"]
+            .where((F.col("l_orderkey") >= 100) &
+                   (F.col("l_orderkey") <= 500))
             .drop("l_shipdate")
             .withColumn("l_returnflag", F.lower("l_returnflag"))
             .withColumn("net_price",
                         F.round(F.col("l_extendedprice") *
-                                (1 - F.col("l_discount")), 4)))
-
-
-@query("cursor_struct_projection", oracle="""
-    SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
-    FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500
-""")
-def cursor_struct_projection(spark, sf_dir):
-    """The per-batch cursor predicate (decoded_logs create_buffer.sql:18)
-    feeding a named-struct round-trip (logs create_buffer.sql:16-20,
-    traces :71-91): build ``tuple(a AS x, …)``, read fields back by dot
-    path; Catalyst collapses the round-trip. Scale: the range predicate
-    pushes to parquet row-group min/max stats — what makes incremental
-    batches cheap."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"]
-            .where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 500))
-            .select("o_orderkey",
-                    F.struct(F.col("o_totalprice").alias("price"),
-                             F.col("o_orderstatus").alias("status")).alias("o"))
-            .select("o_orderkey", F.col("o.price").alias("price"),
-                    F.col("o.status").alias("status")))
+                                (1 - F.col("l_discount")), 4))
+            .withColumn("_o", F.struct(
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_returnflag").alias("flag")))
+            .withColumn("s_price", F.col("_o.price"))
+            .withColumn("s_flag", F.col("_o.flag"))
+            .drop("_o"))
 
 
 @query("documents_scalar_facets", oracle="""

@@ -493,17 +493,11 @@ def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
         [(i, ce) for i, ce in cb], "list_id int, centroid array<double>")
 
 
-@query("emb_label_centroids", oracle="""
-    WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    expanded AS (
-        SELECT label, dim, e[dim] AS v
-        FROM emb CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim))
-    SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS centroid_v
-    FROM expanded GROUP BY label, dim
-""")
 def emb_label_centroids(spark, sf_dir):
     """Per-label centroid vectors (the aggregation shape of IVF list
     training): posexplode the vectors, average per (label, dim).
+    Gate coverage moved into ``corpus.emb_quantize_centroid_facets``
+    (round-4 rotation); kept as a library entry point.
 
     Scale: one shuffle keyed (label, dim) with partial aggregation —
     centroid training over billions of vectors stays a single pass."""

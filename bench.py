@@ -48,13 +48,12 @@ HEADLINE = [
     "range_join_banded",
     "skew_salted_join",
     "chunk_pack_documents",
-    "corpus_stratified_sample",
-    "weighted_sample_topk",
+    "corpus_sampling_facets",
     "vocab_tfidf_terms",
-    "embedding_quantize_int8",
+    "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",
     "emb_near_dup_pairs",
-    "emb_label_centroids",
+    "dedup_paragraphs",
     "pivot_unpivot_roundtrip",
     "stats_distinct_agg",
     "time_bucket_rollup",
@@ -63,8 +62,9 @@ HEADLINE = [
     "set_ops",
     "rollup_cube_agg",
     "evm_kernel_roundtrip",
-    "projection_facets",
-    "cursor_struct_projection",
+    "projection_struct_facets",
+    "dsir_log_weights",
+    "quality_score_fixed_model",
     "documents_scalar_facets",
     "semi_anti_join",
     "json_typed_struct",

@@ -49,9 +49,11 @@ def test_corpus_prep_pipeline(spark, tmp_path):
     quality = textstats.QUERIES["text_stats_facets"](spark, SF_DIR)
     kept_ids = {r["doc_id"] for r in
                 quality.where(F.col("quality_keep") == 1).collect()}
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
     sample = {r["doc_id"]: r["split"] for r in
-              corpus.QUERIES["corpus_stratified_sample"](
-                  spark, SF_DIR).collect()}
+              corpus.stratified_sample(
+                  load_tables(spark, SF_DIR,
+                              ("documents",))["documents"]).collect()}
     expect_ids = kept_ids & set(sample)
     sink_split = {r["doc_id"]: r["split"] for r in
                   got.select("doc_id", "split").distinct().collect()}

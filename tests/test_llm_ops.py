@@ -151,7 +151,7 @@ class TestWeightedSample:
         import contextlib
         import io
         import __spark_entry__ as entry
-        df = entry.queries()["weighted_sample_topk"](spark, SF_DIR)
+        df = entry.queries()["corpus_sampling_facets"](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -219,16 +219,23 @@ class TestIvfTrain:
 class TestStratifiedSample:
     def test_rates_splits_and_determinism(self, spark):
         from agnostic_blockchain_etl_spark.operators import corpus
-        got = corpus.QUERIES["corpus_stratified_sample"](spark, SF_DIR)
+        from agnostic_blockchain_etl_spark.operators.tables import load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        got = corpus.stratified_sample(docs)
         rows = got.collect()
         assert rows
         rates = corpus._SAMPLE_RATES
         assert all(r["sample_bucket"] < rates[r["lang"]] for r in rows)
         assert {r["split"] for r in rows} <= {"train", "val", "test"}
         # hash-determinism: a second run yields the identical sample
-        again = corpus.QUERIES["corpus_stratified_sample"](
-            spark, SF_DIR).collect()
+        again = corpus.stratified_sample(docs).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        # the gate facets agree: strat_keep=1 rows ARE the sample
+        import __spark_entry__ as entry
+        facets = entry.queries()["corpus_sampling_facets"](spark, SF_DIR)
+        kept = {r["doc_id"]: r["split"] for r in
+                facets.where("strat_keep = 1").collect()}
+        assert kept == {r["doc_id"]: r["split"] for r in rows}
 
     def test_membership_survives_repartitioning(self, spark):
         """The docstring's scale claim: membership is a pure function of

@@ -53,15 +53,15 @@ CASES = [
     ("q1_pricing_summary", "lineitem", 6, "l_shipdate"),
     # per-doc text stats touch doc_id/text/lang only
     ("text_stats_facets", "documents", 3, None),
-    # sampling reads doc_id/lang — never the text payload
-    ("corpus_stratified_sample", "documents", 2, None),
+    # the merged sampling facets read doc_id/lang/source/text — nothing
+    # else of the documents schema
+    ("corpus_sampling_facets", "documents", 4, None),
     # the cursor range is the reference's hottest predicate shape: it
-    # must reach the scan as a min/max-prunable range
-    ("cursor_struct_projection", "orders", 3, "o_orderkey"),
+    # must reach the scan as a min/max-prunable range; the dropped
+    # l_shipdate must never leave the scan (15 of 16 columns)
+    ("projection_struct_facets", "lineitem", 15, "l_orderkey"),
     # chunk+pack reads doc_id/text only (chunking is pure slicing)
     ("chunk_pack_documents", "documents", 2, None),
-    # weighted sampling reads doc_id/lang/text; top-k must not full-sort
-    ("weighted_sample_topk", "documents", 3, None),
     # decontamination scans doc_id/text; the train/eval split predicate
     # must push to the scan
     ("decontamination_overlap", "documents", 2, "doc_id"),
