@@ -39,6 +39,8 @@ from .paragraphs import (dedup_paragraphs, doc_paragraphs,
                          paragraph_frequency)
 from .quality import (quality_classifier_score, quality_pareto_keep,
                       train_quality_classifier)
+from .sourcecap import (source_cap, source_cap_rate,
+                        source_doc_counts)
 from .spans import (decontaminate_spans, duplicate_spans,
                     remove_duplicate_spans,
                     span_dedup_stats)
@@ -74,6 +76,7 @@ __all__ = [
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
     "quality_classifier_score", "quality_pareto_keep",
     "train_quality_classifier",
+    "source_cap", "source_cap_rate", "source_doc_counts",
     "balanced_shard_assign", "write_training_shards",
     "profile_table", "profile_sketch", "merge_profile_sketches",
     "span_dedup_stats",
