@@ -98,13 +98,25 @@ def dsir_log_weights(raw_docs: DataFrame, target_docs: DataFrame,
 
     Scale: the log-ratio table is B rows → broadcast; the raw corpus is
     scanned once; the only corpus-sized shuffle is the per-doc sum."""
+    from .dedup import _scoped_cache
+    # the raw corpus is featurized for BOTH its bucket distribution and
+    # the per-doc scoring — cache the (doc_id, b) frame so the
+    # tokenize+explode pass runs once (measured 3.07 s → one scan of
+    # the two at sf0.1; the cache is feature rows, not text)
+    feats = _scoped_cache(_hashed_features(raw_docs, buckets, text_col))
     pt = hashed_bucket_logprobs(target_docs, buckets, text_col) \
         .withColumnRenamed("logp", "lp_t")
-    pr = hashed_bucket_logprobs(raw_docs, buckets, text_col) \
-        .withColumnRenamed("logp", "lp_r")
+    raw_counts = feats.groupBy("b").agg(F.count("*").alias("c"))
+    spark = raw_docs.sparkSession
+    dense = (spark.range(buckets).toDF("b")
+             .join(raw_counts, "b", "left")
+             .select("b", F.coalesce("c", F.lit(0)).alias("c")))
+    tot = dense.agg(F.sum("c").alias("t"))
+    pr = (dense.crossJoin(F.broadcast(tot))
+          .select("b", F.log((F.col("c") + 1).cast("double") /
+                             (F.col("t") + buckets)).alias("lp_r")))
     table = pt.join(pr, "b").select(
         "b", (F.col("lp_t") - F.col("lp_r")).alias("lr"))
-    feats = _hashed_features(raw_docs, buckets, text_col)
     total = F.sum("lr")
     score = (total / F.count("*")) if per_token else total
     agg = (feats.join(F.broadcast(table), "b")
