@@ -27,7 +27,7 @@ from .incremental import (digest_store, incremental_dedup,
 from .similarity import (cosine_topk, ivf_search, ivf_train,
                          semantic_dedup)
 from .tables import load_tables
-from .mixture import mixture_weights
+from .mixture import mixture_weights, temperature_mixture
 from .multimodal import (audio_feature_stage, decode_features,
                          resize_images, sample_frames)
 from .pii import luhn_valid, pii_scrub, pii_scrub_extended
@@ -71,7 +71,7 @@ __all__ = [
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",
     "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
-    "mixture_weights",
+    "mixture_weights", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
     "quality_classifier_score", "quality_pareto_keep",

@@ -44,7 +44,9 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   paragraphs: bool = False,
                   quality_model: DataFrame | None = None,
                   quality_alpha: float = 9.0,
-                  best_duplicate: bool = False) -> tuple[DataFrame, DataFrame]:
+                  best_duplicate: bool = False,
+                  source_cap: int | None = None) -> tuple[DataFrame,
+                                                          DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
@@ -67,10 +69,23 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     RefinedWeb keep-the-best practice, `dedup.select_cluster_canonical`)
     instead of the smallest-doc_id first-seen one.
 
+    ``source_cap=<n>`` (requires a ``source`` column): joins the exact
+    per-source frequency cap (`sourcecap.source_cap` — the C4/FineWeb
+    hot-domain guard) into the conjunction as ``cap_keep``; without it
+    the column is neutral (1).
+
     ``report``: a single row of per-stage survivor counts plus the kept
     token total — the number a capacity plan actually wants."""
     if best_duplicate and quality_model is None:
         raise ValueError("best_duplicate=True requires a quality_model")
+    if source_cap is not None and "source" not in docs.columns:
+        raise ValueError("source_cap requires a 'source' column")
+    if source_cap is not None:
+        from .sourcecap import source_cap as _source_cap
+        cap_flag = _source_cap(docs.select("doc_id", "source"),
+                               source_cap).select("doc_id", "cap_keep")
+    else:
+        cap_flag = docs.select("doc_id", F.lit(1).alias("cap_keep"))
     if "lang" not in docs.columns:   # lang only feeds the ID facet;
         docs = docs.withColumn("lang", F.lit("und"))  # absent is fine
     if c4:
@@ -179,7 +194,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                  .join(neardup_flag, "doc_id")
                  .join(c4_flag, "doc_id")
                  .join(para_removed, "doc_id")
-                 .join(clf, "doc_id"))
+                 .join(clf, "doc_id")
+                 .join(cap_flag, "doc_id"))
 
     if eval_docs is not None:
         from .dedup import decontaminate
@@ -207,7 +223,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     pre_lm_keep = (F.col("pii_clean") * F.col("quality_keep")
                    * F.col("exact_keep") * F.col("neardup_keep")
                    * F.col("decontam_keep") * F.col("gopher_keep")
-                   * F.col("c4_keep") * F.col("clf_keep"))
+                   * F.col("c4_keep") * F.col("clf_keep")
+                   * F.col("cap_keep"))
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
     to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
@@ -232,7 +249,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                      "n_words", "pii_clean", "quality_keep", "exact_keep",
                      "neardup_keep", "decontam_keep", "gopher_keep",
                      "c4_keep", "para_removed", "q_score", "clf_keep",
-                     "avg_nll", "bucket", "lm_keep", "keep"))
+                     "cap_keep", "avg_nll", "bucket", "lm_keep", "keep"))
 
     report = final.agg(
         F.count("*").alias("n_docs"),
@@ -244,6 +261,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         F.sum("gopher_keep").alias("n_gopher"),
         F.sum("c4_keep").alias("n_c4"),
         F.sum("clf_keep").alias("n_clf"),
+        F.sum("cap_keep").alias("n_cap"),
         F.sum("lm_keep").alias("n_lm"),
         F.sum("para_removed").alias("n_paras_removed"),
         F.sum("keep").alias("n_kept"),
@@ -270,7 +288,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
         *[F.sum(1 - F.col(c)).alias(f"drop_{c}")
           for c in ("pii_clean", "quality_keep", "exact_keep",
                     "neardup_keep", "decontam_keep", "gopher_keep",
-                    "clf_keep", "lm_keep")],
+                    "clf_keep", "cap_keep", "lm_keep")],
         *[F.sum(F.when(F.col("keep") == 1, 1).otherwise(0) *
                 F.when(F.col("bucket") == b, 1).otherwise(0))
           .alias(f"bucket_{b}") for b in ("head", "middle", "tail")]
@@ -282,7 +300,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
             + [("attrition", c, float(g[f"drop_{c}"]))
                for c in ("pii_clean", "quality_keep", "exact_keep",
                          "neardup_keep", "decontam_keep", "gopher_keep",
-                         "clf_keep", "lm_keep")]
+                         "clf_keep", "cap_keep", "lm_keep")]
             + [("quality", f"kept_{b}", float(g[f"bucket_{b}"]))
                for b in ("head", "middle", "tail")])
     lang = (annotated.where(F.col("keep") == 1)

@@ -55,3 +55,41 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
         F.round(tgt, 6).alias("target_share"),
         F.round(rate, 6).alias("rate"),
         F.round(F.col("n_tokens") * rate, 2).alias("kept_tokens")))
+
+
+def temperature_mixture(docs: DataFrame, alpha: float,
+                        strat_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-based resampling rates (the multilingual pre-training
+    practice of mBERT / XLM-R, Conneau et al. 2020: sample stratum s
+    with probability ``q_s^alpha / Σ_t q_t^alpha`` where ``q_s`` is the
+    corpus token share): ``alpha < 1`` flattens the mix — low-resource
+    strata are upweighted relative to their raw share — and
+    ``alpha = 1`` keeps the corpus as-is. Returns the same plan frame
+    as :func:`mixture_weights` with the temperature-implied target.
+
+    Same scale shape: one corpus aggregation; the stratum table is tiny
+    so the normalizations ride windows over it. The rate vector is the
+    token-maximal one hitting the implied mix (bottleneck stratum at
+    rate 1), ready for hash-deterministic application via
+    `corpus.stratified_sample`."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs
+           .select(F.col(strat_col).alias("stratum"), n_tokens.alias("t"))
+           .groupBy("stratum")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("t").cast("long").alias("n_tokens")))
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    powered = F.pow(share, F.lit(float(alpha)))
+    tgt = powered / F.sum(powered).over(w)
+    m = F.min(share / tgt).over(w)
+    rate = tgt / share * m
+    return (per.select(
+        "stratum", "n_docs", "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(rate, 6).alias("rate"),
+        F.round(F.col("n_tokens") * rate, 2).alias("kept_tokens")))

@@ -269,3 +269,29 @@ def test_quality_model_stage_opt_in(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curate_corpus(docs, best_duplicate=True)
+
+
+def test_source_cap_stage_opt_in(spark):
+    """source_cap=<n> joins the exact per-source frequency cap into the
+    conjunction; sources under the cap keep everything."""
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{filler} doc {i}", "en", "hot") for i in range(12)] +
+        [(100 + i, f"{filler} other {i}", "en", "cold") for i in range(3)],
+        "doc_id long, text string, lang string, source string")
+    ann, report = curate_corpus(docs, vocab_size=200, source_cap=5)
+    rows = {r.doc_id: r for r in ann.collect()}
+    r = report.collect()[0]
+    hot = [rows[i].cap_keep for i in range(12)]
+    cold = [rows[100 + i].cap_keep for i in range(3)]
+    assert sum(hot) == 5 and sum(cold) == 3
+    assert r.n_cap == 8
+    for row in rows.values():
+        assert row.keep <= row.cap_keep      # cap joins the conjunction
+    # neutral without the knob
+    ann2, _ = curate_corpus(docs, vocab_size=200)
+    assert all(r.cap_keep == 1 for r in ann2.collect())
+    # missing source column is an error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="source"):
+        curate_corpus(docs.drop("source"), source_cap=5)

@@ -61,3 +61,38 @@ def test_already_matching_mix_keeps_everything(spark):
     out = {r["stratum"]: r
            for r in mixture_weights(docs, {"en": 70, "de": 30}).collect()}
     assert out["en"]["rate"] == 1.0 and out["de"]["rate"] == 1.0
+
+
+def test_temperature_mixture_flattens_the_mix(spark):
+    """alpha<1 upweights low-resource strata: target shares follow
+    q^alpha (normalized), the largest stratum downsamples, the
+    bottleneck keeps rate 1, and kept tokens reproduce the implied
+    mix. alpha=1 is the identity (every rate 1)."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        temperature_mixture)
+    docs = _corpus(spark)
+    got = {r.stratum: r for r in temperature_mixture(docs, 0.5).collect()}
+    # shares: en 60/105, de 30/105, fr 10/105, xx 5/105
+    shares = {"en": 60 / 105, "de": 30 / 105, "fr": 10 / 105,
+              "xx": 5 / 105}
+    z = sum(s ** 0.5 for s in shares.values())
+    for s, q in shares.items():
+        assert abs(got[s].target_share - q ** 0.5 / z) < 1e-6, s
+        # temperature targets exceed raw share iff below-average stratum
+    # kept tokens hit the implied mix
+    kept = {s: got[s].kept_tokens for s in shares}
+    tot = sum(kept.values())
+    for s, q in shares.items():
+        # kept_tokens is rounded to 2 decimals in the plan frame, so
+        # the mix check tolerates that grid on this tiny corpus
+        assert abs(kept[s] / tot - q ** 0.5 / z) < 1e-3, s
+    # the bottleneck (largest share/target ratio smallest => xx or fr?)
+    assert max(r.rate for r in got.values()) == 1.0
+    assert all(0 < r.rate <= 1.0 for r in got.values())
+    # alpha=1: identity — everything kept at rate 1
+    ident = {r.stratum: r.rate for r in
+             temperature_mixture(docs, 1.0).collect()}
+    assert all(abs(v - 1.0) < 1e-6 for v in ident.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, 0.0)
