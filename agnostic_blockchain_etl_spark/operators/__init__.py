@@ -36,7 +36,9 @@ from .profile import merge_profile_sketches, profile_sketch, profile_table
 from .dsir import (dsir_log_weights, dsir_sample,
                    hashed_bucket_logprobs)
 from .paragraphs import (dedup_paragraphs, doc_paragraphs,
-                         paragraph_frequency)
+                         incremental_dedup_paragraphs,
+                         merge_paragraph_stores, paragraph_frequency,
+                         paragraph_store)
 from .quality import (quality_classifier_score, quality_pareto_keep,
                       train_quality_classifier)
 from .sourcecap import (source_cap, source_cap_rate,
@@ -74,6 +76,8 @@ __all__ = [
     "mixture_weights", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
+    "incremental_dedup_paragraphs", "merge_paragraph_stores",
+    "paragraph_store",
     "quality_classifier_score", "quality_pareto_keep",
     "train_quality_classifier",
     "source_cap", "source_cap_rate", "source_doc_counts",

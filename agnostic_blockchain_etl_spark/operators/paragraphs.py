@@ -174,3 +174,100 @@ def dedup_paragraphs_gate(spark, sf_dir):
                                     _GATE_CHUNK), " ")),
             "\n").alias("text"))
     return dedup_paragraphs(chunked)
+
+
+# ---------------------------------------------------------------------------
+# Incremental form: the day-2 operation. History's paragraph statistics
+# live in a persisted STORE of one row per distinct paragraph hash —
+# (h, df, first_doc), 8-byte key + two longs, far smaller than the
+# corpus text it summarizes — so a new batch is de-boilerplated against
+# ALL of history without re-reading (let alone re-splitting) historical
+# text. The invariant tested in test_paragraphs.py: the incremental
+# pass produces EXACTLY what the full-corpus `dedup_paragraphs` over
+# (history ∪ batch) would produce, restricted to the batch's documents.
+# ---------------------------------------------------------------------------
+
+_BIG = (1 << 62)
+
+
+def paragraph_store(docs: DataFrame, text_col: str = "text",
+                    min_chars: int = 1) -> DataFrame:
+    """Build the persistable paragraph-frequency artifact for ``docs``:
+    ``(h, df, first_doc)`` per distinct participating paragraph.
+    Persist as parquet (bucketed by ``h`` at scale — the probe join
+    then co-locates with no store-side Exchange, exactly like
+    `incremental.write_signature_store_tables`)."""
+    return paragraph_frequency(doc_paragraphs(docs, text_col, min_chars))
+
+
+def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Stores are MERGEABLE sketches: df adds, first_doc mins — so a
+    100 TB deployment appends each batch's frequency rows and compacts
+    periodically (the ReplacingMergeTree pattern) instead of rewriting
+    the store per batch. One hash-keyed aggregation; associativity and
+    merge-equals-one-shot parity are pytest-pinned."""
+    return (a.select("h", "df", "first_doc")
+            .unionByName(b.select("h", "df", "first_doc"))
+            .groupBy("h")
+            .agg(F.sum("df").alias("df"),
+                 F.min("first_doc").alias("first_doc")))
+
+
+def incremental_dedup_paragraphs(new_docs: DataFrame, store: DataFrame,
+                                 text_col: str = "text", min_df: int = 2,
+                                 min_chars: int = 1
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """De-boilerplate a new batch against history: returns
+    ``(deduped, updated_store)`` where ``deduped`` has the
+    `dedup_paragraphs` shape (plus ``n_removed_history`` — occurrences
+    cut because history already owns the paragraph) and
+    ``updated_store`` is the merged frequency store.
+
+    Semantics = the full-corpus run over (history ∪ batch) restricted
+    to batch docs: a paragraph is duplicated iff its COMBINED document
+    frequency reaches ``min_df``; the keeper is the smallest doc_id
+    across both sides (with disjoint, monotonically growing doc_ids —
+    the normal ingest — history always wins, so a batch occurrence of
+    a historical paragraph is always excised).
+
+    Scale: the batch is split and counted once; the store is probed by
+    ONE equi-join on the 8-byte hash touching only the batch's distinct
+    hashes (store bucketed by ``h`` → no store-side shuffle); the
+    rebuild is the same one doc-keyed aggregation as the batch form.
+    Store growth is one merge aggregation — or append + compact via
+    :func:`merge_paragraph_stores` at scale."""
+    paras = doc_paragraphs(new_docs, text_col, min_chars)
+    batch_freq = paragraph_frequency(paras)
+    probe = (batch_freq
+             .select("h", F.col("df").alias("bdf"),
+                     F.col("first_doc").alias("bfirst"))
+             .join(store.select("h", F.col("df").alias("hdf"),
+                                F.col("first_doc").alias("hfirst")),
+                   "h", "left"))
+    stats = probe.select(
+        "h",
+        (F.coalesce("hdf", F.lit(0)) + F.col("bdf")).alias("cdf"),
+        F.least(F.coalesce("hfirst", F.lit(_BIG)), F.col("bfirst"))
+         .alias("owner"),
+        F.col("hdf").isNotNull().alias("in_history"))
+    marked = (paras.join(stats, "h", "left")
+              .withColumn("drop",
+                          F.coalesce((F.col("cdf") >= min_df) &
+                                     (F.col("doc_id") != F.col("owner")),
+                                     F.lit(False)))
+              .withColumn("hist_drop",
+                          (F.col("drop") &
+                           F.coalesce("in_history", F.lit(False)))
+                          .cast("int")))
+    deduped = (marked.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(
+                        F.when(~F.col("drop"),
+                               F.struct("pos", "para")))).alias("kept"),
+                    F.count("*").alias("n_paragraphs"),
+                    F.sum(F.col("drop").cast("int")).alias("n_removed"),
+                    F.sum("hist_drop").alias("n_removed_history"))
+               .select("doc_id",
+                       F.array_join(F.transform("kept", lambda s: s.para),
+                                    "\n").alias(text_col),
+                       "n_paragraphs", "n_removed", "n_removed_history"))
+    return deduped, merge_paragraph_stores(store, batch_freq)

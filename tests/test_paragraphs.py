@@ -141,3 +141,65 @@ def test_duckdb_parity_randomized(spark):
     assert set(got) == set(want)
     for d in got:
         assert got[d] == want[d], (d, got[d], want[d])
+
+
+class TestIncremental:
+    def test_planted_history_boilerplate(self, spark):
+        """A paragraph history already owns is excised from EVERY batch
+        occurrence; a batch-only duplicate keeps its first batch copy."""
+        from agnostic_blockchain_etl_spark.operators.paragraphs import (
+            incremental_dedup_paragraphs, paragraph_store)
+        hist = spark.createDataFrame(
+            [(1, f"old body\n{BOILER}"), (2, "other old body")],
+            "doc_id long, text string")
+        store = paragraph_store(hist)
+        batch = spark.createDataFrame(
+            [(10, f"new alpha\n{BOILER}\nnew shared line"),
+             (11, f"new beta\nnew shared line\n{BOILER}")],
+            "doc_id long, text string")
+        got, updated = incremental_dedup_paragraphs(batch, store)
+        rows = {r.doc_id: r for r in got.collect()}
+        # history owns BOILER -> both batch copies cut (history drops)
+        assert BOILER not in rows[10].text and BOILER not in rows[11].text
+        assert rows[10].n_removed_history == 1
+        assert rows[11].n_removed_history == 1
+        # 'new shared line' is batch-only: doc 10 (first) keeps it
+        assert "new shared line" in rows[10].text
+        assert "new shared line" not in rows[11].text
+        assert rows[11].n_removed == 2 and rows[11].n_removed_history == 1
+        # updated store covers both sides' paragraphs with summed df
+        st = {r.h: (r.df, r.first_doc) for r in updated.collect()}
+        assert all(df >= 1 for df, _ in st.values())
+
+    def test_incremental_equals_full_corpus_run(self, spark):
+        """THE invariant: incremental(batch, store(history)) ==
+        dedup_paragraphs(history ∪ batch) restricted to batch docs."""
+        from agnostic_blockchain_etl_spark.operators.paragraphs import (
+            incremental_dedup_paragraphs, paragraph_store)
+        docs = _rand_corpus()
+        hist = [d for d in docs if isinstance(d[0], int) and d[0] % 2 == 0]
+        batch = [d for d in docs if d not in hist]
+        hist_df = spark.createDataFrame(hist, "doc_id long, text string")
+        batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+        got, _ = incremental_dedup_paragraphs(batch_df,
+                                              paragraph_store(hist_df),
+                                              min_df=3)
+        want = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+                for r in dedup_paragraphs(
+                    hist_df.unionByName(batch_df), min_df=3).collect()}
+        for r in got.collect():
+            assert (r.text, r.n_paragraphs, r.n_removed) \
+                == want[r.doc_id], r.doc_id
+
+    def test_store_merge_equals_one_shot(self, spark):
+        from agnostic_blockchain_etl_spark.operators.paragraphs import (
+            merge_paragraph_stores, paragraph_store)
+        docs = _rand_corpus()
+        a = spark.createDataFrame(docs[:20], "doc_id long, text string")
+        b = spark.createDataFrame(docs[20:], "doc_id long, text string")
+        merged = {r.h: (r.df, r.first_doc) for r in
+                  merge_paragraph_stores(paragraph_store(a),
+                                         paragraph_store(b)).collect()}
+        oneshot = {r.h: (r.df, r.first_doc) for r in
+                   paragraph_store(a.unionByName(b)).collect()}
+        assert merged == oneshot
