@@ -109,3 +109,56 @@ def dedup_stream_bounded(docs: DataFrame, ts_col: str,
             .withColumn(KEY_COL, F.md5(F.col(text_col).cast("binary")))
             .withWatermark(ts_col, horizon)
             .dropDuplicatesWithinWatermark([KEY_COL]))
+
+
+def paragraph_dedup_stream(docs: DataFrame, store_path: str,
+                           out_path: str, checkpoint: str,
+                           min_df: int = 2, min_chars: int = 1):
+    """Boilerplate-paragraph excision over an unbounded stream: each
+    micro-batch runs :func:`operators.paragraphs.
+    incremental_dedup_paragraphs` against the paragraph-frequency store
+    at ``store_path``, writes the de-boilerplated batch under
+    ``{out_path}/batch_id=N`` and appends the BATCH's own frequency rows
+    under ``{store_path}/batch_id=N``. Returns the started query.
+
+    Same exactly-once construction as `incremental_neardup_stream`:
+    deterministic per-batch overwrite directories + a store read that
+    excludes ``batch_id >= N``, so a replayed batch sees exactly the
+    state its first attempt saw. The store partitions are MERGEABLE
+    frequency sketches — the read aggregates them (df sums, first_doc
+    mins, `merge_paragraph_stores` semantics) instead of requiring a
+    rewritten store per batch, which is what lets the write side stay
+    append-only."""
+    from ..operators.paragraphs import (incremental_dedup_paragraphs,
+                                        paragraph_store)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+        try:
+            rows = (spark.read.parquet(store_path)
+                    .where(F.col("batch_id") < batch_id)
+                    .drop("batch_id"))
+            store = (rows.groupBy("h")
+                     .agg(F.sum("df").alias("df"),
+                          F.min("first_doc").alias("first_doc")))
+        except AnalysisException as exc:
+            # only missing-store means "first batch"; real read failures
+            # must fail the micro-batch so the checkpoint replays it
+            getter = getattr(exc, "getCondition", None) \
+                or getattr(exc, "getErrorClass", lambda: None)
+            if (getter() or "") != "PATH_NOT_FOUND" \
+                    and "Path does not exist" not in str(exc):
+                raise
+            store = paragraph_store(batch_df.limit(0))
+        deduped, _ = incremental_dedup_paragraphs(batch_df, store,
+                                                  min_df=min_df,
+                                                  min_chars=min_chars)
+        deduped.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        paragraph_store(batch_df, min_chars=min_chars) \
+            .write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())

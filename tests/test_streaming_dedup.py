@@ -265,3 +265,45 @@ def test_neardup_stream_corrupt_store_fails_batch_not_history(spark,
     assert not os.path.exists(out) or not any(
         n.endswith(".parquet")
         for _, _, fs in os.walk(out) for n in fs)
+
+
+def test_paragraph_dedup_stream(spark, tmp_path):
+    """Boilerplate excision across micro-batches via the mergeable
+    frequency store: a footer seen in batch 1 is excised from every
+    later batch's documents, and the state survives a query restart."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        paragraph_dedup_stream)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("psrc", "pout", "pstore", "pckpt"))
+    footer = "(c) streaming example corp all rights reserved"
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = paragraph_dedup_stream(stream, store, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batch(spark, src, [(1, f"first body\n{footer}"),
+                              (2, "second body")])
+    _write_batch(spark, src, [(3, f"third body\n{footer}")])
+    drain()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert footer in rows[1].text            # owner keeps its copy
+    assert footer not in rows[3].text        # later batch excised
+    assert rows[3].n_removed_history == 1
+
+    # restart on the same checkpoint+store: history still remembered
+    _write_batch(spark, src, [(4, f"fourth body\n{footer}"),
+                              (5, "fresh body")])
+    drain()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert footer not in rows[4].text and rows[4].n_removed_history == 1
+    assert rows[5].text == "fresh body"
+    # the merged store's df for the footer counts all three sightings
+    merged = (spark.read.parquet(store).groupBy("h")
+              .agg(F.sum("df").alias("df")).collect())
+    assert max(r.df for r in merged) == 3
