@@ -45,6 +45,7 @@ LINEAR_PLAN_QUERIES = [
     "skew_salted_join",
     "asof_join_last_click",
     "doc_fingerprint_repetition",
+    "dedup_paragraphs",
 ]
 
 
@@ -101,3 +102,46 @@ def test_mixture_weights_single_aggregation(spark):
     # formatted output names each node twice (tree + details): 2 == 1 scan
     assert plan.count("Scan parquet") == 2
     assert "Join" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """DSIR's corpus-sized joins must be broadcasts of the B-row
+    log-ratio table — the only nested loops are the 1-row distribution
+    totals crossJoined onto the B-row dense frames (bounded by
+    construction, the emb_ivf_topk exemption class)."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["dsir_log_weights"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every nested loop in the plan is a Cross of a broadcast single row
+    import re
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan
+
+
+def test_quality_score_model_join_is_broadcast(spark):
+    """The 100 TB scoring pass must broadcast the (B+1)-row model — a
+    shuffled model join would add a corpus-sized exchange keyed on the
+    bucket id. The only nested-loop is the 1-row bias crossJoin (bounded
+    by construction)."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["quality_score_fixed_model"](
+        spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_cap_salted_form_is_two_bounded_windows(spark):
+    """salt_buckets > 1 must plan TWO row_number windows — level one
+    partitioned by (source, salt bucket) so no partition sorts more
+    than ~n_source/salt_buckets rows, level two over the pre-capped
+    candidates — and never a cartesian."""
+    from agnostic_blockchain_etl_spark.operators.sourcecap import source_cap
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "source")
+    plan = _plan_of(source_cap(docs, 5, salt_buckets=32))
+    assert plan.count("Window") >= 2, plan
+    assert "_b" in plan            # level-one partitioning carries the salt
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
