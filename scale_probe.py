@@ -70,6 +70,27 @@ def _extra_probes() -> dict:
     def p_shard_assign(spark, sf):
         return balanced_shard_assign(_docs(spark, sf), "n_chars", 16)
 
+    def p_incremental_paragraphs(spark, sf):
+        from agnostic_blockchain_etl_spark.operators import (
+            incremental_dedup_paragraphs, paragraph_store)
+        d = _docs(spark, sf).select("doc_id", "text")
+        hist = d.where(F.col("doc_id") % 2 == 0)
+        deduped, _ = incremental_dedup_paragraphs(
+            d.where(F.col("doc_id") % 2 == 1), paragraph_store(hist))
+        return deduped
+
+    def p_quality_train_score(spark, sf):
+        from agnostic_blockchain_etl_spark.operators import (
+            quality_classifier_score, train_quality_classifier)
+        d = _docs(spark, sf).select("doc_id", "text", "n_chars")
+        # bounded training sample (the production shape), corpus scoring
+        pos = d.where(F.col("n_chars") > 400).limit(100)
+        neg = d.where(F.col("n_chars") <= 400).limit(100)
+        m = train_quality_classifier(pos.select("doc_id", "text"),
+                                     neg.select("doc_id", "text"),
+                                     buckets=1024, iters=5)
+        return quality_classifier_score(d.select("doc_id", "text"), m)
+
     def p_dsir_sample(spark, sf):
         from agnostic_blockchain_etl_spark.operators import dsir_sample
         d = _docs(spark, sf)
@@ -95,6 +116,8 @@ def _extra_probes() -> dict:
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,
             "x_incremental_dedup": p_incremental_dedup,
+            "x_incremental_paragraphs": p_incremental_paragraphs,
+            "x_quality_train_score": p_quality_train_score,
             "x_shard_assign": p_shard_assign}
 
 
