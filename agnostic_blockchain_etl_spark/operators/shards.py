@@ -81,11 +81,21 @@ def write_training_shards(df: DataFrame, path: str, weight_col: str,
                           n_shards: int, key_col: str = "doc_id",
                           order_cols: tuple[str, ...] = ("doc_id",),
                           n_buckets: int = _DEFAULT_BUCKETS,
-                          shard_col: str = "shard") -> DataFrame:
+                          shard_col: str = "shard",
+                          shuffle_salt: str | None = None) -> DataFrame:
     """Write ``df`` to ``path`` as ``shard=N`` parquet partitions with
     balanced token totals and a deterministic row order inside each
     shard. Returns the per-shard summary ``(shard, n_rows, total_weight)``
     — the manifest a training job reads to pace its data loaders.
+
+    ``shuffle_salt``: shuffle ONCE at materialization (the T5/GPT
+    practice — training readers then stream shards sequentially): rows
+    are ordered inside each shard by a salted hash of ``key_col``
+    instead of ``order_cols``. Deterministic — the same salt replays
+    the identical permutation (the replay-idempotence contract holds),
+    a different salt is a fresh epoch-level reshuffle. Costs nothing
+    over the sorted write: same single data-moving shuffle, the sort
+    key is just a hash.
 
     One shuffle moves the data (``repartition`` on the shard id, so each
     shard is written by one task and stays one sorted run; at cluster
@@ -95,8 +105,14 @@ def write_training_shards(df: DataFrame, path: str, weight_col: str,
     assigned = balanced_shard_assign(df, weight_col, n_shards,
                                      key_col=key_col, n_buckets=n_buckets,
                                      shard_col=shard_col)
+    if shuffle_salt is not None:
+        order = [F.md5(F.concat(F.lit(shuffle_salt),
+                                F.col(key_col).cast("string"))
+                       .cast("binary")), F.col(key_col)]
+    else:
+        order = [F.col(c) for c in order_cols]
     (assigned.repartition(F.col(shard_col))
-     .sortWithinPartitions(shard_col, *order_cols)
+     .sortWithinPartitions(F.col(shard_col), *order)
      .write.mode("overwrite").partitionBy(shard_col).parquet(path))
     spark = df.sparkSession
     return (spark.read.parquet(path)

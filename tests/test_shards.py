@@ -109,3 +109,42 @@ class TestWriter:
             ids = [r.doc_id for r in
                    spark.read.parquet(f"{path}/shard={shard}").collect()]
             assert ids == sorted(ids)
+
+
+def test_shuffle_salt_orders_deterministically(spark, tmp_path):
+    """shuffle_salt materializes a write-time shuffle: same salt ->
+    identical file bytes order, different salt -> a different
+    permutation, and within each shard rows follow the salted hash."""
+    import hashlib
+    from agnostic_blockchain_etl_spark.operators.shards import (
+        write_training_shards)
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + (i % 7)) for i in range(200)],
+        "doc_id long, text string, n_tokens long")
+
+    def read_order(path):
+        rows = spark.read.parquet(path).collect()
+        by_shard = {}
+        # parquet preserves within-file row order; collect per shard by
+        # re-reading each partition directory in order
+        import glob
+        order = {}
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            shard = int(d.rsplit("=", 1)[1])
+            order[shard] = [r.doc_id for r in
+                            spark.read.parquet(d).collect()]
+        return order
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_training_shards(df, p1, "n_tokens", 4, shuffle_salt="epoch0")
+    write_training_shards(df, p2, "n_tokens", 4, shuffle_salt="epoch0")
+    write_training_shards(df, p3, "n_tokens", 4, shuffle_salt="epoch1")
+    o1, o2, o3 = read_order(p1), read_order(p2), read_order(p3)
+    assert o1 == o2                      # same salt replays identically
+    assert o1 != o3                      # new salt = fresh permutation
+    assert {d for v in o1.values() for d in v} \
+        == {d for v in o3.values() for d in v}  # same membership
+    for shard, ids in o1.items():
+        keys = [hashlib.md5(f"epoch0{d}".encode()).hexdigest()
+                for d in ids]
+        assert keys == sorted(keys), shard   # salted-hash order inside
