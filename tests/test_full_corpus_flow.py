@@ -78,3 +78,73 @@ def test_shard_column_collision_is_an_error(spark):
                                "doc_id long, n_tokens long, shard int")
     with pytest.raises(ValueError, match="shard"):
         balanced_shard_assign(df, "n_tokens", 2)
+
+
+def test_full_flow_round4_recipe(spark, tmp_path):
+    """The round-4 recipe end-to-end on real testdata: train a quality
+    classifier on corpus extremes → curate with the trained filter,
+    best-duplicate keeper, paragraph excision and per-source caps →
+    DSIR-select toward the English slice → shuffled token-balanced
+    shard write. Asserts the cross-stage invariants (every stage's
+    verdict is a column, selection ⊆ kept, shards cover the selection,
+    same-salt writes replay identically)."""
+    from agnostic_blockchain_etl_spark.operators import (
+        chunk, curate_corpus, dsir_sample, load_tables,
+        train_quality_classifier, write_training_shards)
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    n_in = docs.count()
+
+    # bounded training sample: long docs as 'reference', short as crawl
+    pos = docs.where(F.col("n_chars") > 400).limit(80) \
+        .select("doc_id", "text")
+    neg = docs.where(F.col("n_chars") <= 400).limit(80) \
+        .select("doc_id", "text")
+    model = train_quality_classifier(pos, neg, buckets=1024, iters=8)
+
+    annotated, report = curate_corpus(
+        docs.select("doc_id", "text", "lang", "source"),
+        vocab_size=10_000, paragraphs=True, quality_model=model,
+        best_duplicate=True, source_cap=20)
+    # materialize the phase boundary: every later action would
+    # otherwise re-execute the whole curate DAG (~20 s a pop)
+    annotated = annotated.cache()
+    rep = report.collect()[0]
+    assert rep.n_docs == n_in
+    assert 0 < rep.n_kept < n_in
+    assert rep.n_cap < n_in           # 25-doc sources, cap 20: must bite
+    assert rep.n_clf <= n_in
+    rows = annotated.collect()
+    for r in rows:                     # conjunction over ALL stages
+        assert r.keep == (r.pii_clean * r.quality_keep * r.exact_keep
+                          * r.neardup_keep * r.decontam_keep
+                          * r.gopher_keep * r.c4_keep * r.clf_keep
+                          * r.cap_keep * r.lm_keep)
+        assert r.q_score is not None
+
+    # DSIR selection toward the en slice, restricted to kept docs
+    kept = annotated.where("keep = 1").select("doc_id", "text")
+    n_kept = kept.count()
+    k = max(10, n_kept // 2)
+    target = annotated.where("keep = 1 AND lang = 'en'") \
+        .select("doc_id", "text")
+    selected = dsir_sample(kept, target, k=k, buckets=2048).cache()
+    assert selected.count() == k
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert {r.doc_id for r in selected.select("doc_id").collect()} \
+        <= kept_ids
+
+    # shuffled shard write over the selection's chunks
+    chunks = chunk(selected.select("doc_id", "text")).cache()
+    p1, p2 = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+    m1 = write_training_shards(chunks, p1, "n_tokens", 4,
+                               shuffle_salt="round4").collect()
+    write_training_shards(chunks, p2, "n_tokens", 4,
+                          shuffle_salt="round4")
+    assert sum(r.n_rows for r in m1) == chunks.count()
+    a = [r.doc_id for r in spark.read.parquet(p1).collect()]
+    b = [r.doc_id for r in spark.read.parquet(p2).collect()]
+    assert sorted(a) == sorted(b)
+    assert spark.read.parquet(p1).select("doc_id").distinct().count() \
+        == selected.count()
