@@ -326,3 +326,32 @@ def decode_image(payload: bytes) -> dict:
             "(BMP/P6/PNG supported)")
     return {"n_bytes": len(payload), "width": width, "height": height,
             "checksum": sum(rgb) % 65536}
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup dedup)
+# ---------------------------------------------------------------------------
+
+_DHASH_W, _DHASH_H = 9, 8   # 9×8 gray → 8×8 horizontal gradients = 64 bits
+
+
+def dhash64(width: int, height: int, rgb: bytes) -> int:
+    """64-bit difference hash (dHash) of a decoded RGB image: integer
+    luma (299/587/114 per mille — no floats, no rounding modes), a
+    nearest-neighbor resample to 9×8 (`resize_rgb`'s floor mapping),
+    then one bit per horizontally adjacent pair (left > right). Robust
+    to uniform brightness/contrast shifts and to resizing (gradient
+    SIGNS survive them); a crop or recolor flips only the bits whose
+    gradients change — the Hamming distance IS the edit size."""
+    small = resize_rgb(width, height, rgb, _DHASH_W, _DHASH_H)
+    luma = [(299 * small[i] + 587 * small[i + 1] + 114 * small[i + 2])
+            // 1000 for i in range(0, len(small), 3)]
+    h = 0
+    bit = 0
+    for y in range(_DHASH_H):
+        row = y * _DHASH_W
+        for x in range(_DHASH_W - 1):
+            if luma[row + x] > luma[row + x + 1]:
+                h |= 1 << bit
+            bit += 1
+    return h

@@ -19,6 +19,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
                     select_cluster_canonical,
                     simhash_pairs, simhash_signatures)
+from .imagedup import image_near_dup_pairs, image_phash
 from .incremental import (digest_store, incremental_dedup,
                           incremental_exact_dedup,
                           incremental_neardup_pairs, signature_store,
@@ -69,6 +70,7 @@ __all__ = [
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
+    "image_near_dup_pairs", "image_phash",
     "sample_frames",
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",

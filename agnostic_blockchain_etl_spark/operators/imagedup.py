@@ -1,0 +1,117 @@
+"""Image near-duplicate detection over binary image columns — the
+multimodal counterpart of `dedup.simhash_pairs`: re-encoded, resized,
+or brightness-shifted copies of an image survive exact (byte-level)
+dedup, but their perceptual hashes collide. The recipe (standard in
+LAION-scale image corpus curation):
+
+1. decode each payload (BMP / P6-PPM / PNG by magic — the container's
+   real codecs, `functions/imaging.py`) and compute a 64-bit dHash
+   (`imaging.dhash64`: 9×8 integer-luma gradient signs — invariant to
+   uniform brightness/contrast and to resizing);
+2. near-dup pairs = Hamming distance ≤ ``max_hamming`` over the
+   hashes, found with banded-prefix LSH exactly like SimHash: 7 bands
+   over 64 bits guarantee (pigeonhole) that any pair within Hamming 6
+   shares at least one exact band, so the equi-join loses nothing
+   versus all-pairs — and the plan never goes quadratic.
+
+Spark shapes: hashing is one Arrow-batched ``mapInPandas`` stage
+(bytes cross the Python boundary once, the sanctioned codec boundary);
+the pair join shuffles on (band, band_bits) — linear in corpus size
+with ~n²/2^bits random collisions per band; the exact
+``bit_count(xor)`` filter runs BEFORE the distinct so only true
+near-dups pay the de-dup shuffle. Clustering composes with
+`dedup.connected_components` unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 7 bands over 64 bits (six 9-bit + one 10-bit): Hamming <= 6 flips at
+# most 6 bands, so >= 1 of the 7 matches exactly — lossless banding.
+_BANDS: list[tuple[int, int]] = [(0, 9), (9, 9), (18, 9), (27, 9),
+                                 (36, 9), (45, 9), (54, 10)]
+_HAMMING_MAX = 6
+
+_HASH_SCHEMA = ("doc_id long, n_bytes long, width int, height int, "
+                "phash long, decode_error string")
+
+
+def _phash_batches(batches: Iterator["pd.DataFrame"]  # noqa: F821
+                   ) -> Iterator["pd.DataFrame"]:     # noqa: F821
+    import pandas as pd
+
+    from ..functions.imaging import (ImageFormatError, decode_bmp,
+                                     decode_png, decode_ppm, dhash64,
+                                     _PNG_MAGIC)
+    for b in batches:
+        rows = []
+        for doc_id, payload in zip(b["doc_id"], b["payload"]):
+            payload = bytes(payload)
+            try:
+                if payload[:2] == b"BM":
+                    w, h, rgb = decode_bmp(payload)
+                elif payload[:2] == b"P6":
+                    w, h, rgb = decode_ppm(payload)
+                elif payload[:8] == _PNG_MAGIC:
+                    w, h, rgb = decode_png(payload)
+                else:
+                    raise ImageFormatError(
+                        f"unrecognized magic {payload[:2]!r}")
+                # dhash64 yields unsigned 64-bit; store as signed long
+                # (two's complement) so Spark's bit ops apply directly
+                ph = dhash64(w, h, rgb)
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                rows.append((doc_id, len(payload), w, h, ph, None))
+            except (ImageFormatError, IndexError, ValueError) as exc:
+                rows.append((doc_id, len(payload), None, None, None,
+                             str(exc)))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "width",
+                                          "height", "phash",
+                                          "decode_error"])
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """Per-image perceptual hash: ``(doc_id, n_bytes, width, height,
+    phash, decode_error)`` — one Arrow-batched decode+hash pass over
+    ``(doc_id, payload)``. Undecodable payloads yield a null hash and
+    the error string (flag-don't-drop; they simply never pair)."""
+    return assets.select("doc_id", "payload") \
+        .mapInPandas(_phash_batches, _HASH_SCHEMA)
+
+
+def image_near_dup_pairs(assets: DataFrame,
+                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
+    """Perceptually-near image pairs ``(doc_a, doc_b, hamming)`` with
+    ``doc_a < doc_b`` and Hamming(phash) ≤ ``max_hamming`` — banded
+    equi-join + exact bit_count filter, identical output to all-pairs
+    (pigeonhole-lossless for ``max_hamming`` ≤ 6; raise the band count
+    before raising the radius past that)."""
+    if max_hamming > len(_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} exceeds the lossless radius of "
+            f"{len(_BANDS)} bands ({len(_BANDS) - 1})")
+    hashed = image_phash(assets).where(F.col("phash").isNotNull())
+    band_stack = ", ".join(
+        f"{j}, (phash >> {off}) & {(1 << width) - 1}"
+        for j, (off, width) in enumerate(_BANDS))
+    bands = hashed.selectExpr(
+        "doc_id", "phash",
+        f"stack({len(_BANDS)}, {band_stack}) as (band, band_bits)")
+    hamming = F.expr("bit_count(a_phash ^ b_phash)")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.band_bits") == F.col("b.band_bits")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.phash").alias("a_phash"),
+                    F.col("b.phash").alias("b_phash")))
+    return (cand.where(hamming <= max_hamming)
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+            .distinct())

@@ -1,0 +1,110 @@
+"""Image perceptual dedup: dHash invariances, banding-equals-brute-force
+over a synthetic gallery, bad-payload flagging, and a no-cartesian plan."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.functions.imaging import (  # noqa: E402
+    dhash64, encode_bmp, encode_png, encode_ppm, resize_rgb)
+from agnostic_blockchain_etl_spark.operators.imagedup import (  # noqa: E402
+    image_near_dup_pairs, image_phash)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _img(rng, w=32, h=24):
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def test_dhash_invariances():
+    rng = random.Random(7)
+    w, h = 32, 24
+    rgb = _img(rng, w, h)
+    base = dhash64(w, h, rgb)
+    # uniform brightness shift: gradient signs survive -> identical hash
+    shifted = bytes(min(255, b + 12) for b in rgb)
+    assert dhash64(w, h, shifted) == base
+    # resize: same content at 2x resolution hashes identically
+    big = resize_rgb(w, h, rgb, 2 * w, 2 * h)
+    assert dhash64(2 * w, 2 * h, big) == base
+    # an unrelated image is far away
+    other = dhash64(w, h, _img(rng, w, h))
+    assert bin(base ^ other).count("1") > 10
+
+
+def test_pairs_match_brute_force_and_cross_format(spark):
+    """The banded join finds exactly the all-pairs Hamming<=6 set, and
+    the SAME image re-encoded in a different container (BMP vs P6 vs
+    PNG) is a 0-distance pair — the case byte-level dedup misses."""
+    rng = random.Random(11)
+    w, h = 32, 24
+    gallery = [_img(rng, w, h) for _ in range(12)]
+    rows = []
+    for i, rgb in enumerate(gallery):
+        rows.append((10 * i, bytearray(encode_bmp(w, h, rgb))))
+    # re-encodes of gallery[0]: P6 and PNG containers, and a brightness
+    # shift — all perceptual dups of doc 0
+    rows.append((901, bytearray(encode_ppm(w, h, gallery[0]))))
+    rows.append((902, bytearray(encode_png(w, h, gallery[0]))))
+    rows.append((903, bytearray(encode_bmp(
+        w, h, bytes(min(255, b + 9) for b in gallery[0])))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashed = {r.doc_id: r.phash for r in image_phash(df).collect()}
+    assert len(hashed) == len(rows)
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in image_near_dup_pairs(df).collect()}
+    # brute force over the collected hashes
+    ids = sorted(hashed)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashed[a] ^ hashed[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.add((a, b, d))
+    assert got == want
+    # the three re-encodes pair with doc 0 at distance 0
+    assert {(0, 901, 0), (0, 902, 0), (0, 903, 0)} <= got
+
+
+def test_bad_payload_is_flagged_not_fatal(spark):
+    rng = random.Random(3)
+    rows = [(1, bytearray(encode_bmp(8, 8, _img(rng, 8, 8)))),
+            (2, bytearray(b"GIF89a not supported")),
+            (3, bytearray(b"BM truncated"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_phash(df).collect()}
+    assert got[1].phash is not None and got[1].decode_error is None
+    assert got[2].phash is None and "magic" in got[2].decode_error
+    assert got[3].phash is None and got[3].decode_error
+    # pairs simply exclude the undecodable rows
+    assert image_near_dup_pairs(df).count() == 0
+
+
+def test_plan_has_no_cartesian(spark):
+    import contextlib
+    import io
+    rng = random.Random(1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(8, 8, _img(rng, 8, 8))))],
+        "doc_id long, payload binary")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        image_near_dup_pairs(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(df, max_hamming=7)
