@@ -79,3 +79,31 @@ def audio_features(payload: bytes) -> dict:
                if samples.size else 0.0,
         "peak": int(np.max(np.abs(x))) if samples.size else 0,
     }
+
+
+_FP_WINDOWS = 65   # 65 energy windows -> 64 delta-sign bits
+
+
+def afingerprint64(payload: bytes) -> int:
+    """64-bit audio fingerprint (the dHash idea in time: sign of the
+    energy DELTA between adjacent windows): mono-mix, split the clip
+    into 65 equal-duration windows, bit i = 1 iff window i's mean
+    energy exceeds window i+1's. Invariant to uniform gain (energies
+    scale together) and approximately to resampling (windows are
+    duration-relative); an edit flips only the bits whose local energy
+    contour changes."""
+    rate, channels, samples = decode_wav(payload)
+    if samples.shape[0] < _FP_WINDOWS:
+        raise AudioFormatError(
+            f"clip too short to fingerprint ({samples.shape[0]} frames "
+            f"< {_FP_WINDOWS})")
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.shape[0]
+    edges = [(i * n) // _FP_WINDOWS for i in range(_FP_WINDOWS + 1)]
+    energy = [float(np.mean(mono[edges[i]:edges[i + 1]] ** 2))
+              for i in range(_FP_WINDOWS)]
+    h = 0
+    for i in range(_FP_WINDOWS - 1):
+        if energy[i] > energy[i + 1]:
+            h |= 1 << i
+    return h

@@ -19,7 +19,9 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     minhash_lsh_pairs, minhash_wide, ngram_jaccard_pairs,
                     select_cluster_canonical,
                     simhash_pairs, simhash_signatures)
-from .imagedup import image_near_dup_pairs, image_phash
+from .imagedup import (audio_fingerprint, audio_near_dup_pairs,
+                       hamming_near_dup_pairs, image_near_dup_pairs,
+                       image_phash)
 from .incremental import (digest_store, incremental_dedup,
                           incremental_exact_dedup,
                           incremental_neardup_pairs, signature_store,
@@ -70,7 +72,8 @@ __all__ = [
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
-    "image_near_dup_pairs", "image_phash",
+    "audio_fingerprint", "audio_near_dup_pairs",
+    "hamming_near_dup_pairs", "image_near_dup_pairs", "image_phash",
     "sample_frames",
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",

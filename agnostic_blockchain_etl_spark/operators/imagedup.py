@@ -84,18 +84,18 @@ def image_phash(assets: DataFrame) -> DataFrame:
         .mapInPandas(_phash_batches, _HASH_SCHEMA)
 
 
-def image_near_dup_pairs(assets: DataFrame,
-                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
-    """Perceptually-near image pairs ``(doc_a, doc_b, hamming)`` with
-    ``doc_a < doc_b`` and Hamming(phash) ≤ ``max_hamming`` — banded
-    equi-join + exact bit_count filter, identical output to all-pairs
-    (pigeonhole-lossless for ``max_hamming`` ≤ 6; raise the band count
-    before raising the radius past that)."""
+def hamming_near_dup_pairs(hashed: DataFrame,
+                           max_hamming: int = _HAMMING_MAX) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs over ANY ``(doc_id, phash)``
+    frame of 64-bit hashes (images, audio fingerprints, custom
+    sketches): banded equi-join + exact bit_count filter, identical
+    output to all-pairs (pigeonhole-lossless for ``max_hamming`` ≤ 6;
+    raise the band count before raising the radius past that)."""
     if max_hamming > len(_BANDS) - 1:
         raise ValueError(
             f"max_hamming {max_hamming} exceeds the lossless radius of "
             f"{len(_BANDS)} bands ({len(_BANDS) - 1})")
-    hashed = image_phash(assets).where(F.col("phash").isNotNull())
+    hashed = hashed.where(F.col("phash").isNotNull())
     band_stack = ", ".join(
         f"{j}, (phash >> {off}) & {(1 << width) - 1}"
         for j, (off, width) in enumerate(_BANDS))
@@ -115,3 +115,56 @@ def image_near_dup_pairs(assets: DataFrame,
     return (cand.where(hamming <= max_hamming)
             .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
             .distinct())
+
+
+def image_near_dup_pairs(assets: DataFrame,
+                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
+    """Perceptually-near image pairs ``(doc_a, doc_b, hamming)`` with
+    ``doc_a < doc_b`` and Hamming(dHash) ≤ ``max_hamming``."""
+    return hamming_near_dup_pairs(image_phash(assets), max_hamming)
+
+
+_AUDIO_SCHEMA = ("doc_id long, n_bytes long, sample_rate int, "
+                 "n_frames long, phash long, decode_error string")
+
+
+def _audio_fp_batches(batches: Iterator["pd.DataFrame"]  # noqa: F821
+                      ) -> Iterator["pd.DataFrame"]:     # noqa: F821
+    import pandas as pd
+
+    from ..functions.audio import (AudioFormatError, afingerprint64,
+                                   decode_wav)
+    for b in batches:
+        rows = []
+        for doc_id, payload in zip(b["doc_id"], b["payload"]):
+            payload = bytes(payload)
+            try:
+                rate, _, samples = decode_wav(payload)
+                fp = afingerprint64(payload)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                rows.append((doc_id, len(payload), rate,
+                             int(samples.shape[0]), fp, None))
+            except (AudioFormatError, ValueError, IndexError) as exc:
+                rows.append((doc_id, len(payload), None, None, None,
+                             str(exc)))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes",
+                                          "sample_rate", "n_frames",
+                                          "phash", "decode_error"])
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Per-clip 64-bit energy-contour fingerprint over RIFF/WAV PCM16
+    payloads (`functions/audio.afingerprint64`): ``(doc_id, n_bytes,
+    sample_rate, n_frames, phash, decode_error)`` — same Arrow-batched
+    flag-don't-drop contract as `image_phash`."""
+    return assets.select("doc_id", "payload") \
+        .mapInPandas(_audio_fp_batches, _AUDIO_SCHEMA)
+
+
+def audio_near_dup_pairs(assets: DataFrame,
+                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
+    """Perceptually-near audio pairs — gain-shifted or re-contained
+    copies of a clip pair at small Hamming distance while exact dedup
+    misses them. Same banded machinery as the image form."""
+    return hamming_near_dup_pairs(audio_fingerprint(assets), max_hamming)

@@ -108,3 +108,28 @@ def test_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError):
         image_near_dup_pairs(df, max_hamming=7)
+
+
+def test_audio_fingerprint_pairs(spark):
+    """Gain-shifted copies of a clip pair at distance 0; unrelated
+    clips don't pair; undecodable payloads are flagged."""
+    import numpy as np
+    from agnostic_blockchain_etl_spark.functions.audio import encode_wav
+    from agnostic_blockchain_etl_spark.operators.imagedup import (
+        audio_fingerprint, audio_near_dup_pairs)
+    rng = np.random.default_rng(5)
+    base = (rng.normal(0, 3000, 8000)
+            * np.sin(np.linspace(0, 40, 8000))).astype("<i2")
+    other = rng.normal(0, 3000, 8000).astype("<i2")
+    rows = [(1, bytearray(encode_wav(8000, 1, base.tobytes()))),
+            (2, bytearray(encode_wav(8000, 1,
+                                     (base // 3).astype("<i2").tobytes()))),
+            (3, bytearray(encode_wav(8000, 1, other.tobytes()))),
+            (4, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r.doc_id: r for r in audio_fingerprint(df).collect()}
+    assert fp[1].phash == fp[2].phash        # gain-invariant
+    assert fp[4].phash is None and fp[4].decode_error
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in audio_near_dup_pairs(df).collect()}
+    assert got == {(1, 2): 0}
