@@ -21,7 +21,8 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     simhash_pairs, simhash_signatures)
 from .imagedup import (audio_fingerprint, audio_near_dup_pairs,
                        hamming_near_dup_pairs, image_near_dup_pairs,
-                       image_phash)
+                       image_phash, video_frame_phashes,
+                       video_near_dup_pairs)
 from .incremental import (digest_store, incremental_dedup,
                           incremental_exact_dedup,
                           incremental_neardup_pairs, signature_store,
@@ -74,6 +75,7 @@ __all__ = [
     "audio_feature_stage", "decode_features", "resize_images",
     "audio_fingerprint", "audio_near_dup_pairs",
     "hamming_near_dup_pairs", "image_near_dup_pairs", "image_phash",
+    "video_frame_phashes", "video_near_dup_pairs",
     "sample_frames",
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",

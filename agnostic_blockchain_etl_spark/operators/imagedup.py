@@ -168,3 +168,94 @@ def audio_near_dup_pairs(assets: DataFrame,
     copies of a clip pair at small Hamming distance while exact dedup
     misses them. Same banded machinery as the image form."""
     return hamming_near_dup_pairs(audio_fingerprint(assets), max_hamming)
+
+
+_FRAME_SCHEMA = ("doc_id long, frame_idx int, phash long, "
+                 "decode_error string")
+
+
+def _video_fp_batches(every_n: int):
+    def fn(batches: Iterator["pd.DataFrame"]  # noqa: F821
+           ) -> Iterator["pd.DataFrame"]:     # noqa: F821
+        import pandas as pd
+
+        from ..functions.imaging import (ImageFormatError, dhash64,
+                                         split_p6_stream)
+        for b in batches:
+            rows = []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                try:
+                    frames = split_p6_stream(bytes(payload))
+                    for idx, (w, h, rgb) in enumerate(frames):
+                        if idx % every_n:
+                            continue
+                        ph = dhash64(w, h, rgb)
+                        if ph >= 1 << 63:
+                            ph -= 1 << 64
+                        rows.append((doc_id, idx, ph, None))
+                except (ImageFormatError, ValueError, IndexError) as exc:
+                    rows.append((doc_id, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "phash", "decode_error"])
+    return fn
+
+
+def video_frame_phashes(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """One row per SAMPLED frame of a concatenated-P6 video payload:
+    ``(doc_id, frame_idx, phash, decode_error)`` — dHash over every
+    n-th frame (the shot-signature practice: near-dup videos share
+    near-dup frames at matching offsets)."""
+    return assets.select("doc_id", "payload") \
+        .mapInPandas(_video_fp_batches(every_n), _FRAME_SCHEMA)
+
+
+def video_near_dup_pairs(assets: DataFrame, every_n: int = 2,
+                         max_hamming: int = _HAMMING_MAX,
+                         min_frame_frac: float = 0.5) -> DataFrame:
+    """Video near-dup pairs ``(doc_a, doc_b, n_matched, frac_a,
+    frac_b)``: two videos pair when ≥ ``min_frame_frac`` of the
+    SHORTER one's sampled frames have a Hamming-≤``max_hamming``
+    counterpart at the SAME frame offset in the other (re-encoded,
+    brightness-shifted, or trailing-extended copies match; unrelated
+    content does not).
+
+    Scale: per-frame hashes ride the banded Hamming join keyed
+    (frame_idx, band, band_bits) — same-offset frames only, so a
+    popular static intro frame never cross-products across offsets;
+    the per-video frame counts ride a broadcast-sized aggregate join."""
+    frames = video_frame_phashes(assets, every_n) \
+        .where(F.col("phash").isNotNull())
+    counts = frames.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    band_stack = ", ".join(
+        f"{j}, (phash >> {off}) & {(1 << width) - 1}"
+        for j, (off, width) in enumerate(_BANDS))
+    bands = frames.selectExpr(
+        "doc_id", "frame_idx", "phash",
+        f"stack({len(_BANDS)}, {band_stack}) as (band, band_bits)")
+    hamming = F.expr("bit_count(a_phash ^ b_phash)")
+    matched = (bands.alias("a")
+               .join(bands.alias("b"),
+                     (F.col("a.frame_idx") == F.col("b.frame_idx")) &
+                     (F.col("a.band") == F.col("b.band")) &
+                     (F.col("a.band_bits") == F.col("b.band_bits")) &
+                     (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.frame_idx").alias("frame_idx"),
+                       F.col("a.phash").alias("a_phash"),
+                       F.col("b.phash").alias("b_phash"))
+               .where(hamming <= max_hamming)
+               .select("doc_a", "doc_b", "frame_idx").distinct())
+    agg = matched.groupBy("doc_a", "doc_b") \
+        .agg(F.count("*").alias("n_matched"))
+    return (agg
+            .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                F.col("nf").alias("nf_a")), "doc_a")
+            .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                F.col("nf").alias("nf_b")), "doc_b")
+            .select("doc_a", "doc_b", "n_matched",
+                    F.round(F.col("n_matched") / F.col("nf_a"), 4)
+                     .alias("frac_a"),
+                    F.round(F.col("n_matched") / F.col("nf_b"), 4)
+                     .alias("frac_b"))
+            .where(F.greatest("frac_a", "frac_b") >= min_frame_frac))

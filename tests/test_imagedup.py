@@ -133,3 +133,44 @@ def test_audio_fingerprint_pairs(spark):
     got = {(r.doc_a, r.doc_b): r.hamming
            for r in audio_near_dup_pairs(df).collect()}
     assert got == {(1, 2): 0}
+
+
+def test_video_near_dup_pairs(spark):
+    """A re-encoded brightness-shifted copy of a clip pairs (all
+    sampled frames match at their offsets); a clip of unrelated frames
+    does not; a trailing-extended copy still pairs via the shorter
+    side's fraction."""
+    from agnostic_blockchain_etl_spark.functions.imaging import encode_ppm
+    from agnostic_blockchain_etl_spark.operators.imagedup import (
+        video_frame_phashes, video_near_dup_pairs)
+    rng = random.Random(21)
+    w, h = 16, 12
+    frames = [_img(rng, w, h) for _ in range(8)]
+
+    def clip(fs):
+        return bytearray(b"".join(encode_ppm(w, h, f) for f in fs))
+
+    shifted = [bytes(min(255, b + 7) for b in f) for f in frames]
+    rows = [(1, clip(frames)),
+            (2, clip(shifted)),                       # perceptual copy
+            (3, clip([_img(rng, w, h) for _ in range(8)])),  # unrelated
+            (4, clip(frames + [_img(rng, w, h) for _ in range(8)])),
+            (5, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    fp = video_frame_phashes(df, every_n=2).collect()
+    per_doc = {}
+    for r in fp:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 4            # 8 frames sampled every 2
+    assert len(per_doc[4]) == 8
+    assert per_doc[5][0].decode_error      # flagged, not fatal
+
+    got = {(r.doc_a, r.doc_b): r for r in
+           video_near_dup_pairs(df, every_n=2).collect()}
+    assert (1, 2) in got and got[(1, 2)].n_matched == 4
+    assert got[(1, 2)].frac_a == 1.0 and got[(1, 2)].frac_b == 1.0
+    # trailing-extended copy: all of doc 1's frames match -> frac_a = 1
+    assert (1, 4) in got and got[(1, 4)].frac_a == 1.0
+    assert got[(1, 4)].frac_b == 0.5
+    assert not any(3 in k for k in got)
