@@ -31,7 +31,8 @@ from .incremental import (digest_store, incremental_dedup,
 from .similarity import (cosine_topk, ivf_search, ivf_train,
                          semantic_dedup)
 from .tables import load_tables
-from .mixture import mixture_weights, temperature_mixture
+from .mixture import (apply_mixture_rates, mixture_weights,
+                      temperature_mixture)
 from .multimodal import (audio_feature_stage, decode_features,
                          resize_images, sample_frames)
 from .pii import luhn_valid, pii_scrub, pii_scrub_extended
@@ -80,7 +81,7 @@ __all__ = [
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",
     "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
-    "mixture_weights", "temperature_mixture",
+    "apply_mixture_rates", "mixture_weights", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
     "incremental_dedup_paragraphs", "merge_paragraph_stores",

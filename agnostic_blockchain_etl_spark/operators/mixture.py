@@ -93,3 +93,29 @@ def temperature_mixture(docs: DataFrame, alpha: float,
         F.round(tgt, 6).alias("target_share"),
         F.round(rate, 6).alias("rate"),
         F.round(F.col("n_tokens") * rate, 2).alias("kept_tokens")))
+
+
+def apply_mixture_rates(docs: DataFrame, plan: DataFrame,
+                        strat_col: str = "lang",
+                        salt: str = "mixture:") -> DataFrame:
+    """Apply a `mixture_weights` / `temperature_mixture` plan to the
+    corpus: adds ``mix_keep`` (1 iff the document survives its
+    stratum's rate). Membership is hash-deterministic per doc_id
+    (never ``rand()``), so the applied mix is reproducible across
+    runs/engines/partitionings and new corpus rows never reshuffle old
+    ones — the same contract as `corpus.stratified_sample`, with the
+    rates computed instead of configured.
+
+    Scale: the plan frame is |strata| rows → broadcast; the pass is one
+    zero-shuffle projection over the corpus."""
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                  .cast("binary")),
+            1, 15), 16, 10).cast("long") + 1) / F.lit(float(1 << 60)))
+    rates = plan.select(F.col("stratum").alias(strat_col),
+                        F.col("rate").alias("__rate"))
+    return (docs.join(F.broadcast(rates), strat_col, "left")
+            .withColumn("mix_keep",
+                        (u <= F.coalesce("__rate", F.lit(0.0)))
+                        .cast("int"))
+            .drop("__rate"))

@@ -96,3 +96,33 @@ def test_temperature_mixture_flattens_the_mix(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mixture(docs, 0.0)
+
+
+def test_apply_mixture_rates(spark):
+    """Applying the computed plan keeps ~rate per stratum, is
+    layout-independent, drops untargeted strata entirely, and keeps a
+    rate-1.0 stratum entirely (the boundary is inclusive)."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        apply_mixture_rates, mixture_weights)
+    rows = [(i, " ".join(["w"] * 10),
+             "en" if i < 600 else ("fr" if i < 700 else "xx"))
+            for i in range(800)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = mixture_weights(docs, {"en": 50, "fr": 50})
+    rates = {r.stratum: r.rate for r in plan.collect()}
+    assert rates["fr"] == 1.0 and rates["xx"] == 0.0
+    got = apply_mixture_rates(docs, plan)
+    kept = {r.doc_id: r.mix_keep for r in got.collect()}
+    assert len(kept) == 800                  # flag, don't filter
+    by = {"en": [], "fr": [], "xx": []}
+    for i, _, lang in rows:
+        by[lang].append(kept[i])
+    assert sum(by["xx"]) == 0                # untargeted stratum dropped
+    assert sum(by["fr"]) == 100              # rate 1.0 keeps everything
+    # en downsamples to ~rate (600 * rate ± sampling noise)
+    expect = rates["en"] * 600
+    assert abs(sum(by["en"]) - expect) < 60
+    again = {r.doc_id: r.mix_keep
+             for r in apply_mixture_rates(docs.repartition(7),
+                                          plan).collect()}
+    assert again == kept                     # layout-independent
