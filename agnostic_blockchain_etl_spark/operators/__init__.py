@@ -20,6 +20,7 @@ from .dedup import (connected_components, decontaminate, doc_shingles,
                     select_cluster_canonical,
                     simhash_pairs, simhash_signatures)
 from .imagedup import (audio_fingerprint, audio_near_dup_pairs,
+                       curate_media,
                        hamming_near_dup_pairs, image_near_dup_pairs,
                        image_phash, video_frame_phashes,
                        video_near_dup_pairs)
@@ -74,7 +75,7 @@ __all__ = [
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
-    "audio_fingerprint", "audio_near_dup_pairs",
+    "audio_fingerprint", "audio_near_dup_pairs", "curate_media",
     "hamming_near_dup_pairs", "image_near_dup_pairs", "image_phash",
     "video_frame_phashes", "video_near_dup_pairs",
     "sample_frames",

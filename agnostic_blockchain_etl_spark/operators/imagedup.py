@@ -259,3 +259,57 @@ def video_near_dup_pairs(assets: DataFrame, every_n: int = 2,
                     F.round(F.col("n_matched") / F.col("nf_b"), 4)
                      .alias("frac_b"))
             .where(F.greatest("frac_a", "frac_b") >= min_frame_frac))
+
+
+def curate_media(assets: DataFrame, max_hamming: int = _HAMMING_MAX,
+                 modality: str = "image") -> tuple[DataFrame, DataFrame]:
+    """One-call media curation (the `curate.curate_corpus` contract for
+    binary columns): returns ``(annotated, report)`` where ``annotated``
+    is one row per asset — ``doc_id, n_bytes, phash, decode_error,
+    decode_ok, cluster_id, dup_keep, keep`` — and ``report`` is a single
+    row of survivor counts. Flag-don't-filter: undecodable payloads and
+    perceptual duplicates are columns, not absences.
+
+    ``modality``: 'image' (BMP/P6/PNG dHash) or 'audio' (WAV energy
+    fingerprint). Perceptual duplicate clusters come from the banded
+    Hamming pairs + `dedup.connected_components`; each cluster keeps
+    its smallest doc_id (compose with `dedup.select_cluster_canonical`
+    for quality-aware keepers).
+
+    Scale: one Arrow decode+hash pass, one banded pair join, the
+    pair-bounded CC iteration, one membership join — no stage touches
+    payload bytes twice."""
+    from .dedup import connected_components
+    if modality == "image":
+        hashed = image_phash(assets)
+    elif modality == "audio":
+        hashed = audio_fingerprint(assets) \
+            .withColumnRenamed("n_frames", "n_units")
+    else:
+        raise ValueError(f"modality must be image|audio, got {modality!r}")
+    hashed = hashed.select("doc_id", "n_bytes", "phash", "decode_error")
+    pairs = hamming_near_dup_pairs(hashed, max_hamming) \
+        .select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    annotated = (hashed
+                 .join(labels.withColumnRenamed("doc_id", "d")
+                       .withColumnRenamed("label", "cluster"),
+                       F.col("doc_id") == F.col("d"), "left")
+                 .select("doc_id", "n_bytes", "phash", "decode_error",
+                         F.col("phash").isNotNull().cast("int")
+                          .alias("decode_ok"),
+                         F.coalesce("cluster", F.col("doc_id"))
+                          .alias("cluster_id"))
+                 .withColumn("dup_keep",
+                             (F.col("cluster_id") == F.col("doc_id"))
+                             .cast("int"))
+                 .withColumn("keep",
+                             (F.col("decode_ok") * F.col("dup_keep"))
+                             .cast("int")))
+    report = annotated.agg(
+        F.count("*").alias("n_assets"),
+        F.sum("decode_ok").alias("n_decoded"),
+        F.sum("dup_keep").alias("n_canonical"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("n_bytes")).alias("kept_bytes"))
+    return annotated, report

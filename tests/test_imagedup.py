@@ -174,3 +174,32 @@ def test_video_near_dup_pairs(spark):
     assert (1, 4) in got and got[(1, 4)].frac_a == 1.0
     assert got[(1, 4)].frac_b == 0.5
     assert not any(3 in k for k in got)
+
+
+def test_curate_media_recipe(spark):
+    """One-call media curation: re-encodes cluster together and keep
+    exactly one canonical; undecodables are flagged with keep=0; the
+    report matches the flags."""
+    from agnostic_blockchain_etl_spark.functions.imaging import encode_ppm
+    from agnostic_blockchain_etl_spark.operators.imagedup import curate_media
+    rng = random.Random(31)
+    w, h = 16, 12
+    a, b = _img(rng, w, h), _img(rng, w, h)
+    rows = [(1, bytearray(encode_bmp(w, h, a))),
+            (2, bytearray(encode_ppm(w, h, a))),          # dup of 1
+            (3, bytearray(encode_png(w, h, a))),          # dup of 1
+            (4, bytearray(encode_bmp(w, h, b))),          # unique
+            (5, bytearray(b"JUNK payload"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ann, report = curate_media(df)
+    got = {r.doc_id: r for r in ann.collect()}
+    assert got[1].keep == 1 and got[1].cluster_id == 1
+    assert got[2].keep == 0 and got[2].cluster_id == 1
+    assert got[3].keep == 0 and got[3].cluster_id == 1
+    assert got[4].keep == 1
+    assert got[5].keep == 0 and got[5].decode_ok == 0 and got[5].decode_error
+    r = report.collect()[0]
+    assert r.n_assets == 5 and r.n_decoded == 4 and r.n_kept == 2
+    assert r.kept_bytes == got[1].n_bytes + got[4].n_bytes
+    with pytest.raises(ValueError):
+        curate_media(df, modality="video")
