@@ -79,6 +79,33 @@ def _extra_probes() -> dict:
             d.where(F.col("doc_id") % 2 == 1), paragraph_store(hist))
         return deduped
 
+    def p_image_dedup(spark, sf):
+        # deterministic BMPs from the text bytes (the no-image-column
+        # testdata stand-in the multimodal gate also uses), then the
+        # full perceptual curation: hash -> banded pairs -> CC -> keep
+        from agnostic_blockchain_etl_spark.functions.imaging import (
+            encode_bmp)
+        from agnostic_blockchain_etl_spark.operators.imagedup import (
+            curate_media)
+        w, h = 16, 12
+        need = w * h * 3
+
+        def mk(batches):
+            import pandas as pd
+            for b in batches:
+                payloads = []
+                for t in b["text"]:
+                    raw = (t or "x").encode()[:need]
+                    raw = (raw * (need // max(1, len(raw)) + 1))[:need]
+                    payloads.append(encode_bmp(w, h, raw))
+                yield pd.DataFrame({"doc_id": b["doc_id"],
+                                    "payload": payloads})
+
+        assets = _docs(spark, sf).select("doc_id", "text") \
+            .mapInPandas(mk, "doc_id long, payload binary")
+        ann, _ = curate_media(assets)
+        return ann
+
     def p_quality_train_score(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (
             quality_classifier_score, train_quality_classifier)
@@ -116,6 +143,7 @@ def _extra_probes() -> dict:
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,
             "x_incremental_dedup": p_incremental_dedup,
+            "x_image_dedup": p_image_dedup,
             "x_incremental_paragraphs": p_incremental_paragraphs,
             "x_quality_train_score": p_quality_train_score,
             "x_shard_assign": p_shard_assign}
