@@ -295,3 +295,36 @@ def test_source_cap_stage_opt_in(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="source"):
         curate_corpus(docs.drop("source"), source_cap=5)
+
+
+def test_all_stages_compose(spark):
+    """Every opt-in stage enabled at once: the keep flag is still the
+    full conjunction and each verdict column is present — the seams
+    between stages (text surgery ordering, score joins, cap joins)
+    compose without column collisions."""
+    from agnostic_blockchain_etl_spark.operators.quality import (
+        train_quality_classifier)
+    long_doc = " ".join(f"token{i} word prose line" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"{long_doc} unique tail {i}\nshared footer line", "en",
+          f"src{i % 2}") for i in range(8)],
+        "doc_id long, text string, lang string, source string")
+    model = train_quality_classifier(
+        docs.select("doc_id", "text").limit(4),
+        spark.createDataFrame([(100 + i, "buy cheap pills now " * 10)
+                               for i in range(4)],
+                              "doc_id long, text string"),
+        buckets=128, iters=5)
+    ann, report = curate_corpus(
+        docs, vocab_size=300, c4=True, gopher=True, paragraphs=True,
+        quality_model=model, best_duplicate=True, source_cap=3)
+    rows = ann.collect()
+    assert len(rows) == 8
+    r = report.collect()[0]
+    assert r.n_cap == 6                      # 2 sources x cap 3
+    for row in rows:
+        assert row.keep == (row.pii_clean * row.quality_keep
+                            * row.exact_keep * row.neardup_keep
+                            * row.decontam_keep * row.gopher_keep
+                            * row.c4_keep * row.clf_keep * row.cap_keep
+                            * row.lm_keep)
