@@ -24,7 +24,7 @@ from .imagedup import (audio_fingerprint, audio_near_dup_pairs,
                        hamming_near_dup_pairs, image_near_dup_pairs,
                        image_phash, video_frame_phashes,
                        video_near_dup_pairs)
-from .incremental import (digest_store, incremental_dedup,
+from .incremental import (corpus_diff, digest_store, incremental_dedup,
                           incremental_exact_dedup,
                           incremental_neardup_pairs, signature_store,
                           stored_neardup_pairs,
@@ -71,7 +71,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "incremental_dedup", "incremental_neardup_pairs", "signature_store",
     "stored_neardup_pairs", "write_signature_store_tables",
-    "digest_store", "incremental_exact_dedup",
+    "corpus_diff", "digest_store", "incremental_exact_dedup",
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "cosine_topk", "ivf_search", "ivf_train", "semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",

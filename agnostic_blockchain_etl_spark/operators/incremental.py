@@ -226,3 +226,31 @@ def incremental_exact_dedup(new_docs: DataFrame, store: DataFrame
     kept = new_d.join(annotated.where(F.col("keep") == 1)
                       .select("doc_id"), "doc_id")
     return annotated, store.unionByName(kept)
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> tuple[DataFrame,
+                                                                   DataFrame]:
+    """Snapshot diff for dataset versioning: returns ``(annotated,
+    report)`` where ``annotated`` has one row per doc_id present in
+    either snapshot — ``doc_id, status`` with status ∈ {'added',
+    'removed', 'changed', 'unchanged'} (changed = same id, different
+    content digest) — and ``report`` is the one-row count summary a
+    dataset changelog publishes.
+
+    Scale: both sides reduce to (doc_id, 16-byte digest) projections;
+    the diff is ONE full outer equi-join on doc_id (co-locates for free
+    when both snapshots are written bucketed by doc_id) and the report
+    is one aggregation. No text crosses the shuffle."""
+    old_d = digest_store(old_docs).withColumnRenamed("content_key", "ok")
+    new_d = digest_store(new_docs).withColumnRenamed("content_key", "nk")
+    annotated = (old_d.join(new_d, "doc_id", "full_outer")
+                 .select("doc_id",
+                         F.when(F.col("ok").isNull(), "added")
+                          .when(F.col("nk").isNull(), "removed")
+                          .when(F.col("ok") != F.col("nk"), "changed")
+                          .otherwise("unchanged").alias("status")))
+    report = annotated.agg(
+        F.count("*").alias("n_ids"),
+        *[F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+          for s in ("added", "removed", "changed", "unchanged")])
+    return annotated, report

@@ -180,3 +180,21 @@ def test_incremental_exact_dedup(spark):
     replay = batch.withColumn("doc_id", F.col("doc_id") + 100)
     ann2, _ = incremental_exact_dedup(replay, updated)
     assert ann2.where(F.col("keep") == 1).count() == 0
+
+
+def test_corpus_diff(spark):
+    from agnostic_blockchain_etl_spark.operators.incremental import (
+        corpus_diff)
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")],
+        "doc_id long, text string")
+    ann, report = corpus_diff(old, new)
+    got = {r.doc_id: r.status for r in ann.collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+    r = report.collect()[0]
+    assert (r.n_ids, r.n_added, r.n_removed, r.n_changed,
+            r.n_unchanged) == (4, 1, 1, 1, 1)
