@@ -45,8 +45,8 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                   quality_model: DataFrame | None = None,
                   quality_alpha: float = 9.0,
                   best_duplicate: bool = False,
-                  source_cap: int | None = None) -> tuple[DataFrame,
-                                                          DataFrame]:
+                  source_cap: int | None = None,
+                  persist: bool = False) -> tuple[DataFrame, DataFrame]:
     """Annotate ``docs`` (needs ``doc_id``/``text``/``lang``) with every
     curation verdict and return ``(annotated, report)``.
 
@@ -251,6 +251,13 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                      "c4_keep", "para_removed", "q_score", "clf_keep",
                      "cap_keep", "avg_nll", "bucket", "lm_keep", "keep"))
 
+    if persist:
+        # one curation DAG, but every ACTION replays it — a caller that
+        # reads the report AND the annotated frame (or feeds several
+        # downstream phases) pays N× without a materialization point.
+        # Opt-in cache; at 100 TB write annotated to parquet instead and
+        # read it back (the capstone flow in test_full_corpus_flow.py).
+        final = final.persist()
     report = final.agg(
         F.count("*").alias("n_docs"),
         F.sum("pii_clean").alias("n_pii_clean"),

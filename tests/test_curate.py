@@ -328,3 +328,23 @@ def test_all_stages_compose(spark):
                             * row.decontam_keep * row.gopher_keep
                             * row.c4_keep * row.clf_keep * row.cap_keep
                             * row.lm_keep)
+
+
+def test_persist_flag_caches_the_annotated_frame(spark):
+    """persist=True materializes the curation once: the returned frame
+    is cached and report + annotated actions reuse it (values equal the
+    uncached run)."""
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{filler} tail {i}", "en") for i in range(6)],
+        "doc_id long, text string, lang string")
+    ann, report = curate_corpus(docs, vocab_size=100, persist=True)
+    try:
+        assert ann.storageLevel.useMemory       # actually persisted
+        r = report.collect()[0]
+        rows = {x.doc_id: x.keep for x in ann.collect()}
+        ann2, report2 = curate_corpus(docs, vocab_size=100)
+        assert {x.doc_id: x.keep for x in ann2.collect()} == rows
+        assert report2.collect()[0].n_kept == r.n_kept
+    finally:
+        ann.unpersist()
