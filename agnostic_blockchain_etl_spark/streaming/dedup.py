@@ -162,3 +162,57 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
+
+
+def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
+                      checkpoint: str, cap: int,
+                      source_col: str = "source"):
+    """Per-source frequency caps over an unbounded stream: admit the
+    first ``cap`` documents of each source across all micro-batches
+    (first-come admission — the streaming semantics; the batch form's
+    hash-uniform sample needs the whole corpus and lives in
+    `operators/sourcecap.py`). Each batch writes its annotated rows
+    (``cap_keep`` flagged, never dropped) under ``{out_path}/batch_id=N``
+    and appends per-source ADMITTED counts under
+    ``{store_path}/batch_id=N`` — the same exactly-once construction as
+    the other foreachBatch operators here (deterministic per-batch
+    overwrite + store read excluding ``batch_id >= N``), with the store
+    a mergeable count sketch (sums on read).
+
+    Within a batch, admission order is deterministic (smallest doc_id
+    first) so a replayed batch admits the identical set."""
+    from pyspark.sql import Window
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+        try:
+            used = (spark.read.parquet(store_path)
+                    .where(F.col("batch_id") < batch_id)
+                    .groupBy("source")
+                    .agg(F.sum("n_admitted").alias("used")))
+        except AnalysisException as exc:
+            getter = getattr(exc, "getCondition", None) \
+                or getattr(exc, "getErrorClass", lambda: None)
+            if (getter() or "") != "PATH_NOT_FOUND" \
+                    and "Path does not exist" not in str(exc):
+                raise
+            used = spark.createDataFrame([], "source string, used long")
+        w = Window.partitionBy(source_col).orderBy("doc_id")
+        ann = (batch_df
+               .withColumn("source", F.col(source_col))
+               .join(used, "source", "left")
+               .withColumn("_rank", F.row_number().over(w))
+               .withColumn("cap_keep",
+                           ((F.col("_rank") + F.coalesce("used", F.lit(0)))
+                            <= cap).cast("int"))
+               .drop("_rank", "used"))
+        ann.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        (ann.groupBy("source")
+         .agg(F.sum("cap_keep").alias("n_admitted"))
+         .write.mode("overwrite")
+         .parquet(f"{store_path}/batch_id={batch_id}"))
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())

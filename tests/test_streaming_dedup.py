@@ -307,3 +307,42 @@ def test_paragraph_dedup_stream(spark, tmp_path):
     merged = (spark.read.parquet(store).groupBy("h")
               .agg(F.sum("df").alias("df")).collect())
     assert max(r.df for r in merged) == 3
+
+
+def test_source_cap_stream(spark, tmp_path):
+    """First-come per-source admission across micro-batches: a hot
+    source stops admitting once the cap is reached, history survives a
+    restart, and under-cap sources admit everything."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        source_cap_stream)
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("csrc", "cout", "cstore", "cckpt"))
+    schema = "doc_id LONG, source STRING"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = source_cap_stream(stream, store, out, ckpt, cap=3)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write([(1, "hot"), (2, "hot"), (3, "cold")])
+    write([(4, "hot"), (5, "hot"), (6, "cold")])   # hot hits the cap at 4
+    drain()
+    ann = {r.doc_id: r.cap_keep for r in spark.read.parquet(out).collect()}
+    assert ann == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0, 6: 1}
+    # restart on the same checkpoint+store: the cap is still exhausted
+    write([(7, "hot"), (8, "cold")])
+    drain()
+    ann = {r.doc_id: r.cap_keep for r in spark.read.parquet(out).collect()}
+    assert ann[7] == 0 and ann[8] == 1
+    used = (spark.read.parquet(store).groupBy("source")
+            .sum("n_admitted").collect())
+    assert {r.source: r["sum(n_admitted)"] for r in used} \
+        == {"hot": 3, "cold": 3}
