@@ -80,12 +80,17 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         raise ValueError("best_duplicate=True requires a quality_model")
     if source_cap is not None and "source" not in docs.columns:
         raise ValueError("source_cap requires a 'source' column")
+    # Disabled stages NEVER touch the plan: their neutral flag columns
+    # are attached with withColumn(lit) AFTER the joins of the enabled
+    # stages (below), never materialized as doc_id-keyed frames — a
+    # joined lit(1) frame costs a full-corpus shuffle per disabled
+    # stage, which at 100 TB is a real bill for doing nothing.
     if source_cap is not None:
         from .sourcecap import source_cap as _source_cap
         cap_flag = _source_cap(docs.select("doc_id", "source"),
                                source_cap).select("doc_id", "cap_keep")
     else:
-        cap_flag = docs.select("doc_id", F.lit(1).alias("cap_keep"))
+        cap_flag = None
     if "lang" not in docs.columns:   # lang only feeds the ID facet;
         docs = docs.withColumn("lang", F.lit("und"))  # absent is fine
     if c4:
@@ -100,8 +105,6 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
             F.col("c4_keep").alias("_c4_keep"))
         docs = (docs.drop("text").join(cleaned, "doc_id")
                 .withColumnRenamed("_c4_text", "text"))
-    else:
-        docs = docs.withColumn("_c4_keep", F.lit(1))
     if paragraphs:
         # corpus-wide boilerplate-paragraph excision (Dolma-style),
         # AFTER c4's per-line surgery and BEFORE every content-keyed
@@ -114,12 +117,16 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
             F.col("n_removed").alias("_para_removed"))
         docs = (docs.drop("text").join(rebuilt, "doc_id")
                 .withColumnRenamed("_p_text", "text"))
-    else:
-        docs = docs.withColumn("_para_removed", F.lit(0).cast("long"))
-    base = docs.select("doc_id", "text", "lang")
-    para_removed = docs.select(
-        "doc_id", F.col("_para_removed").alias("para_removed"))
-    c4_flag = docs.select("doc_id", F.col("_c4_keep").alias("c4_keep"))
+    # The c4 / paragraph verdicts already live on `docs` after the
+    # rebuild joins — carry them through the base projection instead of
+    # re-joining them doc_id-keyed (one scan, zero extra shuffles).
+    stage_flags = []
+    if c4:
+        stage_flags.append(F.col("_c4_keep").alias("c4_keep"))
+    if paragraphs:
+        stage_flags.append(F.col("_para_removed").alias("para_removed"))
+    base_full = docs.select("doc_id", "text", "lang", *stage_flags)
+    base = base_full.select("doc_id", "text", "lang")
 
     scrub = pii_scrub(base).select("doc_id", "pii_clean",
                                    F.col("redacted"))
@@ -144,9 +151,7 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                 "doc_id", "q_score",
                 F.col("keep").cast("int").alias("clf_keep"))
     else:
-        clf = scrub.select("doc_id",
-                           F.lit(None).cast("double").alias("q_score"),
-                           F.lit(1).alias("clf_keep"))
+        clf = None   # neutral q_score/clf_keep attached post-join
 
     exact = exact_dedup(base)
     exact_flag = (base
@@ -188,14 +193,26 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
                                        1).otherwise(0)
                                  .alias("neardup_keep")))
 
-    annotated = (base.join(scrub, "doc_id")
+    annotated = (base_full.join(scrub, "doc_id")
                  .join(quality, "doc_id")
                  .join(exact_flag, "doc_id")
-                 .join(neardup_flag, "doc_id")
-                 .join(c4_flag, "doc_id")
-                 .join(para_removed, "doc_id")
-                 .join(clf, "doc_id")
-                 .join(cap_flag, "doc_id"))
+                 .join(neardup_flag, "doc_id"))
+    if clf is not None:
+        annotated = annotated.join(clf, "doc_id")
+    else:
+        annotated = (annotated
+                     .withColumn("q_score",
+                                 F.lit(None).cast("double"))
+                     .withColumn("clf_keep", F.lit(1)))
+    if cap_flag is not None:
+        annotated = annotated.join(cap_flag, "doc_id")
+    else:
+        annotated = annotated.withColumn("cap_keep", F.lit(1))
+    if not c4:
+        annotated = annotated.withColumn("c4_keep", F.lit(1))
+    if not paragraphs:
+        annotated = annotated.withColumn("para_removed",
+                                         F.lit(0).cast("long"))
 
     if eval_docs is not None:
         from .dedup import decontaminate
@@ -228,13 +245,24 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     survivors = annotated.where(pre_lm_keep == 1) \
         .select("doc_id", F.col("redacted").alias("text"))
     to_score = annotated.select("doc_id", F.col("redacted").alias("text"))
+    # The trained model is a bounded artifact (V+1 rows) whose lineage
+    # is the ENTIRE survivor DAG — without severing it, every broadcast
+    # of the vocab replays scrub/dedup/clustering from the parquet scan
+    # (measured −24% on the default path at sf0.1). localCheckpoint
+    # keeps it distributed and truncates the lineage; at 100 TB this is
+    # the difference between scoring reading a tiny table and scoring
+    # re-running the curation pipeline.
     if lm == "bigram":
         from .lm import bigram_perplexity_score, train_bigram_lm
         scored = bigram_perplexity_score(
-            to_score, train_bigram_lm(survivors, vocab_size=vocab_size))
+            to_score,
+            train_bigram_lm(survivors, vocab_size=vocab_size)
+            .localCheckpoint())
     elif lm == "unigram":
         scored = perplexity_score(
-            to_score, train_unigram_lm(survivors, vocab_size=vocab_size))
+            to_score,
+            train_unigram_lm(survivors, vocab_size=vocab_size)
+            .localCheckpoint())
     else:
         raise ValueError(f"lm must be 'unigram' or 'bigram', got {lm!r}")
 

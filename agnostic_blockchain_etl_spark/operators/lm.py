@@ -93,6 +93,13 @@ def perplexity_score(docs: DataFrame, model: DataFrame,
 
 
 def _bucketize(per_doc: DataFrame) -> DataFrame:
+    # per_doc is read twice (tercile bounds + the bucket projection) and
+    # its lineage is the caller's whole scoring DAG — cache the narrow
+    # (doc_id, n_tokens, avg_nll) frame so the second read is ~24 bytes
+    # a row instead of a corpus re-scan. Thread-scoped: reclaimed by the
+    # caller's next dedup-family query.
+    from .dedup import _scoped_cache_add
+    per_doc = _scoped_cache_add(per_doc)
     bounds = per_doc.agg(
         F.round(F.expr("percentile(avg_nll, 1.0/3.0)"), 6).alias("b1"),
         F.round(F.expr("percentile(avg_nll, 2.0/3.0)"), 6).alias("b2"))

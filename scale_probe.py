@@ -60,6 +60,28 @@ def _extra_probes() -> dict:
                                vocab_size=20000)
         return ann
 
+    def p_curate_corpus_full(spark, sf):
+        # every opt-in stage on + persist=True: the all-stages recipe the
+        # capstone documents (SCALE.md phase-materialization guidance) —
+        # probed per-round so a stage-composition regression shows up in
+        # the probe diff, not a judge re-measure.
+        from agnostic_blockchain_etl_spark.operators import (
+            train_quality_classifier)
+        d = _docs(spark, sf)
+        pos = d.where(F.col("n_chars") > 400).limit(100)
+        neg = d.where(F.col("n_chars") <= 400).limit(100)
+        model = train_quality_classifier(pos.select("doc_id", "text"),
+                                         neg.select("doc_id", "text"),
+                                         buckets=1024, iters=5)
+        ann, _ = curate_corpus(
+            d.select("doc_id", "text", "lang", "source"),
+            eval_docs=d.where(F.col("doc_id") % 97 == 0)
+                       .select("doc_id", "text"),
+            vocab_size=20000, gopher=True, c4=True, paragraphs=True,
+            quality_model=model, best_duplicate=True,
+            source_cap=1000, persist=True)
+        return ann
+
     def p_incremental_dedup(spark, sf):
         d = _docs(spark, sf)
         hist = d.where(F.col("doc_id") % 2 == 0)
@@ -142,6 +164,7 @@ def _extra_probes() -> dict:
             "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,
+            "x_curate_corpus_full": p_curate_corpus_full,
             "x_incremental_dedup": p_incremental_dedup,
             "x_image_dedup": p_image_dedup,
             "x_incremental_paragraphs": p_incremental_paragraphs,

@@ -131,6 +131,36 @@ def test_quality_score_model_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curate_default_path_plans_no_disabled_stage_joins(spark):
+    """The default curate_corpus (every optional stage off) must not pay
+    for what it doesn't run: disabled stages attach neutral flags via
+    withColumn(lit), never doc_id-keyed joins, and the trained LM's
+    lineage is severed (localCheckpoint) so vocab broadcasts don't
+    replay the curation DAG. Before the round-5 fix the default plan
+    held 80 Exchanges / 91 parquet scans / 40 sort-merge joins; pin the
+    fixed shape with headroom so a reintroduced neutral-flag join (or a
+    resurrected model lineage) fails loudly."""
+    import re
+
+    from agnostic_blockchain_etl_spark.operators.curate import curate_corpus
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "text", "lang")
+    ann, _ = curate_corpus(docs, vocab_size=2000)
+    plan = _plan_of(ann)
+
+    def count(kind):
+        return len(re.findall(r"^\s*\(\d+\)\s+" + kind, plan, re.M))
+
+    n_joins = (count("SortMergeJoin") + count("ShuffledHashJoin")
+               + count("BroadcastHashJoin"))
+    assert count("Exchange") <= 20, f"{count('Exchange')} Exchanges:\n{plan}"
+    assert count("Scan parquet") <= 20, \
+        f"{count('Scan parquet')} parquet scans:\n{plan}"
+    assert n_joins <= 18, f"{n_joins} joins in the default path:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
 def test_source_cap_salted_form_is_two_bounded_windows(spark):
     """salt_buckets > 1 must plan TWO row_number windows — level one
     partitioned by (source, salt bucket) so no partition sorts more
