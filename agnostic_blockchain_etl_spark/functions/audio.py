@@ -92,7 +92,15 @@ def afingerprint64(payload: bytes) -> int:
     scale together) and approximately to resampling (windows are
     duration-relative); an edit flips only the bits whose local energy
     contour changes."""
-    rate, channels, samples = decode_wav(payload)
+    _, _, samples = decode_wav(payload)
+    return afingerprint64_samples(samples)
+
+
+def afingerprint64_samples(samples: np.ndarray) -> int:
+    """`afingerprint64` over ALREADY-DECODED samples — the Arrow batch
+    stage decodes each payload exactly once (for rate/frame metadata)
+    and fingerprints the same array, instead of paying the RIFF walk
+    twice per clip."""
     if samples.shape[0] < _FP_WINDOWS:
         raise AudioFormatError(
             f"clip too short to fingerprint ({samples.shape[0]} frames "

@@ -143,6 +143,48 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CACHE_TLS = threading.local()
+# thread-ident -> (Thread, caches list): lets any thread find — and
+# reclaim — caches whose owning thread has died. Guarded by the lock;
+# the caches LIST is shared with that thread's TLS slot, not copied.
+_CACHE_REGISTRY: dict = {}
+_CACHE_REGISTRY_LOCK = threading.Lock()
+
+
+def _sweep_dead_caches() -> None:
+    """Unpersist caches registered by threads that no longer exist.
+    Without this, a short-lived worker (e.g. a bench --concurrent pool
+    thread) leaks its working set forever: nothing on the main thread
+    would ever pop it, silently weakening the memory bound the scoping
+    exists for."""
+    with _CACHE_REGISTRY_LOCK:
+        dead = [tid for tid, (t, _) in _CACHE_REGISTRY.items()
+                if not t.is_alive()]
+        orphans = [_CACHE_REGISTRY.pop(tid)[1] for tid in dead]
+    for caches in orphans:
+        while caches:
+            try:
+                caches.pop().unpersist()
+            except Exception:
+                pass
+
+
+def clear_scoped_caches() -> None:
+    """Explicitly unpersist EVERY scoped cache, any thread's — for
+    callers tearing down a worker pool (bench --concurrent) or ending a
+    session phase. Safe concurrently; later queries simply re-cache."""
+    with _CACHE_REGISTRY_LOCK:
+        all_lists = [caches for _, caches in _CACHE_REGISTRY.values()]
+        # drop dead threads' slots; LIVE threads keep theirs (their TLS
+        # still points at the same list, which is drained in place)
+        for tid in [tid for tid, (t, _) in _CACHE_REGISTRY.items()
+                    if not t.is_alive()]:
+            _CACHE_REGISTRY.pop(tid)
+    for caches in all_lists:
+        while caches:
+            try:
+                caches.pop().unpersist()
+            except Exception:
+                pass
 
 
 def _live_caches() -> list:
@@ -155,9 +197,14 @@ def _live_caches() -> list:
     that thread's previous working set, which is the sequential-
     inventory memory bound the scoping exists for; cross-thread
     unpersists are now structurally impossible (test_llm_ops.py pins
-    this)."""
+    this). Dead threads' caches are swept here (thread idents can be
+    reused, so the sweep runs BEFORE registering a new thread's list)."""
+    _sweep_dead_caches()
     if not hasattr(_CACHE_TLS, "caches"):
         _CACHE_TLS.caches = []
+        with _CACHE_REGISTRY_LOCK:
+            _CACHE_REGISTRY[threading.get_ident()] = (
+                threading.current_thread(), _CACHE_TLS.caches)
     return _CACHE_TLS.caches
 
 

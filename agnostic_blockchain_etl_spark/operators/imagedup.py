@@ -132,15 +132,15 @@ def _audio_fp_batches(batches: Iterator["pd.DataFrame"]  # noqa: F821
                       ) -> Iterator["pd.DataFrame"]:     # noqa: F821
     import pandas as pd
 
-    from ..functions.audio import (AudioFormatError, afingerprint64,
-                                   decode_wav)
+    from ..functions.audio import (AudioFormatError,
+                                   afingerprint64_samples, decode_wav)
     for b in batches:
         rows = []
         for doc_id, payload in zip(b["doc_id"], b["payload"]):
             payload = bytes(payload)
             try:
                 rate, _, samples = decode_wav(payload)
-                fp = afingerprint64(payload)
+                fp = afingerprint64_samples(samples)
                 if fp >= 1 << 63:
                     fp -= 1 << 64
                 rows.append((doc_id, len(payload), rate,

@@ -317,9 +317,14 @@ def trigram_perplexity_score(docs: DataFrame, model: DataFrame,
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size("ws")
     null_s = F.lit(None).cast("string")
-    prev_arr = F.concat(F.array(null_s), F.slice("ws", 1, n - 1))
-    prev2_arr = F.concat(F.array(null_s, null_s),
-                         F.slice("ws", 1, F.greatest(n - 2, F.lit(0))))
+    # Both shift arrays are built pad-then-TRUNCATE to exactly n
+    # elements: a 1-token doc (incl. empty text, which splits to [''])
+    # would otherwise leave prev2_arr at length 2 and arrays_zip would
+    # pad a phantom null-word row that joins nothing and silently adds
+    # -ln(p_oov) to the average.
+    prev_arr = F.slice(F.concat(F.array(null_s), F.col("ws")), 1, n)
+    prev2_arr = F.slice(F.concat(F.array(null_s, null_s), F.col("ws")),
+                        1, n)
     toks = (docs.select("doc_id", ws.alias("ws"))
             .select("doc_id",
                     F.explode_outer(F.arrays_zip(

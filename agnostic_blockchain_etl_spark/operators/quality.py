@@ -158,8 +158,26 @@ def quality_classifier_score(docs: DataFrame, model: DataFrame,
 def _model_buckets(model: DataFrame) -> int:
     """B is recoverable from the model itself (max bucket id + 1): the
     model frame is self-describing, so score-time callers cannot pass a
-    mismatched bucket count."""
-    return int(model.agg(F.max("b")).first()[0]) + 1
+    mismatched bucket count.
+
+    The inference is only sound on a DENSE artifact — a pruned frame
+    (e.g. zero-weight rows dropped when persisting) would silently
+    change the feature-hash modulus and make every q_score wrong with
+    no error — so the frame is validated: exactly max(b)+1 weight rows
+    (ids 0..max(b)) plus the bias row."""
+    mx, n, n_bias = model.agg(
+        F.max("b"), F.count("*"),
+        F.sum((F.col("b") == _BIAS_BUCKET).cast("int"))).first()
+    if n_bias != 1:
+        raise ValueError(
+            f"model frame must carry exactly one bias row (b = "
+            f"{_BIAS_BUCKET}), found {n_bias}")
+    if n != mx + 2:
+        raise ValueError(
+            f"model frame is not dense: expected {mx + 2} rows "
+            f"(buckets 0..{mx} + bias), found {n} — was the artifact "
+            "pruned when persisting? Zero-weight rows must be kept.")
+    return int(mx) + 1
 
 
 def quality_pareto_keep(scored: DataFrame, alpha: float = 9.0,

@@ -188,6 +188,12 @@ def main() -> None:
             list(pool.map(run_one, list(enumerate(names))))
         out["concurrent_wall_sec"] = round(time.monotonic() - t0, 3)
         out["concurrent_threads"] = n_threads
+        # pool workers are dead now; reclaim their scoped caches (the
+        # per-thread registries would otherwise leak them for the rest
+        # of the session)
+        from agnostic_blockchain_etl_spark.operators.dedup import (
+            clear_scoped_caches)
+        clear_scoped_caches()
     print(json.dumps(out))
     # non-zero only when the artifact is useless (under half the headline)
     sys.exit(0 if len(ok) * 2 >= len(HEADLINE) else 1)

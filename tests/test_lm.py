@@ -402,6 +402,32 @@ def test_trigram_cross_engine_parity(spark):
         assert got[d][2] == want[d][2], d
 
 
+def test_trigram_scores_short_docs_exactly(spark):
+    """1- and 2-token documents (and empty text, which splits to [''])
+    must score WITHOUT phantom positions: the shift arrays are truncated
+    to exactly n, so arrays_zip never pads a null-word row that adds
+    -ln(p_oov) to the average. Parity against the DuckDB oracle plus the
+    closed-form check: a 1-token in-vocab doc scores exactly -ln(p_uni)."""
+    from agnostic_blockchain_etl_spark.operators.lm import (
+        train_trigram_lm, trigram_perplexity_score)
+    short = [(200, "the"), (201, "the cat"), (202, ""), (203, "zzz-oov")]
+    corpus = DOCS + short
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    model = train_trigram_lm(df, vocab_size=TRI_V, max_bigrams=TRI_M,
+                             max_trigrams=TRI_T)
+    got = {r.doc_id: (r.n_tokens, r.avg_nll)
+           for r in trigram_perplexity_score(df, model, lam3=L3,
+                                             lam2=L2).collect()}
+    want = _duck_trigram_scores(corpus)
+    for d, _ in short:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert abs(got[d][1] - want[d][1]) <= 1e-6, (d, got[d], want[d])
+    # closed form: p_uni('the') from the model frame itself
+    p_the = {r.word: r.p for r in model.where(
+        "prev2 IS NULL AND prev IS NULL AND word = 'the'").collect()}["the"]
+    assert abs(got[200][1] - round(-math.log(p_the), 6)) <= 1e-6
+
+
 def test_trigram_punishes_scrambling_harder_than_bigram(spark):
     """Scrambling preserves unigrams, destroys most bigrams, and
     destroys trigrams at least as hard — the trigram model's NLL
