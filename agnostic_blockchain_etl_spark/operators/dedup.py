@@ -52,10 +52,34 @@ def query(name: str, oracle: str | None = None):
 
 
 # MinHash parameters: K permutations in B bands of R rows (K = B*R).
-# h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1 (keeps a*x within int64).
+# h_i(x) = (a_i * x + b_i) mod P with P = 2^31 - 1.
+# The (a_i, b_i) are drawn from a SEEDED PRNG over [1, P): structured
+# families (e.g. a = 1, 3, 5, ... — the round-5 constants) produce
+# correlated permutations whose small multipliers co-select the same
+# low-hash shingles, giving a heavy-tailed Jaccard estimator (measured
+# 12x the 4-standard-error violation rate of random affine perms) and
+# banding recall off the (1-(1-J^r)^b) model. Random draws sit at the
+# binomial noise floor (see tests/test_minhash_family.py for the
+# simulation). a*x + b < 2^62 + 2^31 stays within int64 on both engines.
+# NOTE: signature stores written under a different perm family are
+# incompatible — see PERMS_FINGERPRINT / signature-store versioning.
 _P = 2147483647
 _K, _B, _R = 16, 4, 4
-_PERMS = [(2 * i + 1, 7919 * (i + 1) % _P) for i in range(_K)]  # odd a_i
+
+
+def _draw_perms(seed: int = 0xA5, k: int = _K) -> list[tuple[int, int]]:
+    import random as _random
+    rng = _random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(1, _P)) for _ in range(k)]
+
+
+_PERMS = _draw_perms()
+
+# Stable fingerprint of the permutation family: persisted signature stores
+# embed it so a store built under stale constants fails loudly instead of
+# silently mis-verifying (incremental.py checks it on read).
+PERMS_FINGERPRINT = "perms-" + format(
+    sum((a * 31 + b) % (2**61 - 1) for a, b in _PERMS) % (2**61 - 1), "x")
 
 _JACCARD_THRESHOLD = 0.30
 _SIMHASH_BITS = 60
@@ -331,7 +355,7 @@ def minhash_wide(shingles: DataFrame) -> DataFrame:
     mins as parallel aggregate expressions keeps the shuffle at exactly one
     row group per doc and lets partial aggregation collapse map-side."""
     # h is the full 60-bit hash; fold to 31 bits ONLY for the permutation
-    # so a·x + b stays within int64 (a ≤ 31, x < 2^31 → a·x < 2^36)
+    # so a·x + b stays within int64 (a, x < 2^31 → a·x < 2^62)
     x = F.col("h") % _P
     aggs = [F.min((F.lit(a) * x + F.lit(b)) % _P).alias(f"m{i}")
             for i, (a, b) in enumerate(_PERMS)]

@@ -31,8 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import (_K, cap_group_size, connected_components, doc_shingles,
-                    minhash_bands, minhash_wide)
+from .dedup import (_K, PERMS_FINGERPRINT, cap_group_size,
+                    connected_components, doc_shingles, minhash_bands,
+                    minhash_wide)
 
 _EST_THRESHOLD = 0.5   # on the 1/K grid; K=16 -> 8+ matching components
 
@@ -118,19 +119,46 @@ def write_signature_store_tables(store: DataFrame, name: str,
     write pays the bucketing shuffle ONCE; every subsequent batch joins
     against both tables with no store-side Exchange (plan-asserted in
     test_incremental.py). Append kept batches with ``mode='append'`` —
-    Spark appends into the existing bucket spec."""
+    Spark appends into the existing bucket spec.
+
+    The store is VERSIONED by the MinHash permutation family: a
+    ``{name}_meta`` side table records `dedup.PERMS_FINGERPRINT`, and
+    :func:`stored_neardup_pairs` refuses a store whose fingerprint does
+    not match the running constants — signatures computed under a
+    different family compare as noise, so a silent mismatch would turn
+    verification into coin flips."""
     from ..sources.bucketed import write_bucketed
+    spark = store.sparkSession
     write_bucketed(store, f"{name}_sigs", "doc_id", buckets, mode=mode)
     write_bucketed(minhash_bands(store), f"{name}_bands", "bucket",
                    buckets, mode=mode)
+    spark.createDataFrame([(PERMS_FINGERPRINT,)], "perms_fingerprint string") \
+        .write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+
+
+def _check_store_fingerprint(spark, name: str) -> None:
+    try:
+        meta = spark.table(f"{name}_meta").collect()
+    except Exception:
+        return  # pre-versioning store: no meta table to validate against
+    got = meta[0].perms_fingerprint if meta else None
+    if got != PERMS_FINGERPRINT:
+        raise ValueError(
+            f"signature store '{name}' was written under MinHash "
+            f"permutation family {got!r}, but this build uses "
+            f"{PERMS_FINGERPRINT!r}; rebuild the store "
+            f"(write_signature_store_tables) before incremental use")
 
 
 def stored_neardup_pairs(new_docs: DataFrame, name: str,
                          threshold: float = _EST_THRESHOLD) -> DataFrame:
     """`incremental_neardup_pairs`, history side read from the bucketed
     store tables: the new batch (the small side) shuffles to the
-    store's bucket layout; the store itself is scanned in place."""
+    store's bucket layout; the store itself is scanned in place. Raises
+    if the store's recorded permutation-family fingerprint (see
+    :func:`write_signature_store_tables`) mismatches the running one."""
     spark = new_docs.sparkSession
+    _check_store_fingerprint(spark, name)
     new_sigs = signature_store(new_docs)
     new_bands = minhash_bands(new_sigs)
     store_bands = spark.table(f"{name}_bands")
