@@ -17,7 +17,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import epoch_day, events_us, load_tables, spread
+from .tables import events_us, load_tables, spread
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -88,37 +88,9 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("asof.value"), 4).alias("click_value"))
 
 
-@query("set_ops", oracle="""
-    SELECT 'intersect' AS facet, user_id, CAST(NULL AS DATE) AS day FROM (
-        SELECT user_id FROM events WHERE event_type = 'click'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'purchase')
-    UNION ALL
-    SELECT 'except', user_id, day FROM (
-        SELECT user_id, CAST(ts AS DATE) AS day FROM events
-        WHERE event_type = 'view'
-        EXCEPT
-        SELECT user_id, CAST(ts AS DATE) AS day FROM events
-        WHERE event_type = 'purchase')
-""")
-def set_ops(spark, sf_dir):
-    """INTERSECT + EXCEPT set ops (§2.6: not used by the reference, free
-    in Spark), faceted through one plan. The except facet runs on (user,
-    day) — days a user viewed without buying (the corpus has every user
-    doing every event type, so the user-level difference is empty; the
-    composite key keeps the check non-trivial)."""
-    t = load_tables(spark, sf_dir, ("events",))
-    e = events_us(t["events"]).withColumn("day", epoch_day("ts"))
-    inter = (e.where(F.col("event_type") == "click").select("user_id")
-             .intersect(e.where(F.col("event_type") == "purchase")
-                        .select("user_id"))
-             .select(F.lit("intersect").alias("facet"), "user_id",
-                     F.lit(None).cast("date").alias("day")))
-    exc = (e.where(F.col("event_type") == "view").select("user_id", "day")
-           .subtract(e.where(F.col("event_type") == "purchase")
-                     .select("user_id", "day"))
-           .select(F.lit("except").alias("facet"), "user_id", "day"))
-    return inter.unionByName(exc)
+# INTERSECT/EXCEPT set ops moved into relational.key_set_facets (round 6:
+# one gate row covers the full §2.6 set-operation surface, freeing a
+# window slot for the banded-Hamming near-dup row).
 
 
 @query("rollup_cube_agg", oracle="""

@@ -313,3 +313,78 @@ def curate_media(assets: DataFrame, max_hamming: int = _HAMMING_MAX,
         F.sum("keep").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_bytes")).alias("kept_bytes"))
     return annotated, report
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gate row: the banded-Hamming pair machinery under full value check
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Deterministic synthetic 64-bit perceptual-hash column over `documents`:
+# docs in the same (source, doc_id%13) group share a base hash (the 60-bit
+# md5-derived `dedup` hash of the group key) perturbed by flipping
+# (doc_id%5) known bits, so within-group pairs land at Hamming 0..8 —
+# some inside the <=6 radius, some outside, exercising both the banded
+# recall and the exact bit_count filter. Cross-group pairs sit at ~30 and
+# never match. The ORACLE is brute-force all-pairs (O(n^2) is fine at
+# gate scale), so a green row PROVES the banded equi-join is lossless
+# versus all-pairs cross-engine, not just self-consistent.
+def _mask_sql(shift_fmt: str) -> str:
+    """The planted-bit mask with engine-specific shift syntax:
+    ``shift_fmt`` formats a bit-position SQL snippet into a 1<<pos
+    expression."""
+    return " | ".join(
+        "(CASE WHEN doc_id % 5 > {j} THEN {shifted}"
+        " ELSE CAST(0 AS BIGINT) END)".format(
+            j=j, shifted=shift_fmt.format(pos=f"(doc_id*7 + {13 * j}) % 60"))
+        for j in range(4))
+
+
+from .dedup import _SQL_HASH60 as _H60  # md5-derived 60-bit hash, shared
+
+
+@query("dedup_hamming_pairs", oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               source || '|' || CAST(doc_id % 13 AS VARCHAR) AS shingle
+        FROM documents),
+    based AS (
+        SELECT doc_id, {_H60} AS base FROM keyed),
+    masked AS (
+        SELECT doc_id,
+               xor(base, {_mask_sql("(1::BIGINT << ({pos}))")}) AS phash
+        FROM based)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM masked a JOIN masked b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}
+""")
+def dedup_hamming_pairs(spark: DataFrame, sf_dir: str) -> DataFrame:
+    """`hamming_near_dup_pairs` (the perceptual image/audio/video dedup
+    core) under the value gate, on the planted synthetic hash column
+    described above. Spark runs the production banded equi-join;
+    DuckDB's oracle is brute-force all-pairs + bit_count — equality is
+    a cross-engine losslessness proof for the banding."""
+    from .tables import load_tables
+    from .dedup import _spark_hash60
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = _spark_hash60(
+        F.concat_ws("|", F.col("source"),
+                    (F.col("doc_id") % 13).cast("string")))
+    mask = F.expr(_mask_sql(
+        "shiftleft(CAST(1 AS BIGINT), CAST({pos} AS INT))"))
+    hashed = t["documents"].select(
+        "doc_id", base.bitwiseXOR(mask).alias("phash"))
+    return hamming_near_dup_pairs(hashed, _HAMMING_MAX)

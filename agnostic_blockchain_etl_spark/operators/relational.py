@@ -385,14 +385,35 @@ def array_zip_index(spark, sf_dir):
     UNION ALL
     SELECT 'part_keys', p_brand, p_type, CAST(NULL AS BIGINT)
     FROM (SELECT DISTINCT p_brand, p_type FROM part)
+    UNION ALL
+    SELECT 'intersect', CAST(user_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'except', CAST(user_id AS VARCHAR), CAST(day AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'purchase')
 """)
 def key_set_facets(spark, sf_dir):
-    """The two key-set shapes in one result: UNION ALL of two
+    """Every §2.6 set-operation shape in ONE gate row: UNION ALL of two
     role-projections of the same stream (the erc20 sender∪recipient
-    pattern, create_buffer.sql:74-87) → ``unionByName`` + groupBy, and
+    pattern, create_buffer.sql:74-87) → ``unionByName`` + groupBy;
     DISTINCT (the ``GROUP BY token_address`` dedup shape, erc20
-    create_buffer.sql:37-64). Each facet keeps its own single shuffle;
-    the final union is plan-level concatenation, not a join."""
+    create_buffer.sql:37-64); INTERSECT (users who clicked AND bought);
+    and EXCEPT on a composite (user, day) key — days a user viewed
+    without buying (consolidates the r1-r5 ``set_ops`` row; the corpus
+    has every user doing every event type, so the composite key keeps
+    the except facet non-trivial). Each facet keeps its own single
+    shuffle; the final union is plan-level concatenation, not a join."""
+    from .tables import epoch_day, events_us
     t = load_tables(spark, sf_dir, ("events", "part"))
     e = t["events"]
     a = e.where(F.col("event_type") == "click").select(
@@ -409,7 +430,22 @@ def key_set_facets(spark, sf_dir):
                      F.col("p_brand").alias("k1"),
                      F.col("p_type").alias("k2"),
                      F.lit(None).cast("long").alias("n")))
-    return wallets.unionByName(parts)
+    eu = events_us(e).withColumn("day", epoch_day("ts"))
+    inter = (eu.where(F.col("event_type") == "click").select("user_id")
+             .intersect(eu.where(F.col("event_type") == "purchase")
+                        .select("user_id"))
+             .select(F.lit("intersect").alias("facet"),
+                     F.col("user_id").cast("string").alias("k1"),
+                     F.lit(None).cast("string").alias("k2"),
+                     F.lit(None).cast("long").alias("n")))
+    exc = (eu.where(F.col("event_type") == "view").select("user_id", "day")
+           .subtract(eu.where(F.col("event_type") == "purchase")
+                     .select("user_id", "day"))
+           .select(F.lit("except").alias("facet"),
+                   F.col("user_id").cast("string").alias("k1"),
+                   F.col("day").cast("string").alias("k2"),
+                   F.lit(None).cast("long").alias("n")))
+    return wallets.unionByName(parts).unionByName(inter).unionByName(exc)
 
 
 @query("topk_order_limit", oracle="""

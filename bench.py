@@ -59,7 +59,7 @@ HEADLINE = [
     "time_bucket_rollup",
     "moving_average",
     "approx_sketches",
-    "set_ops",
+    "dedup_hamming_pairs",
     "rollup_cube_agg",
     "evm_kernel_roundtrip",
     "projection_struct_facets",
@@ -107,6 +107,22 @@ def main() -> None:
     # query cache reuse is part of the operator; cross-pass reuse is not)
     spark.catalog.clearCache()
 
+    # Calibration canary: a fixed, CODE-INDEPENDENT query (raw parquet
+    # scan + aggregate, touching no repo operator) timed like a headline
+    # query. Round-5's 36.1→42.0 s scare was ~80% machine drift; the
+    # canary lets cross-round comparisons normalize by machine speed
+    # (headline_total / calibration_sec is the drift-free ratio).
+    def _canary() -> float:
+        t0 = time.monotonic()
+        (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+         .selectExpr("sum(l_quantity)", "sum(l_extendedprice)",
+                     "count(distinct l_orderkey)", "max(l_shipdate)")
+         .write.format("noop").mode("overwrite").save())
+        return round(time.monotonic() - t0, 3)
+
+    _canary()  # warm
+    calibration_sec = min(_canary() for _ in range(3))
+
     # three timed passes, min per query: a single pass is exposed to
     # one-off GC pauses / OS scheduling noise (measured up to ±10 s total
     # swings across identical full runs); the min of three steady-state
@@ -138,6 +154,7 @@ def main() -> None:
         "queries": timings,
         "n_ok": len(ok),
         "n_err": len(timings) - len(ok),
+        "calibration_sec": calibration_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

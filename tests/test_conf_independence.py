@@ -25,7 +25,7 @@ SENSITIVE = [
     "sessionization",          # epoch-µs arithmetic end to end
     "moving_average",          # epoch-µs + float windows
     "asof_join_last_click",    # epoch-µs as-of semantics
-    "set_ops",                 # epoch-day derivation
+    "key_set_facets",          # epoch-day derivation (except facet)
     "dedup_signatures",        # ABSOLUTE hash values (r2's red row)
     "q1_pricing_summary",      # decimal/double aggregate family
     "events_scalar_facets",    # datetime scalar family
