@@ -43,6 +43,7 @@ from .dsir import (dsir_log_weights, dsir_sample,
                    hashed_bucket_logprobs)
 from .paragraphs import (dedup_paragraphs, doc_paragraphs,
                          incremental_dedup_paragraphs,
+                         compact_paragraph_store,
                          merge_paragraph_stores, paragraph_frequency,
                          paragraph_store)
 from .quality import (quality_classifier_score, quality_pareto_keep,
@@ -85,6 +86,7 @@ __all__ = [
     "apply_mixture_rates", "mixture_weights", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
+    "compact_paragraph_store",
     "incremental_dedup_paragraphs", "merge_paragraph_stores",
     "paragraph_store",
     "quality_classifier_score", "quality_pareto_keep",

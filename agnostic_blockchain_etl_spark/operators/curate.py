@@ -248,21 +248,28 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
     # The trained model is a bounded artifact (V+1 rows) whose lineage
     # is the ENTIRE survivor DAG — without severing it, every broadcast
     # of the vocab replays scrub/dedup/clustering from the parquet scan
-    # (measured −24% on the default path at sf0.1). localCheckpoint
-    # keeps it distributed and truncates the lineage; at 100 TB this is
-    # the difference between scoring reading a tiny table and scoring
-    # re-running the curation pipeline.
+    # (measured −24% on the default path at sf0.1). Sever it by
+    # collecting the rows and recreating the frame driver-side: unlike
+    # localCheckpoint (the r5 mechanism), the severed model does not
+    # live in non-reliable executor block storage, so executor loss or
+    # dynamic-allocation deprovisioning on a real cluster cannot strand
+    # downstream scoring — the rows travel with the plan. (At 100 TB
+    # with a huge vocab, write the model to parquet and read it back —
+    # SCALE.md's materialization-point rule — but V+1 rows is driver
+    # cheap at any realistic vocab_size.)
+    def _sever(model: DataFrame) -> DataFrame:
+        return model.sparkSession.createDataFrame(
+            model.collect(), model.schema)
+
     if lm == "bigram":
         from .lm import bigram_perplexity_score, train_bigram_lm
         scored = bigram_perplexity_score(
             to_score,
-            train_bigram_lm(survivors, vocab_size=vocab_size)
-            .localCheckpoint())
+            _sever(train_bigram_lm(survivors, vocab_size=vocab_size)))
     elif lm == "unigram":
         scored = perplexity_score(
             to_score,
-            train_unigram_lm(survivors, vocab_size=vocab_size)
-            .localCheckpoint())
+            _sever(train_unigram_lm(survivors, vocab_size=vocab_size)))
     else:
         raise ValueError(f"lm must be 'unigram' or 'bigram', got {lm!r}")
 

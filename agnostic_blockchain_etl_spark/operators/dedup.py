@@ -195,7 +195,12 @@ def _sweep_dead_caches() -> None:
 def clear_scoped_caches() -> None:
     """Explicitly unpersist EVERY scoped cache, any thread's — for
     callers tearing down a worker pool (bench --concurrent) or ending a
-    session phase. Safe concurrently; later queries simply re-cache."""
+    session phase. Safe concurrently, but BEST-EFFORT under concurrency:
+    a thread mid-query can register a cache after this drain pass and
+    that one cache stays persisted until the thread's next dedup-family
+    query (or the next clear). Pool-teardown callers should therefore
+    join their workers first, as bench.py does; later queries simply
+    re-cache."""
     with _CACHE_REGISTRY_LOCK:
         all_lists = [caches for _, caches in _CACHE_REGISTRY.values()]
         # drop dead threads' slots; LIVE threads keep theirs (their TLS

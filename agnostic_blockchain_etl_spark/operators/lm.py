@@ -71,7 +71,16 @@ def perplexity_score(docs: DataFrame, model: DataFrame,
     returns ``(doc_id, n_tokens, avg_nll, bucket)`` with ``avg_nll``
     rounded to 6 and ``bucket`` ∈ head|middle|tail at the exact NLL
     terciles of this scored set (head = lowest NLL, the CCNet keep
-    set)."""
+    set).
+
+    Cache retention: the narrow per-doc scoring frame is cached in
+    the CALLING THREAD's scoped registry (`dedup._scoped_cache_add`)
+    and is reclaimed only by that thread's next dedup-family query
+    or an explicit ``dedup.clear_scoped_caches()`` — a long-lived
+    thread that scores once should call that after its final
+    action, or the (doc_id, n_tokens, avg_nll) frame stays
+    persisted for the session.
+    """
     oov = model.where(F.col("word").isNull()) \
                .select(F.col("nll").alias("oov_nll"))
     vocab = model.where(F.col("word").isNotNull())
@@ -156,7 +165,16 @@ def bigram_perplexity_score(docs: DataFrame, model: DataFrame,
     ``-ln(p_uni)``; token i>1 costs ``-ln(lam*p_bi + (1-lam)*p_uni)``
     (``p_bi = 0`` when the bigram is not stored — interpolation keeps
     every probability positive). Same output contract and tercile
-    buckets as :func:`perplexity_score`."""
+    buckets as :func:`perplexity_score`.
+
+    Cache retention: the narrow per-doc scoring frame is cached in
+    the CALLING THREAD's scoped registry (`dedup._scoped_cache_add`)
+    and is reclaimed only by that thread's next dedup-family query
+    or an explicit ``dedup.clear_scoped_caches()`` — a long-lived
+    thread that scores once should call that after its final
+    action, or the (doc_id, n_tokens, avg_nll) frame stays
+    persisted for the session.
+    """
     uni = (model.where(F.col("prev").isNull() & F.col("word").isNotNull())
            .select("word", F.col("p").alias("pu")))
     oov = (model.where(F.col("prev").isNull() & F.col("word").isNull())
@@ -301,7 +319,16 @@ def trigram_perplexity_score(docs: DataFrame, model: DataFrame,
 
     with ``lam1 = 1 - lam3 - lam2`` and unstored n-grams contributing 0
     (interpolation keeps every probability positive). Same output
-    contract and tercile buckets as :func:`perplexity_score`."""
+    contract and tercile buckets as :func:`perplexity_score`.
+
+    Cache retention: the narrow per-doc scoring frame is cached in
+    the CALLING THREAD's scoped registry (`dedup._scoped_cache_add`)
+    and is reclaimed only by that thread's next dedup-family query
+    or an explicit ``dedup.clear_scoped_caches()`` — a long-lived
+    thread that scores once should call that after its final
+    action, or the (doc_id, n_tokens, avg_nll) frame stays
+    persisted for the session.
+    """
     lam1 = 1 - lam3 - lam2
     uni = (model.where(F.col("prev2").isNull() & F.col("prev").isNull() &
                        F.col("word").isNotNull())

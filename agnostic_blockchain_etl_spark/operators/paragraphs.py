@@ -191,13 +191,51 @@ _BIG = (1 << 62)
 
 
 def paragraph_store(docs: DataFrame, text_col: str = "text",
-                    min_chars: int = 1) -> DataFrame:
+                    min_chars: int = 1,
+                    batch_id: int | None = None) -> DataFrame:
     """Build the persistable paragraph-frequency artifact for ``docs``:
-    ``(h, df, first_doc)`` per distinct participating paragraph.
-    Persist as parquet (bucketed by ``h`` at scale — the probe join
-    then co-locates with no store-side Exchange, exactly like
-    `incremental.write_signature_store_tables`)."""
-    return paragraph_frequency(doc_paragraphs(docs, text_col, min_chars))
+    ``(h, df, first_doc)`` per distinct participating paragraph, plus a
+    ``batch_id`` column when one is given. Persist as parquet (bucketed
+    by ``h`` at scale — the probe join then co-locates with no
+    store-side Exchange, exactly like
+    `incremental.write_signature_store_tables`).
+
+    TAG production batches with a stable ``batch_id`` (ingest epoch,
+    file manifest id, ...): the append-log deployment writes tagged
+    frequency rows per batch, and :func:`compact_paragraph_store`
+    dedupes replayed appends by (h, batch_id) before summing — the
+    exactly-once story for at-least-once ingest."""
+    freq = paragraph_frequency(doc_paragraphs(docs, text_col, min_chars))
+    if batch_id is not None:
+        freq = freq.withColumn("batch_id", F.lit(batch_id).cast("long"))
+    return freq
+
+
+# batch_id for rows with no batch identity: pre-tagging stores and
+# already-compacted totals. Rows sealed under this id have lost their
+# provenance, so a replay of an ORIGINAL batch against sealed history is
+# undetectable — tag batches at ingest and compact the tagged log.
+_SEALED = -1
+
+
+def compact_paragraph_store(log: DataFrame) -> DataFrame:
+    """Collapse an append LOG of per-batch frequency rows into totals:
+    ``(h, df, first_doc)``. Replay-safe for tagged rows — an append
+    that ran twice contributes identical (h, batch_id) rows, which
+    dedupe (max df / min first_doc over identical values) BEFORE the
+    cross-batch sum, so compact(log + replayed batch) ≡ compact(log).
+    Untagged rows are treated as one sealed batch (id -1).
+
+    Scale: two hash-keyed aggregations on the same key prefix — the
+    second reuses the first's partitioning (no extra Exchange)."""
+    if "batch_id" not in log.columns:
+        log = log.withColumn("batch_id", F.lit(_SEALED).cast("long"))
+    per_batch = (log.groupBy("h", "batch_id")
+                 .agg(F.max("df").alias("df"),
+                      F.min("first_doc").alias("first_doc")))
+    return (per_batch.groupBy("h")
+            .agg(F.sum("df").alias("df"),
+                 F.min("first_doc").alias("first_doc")))
 
 
 def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -205,9 +243,22 @@ def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
     100 TB deployment appends each batch's frequency rows and compacts
     periodically (the ReplacingMergeTree pattern) instead of rewriting
     the store per batch. One hash-keyed aggregation; associativity and
-    merge-equals-one-shot parity are pytest-pinned."""
-    return (a.select("h", "df", "first_doc")
-            .unionByName(b.select("h", "df", "first_doc"))
+    merge-equals-one-shot parity are pytest-pinned.
+
+    When either side carries ``batch_id`` (see :func:`paragraph_store`),
+    the merge routes through :func:`compact_paragraph_store`, so merging
+    the SAME tagged batch twice equals merging it once; untagged frames
+    are summed as-is (two untagged stores are assumed distinct)."""
+    cols = ["h", "df", "first_doc"]
+    if "batch_id" in a.columns or "batch_id" in b.columns:
+        def tagged(df: DataFrame) -> DataFrame:
+            if "batch_id" not in df.columns:
+                df = df.withColumn("batch_id",
+                                   F.lit(_SEALED).cast("long"))
+            return df.select(*cols, "batch_id")
+        return compact_paragraph_store(tagged(a).unionByName(tagged(b)))
+    return (a.select(*cols)
+            .unionByName(b.select(*cols))
             .groupBy("h")
             .agg(F.sum("df").alias("df"),
                  F.min("first_doc").alias("first_doc")))

@@ -56,17 +56,21 @@ def source_doc_counts(docs: DataFrame,
 
 
 def source_cap(docs: DataFrame, cap: int, source_col: str = "source",
-               salt_buckets: int = 1) -> DataFrame:
+               salt_buckets: int = 64) -> DataFrame:
     """Exact per-source cap: ``cap_keep = 1`` for precisely the ``cap``
     documents with the smallest salted hashes in each source (all of
     them when the source is under the cap). Ties cannot occur — the
     rank key is (hash, doc_id) and doc_id is unique.
 
-    ``salt_buckets=1`` is one window over (source). For hot-domain
-    corpora set it to 32–256: level one ranks inside (source, bucket)
-    so no partition sorts more than ~n_source/salt_buckets rows, level
-    two ranks a frame pre-capped to cap·salt_buckets rows per source.
-    The output is identical either way (pinned by tests)."""
+    ``salt_buckets`` defaults to 64 — skew-safe out of the box: level
+    one ranks inside (source, hash-salt bucket) so no window partition
+    sorts more than ~n_source/64 rows even when ONE source is the whole
+    corpus (the realistic hot-domain failure), level two ranks a frame
+    pre-capped to cap·64 rows per source. ``salt_buckets=1`` collapses
+    to a single window over (source) — marginally cheaper when every
+    source is known small. The kept SET is identical for every value
+    (the k smallest hashes are the k smallest however you pre-partition
+    them; pinned by tests)."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     keyed = docs.withColumn("_h", _cap_hash(F.col("doc_id")))

@@ -68,8 +68,11 @@ def _extra_probes() -> dict:
         from agnostic_blockchain_etl_spark.operators import (
             train_quality_classifier)
         d = _docs(spark, sf)
-        pos = d.where(F.col("n_chars") > 400).limit(100)
-        neg = d.where(F.col("n_chars") <= 400).limit(100)
+        # deterministic training picks: unordered limit() varies with
+        # partitioning/run, which made the probe's q_score/clf_keep (and
+        # so its round-over-round diff) flap without a code change
+        pos = d.where(F.col("n_chars") > 400).orderBy("doc_id").limit(100)
+        neg = d.where(F.col("n_chars") <= 400).orderBy("doc_id").limit(100)
         model = train_quality_classifier(pos.select("doc_id", "text"),
                                          neg.select("doc_id", "text"),
                                          buckets=1024, iters=5)

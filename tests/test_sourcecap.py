@@ -124,3 +124,31 @@ def test_cap_zero_and_negative(spark):
         source_cap(docs, -1)
     with pytest.raises(ValueError):
         source_cap_rate(docs, -1)
+
+
+def test_one_giant_source_bounded_sort_partitions(spark):
+    """Adversarial skew: ONE source owns the whole corpus. The default
+    salt_buckets=64 must keep every level-one window partition near
+    n/64 rows (the bound on what any task sorts), and the kept set must
+    still be exactly the cap smallest hashes."""
+    from pyspark.sql import functions as F
+    from agnostic_blockchain_etl_spark.operators.sourcecap import (
+        _cap_hash, source_cap)
+    n, cap, buckets = 20_000, 50, 64
+    docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                                 F.lit("megadomain").alias("source"))
+    # the level-one partition key is (source, pmod(hash, 64)); its max
+    # group size bounds the biggest sort any task performs
+    sizes = (docs.withColumn("_h", _cap_hash(F.col("doc_id")))
+             .groupBy(F.pmod("_h", F.lit(buckets)).alias("b"))
+             .count().agg(F.max("count")).first()[0])
+    assert sizes <= 3 * n // buckets, sizes   # ~312 expected, never ~n
+    got = source_cap(docs, cap)
+    assert got.agg(F.sum("cap_keep")).first()[0] == cap
+    # kept set == the cap smallest (hash, doc_id) — brute-forced
+    brute = (docs.withColumn("_h", _cap_hash(F.col("doc_id")))
+             .orderBy("_h", "doc_id").limit(cap)
+             .select("doc_id").collect())
+    kept = {r.doc_id for r in got.where(F.col("cap_keep") == 1)
+            .select("doc_id").collect()}
+    assert kept == {r.doc_id for r in brute}
