@@ -320,10 +320,13 @@ def decode_image(payload: bytes) -> dict:
         width, height, rgb = decode_ppm(payload)
     elif payload[:8] == _PNG_MAGIC:
         width, height, rgb = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        width, height, rgb = decode_jpeg(payload)
     else:
         raise ImageFormatError(
             f"unrecognized image magic {payload[:2]!r} "
-            "(BMP/P6/PNG supported)")
+            "(BMP/P6/PNG/JPEG supported)")
     return {"n_bytes": len(payload), "width": width, "height": height,
             "checksum": sum(rgb) % 65536}
 

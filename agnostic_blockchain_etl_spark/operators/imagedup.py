@@ -58,6 +58,9 @@ def _phash_batches(batches: Iterator["pd.DataFrame"]  # noqa: F821
                     w, h, rgb = decode_ppm(payload)
                 elif payload[:8] == _PNG_MAGIC:
                     w, h, rgb = decode_png(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    from ..functions.jpeg import decode_jpeg
+                    w, h, rgb = decode_jpeg(payload)
                 else:
                     raise ImageFormatError(
                         f"unrecognized magic {payload[:2]!r}")

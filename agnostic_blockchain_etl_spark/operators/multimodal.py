@@ -11,13 +11,14 @@ narrow).
 
 Decode kernels: ``real_decode=True`` runs the pure-Python BMP/PPM/PNG
 decoder in ``functions/imaging.py`` (header parse, stride/padding,
-BGR→RGB reorder, bottom-up flip, zlib inflate + scanline unfiltering —
+BGR→RGB reorder, bottom-up flip, zlib inflate + scanline unfiltering,
+plus the pure-numpy baseline JPEG codec in ``functions/jpeg.py`` —
 real decoding, no external libs); ``real_decode=False`` derives a
 deterministic fake feature row from the payload bytes, used by the gate
-query whose payloads are text bytes, not images. Remaining formats
-(JPEG/MP3) need entropy/DCT codecs this container doesn't ship — swap
-``imaging.decode_image`` for a library call; the Spark plumbing is
-format-agnostic.
+query whose payloads are text bytes, not images. The one remaining
+disclosed format is MP3 (needs a subband filterbank; WAV covers the
+audio slot with a real decoder) — such payloads flag ``decode_error``
+and are never dropped; the Spark plumbing is format-agnostic.
 """
 
 from __future__ import annotations
