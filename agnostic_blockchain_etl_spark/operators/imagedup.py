@@ -88,12 +88,23 @@ def image_phash(assets: DataFrame) -> DataFrame:
 
 
 def hamming_near_dup_pairs(hashed: DataFrame,
-                           max_hamming: int = _HAMMING_MAX) -> DataFrame:
+                           max_hamming: int = _HAMMING_MAX,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Hamming-≤``max_hamming`` pairs over ANY ``(doc_id, phash)``
     frame of 64-bit hashes (images, audio fingerprints, custom
     sketches): banded equi-join + exact bit_count filter, identical
     output to all-pairs (pigeonhole-lossless for ``max_hamming`` ≤ 6;
-    raise the band count before raising the radius past that)."""
+    raise the band count before raising the radius past that).
+
+    ``max_bucket_size`` (default off) caps each (band, band_bits)
+    group before the self-join (`dedup.cap_group_size`, dropped groups
+    logged). The realistic degenerate bucket here is DHASH ZERO: every
+    flat/monochrome image (solid thumbnails, blanks, test cards) hashes
+    to all-zero gradients, so at corpus scale one bucket holds millions
+    of rows and the candidate join goes quadratic in it. Unlike MinHash
+    banding, a capped bucket here CAN lose true pairs in that bucket —
+    but an all-zero dHash carries no discriminative signal anyway
+    (route such assets to exact byte dedup instead)."""
     if max_hamming > len(_BANDS) - 1:
         raise ValueError(
             f"max_hamming {max_hamming} exceeds the lossless radius of "
@@ -105,6 +116,10 @@ def hamming_near_dup_pairs(hashed: DataFrame,
     bands = hashed.selectExpr(
         "doc_id", "phash",
         f"stack({len(_BANDS)}, {band_stack}) as (band, band_bits)")
+    if max_bucket_size is not None:
+        from .dedup import cap_group_size
+        bands = cap_group_size(bands, ["band", "band_bits"],
+                               max_bucket_size, "hamming_near_dup_pairs")
     hamming = F.expr("bit_count(a_phash ^ b_phash)")
     cand = (bands.alias("a")
             .join(bands.alias("b"),
@@ -121,10 +136,12 @@ def hamming_near_dup_pairs(hashed: DataFrame,
 
 
 def image_near_dup_pairs(assets: DataFrame,
-                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
+                         max_hamming: int = _HAMMING_MAX,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Perceptually-near image pairs ``(doc_a, doc_b, hamming)`` with
     ``doc_a < doc_b`` and Hamming(dHash) ≤ ``max_hamming``."""
-    return hamming_near_dup_pairs(image_phash(assets), max_hamming)
+    return hamming_near_dup_pairs(image_phash(assets), max_hamming,
+                                  max_bucket_size)
 
 
 _AUDIO_SCHEMA = ("doc_id long, n_bytes long, sample_rate int, "
@@ -166,11 +183,14 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
 
 
 def audio_near_dup_pairs(assets: DataFrame,
-                         max_hamming: int = _HAMMING_MAX) -> DataFrame:
+                         max_hamming: int = _HAMMING_MAX,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Perceptually-near audio pairs — gain-shifted or re-contained
     copies of a clip pair at small Hamming distance while exact dedup
-    misses them. Same banded machinery as the image form."""
-    return hamming_near_dup_pairs(audio_fingerprint(assets), max_hamming)
+    misses them. Same banded machinery as the image form (degenerate
+    bucket: digital silence — the all-zero energy contour)."""
+    return hamming_near_dup_pairs(audio_fingerprint(assets), max_hamming,
+                                  max_bucket_size)
 
 
 _FRAME_SCHEMA = ("doc_id long, frame_idx int, phash long, "
@@ -265,7 +285,9 @@ def video_near_dup_pairs(assets: DataFrame, every_n: int = 2,
 
 
 def curate_media(assets: DataFrame, max_hamming: int = _HAMMING_MAX,
-                 modality: str = "image") -> tuple[DataFrame, DataFrame]:
+                 modality: str = "image",
+                 max_bucket_size: int | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
     """One-call media curation (the `curate.curate_corpus` contract for
     binary columns): returns ``(annotated, report)`` where ``annotated``
     is one row per asset — ``doc_id, n_bytes, phash, decode_error,
@@ -291,7 +313,7 @@ def curate_media(assets: DataFrame, max_hamming: int = _HAMMING_MAX,
     else:
         raise ValueError(f"modality must be image|audio, got {modality!r}")
     hashed = hashed.select("doc_id", "n_bytes", "phash", "decode_error")
-    pairs = hamming_near_dup_pairs(hashed, max_hamming) \
+    pairs = hamming_near_dup_pairs(hashed, max_hamming, max_bucket_size) \
         .select("doc_a", "doc_b")
     labels = connected_components(pairs)
     annotated = (hashed

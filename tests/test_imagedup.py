@@ -203,3 +203,23 @@ def test_curate_media_recipe(spark):
     assert r.kept_bytes == got[1].n_bytes + got[4].n_bytes
     with pytest.raises(ValueError):
         curate_media(df, modality="video")
+
+
+def test_hamming_max_bucket_size_guards_degenerate_bucket(spark):
+    """The realistic 100 TB hazard: thousands of flat images all hash
+    to dHash 0 and land in ONE (band, band_bits) bucket per band. With
+    the cap, that bucket is dropped (logged) and its quadratic pair
+    term vanishes, while planted NON-degenerate near-dups still pair."""
+    from pyspark.sql import functions as F
+    from agnostic_blockchain_etl_spark.operators.imagedup import (
+        hamming_near_dup_pairs)
+    flat = [(i, 0) for i in range(200)]              # degenerate: all zero
+    base = 0x0123456789ABCDEF
+    planted = [(1000, base), (1001, base ^ 0b11)]    # hamming 2 pair
+    df = spark.createDataFrame(flat + planted, "doc_id long, phash long")
+    capped = hamming_near_dup_pairs(df, 6, max_bucket_size=50).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in capped}
+    assert got == {(1000, 1001): 2}, got
+    # without the cap the zero bucket contributes C(200,2) pairs
+    uncapped = hamming_near_dup_pairs(df, 6)
+    assert uncapped.count() == 1 + 200 * 199 // 2

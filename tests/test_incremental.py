@@ -141,6 +141,36 @@ def test_bucketed_store_tables_match_and_skip_store_shuffle(spark, setting,
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
         spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
+
+
+def test_stale_perms_store_refused(spark, setting):
+    """A persisted store carries the MinHash permutation-family
+    fingerprint; reading it under DIFFERENT constants must raise, not
+    silently verify against noise (signatures from two families are
+    uncorrelated, so est_jaccard would be coin flips)."""
+    import uuid
+    import pytest
+    from agnostic_blockchain_etl_spark.operators.incremental import (
+        stored_neardup_pairs, write_signature_store_tables)
+
+    _, batch, store, _, _ = setting
+    name = f"sigstore_{uuid.uuid4().hex[:8]}"
+    try:
+        write_signature_store_tables(store, name, buckets=4)
+        # simulate a binary upgrade that changed the constants: corrupt
+        # the recorded fingerprint (equivalent to running new code over
+        # an old store)
+        spark.createDataFrame([("perms-deadbeef",)],
+                              "perms_fingerprint string") \
+            .write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{name}_meta")
+        with pytest.raises(ValueError, match="permutation family"):
+            stored_neardup_pairs(batch, name).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
 
 
 def test_disjoint_batch_all_kept(spark):
