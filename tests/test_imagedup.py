@@ -223,3 +223,40 @@ def test_hamming_max_bucket_size_guards_degenerate_bucket(spark):
     # without the cap the zero bucket contributes C(200,2) pairs
     uncapped = hamming_near_dup_pairs(df, 6)
     assert uncapped.count() == 1 + 200 * 199 // 2
+
+
+def test_banding_lossless_fuzz(spark):
+    """Property: on RANDOM 64-bit signed hashes (planted near pairs +
+    background noise), banded pairs == brute-force pairs for every
+    radius up to the pigeonhole bound. Catches band boundary/sign bugs
+    the structured fixtures can't."""
+    import itertools
+    import random as _r
+    from agnostic_blockchain_etl_spark.operators.imagedup import (
+        hamming_near_dup_pairs)
+    for seed in (11, 23, 47):
+        rng = _r.Random(seed)
+        rows = []
+        for i in range(60):
+            rows.append((i, rng.getrandbits(64) - (1 << 63)))
+        # planted: perturb existing hashes by <= 6 random bit flips
+        # (wrap to signed 64-bit — python XOR is unbounded)
+        for j in range(20):
+            base = rows[rng.randrange(60)][1]
+            mask = 0
+            for _ in range(rng.randrange(0, 7)):
+                mask |= 1 << rng.randrange(64)
+            v = (base ^ mask) & ((1 << 64) - 1)
+            rows.append((100 + j, v - (1 << 64) if v >= 1 << 63 else v))
+        df = spark.createDataFrame(rows, "doc_id long, phash long")
+        for radius in (2, 6):
+            got = {(r.doc_a, r.doc_b, r.hamming) for r in
+                   hamming_near_dup_pairs(df, radius).collect()}
+            want = set()
+            for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= radius:
+                    a, b = min(ia, ib), max(ia, ib)
+                    want.add((a, b, d))
+            assert got == want, (seed, radius,
+                                 got.symmetric_difference(want))

