@@ -226,8 +226,11 @@ def compact_paragraph_store(log: DataFrame) -> DataFrame:
     cross-batch sum, so compact(log + replayed batch) ≡ compact(log).
     Untagged rows are treated as one sealed batch (id -1).
 
-    Scale: two hash-keyed aggregations on the same key prefix — the
-    second reuses the first's partitioning (no extra Exchange)."""
+    Scale: two hash aggregations. The first shuffles the log on
+    (h, batch_id) with map-side partial combine; the second shuffles
+    the FIRST'S OUTPUT on h — already collapsed to one row per
+    (paragraph, batch), i.e. at most batches× the final store size,
+    far smaller than the log it summarizes."""
     if "batch_id" not in log.columns:
         log = log.withColumn("batch_id", F.lit(_SEALED).cast("long"))
     per_batch = (log.groupBy("h", "batch_id")
