@@ -710,3 +710,81 @@ def semantic_dedup_seeded(spark, sf_dir):
           .select(F.col("vec_id").cast("int").alias("list_id"),
                   F.col("e").alias("centroid")))
     return semantic_dedup(emb, tau=_SEM_TAU, codebook=cb)
+
+
+# ---------------------------------------------------------------------------
+# Text -> vector bridge: hashing-trick TF-IDF embeddings
+# ---------------------------------------------------------------------------
+
+def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic document embeddings from raw text with NO external
+    model: the feature-hashing trick (Weinberger et al. 2009) over
+    smoothed TF-IDF — each token hashes to one of ``dim`` buckets with
+    a ±1 sign bit (the sign unbiases hash collisions in expectation),
+    weights are ``tf · (ln((N+1)/(df+1)) + 1)``, and the per-doc dense
+    vector is L2-normalized. Returns ``(vec_id, embedding
+    array<double>)`` — directly consumable by every operator in this
+    module (`semantic_dedup`, `cosine_topk`, `ivf`, `near_dup_pairs`),
+    closing the text → similarity loop without an embedding service.
+    Token-less documents (empty/whitespace text) emit NO row — they
+    carry no similarity signal; left-join and flag if you need them.
+
+    Scale shape (all JVM-side, zero UDFs): one tokenize pass → (doc,
+    word) tf aggregation → word-keyed df join (word space is zipfian
+    but BOUNDED — the df frame is vocabulary-sized) → (doc, bucket)
+    aggregation → one map-backed dense materialization per doc. The
+    only corpus-sized shuffles are keyed (doc, word) and (doc, bucket);
+    the N-doc count rides a 1-row broadcast. ``dim`` is a memory/recall
+    knob: 256 doubles = 2 KB per doc."""
+    from .dedup import _spark_hash60, _spark_words
+
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(_spark_words(F.col(text_col))).alias("word")) \
+        .where(F.col("word") != "")   # split("") yields one empty token
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+
+    h = _spark_hash60(F.col("word"))
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    # sign from the hash's TOP bit (integer ops only — double division
+    # of a 60-bit value loses parity past 2^53), independent of the
+    # low-bit bucket
+    sign = F.when(F.shiftright(h, 59) % 2 == 0, F.lit(1.0)) \
+            .otherwise(F.lit(-1.0))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    feat = (tf.join(dfreq, "word")
+            .crossJoin(F.broadcast(n))
+            .select("doc_id", bucket.alias("b"),
+                    (sign * F.col("tf") * idf).alias("w")))
+    byb = feat.groupBy("doc_id", "b").agg(F.sum("w").alias("w"))
+    dense = (byb.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("b", "w"))).alias("m"))
+             .select(F.col("doc_id").alias("vec_id"),
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(dim - 1)),
+                         lambda i: F.coalesce(F.element_at("m", i),
+                                              F.lit(0.0))).alias("raw")))
+    norm = F.sqrt(F.aggregate("raw", F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return dense.select(
+        "vec_id",
+        F.when(norm > 0,
+               F.transform("raw", lambda x: x / norm))
+         .otherwise(F.col("raw")).alias("embedding"))
+
+
+def text_semantic_dedup(docs: DataFrame, dim: int = 256, tau: float = 0.9,
+                        nlist: int = 8, text_col: str = "text",
+                        **kwargs) -> DataFrame:
+    """`semantic_dedup` straight over raw text: hashing-trick TF-IDF
+    embeddings feed the SemDeDup pipeline, so paraphrase-level
+    near-dups (shared vocabulary, shuffled order) cluster without any
+    external embedding model. Output contract = `semantic_dedup` with
+    ``vec_id`` = ``doc_id``. At 100 TB: persist the embedding frame
+    once (parquet), reuse for dedup AND ANN serving."""
+    return semantic_dedup(hashed_tfidf_vectors(docs, dim, text_col),
+                          nlist=nlist, tau=tau, **kwargs)

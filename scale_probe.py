@@ -50,6 +50,13 @@ def _extra_probes() -> dict:
         emb = load_tables(spark, sf, ("embeddings",))["embeddings"]
         return semantic_dedup(emb, nlist=16, tau=0.9, iters=1)
 
+    def p_text_embed_dedup(spark, sf):
+        # the no-external-model text -> vector -> SemDeDup loop
+        from agnostic_blockchain_etl_spark.operators.similarity import (
+            text_semantic_dedup)
+        return text_semantic_dedup(_docs(spark, sf), dim=128, tau=0.9,
+                                   nlist=16)
+
     def p_lm_buckets(spark, sf):
         d = _docs(spark, sf)
         return perplexity_score(d, train_unigram_lm(d, vocab_size=20000))
@@ -164,6 +171,7 @@ def _extra_probes() -> dict:
 
     return {"x_dsir_sample": p_dsir_sample,
             "x_semantic_dedup": p_semantic_dedup,
+            "x_text_embed_dedup": p_text_embed_dedup,
             "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,

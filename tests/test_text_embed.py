@@ -1,0 +1,103 @@
+"""hashed_tfidf_vectors: independent-implementation parity + the
+text → SemDeDup composition (the no-external-model similarity loop)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from agnostic_blockchain_etl_spark.operators.similarity import (
+    hashed_tfidf_vectors, text_semantic_dedup)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _ref_embed(corpus: dict[int, str], dim: int = DIM) -> dict:
+    """Independent pure-python reference (no shared code with the
+    operator beyond the md5-hash CONTRACT it documents)."""
+    n = len(corpus)
+    tf = {d: {} for d in corpus}
+    for d, text in corpus.items():
+        for w in text.lower().strip().split():
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df = {}
+    for d in corpus:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for d in corpus:
+        v = np.zeros(dim)
+        for w, c in tf[d].items():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            b = h % dim
+            sign = 1.0 if (h >> 59) % 2 == 0 else -1.0
+            v[b] += sign * c * (math.log((n + 1) / (df[w] + 1)) + 1)
+        nm = np.linalg.norm(v)
+        out[d] = v / nm if nm > 0 else v
+    return out
+
+
+def test_matches_independent_reference(spark):
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs",
+        3: "the quick brown fox naps beside the lazy dog",
+        4: "sphinx of black quartz judge my vow",
+        5: "",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.vec_id: np.array(r.embedding) for r in
+           hashed_tfidf_vectors(df, dim=DIM).collect()}
+    want = _ref_embed(corpus)
+    assert set(got) == {1, 2, 3, 4}          # doc 5 has no tokens
+    for d in got:
+        assert np.allclose(got[d], want[d], atol=1e-9), d
+    # unit norm
+    for d in got:
+        assert abs(np.linalg.norm(got[d]) - 1.0) < 1e-9
+
+
+def test_paraphrase_pairs_cluster(spark):
+    """Shared-vocabulary paraphrases (shuffled word order — invisible
+    to shingle MinHash at high thresholds) land in one semantic group;
+    unrelated docs stay singletons."""
+    docs = [
+        (1, "solar panels convert sunlight into electricity for homes"),
+        (2, "electricity for homes convert sunlight into solar panels"),
+        (3, "the stock market closed higher on strong earnings reports"),
+        (4, "gardening requires patience water sunlight and good soil"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ann = text_semantic_dedup(df, dim=DIM, tau=0.95, nlist=1)
+    rows = {r.vec_id: r for r in ann.collect()}
+    assert rows[1].group_id == rows[2].group_id
+    assert rows[3].group_id != rows[1].group_id
+    assert rows[4].group_id != rows[1].group_id
+    kept = sorted(v.vec_id for v in rows.values() if v.keep == 1)
+    assert len(kept) == 3 and 3 in kept and 4 in kept
+
+
+def test_plan_stays_jvm_side(spark):
+    """No Python UDFs in the embedding plan (the bridge must not pay
+    the Arrow boundary; SemDeDup's kernels are the sanctioned one)."""
+    import contextlib
+    import io
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hashed_tfidf_vectors(df, dim=DIM).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")  # the 1-row N broadcast is fine
