@@ -29,9 +29,10 @@ from .incremental import (corpus_diff, digest_store, incremental_dedup,
                           incremental_neardup_pairs, signature_store,
                           stored_neardup_pairs,
                           write_signature_store_tables)
-from .similarity import (cosine_topk, ivf_search, ivf_train,
-                         hashed_tfidf_vectors, semantic_dedup,
-                         text_semantic_dedup)
+from .similarity import (cosine_topk, hashed_tfidf_vectors,
+                         incremental_semantic_dedup, ivf_search,
+                         ivf_train, semantic_dedup,
+                         semantic_member_store, text_semantic_dedup)
 from .tables import load_tables
 from .mixture import (apply_mixture_rates, mixture_weights,
                       temperature_mixture)
@@ -75,8 +76,9 @@ __all__ = [
     "stored_neardup_pairs", "write_signature_store_tables",
     "corpus_diff", "digest_store", "incremental_exact_dedup",
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
-    "cosine_topk", "hashed_tfidf_vectors", "ivf_search", "ivf_train",
-    "semantic_dedup", "text_semantic_dedup",
+    "cosine_topk", "hashed_tfidf_vectors", "incremental_semantic_dedup",
+    "ivf_search", "ivf_train", "semantic_dedup", "semantic_member_store",
+    "text_semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",
     "audio_fingerprint", "audio_near_dup_pairs", "curate_media",
     "hamming_near_dup_pairs", "image_near_dup_pairs", "image_phash",

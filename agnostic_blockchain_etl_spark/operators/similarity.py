@@ -788,3 +788,109 @@ def text_semantic_dedup(docs: DataFrame, dim: int = 256, tau: float = 0.9,
     once (parquet), reuse for dedup AND ANN serving."""
     return semantic_dedup(hashed_tfidf_vectors(docs, dim, text_col),
                           nlist=nlist, tau=tau, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (day-2) semantic dedup against a persisted member store
+# ---------------------------------------------------------------------------
+
+def semantic_member_store(emb: DataFrame,
+                          codebook: DataFrame) -> DataFrame:
+    """Build the persistable SemDeDup member store: one row per retained
+    vector, ``(vec_id, list_id, e)`` — the vector assigned once to its
+    codebook cluster. Persist as parquet bucketed by ``list_id``
+    (`sources/bucketed.py`) and the day-2 probe join co-locates with no
+    store-side shuffle, exactly like the MinHash signature store; the
+    codebook itself (nlist rows) persists beside it and must be REUSED
+    for every subsequent batch — assignments under a retrained codebook
+    are not comparable."""
+    vecs = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("e"))
+    cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
+    return _nearest_assign(vecs, cb).select("vec_id", "list_id", "e")
+
+
+def incremental_semantic_dedup(new_emb: DataFrame, store: DataFrame,
+                               codebook: DataFrame, tau: float = 0.99,
+                               max_list_size: int | None = None
+                               ) -> tuple[DataFrame, DataFrame]:
+    """Day-2 SemDeDup: check a new batch of embeddings against HISTORY
+    (a `semantic_member_store`) and against ITSELF without re-scoring
+    any historical pair. Returns ``(annotated, updated_store)``:
+    ``annotated`` has one row per new vector — ``vec_id, list_id,
+    dup_of_history (nullable), batch_group, keep`` — keeping a vector
+    iff no stored member of its cluster is cosine-≥``tau`` AND it is
+    the minimum-id member of its within-batch duplicate group;
+    ``updated_store`` appends only the kept vectors, so replaying a
+    batch (disjoint ids) adds nothing — the same idempotence contract
+    as `incremental.incremental_dedup`.
+
+    Scale shape: new vectors assign via the zero-shuffle literal-
+    codebook kernel; new-vs-history scores run as ONE cogrouped BLAS
+    kernel per cluster (new m × stored n matmul — each side crosses the
+    Arrow boundary once, keyed by ``list_id`` so a bucketed store scans
+    in place); new-vs-new reuses `_cluster_pairs`. ``max_list_size``
+    (default off) drops-and-logs oversized clusters on BOTH sides
+    before the kernels (`dedup.cap_group_size`) — the accumulating
+    store makes a degenerate cluster the realistic day-2 hazard; scale
+    ``nlist`` with the corpus to keep expected list size constant."""
+    from .dedup import cap_group_size, connected_components
+
+    cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
+    new_vecs = new_emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    assigned = _nearest_assign(new_vecs, cb) \
+        .select("vec_id", "list_id", "e")
+    hist = store.select("vec_id", "list_id", "e")
+    if max_list_size is not None:
+        assigned = cap_group_size(assigned, ["list_id"], max_list_size,
+                                  "incremental_semantic_dedup[batch]")
+        hist = cap_group_size(hist, ["list_id"], max_list_size,
+                              "incremental_semantic_dedup[store]")
+
+    def _cross(new_pdf: pd.DataFrame,
+               hist_pdf: pd.DataFrame) -> pd.DataFrame:
+        if new_pdf.empty or hist_pdf.empty:
+            return pd.DataFrame({"doc_b": pd.Series([], dtype="int64"),
+                                 "doc_a": pd.Series([], dtype="int64")})
+        En = np.vstack(new_pdf["e"].to_numpy())
+        Eh = np.vstack(hist_pdf["e"].to_numpy())
+        for E in (En, Eh):
+            n = np.linalg.norm(E, axis=1)
+            n[n == 0.0] = 1.0
+            E /= n[:, None]
+        s = En @ Eh.T                         # new m × hist n cosines
+        bi, hi = np.nonzero(np.round(s, 6) >= tau)
+        return pd.DataFrame({
+            "doc_b": new_pdf["vec_id"].to_numpy()[bi],
+            "doc_a": hist_pdf["vec_id"].to_numpy()[hi]})
+
+    hist_pairs = (assigned.select("list_id", "vec_id", "e")
+                  .groupBy("list_id")
+                  .cogroup(hist.select("list_id", "vec_id", "e")
+                           .groupBy("list_id"))
+                  .applyInPandas(_cross, "doc_b long, doc_a long"))
+    hist_hit = hist_pairs.groupBy(F.col("doc_b").alias("vec_id")) \
+        .agg(F.min("doc_a").alias("dup_of_history"))
+
+    batch_pairs = _cluster_pairs(assigned, tau,
+                                 max_cluster_size=max_list_size)
+    groups = connected_components(batch_pairs) \
+        .withColumnRenamed("doc_id", "vec_id") \
+        .withColumnRenamed("label", "batch_group")
+
+    annotated = (assigned.select("vec_id", "list_id")
+                 .join(hist_hit, "vec_id", "left")
+                 .join(groups, "vec_id", "left")
+                 .select("vec_id", "list_id", "dup_of_history",
+                         F.coalesce("batch_group", "vec_id")
+                         .alias("batch_group"))
+                 .withColumn("keep",
+                             (F.col("dup_of_history").isNull() &
+                              (F.col("batch_group") == F.col("vec_id")))
+                             .cast("int")))
+    kept = assigned.join(
+        annotated.where(F.col("keep") == 1).select("vec_id"), "vec_id") \
+        .select("vec_id", "list_id", "e")
+    return annotated, store.select("vec_id", "list_id", "e") \
+                           .unionByName(kept)

@@ -1,0 +1,111 @@
+"""incremental_semantic_dedup: the day-2 contract for the semantic
+family (mirrors test_incremental.py's story for MinHash)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from agnostic_blockchain_etl_spark.operators.similarity import (
+    incremental_semantic_dedup, semantic_member_store)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _vec(rng, dim=16):
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def _jitter(v, rng, eps=1e-3):
+    w = np.array(v) + eps * rng.standard_normal(len(v))
+    return (w / np.linalg.norm(w)).tolist()
+
+
+@pytest.fixture(scope="module")
+def setting(spark):
+    rng = np.random.default_rng(7)
+    base = [_vec(rng) for _ in range(6)]
+    hist_rows = [(i, base[i]) for i in range(4)]          # history: 0-3
+    batch_rows = [
+        (100, _jitter(base[0], rng)),    # dup of history vec 0
+        (101, _vec(rng)),                # novel
+        (102, _vec(rng)),                # novel, dup-pair with 103
+        (103, None),                     # filled below
+        (104, _vec(rng)),                # novel singleton
+    ]
+    batch_rows[3] = (103, _jitter(batch_rows[2][1], rng))
+    hist = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>")
+    # deterministic codebook: 2 centroids from history
+    codebook = spark.createDataFrame(
+        [(0, base[0]), (1, base[2])],
+        "list_id int, centroid array<double>")
+    store = semantic_member_store(hist, codebook)
+    return hist, batch, store, codebook
+
+
+def test_store_one_row_per_vector(setting):
+    _, _, store, _ = setting
+    rows = store.collect()
+    assert len(rows) == 4
+    assert {r.vec_id for r in rows} == {0, 1, 2, 3}
+    assert all(r.list_id in (0, 1) for r in rows)
+
+
+def test_day2_contract(spark, setting):
+    _, batch, store, codebook = setting
+    ann, updated = incremental_semantic_dedup(batch, store, codebook,
+                                              tau=0.99)
+    rows = {r.vec_id: r for r in ann.collect()}
+    assert set(rows) == {100, 101, 102, 103, 104}
+    # 100 is a jittered copy of stored vec 0 -> history dup, dropped
+    assert rows[100].dup_of_history == 0 and rows[100].keep == 0
+    # 102/103 are a within-batch pair -> one group, min id kept
+    assert rows[102].batch_group == rows[103].batch_group == 102
+    assert rows[102].keep == 1 and rows[103].keep == 0
+    # novel singletons kept
+    assert rows[101].keep == 1 and rows[104].keep == 1
+    # store grows by exactly the kept vectors
+    got = {r.vec_id for r in updated.collect()}
+    assert got == {0, 1, 2, 3, 101, 102, 104}
+
+
+def test_replay_adds_nothing(spark, setting):
+    _, batch, store, codebook = setting
+    ann, updated = incremental_semantic_dedup(batch, store, codebook,
+                                              tau=0.99)
+    replay = batch.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ann2, updated2 = incremental_semantic_dedup(replay, updated,
+                                                codebook, tau=0.99)
+    assert ann2.where(F.col("keep") == 1).count() == 0
+    assert updated2.count() == updated.count()
+
+
+def test_max_list_size_guard(spark, setting):
+    """A degenerate cluster (many identical stored members) is dropped
+    from BOTH sides when over the cap; the other cluster still works."""
+    rng = np.random.default_rng(11)
+    pivot = _vec(rng)
+    flood = [(1000 + i, _jitter(pivot, rng)) for i in range(50)]
+    other = _vec(rng)
+    hist = spark.createDataFrame(
+        flood + [(1, other)], "vec_id long, embedding array<double>")
+    codebook = spark.createDataFrame(
+        [(0, pivot), (1, other)], "list_id int, centroid array<double>")
+    store = semantic_member_store(hist, codebook)
+    batch = spark.createDataFrame(
+        [(2000, _jitter(pivot, rng)), (2001, _jitter(other, rng))],
+        "vec_id long, embedding array<double>")
+    ann, _ = incremental_semantic_dedup(batch, store, codebook,
+                                        tau=0.99, max_list_size=10)
+    rows = {r.vec_id: r for r in ann.collect()}
+    # flood cluster dropped on both sides: 2000 sees no history (and
+    # was itself dropped from the capped batch side or kept unpaired)
+    assert rows[2001].dup_of_history == 1 and rows[2001].keep == 0
