@@ -216,3 +216,60 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
+
+
+def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
+                          store_path: str, out_path: str,
+                          checkpoint: str, tau: float = 0.99,
+                          text_col: str = "text", dim: int = 256,
+                          max_list_size: int | None = None):
+    """Day-2 SEMANTIC dedup over an unbounded text stream: each
+    micro-batch embeds its documents (`hashed_tfidf_vectors` — no
+    external model), runs :func:`operators.similarity.
+    incremental_semantic_dedup` against the member store parquet at
+    ``store_path`` using the FROZEN codebook at ``codebook_path``
+    (assignments under a retrained codebook are not comparable — train
+    once with `ivf_train`, persist, reuse), writes the annotated batch
+    under ``{out_path}/batch_id=N`` and appends kept members under
+    ``{store_path}/batch_id=N``. Returns the started query.
+
+    Exactly-once via the same per-batch-directory snapshot rule as
+    `incremental_neardup_stream`: both writes overwrite their own
+    deterministic directory, and the store read excludes partitions
+    with ``batch_id >= N``, so a replayed batch sees exactly the state
+    its first attempt saw. Semantic state is a per-cluster member
+    JOIN, not a point lookup, so it lives in the store table rather
+    than the engine's keyed state store — each batch pays one bounded
+    cogrouped kernel against it."""
+    from ..operators.similarity import (hashed_tfidf_vectors,
+                                        incremental_semantic_dedup)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+        codebook = spark.read.parquet(codebook_path)
+        emb = hashed_tfidf_vectors(
+            batch_df.select("doc_id", text_col), dim=dim)
+        try:
+            store = (spark.read.parquet(store_path)
+                     .where(F.col("batch_id") < batch_id)
+                     .drop("batch_id"))
+        except AnalysisException as exc:
+            getter = getattr(exc, "getCondition", None) \
+                or getattr(exc, "getErrorClass", lambda: None)
+            if (getter() or "") != "PATH_NOT_FOUND" \
+                    and "Path does not exist" not in str(exc):
+                raise
+            store = spark.createDataFrame(
+                [], "vec_id long, list_id int, e array<double>")
+        ann, updated = incremental_semantic_dedup(
+            emb, store, codebook, tau=tau, max_list_size=max_list_size)
+        ann.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}")
+        kept_ids = ann.where(F.col("keep") == 1).select("vec_id")
+        (updated.join(kept_ids, "vec_id")
+         .write.mode("overwrite")
+         .parquet(f"{store_path}/batch_id={batch_id}"))
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())

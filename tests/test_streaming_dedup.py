@@ -346,3 +346,56 @@ def test_source_cap_stream(spark, tmp_path):
             .sum("n_admitted").collect())
     assert {r.source: r["sum(n_admitted)"] for r in used} \
         == {"hot": 3, "cold": 3}
+
+
+def test_semantic_dedup_stream(spark, tmp_path):
+    """Day-2 SEMANTIC dedup over micro-batches: a paraphrase (same
+    vocabulary, shuffled order — invisible to exact and shingle dedup
+    at high thresholds) arriving in a LATER batch is suppressed against
+    the member store, and the suppression survives a query restart
+    because the state is the store table, not query memory."""
+    from agnostic_blockchain_etl_spark.operators.similarity import (
+        hashed_tfidf_vectors, ivf_train)
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        semantic_dedup_stream)
+
+    src, out, store, ckpt, cbp = (
+        str(tmp_path / d) for d in ("ssrc", "sout", "sstore", "sckpt",
+                                    "scb"))
+    base = "solar panels convert sunlight into electricity for homes"
+    para = "electricity for homes convert sunlight into solar panels"
+    other = "the stock market closed higher on strong earnings reports"
+    third = "gardening requires patience water sunlight and good soil"
+
+    # frozen codebook trained once on a seed sample (the contract)
+    seed = spark.createDataFrame(
+        [(900, base), (901, other), (902, third)], SCHEMA)
+    emb = hashed_tfidf_vectors(seed, dim=64) \
+        .select("vec_id", "embedding")
+    ivf_train(spark, emb, 2, iters=1).write.parquet(cbp)
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = semantic_dedup_stream(stream, cbp, store, out, ckpt,
+                                  tau=0.95, dim=64)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batch(spark, src, [(1, base), (2, other)])
+    _write_batch(spark, src, [(3, para)])       # paraphrase of doc 1
+    drain()
+    ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[1].keep == 1 and ann[2].keep == 1
+    assert ann[3].keep == 0 and ann[3].dup_of_history == 1
+
+    # restart with a new query: the store still remembers doc 1
+    _write_batch(spark, src, [(4, para), (5, third)])
+    drain()
+    ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[4].keep == 0 and ann[4].dup_of_history == 1
+    assert ann[5].keep == 1
+    kept = {r.vec_id for r in spark.read.parquet(store).collect()}
+    assert kept == {1, 2, 5}
