@@ -717,7 +717,9 @@ def semantic_dedup_seeded(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         min_df: int = 1,
+                         max_df_frac: float | None = None) -> DataFrame:
     """Deterministic document embeddings from raw text with NO external
     model: the feature-hashing trick (Weinberger et al. 2009) over
     smoothed TF-IDF — each token hashes to one of ``dim`` buckets with
@@ -736,7 +738,16 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
     aggregation → one map-backed dense materialization per doc. The
     only corpus-sized shuffles are keyed (doc, word) and (doc, bucket);
     the N-doc count rides a 1-row broadcast. ``dim`` is a memory/recall
-    knob: 256 doubles = 2 KB per doc."""
+    knob: 256 doubles = 2 KB per doc.
+
+    Vocabulary-tail knobs for the 100 TB corpus: ``min_df`` drops terms
+    seen in fewer than that many documents BEFORE the feature join —
+    the zipfian hapax tail is most of the distinct-word count but
+    contributes only near-orthogonal noise to the vectors — and
+    ``max_df_frac`` drops terms appearing in more than that fraction
+    of documents (stopwords carry ~zero idf weight anyway; dropping
+    them shrinks the join's build side). Both default off/1 so small-
+    corpus results are knob-free."""
     from .dedup import _spark_hash60, _spark_words
 
     words = docs.select(
@@ -746,6 +757,12 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    if max_df_frac is not None:
+        dfreq = dfreq.crossJoin(F.broadcast(n)) \
+            .where(F.col("df") <= F.col("n_docs") * max_df_frac) \
+            .drop("n_docs")
 
     h = _spark_hash60(F.col("word"))
     bucket = F.pmod(h, F.lit(dim)).cast("int")

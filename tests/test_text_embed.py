@@ -101,3 +101,55 @@ def test_plan_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", "")  # the 1-row N broadcast is fine
+
+
+def test_vocab_tail_knobs(spark):
+    """min_df drops hapax terms; max_df_frac drops stopword-ish terms;
+    the inner-join semantics mean dropped terms simply vanish from the
+    vectors (docs left with no surviving terms emit no row)."""
+    docs = [
+        (1, "common common rare1"),
+        (2, "common mid rare2"),
+        (3, "common mid rare3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {r.vec_id for r in
+            hashed_tfidf_vectors(df, dim=DIM).collect()}
+    assert base == {1, 2, 3}
+    # min_df=2 keeps only 'common' (df 3) and 'mid' (df 2)
+    got = {r.vec_id: np.array(r.embedding) for r in
+           hashed_tfidf_vectors(df, dim=DIM, min_df=2).collect()}
+    assert set(got) == {1, 2, 3}
+    # docs 2 and 3 become identical under min_df=2 (same surviving bag)
+    assert np.allclose(got[2], got[3])
+    # max_df_frac below 1.0 kills 'common'; doc 1 then has only rare1
+    got2 = {r.vec_id: np.array(r.embedding) for r in
+            hashed_tfidf_vectors(df, dim=DIM,
+                                 max_df_frac=0.99).collect()}
+    assert set(got2) == {1, 2, 3}
+    nz = np.nonzero(got2[1])[0]
+    assert len(nz) == 1          # exactly the 'rare1' bucket survives
+
+
+def test_incremental_semantic_plan_has_no_cartesian(spark):
+    """The day-2 kernel path must stay cogrouped equi-keyed — never a
+    cross join of batch x store."""
+    import contextlib
+    import io
+    from agnostic_blockchain_etl_spark.operators.similarity import (
+        incremental_semantic_dedup)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    store = spark.createDataFrame(
+        [(10, 0, [1.0, 0.0])], "vec_id long, list_id int, e array<double>")
+    cb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "list_id int, centroid array<double>")
+    ann, _ = incremental_semantic_dedup(emb, store, cb, tau=0.99)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
