@@ -199,7 +199,17 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline JPEG to ``(width, height, top-down RGB bytes)``
     (grayscale replicates luma into RGB, matching the other decoders'
-    output contract)."""
+    output contract). Malformed streams raise ``ImageFormatError`` —
+    including short segments whose field reads would otherwise surface
+    as ``struct.error`` (NOT a ValueError subclass, so it would escape
+    the pipeline's flag-don't-drop catch and kill the Spark task)."""
+    try:
+        return _decode_jpeg(payload)
+    except struct.error as exc:
+        raise ImageFormatError(f"truncated JPEG segment: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != JPEG_MAGIC:
         raise ImageFormatError("not a JPEG (missing SOI)")
     pos = 2

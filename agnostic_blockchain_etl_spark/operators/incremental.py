@@ -129,6 +129,11 @@ def write_signature_store_tables(store: DataFrame, name: str,
     verification into coin flips."""
     from ..sources.bucketed import write_bucketed
     spark = store.sparkSession
+    if mode == "append":
+        # an append must not stamp the CURRENT fingerprint over a store
+        # whose existing rows were written under different constants —
+        # that would make a mixed-family store validate cleanly forever
+        _check_store_fingerprint(spark, name)
     write_bucketed(store, f"{name}_sigs", "doc_id", buckets, mode=mode)
     write_bucketed(minhash_bands(store), f"{name}_bands", "bucket",
                    buckets, mode=mode)
@@ -137,15 +142,32 @@ def write_signature_store_tables(store: DataFrame, name: str,
 
 
 def _check_store_fingerprint(spark, name: str) -> None:
+    """Refuse a store whose recorded permutation family differs from
+    the running constants. A MISSING meta table is also a refusal:
+    signatures from an unknown family compare as noise, and every store
+    written before fingerprinting carries the pre-round-6 structured
+    family this build no longer uses — silently accepting it is the
+    exact coin-flip failure the guard exists to prevent. Only the
+    table-not-found condition maps to "unversioned store"; any other
+    read failure propagates (a transient catalog/IO error must not be
+    reinterpreted as a version statement)."""
+    from pyspark.errors import AnalysisException
     try:
         meta = spark.table(f"{name}_meta").collect()
-    except Exception:
-        return  # pre-versioning store: no meta table to validate against
-    got = meta[0].perms_fingerprint if meta else None
+        got = meta[0].perms_fingerprint if meta else None
+    except AnalysisException as exc:
+        getter = getattr(exc, "getCondition", None) \
+            or getattr(exc, "getErrorClass", lambda: None)
+        cond = getter() or ""
+        if "TABLE_OR_VIEW_NOT_FOUND" not in cond \
+                and "cannot be found" not in str(exc):
+            raise
+        got = None
     if got != PERMS_FINGERPRINT:
         raise ValueError(
             f"signature store '{name}' was written under MinHash "
-            f"permutation family {got!r}, but this build uses "
+            f"permutation family {got!r} (None = unversioned, "
+            f"pre-fingerprint store), but this build uses "
             f"{PERMS_FINGERPRINT!r}; rebuild the store "
             f"(write_signature_store_tables) before incremental use")
 

@@ -224,7 +224,13 @@ def compact_paragraph_store(log: DataFrame) -> DataFrame:
     that ran twice contributes identical (h, batch_id) rows, which
     dedupe (max df / min first_doc over identical values) BEFORE the
     cross-batch sum, so compact(log + replayed batch) ≡ compact(log).
-    Untagged rows are treated as one sealed batch (id -1).
+    Untagged rows are treated as one sealed batch (id -1) and their df
+    contributions SUM within it — sealed rows have no batch identity
+    to dedupe on, and collapsing distinct pre-tagging appends with max
+    would silently undercount df (the boilerplate thresholds would
+    then misclassify common paragraphs as rare). The asymmetry is the
+    contract: tagged rows get replay protection, sealed rows get
+    additive merge — tag at ingest to have both.
 
     Scale: two hash aggregations. The first shuffles the log on
     (h, batch_id) with map-side partial combine; the second shuffles
@@ -234,8 +240,14 @@ def compact_paragraph_store(log: DataFrame) -> DataFrame:
     if "batch_id" not in log.columns:
         log = log.withColumn("batch_id", F.lit(_SEALED).cast("long"))
     per_batch = (log.groupBy("h", "batch_id")
-                 .agg(F.max("df").alias("df"),
-                      F.min("first_doc").alias("first_doc")))
+                 .agg(F.max("df").alias("mdf"),
+                      F.sum("df").alias("sdf"),
+                      F.min("first_doc").alias("first_doc"))
+                 .select("h", "batch_id",
+                         F.when(F.col("batch_id") == _SEALED,
+                                F.col("sdf")).otherwise(F.col("mdf"))
+                         .alias("df"),
+                         "first_doc"))
     return (per_batch.groupBy("h")
             .agg(F.sum("df").alias("df"),
                  F.min("first_doc").alias("first_doc")))

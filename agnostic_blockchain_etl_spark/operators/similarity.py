@@ -716,10 +716,49 @@ def semantic_dedup_seeded(spark, sf_dir):
 # Text -> vector bridge: hashing-trick TF-IDF embeddings
 # ---------------------------------------------------------------------------
 
+def fit_tfidf_stats(docs: DataFrame, text_col: str = "text",
+                    min_df: int = 1,
+                    max_df_frac: float | None = None) -> DataFrame:
+    """Fit the FROZEN vocabulary statistics for `hashed_tfidf_vectors`:
+    one row per retained word ``(word, df)`` plus one ``(NULL, N)`` row
+    carrying the document count (the LM model's OOV-row pattern, so the
+    whole artifact is one persistable frame). Embedding different
+    batches under the SAME stats frame yields comparable vectors —
+    identical text always embeds identically — which is what any
+    cross-batch consumer (the day-2 member store, an ANN index) needs;
+    per-batch statistics drift with batch composition and silently
+    break store comparisons (an exact duplicate can land at cosine
+    ~0.97 under tau 0.99 purely from df differences). Fit once on a
+    representative sample, persist as parquet next to the codebook,
+    reuse for every batch. Words outside the fitted vocabulary are
+    DROPPED at embed time (the fitted-vectorizer transform contract),
+    so apply ``min_df``/``max_df_frac`` here, at fit."""
+    from .dedup import _spark_words
+
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(_spark_words(F.col(text_col))).alias("word")) \
+        .where(F.col("word") != "")
+    dfreq = (words.distinct().groupBy("word")
+             .agg(F.count("*").alias("df")))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    if max_df_frac is not None:
+        dfreq = dfreq.crossJoin(F.broadcast(n)) \
+            .where(F.col("df") <= F.col("n_docs") * max_df_frac) \
+            .drop("n_docs")
+    n_row = n.select(F.lit(None).cast("string").alias("word"),
+                     F.col("n_docs").cast("long").alias("df"))
+    return dfreq.select("word", F.col("df").cast("long")) \
+        .unionByName(n_row)
+
+
 def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
                          text_col: str = "text",
                          min_df: int = 1,
-                         max_df_frac: float | None = None) -> DataFrame:
+                         max_df_frac: float | None = None,
+                         stats: DataFrame | None = None) -> DataFrame:
     """Deterministic document embeddings from raw text with NO external
     model: the feature-hashing trick (Weinberger et al. 2009) over
     smoothed TF-IDF — each token hashes to one of ``dim`` buckets with
@@ -747,7 +786,15 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
     ``max_df_frac`` drops terms appearing in more than that fraction
     of documents (stopwords carry ~zero idf weight anyway; dropping
     them shrinks the join's build side). Both default off/1 so small-
-    corpus results are knob-free."""
+    corpus results are knob-free.
+
+    ``stats``: a frozen `fit_tfidf_stats` frame. When given, df/N come
+    from IT (words outside the fitted vocabulary drop; ``min_df``/
+    ``max_df_frac`` are ignored — they were applied at fit), so the
+    same text embeds identically in every batch — REQUIRED whenever
+    vectors from different runs are compared (member stores, indexes).
+    Without it, statistics are corpus-local: fine for one-shot
+    whole-corpus dedup, wrong for incremental use."""
     from .dedup import _spark_hash60, _spark_words
 
     words = docs.select(
@@ -755,14 +802,20 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
         F.explode(_spark_words(F.col(text_col))).alias("word")) \
         .where(F.col("word") != "")   # split("") yields one empty token
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    if min_df > 1:
-        dfreq = dfreq.where(F.col("df") >= min_df)
-    if max_df_frac is not None:
-        dfreq = dfreq.crossJoin(F.broadcast(n)) \
-            .where(F.col("df") <= F.col("n_docs") * max_df_frac) \
-            .drop("n_docs")
+    if stats is not None:
+        dfreq = stats.where(F.col("word").isNotNull()) \
+            .select("word", "df")
+        n = stats.where(F.col("word").isNull()) \
+            .select(F.col("df").alias("n_docs"))
+    else:
+        dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+        n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+        if min_df > 1:
+            dfreq = dfreq.where(F.col("df") >= min_df)
+        if max_df_frac is not None:
+            dfreq = dfreq.crossJoin(F.broadcast(n)) \
+                .where(F.col("df") <= F.col("n_docs") * max_df_frac) \
+                .drop("n_docs")
 
     h = _spark_hash60(F.col("word"))
     bucket = F.pmod(h, F.lit(dim)).cast("int")

@@ -37,6 +37,33 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .dropDuplicates([KEY_COL]))
 
 
+def _read_store_or(spark, store_path: str, batch_id: int,
+                   empty) -> DataFrame:
+    """Read a per-batch-partitioned store parquet, excluding partitions
+    with ``batch_id >= N`` (the snapshot rule that makes replays see
+    exactly the state their first attempt saw), or return ``empty`` (a
+    zero-row frame, or a schema string to build one) iff the path does
+    not exist yet — the first batch. ONLY the missing-path condition is
+    treated as first-batch: a transient IO error or a corrupt partition
+    must fail the micro-batch so the checkpoint replays it — swallowing
+    it would silently discard the dedup history. This classification is
+    safety-critical and shared by EVERY foreachBatch store operator in
+    this module; do not re-inline it."""
+    from pyspark.errors import AnalysisException
+    try:
+        return (spark.read.parquet(store_path)
+                .where(F.col("batch_id") < batch_id)
+                .drop("batch_id"))
+    except AnalysisException as exc:
+        getter = getattr(exc, "getCondition", None) \
+            or getattr(exc, "getErrorClass", lambda: None)
+        if (getter() or "") != "PATH_NOT_FOUND" \
+                and "Path does not exist" not in str(exc):
+            raise
+        return spark.createDataFrame([], empty) \
+            if isinstance(empty, str) else empty
+
+
 def incremental_neardup_stream(docs: DataFrame, store_path: str,
                                out_path: str, checkpoint: str,
                                threshold: float | None = None):
@@ -67,25 +94,9 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-
         from ..operators.incremental import signature_store
-        try:
-            store = (spark.read.parquet(store_path)
-                     .where(F.col("batch_id") < batch_id)
-                     .drop("batch_id"))
-        except AnalysisException as exc:
-            # ONLY the missing-store path means "first batch". A
-            # transient IO error or a corrupt store partition must fail
-            # the micro-batch (the checkpoint replays it) — swallowing
-            # it would silently discard the whole dedup history and
-            # re-admit duplicates.
-            getter = getattr(exc, "getCondition", None) \
-                or getattr(exc, "getErrorClass", lambda: None)
-            if (getter() or "") != "PATH_NOT_FOUND" \
-                    and "Path does not exist" not in str(exc):
-                raise
-            store = signature_store(batch_df.limit(0))
+        store = _read_store_or(spark, store_path, batch_id,
+                               signature_store(batch_df.limit(0)))
         ann, _ = incremental_dedup(batch_df, store, tau)
         ann.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}")
@@ -134,23 +145,11 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-        try:
-            rows = (spark.read.parquet(store_path)
-                    .where(F.col("batch_id") < batch_id)
-                    .drop("batch_id"))
-            store = (rows.groupBy("h")
-                     .agg(F.sum("df").alias("df"),
-                          F.min("first_doc").alias("first_doc")))
-        except AnalysisException as exc:
-            # only missing-store means "first batch"; real read failures
-            # must fail the micro-batch so the checkpoint replays it
-            getter = getattr(exc, "getCondition", None) \
-                or getattr(exc, "getErrorClass", lambda: None)
-            if (getter() or "") != "PATH_NOT_FOUND" \
-                    and "Path does not exist" not in str(exc):
-                raise
-            store = paragraph_store(batch_df.limit(0))
+        rows = _read_store_or(spark, store_path, batch_id,
+                              paragraph_store(batch_df.limit(0)))
+        store = (rows.groupBy("h")
+                 .agg(F.sum("df").alias("df"),
+                      F.min("first_doc").alias("first_doc")))
         deduped, _ = incremental_dedup_paragraphs(batch_df, store,
                                                   min_df=min_df,
                                                   min_chars=min_chars)
@@ -185,19 +184,10 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-        try:
-            used = (spark.read.parquet(store_path)
-                    .where(F.col("batch_id") < batch_id)
-                    .groupBy("source")
-                    .agg(F.sum("n_admitted").alias("used")))
-        except AnalysisException as exc:
-            getter = getattr(exc, "getCondition", None) \
-                or getattr(exc, "getErrorClass", lambda: None)
-            if (getter() or "") != "PATH_NOT_FOUND" \
-                    and "Path does not exist" not in str(exc):
-                raise
-            used = spark.createDataFrame([], "source string, used long")
+        used = (_read_store_or(spark, store_path, batch_id,
+                               "source string, n_admitted long")
+                .groupBy("source")
+                .agg(F.sum("n_admitted").alias("used")))
         w = Window.partitionBy(source_col).orderBy("doc_id")
         ann = (batch_df
                .withColumn("source", F.col(source_col))
@@ -219,19 +209,27 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
 
 
 def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
-                          store_path: str, out_path: str,
-                          checkpoint: str, tau: float = 0.99,
+                          stats_path: str, store_path: str,
+                          out_path: str, checkpoint: str,
+                          tau: float = 0.99,
                           text_col: str = "text", dim: int = 256,
                           max_list_size: int | None = None):
     """Day-2 SEMANTIC dedup over an unbounded text stream: each
     micro-batch embeds its documents (`hashed_tfidf_vectors` — no
-    external model), runs :func:`operators.similarity.
-    incremental_semantic_dedup` against the member store parquet at
-    ``store_path`` using the FROZEN codebook at ``codebook_path``
-    (assignments under a retrained codebook are not comparable — train
-    once with `ivf_train`, persist, reuse), writes the annotated batch
-    under ``{out_path}/batch_id=N`` and appends kept members under
-    ``{store_path}/batch_id=N``. Returns the started query.
+    external model) under the FROZEN vocabulary statistics at
+    ``stats_path`` (a persisted `fit_tfidf_stats` frame — per-batch
+    statistics drift with batch composition, so an exact duplicate in
+    a later batch would miss the tau bar on idf noise alone), runs
+    :func:`operators.similarity.incremental_semantic_dedup` against
+    the member store parquet at ``store_path`` using the FROZEN
+    codebook at ``codebook_path`` (assignments under a retrained
+    codebook are not comparable — train once with `ivf_train`,
+    persist, reuse both artifacts together), writes the annotated
+    batch under ``{out_path}/batch_id=N`` and appends kept members
+    under ``{store_path}/batch_id=N``. Token-less documents (empty
+    text) embed to nothing; they are still ANNOTATED — ``embedded=0,
+    keep=1`` (no similarity signal is not a reason to drop a doc) —
+    but never enter the store. Returns the started query.
 
     Exactly-once via the same per-batch-directory snapshot rule as
     `incremental_neardup_stream`: both writes overwrite their own
@@ -246,28 +244,37 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
         codebook = spark.read.parquet(codebook_path)
+        stats = spark.read.parquet(stats_path)
         emb = hashed_tfidf_vectors(
-            batch_df.select("doc_id", text_col), dim=dim)
-        try:
-            store = (spark.read.parquet(store_path)
-                     .where(F.col("batch_id") < batch_id)
-                     .drop("batch_id"))
-        except AnalysisException as exc:
-            getter = getattr(exc, "getCondition", None) \
-                or getattr(exc, "getErrorClass", lambda: None)
-            if (getter() or "") != "PATH_NOT_FOUND" \
-                    and "Path does not exist" not in str(exc):
-                raise
-            store = spark.createDataFrame(
-                [], "vec_id long, list_id int, e array<double>")
-        ann, updated = incremental_semantic_dedup(
+            batch_df.select("doc_id", text_col), dim=dim,
+            text_col=text_col, stats=stats)
+        store = _read_store_or(
+            spark, store_path, batch_id,
+            "vec_id long, list_id int, e array<double>")
+        ann, _ = incremental_semantic_dedup(
             emb, store, codebook, tau=tau, max_list_size=max_list_size)
-        ann.write.mode("overwrite").parquet(
+        # flag-don't-drop: docs whose text embeds to nothing are absent
+        # from ann — annotate them (kept, unembedded) instead of losing
+        # them from the output
+        full = (batch_df.select(F.col("doc_id").alias("vec_id"))
+                .join(ann, "vec_id", "left")
+                .select("vec_id", "list_id", "dup_of_history",
+                        F.coalesce("batch_group", F.col("vec_id"))
+                        .alias("batch_group"),
+                        F.coalesce("keep", F.lit(1)).alias("keep"),
+                        F.col("list_id").isNotNull().cast("int")
+                        .alias("embedded")))
+        full.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}")
-        kept_ids = ann.where(F.col("keep") == 1).select("vec_id")
-        (updated.join(kept_ids, "vec_id")
+        # store delta from the BATCH frames only — joining the updated
+        # store would rescan O(store) history per batch and duplicate
+        # members on vec_id reuse
+        kept_ids = ann.where(F.col("keep") == 1) \
+            .select("vec_id", "list_id")
+        (emb.join(kept_ids, "vec_id")
+         .select("vec_id", "list_id",
+                 F.col("embedding").cast("array<double>").alias("e"))
          .write.mode("overwrite")
          .parquet(f"{store_path}/batch_id={batch_id}"))
 

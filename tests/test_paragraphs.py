@@ -232,3 +232,17 @@ class TestIncremental:
         # (replay against SEALED history — untagged totals — is
         # documented as undetectable; the guarantee is log-replay
         # idempotence for tagged rows)
+
+
+def test_untagged_log_contributions_sum(spark):
+    """Pre-tagging append logs (multiple untagged rows per paragraph)
+    must SUM df when compacted — collapsing them with max would
+    undercount and misclassify common paragraphs as rare."""
+    from agnostic_blockchain_etl_spark.operators.paragraphs import (
+        compact_paragraph_store)
+    log = spark.createDataFrame(
+        [(10, 5, 100), (10, 3, 200), (10, 2, 50), (11, 1, 7)],
+        "h long, df long, first_doc long")
+    got = {r.h: (r.df, r.first_doc)
+           for r in compact_paragraph_store(log).collect()}
+    assert got == {10: (10, 50), 11: (1, 7)}

@@ -355,29 +355,33 @@ def test_semantic_dedup_stream(spark, tmp_path):
     the member store, and the suppression survives a query restart
     because the state is the store table, not query memory."""
     from agnostic_blockchain_etl_spark.operators.similarity import (
-        hashed_tfidf_vectors, ivf_train)
+        fit_tfidf_stats, hashed_tfidf_vectors, ivf_train)
     from agnostic_blockchain_etl_spark.streaming.dedup import (
         semantic_dedup_stream)
 
-    src, out, store, ckpt, cbp = (
+    src, out, store, ckpt, cbp, stp = (
         str(tmp_path / d) for d in ("ssrc", "sout", "sstore", "sckpt",
-                                    "scb"))
+                                    "scb", "sstats"))
     base = "solar panels convert sunlight into electricity for homes"
     para = "electricity for homes convert sunlight into solar panels"
     other = "the stock market closed higher on strong earnings reports"
     third = "gardening requires patience water sunlight and good soil"
 
-    # frozen codebook trained once on a seed sample (the contract)
+    # frozen codebook + frozen vocabulary stats, fitted once on a seed
+    # sample (the contract: per-batch statistics drift with batch
+    # composition and break cross-batch comparability)
     seed = spark.createDataFrame(
         [(900, base), (901, other), (902, third)], SCHEMA)
-    emb = hashed_tfidf_vectors(seed, dim=64) \
+    stats = fit_tfidf_stats(seed)
+    stats.write.parquet(stp)
+    emb = hashed_tfidf_vectors(seed, dim=64, stats=stats) \
         .select("vec_id", "embedding")
     ivf_train(spark, emb, 2, iters=1).write.parquet(cbp)
 
     def drain():
         stream = (spark.readStream.schema(SCHEMA)
                   .option("maxFilesPerTrigger", 1).parquet(src))
-        q = semantic_dedup_stream(stream, cbp, store, out, ckpt,
+        q = semantic_dedup_stream(stream, cbp, stp, store, out, ckpt,
                                   tau=0.95, dim=64)
         try:
             q.processAllAvailable()
@@ -385,14 +389,20 @@ def test_semantic_dedup_stream(spark, tmp_path):
             q.stop()
 
     _write_batch(spark, src, [(1, base), (2, other)])
-    _write_batch(spark, src, [(3, para)])       # paraphrase of doc 1
+    _write_batch(spark, src, [(3, para), (7, "")])   # paraphrase + empty
     drain()
     ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
     assert ann[1].keep == 1 and ann[2].keep == 1
     assert ann[3].keep == 0 and ann[3].dup_of_history == 1
+    # flag-don't-drop: the token-less doc is annotated, not lost
+    assert ann[7].keep == 1 and ann[7].embedded == 0
+    assert ann[3].embedded == 1
 
-    # restart with a new query: the store still remembers doc 1
-    _write_batch(spark, src, [(4, para), (5, third)])
+    # restart with a new query: the store still remembers doc 1; an
+    # EXACT duplicate arriving in a differently-composed batch must
+    # still be caught (this is what frozen stats buy — batch-local idf
+    # would push an identical text below tau)
+    _write_batch(spark, src, [(4, base), (5, third)])
     drain()
     ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
     assert ann[4].keep == 0 and ann[4].dup_of_history == 1
