@@ -849,15 +849,20 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
 
 def text_semantic_dedup(docs: DataFrame, dim: int = 256, tau: float = 0.9,
                         nlist: int = 8, text_col: str = "text",
+                        stats: DataFrame | None = None,
                         **kwargs) -> DataFrame:
     """`semantic_dedup` straight over raw text: hashing-trick TF-IDF
     embeddings feed the SemDeDup pipeline, so paraphrase-level
     near-dups (shared vocabulary, shuffled order) cluster without any
     external embedding model. Output contract = `semantic_dedup` with
-    ``vec_id`` = ``doc_id``. At 100 TB: persist the embedding frame
-    once (parquet), reuse for dedup AND ANN serving."""
-    return semantic_dedup(hashed_tfidf_vectors(docs, dim, text_col),
-                          nlist=nlist, tau=tau, **kwargs)
+    ``vec_id`` = ``doc_id``. Corpus-local statistics are correct here
+    (one corpus, one pass); pass a `fit_tfidf_stats` frame as ``stats``
+    only when these vectors must stay comparable to vectors from OTHER
+    runs. At 100 TB: persist the embedding frame once (parquet), reuse
+    for dedup AND ANN serving."""
+    return semantic_dedup(
+        hashed_tfidf_vectors(docs, dim, text_col, stats=stats),
+        nlist=nlist, tau=tau, **kwargs)
 
 
 # ---------------------------------------------------------------------------
