@@ -129,10 +129,12 @@ def write_signature_store_tables(store: DataFrame, name: str,
     verification into coin flips."""
     from ..sources.bucketed import write_bucketed
     spark = store.sparkSession
-    if mode == "append":
-        # an append must not stamp the CURRENT fingerprint over a store
-        # whose existing rows were written under different constants —
-        # that would make a mixed-family store validate cleanly forever
+    if mode == "append" and spark.catalog.tableExists(f"{name}_sigs"):
+        # an append into an EXISTING store must not stamp the CURRENT
+        # fingerprint over rows written under different constants —
+        # that would make a mixed-family store validate cleanly
+        # forever. A fresh name (no sigs table yet) is a bootstrap, not
+        # a version statement: append-only pipelines start here.
         _check_store_fingerprint(spark, name)
     write_bucketed(store, f"{name}_sigs", "doc_id", buckets, mode=mode)
     write_bucketed(minhash_bands(store), f"{name}_bands", "bucket",
@@ -152,15 +154,14 @@ def _check_store_fingerprint(spark, name: str) -> None:
     read failure propagates (a transient catalog/IO error must not be
     reinterpreted as a version statement)."""
     from pyspark.errors import AnalysisException
+
+    from ..errors import is_not_found
     try:
         meta = spark.table(f"{name}_meta").collect()
         got = meta[0].perms_fingerprint if meta else None
     except AnalysisException as exc:
-        getter = getattr(exc, "getCondition", None) \
-            or getattr(exc, "getErrorClass", lambda: None)
-        cond = getter() or ""
-        if "TABLE_OR_VIEW_NOT_FOUND" not in cond \
-                and "cannot be found" not in str(exc):
+        if not is_not_found(exc, "TABLE_OR_VIEW_NOT_FOUND",
+                            "cannot be found"):
             raise
         got = None
     if got != PERMS_FINGERPRINT:

@@ -905,10 +905,16 @@ def incremental_semantic_dedup(new_emb: DataFrame, store: DataFrame,
     kernel per cluster (new m × stored n matmul — each side crosses the
     Arrow boundary once, keyed by ``list_id`` so a bucketed store scans
     in place); new-vs-new reuses `_cluster_pairs`. ``max_list_size``
-    (default off) drops-and-logs oversized clusters on BOTH sides
-    before the kernels (`dedup.cap_group_size`) — the accumulating
-    store makes a degenerate cluster the realistic day-2 hazard; scale
-    ``nlist`` with the corpus to keep expected list size constant."""
+    (default off) guards the degenerate-cluster hazard ASYMMETRICALLY:
+    the STORE side (where accumulation makes a flood realistic) drops
+    oversized clusters and logs them (`dedup.cap_group_size`) — their
+    history matches are lost, bounded work is kept; the BATCH side is
+    NEVER dropped (the one-row-per-new-vector contract above must
+    hold — a dropped batch row would be neither kept nor rejected, and
+    a streaming caller would mis-admit it), so within-batch pairs ride
+    `_cluster_pairs`' split-don't-drop guard instead (sign-LSH subkey
+    split, star-probe fallback). Scale ``nlist`` with the corpus to
+    keep expected list size constant."""
     from .dedup import cap_group_size, connected_components
 
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
@@ -918,8 +924,6 @@ def incremental_semantic_dedup(new_emb: DataFrame, store: DataFrame,
         .select("vec_id", "list_id", "e")
     hist = store.select("vec_id", "list_id", "e")
     if max_list_size is not None:
-        assigned = cap_group_size(assigned, ["list_id"], max_list_size,
-                                  "incremental_semantic_dedup[batch]")
         hist = cap_group_size(hist, ["list_id"], max_list_size,
                               "incremental_semantic_dedup[store]")
 

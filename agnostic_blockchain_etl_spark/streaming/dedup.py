@@ -50,15 +50,15 @@ def _read_store_or(spark, store_path: str, batch_id: int,
     safety-critical and shared by EVERY foreachBatch store operator in
     this module; do not re-inline it."""
     from pyspark.errors import AnalysisException
+
+    from ..errors import is_not_found
     try:
         return (spark.read.parquet(store_path)
                 .where(F.col("batch_id") < batch_id)
                 .drop("batch_id"))
     except AnalysisException as exc:
-        getter = getattr(exc, "getCondition", None) \
-            or getattr(exc, "getErrorClass", lambda: None)
-        if (getter() or "") != "PATH_NOT_FOUND" \
-                and "Path does not exist" not in str(exc):
+        if not is_not_found(exc, "PATH_NOT_FOUND",
+                            "Path does not exist"):
             raise
         return spark.createDataFrame([], empty) \
             if isinstance(empty, str) else empty
@@ -246,14 +246,19 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
         spark = batch_df.sparkSession
         codebook = spark.read.parquet(codebook_path)
         stats = spark.read.parquet(stats_path)
+        # the embedding DAG (two shuffles + the assignment kernel) is
+        # consumed by three actions below (components inside the day-2
+        # pass, the annotated write, the store-delta write) — persist
+        # once per batch, release before returning
         emb = hashed_tfidf_vectors(
             batch_df.select("doc_id", text_col), dim=dim,
-            text_col=text_col, stats=stats)
+            text_col=text_col, stats=stats).persist()
         store = _read_store_or(
             spark, store_path, batch_id,
             "vec_id long, list_id int, e array<double>")
         ann, _ = incremental_semantic_dedup(
             emb, store, codebook, tau=tau, max_list_size=max_list_size)
+        ann = ann.persist()
         # flag-don't-drop: docs whose text embeds to nothing are absent
         # from ann — annotate them (kept, unembedded) instead of losing
         # them from the output
@@ -277,6 +282,8 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
                  F.col("embedding").cast("array<double>").alias("e"))
          .write.mode("overwrite")
          .parquet(f"{store_path}/batch_id={batch_id}"))
+        ann.unpersist()
+        emb.unpersist()
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())

@@ -89,8 +89,11 @@ def test_replay_adds_nothing(spark, setting):
 
 
 def test_max_list_size_guard(spark, setting):
-    """A degenerate cluster (many identical stored members) is dropped
-    from BOTH sides when over the cap; the other cluster still works."""
+    """A degenerate STORE cluster (many near-identical stored members)
+    is dropped-and-logged when over the cap — bounded work, lost
+    history matches for that cluster only — while BATCH vectors are
+    never dropped: every new vector keeps its annotated row (the
+    one-row-per-new-vector contract a streaming caller relies on)."""
     rng = np.random.default_rng(11)
     pivot = _vec(rng)
     flood = [(1000 + i, _jitter(pivot, rng)) for i in range(50)]
@@ -106,6 +109,10 @@ def test_max_list_size_guard(spark, setting):
     ann, _ = incremental_semantic_dedup(batch, store, codebook,
                                         tau=0.99, max_list_size=10)
     rows = {r.vec_id: r for r in ann.collect()}
-    # flood cluster dropped on both sides: 2000 sees no history (and
-    # was itself dropped from the capped batch side or kept unpaired)
+    # full batch coverage — nothing vanishes under the cap
+    assert set(rows) == {2000, 2001}
+    # the healthy cluster still dedups against history
     assert rows[2001].dup_of_history == 1 and rows[2001].keep == 0
+    # the flood cluster's history was dropped (logged): its batch probe
+    # sees no history and is kept — the documented bounded-work trade
+    assert rows[2000].dup_of_history is None and rows[2000].keep == 1
