@@ -452,7 +452,7 @@ def ivf_search(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
 
 
 def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
-              iters: int = 2) -> DataFrame:
+              iters: int = 2, persist: bool = True) -> DataFrame:
     """Lloyd refinement of an IVF codebook: start from a deterministic
     seed sample (the ``nlist`` lowest vec_ids of ``emb`` — note this is
     the generic rule over whatever frame the caller passes; `emb_ivf_topk`
@@ -471,24 +471,42 @@ def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
     closed-form SQL oracle — the convergence property (non-increasing
     inertia) is unit-tested instead (tests/test_llm_ops.py::TestIvfTrain).
 
-    ``emb`` must have columns ``vec_id`` and array-typed ``embedding``."""
+    ``emb`` must have columns ``vec_id`` and array-typed ``embedding``.
+
+    The function drives ``1 + iters`` actions over ``emb``'s DAG (seed
+    collect + one recenter collect per pass), so ``persist`` (default
+    on) caches the vector projection for the duration of the call and
+    releases it before returning — without it, an expensive upstream
+    (a raw-text `hashed_tfidf_vectors` bridge, a remote scan) would be
+    recomputed per action (the round-6 `x_text_embed_dedup` money bug).
+    Callers that already persisted their input pass ``persist=False``
+    to skip the redundant second materialization (`semantic_dedup`
+    does)."""
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>")
                       .alias("e"))
-    cb = [(i + 1, list(r.e)) for i, r in
-          enumerate(vecs.orderBy("vec_id").limit(nlist).collect())]
-    for _ in range(iters):
-        assigned = _nearest_assign(vecs, cb).select("vec_id", "e", "list_id")
-        recentred = (assigned
-                     .select("list_id", F.posexplode("e"))
-                     .groupBy("list_id", "pos")
-                     .agg(F.avg("col").alias("v"))
-                     .groupBy("list_id")
-                     .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
-                          .alias("pairs"))
-                     .select("list_id",
-                             F.transform(F.col("pairs"), lambda p: p["v"])
-                             .alias("ce")))
-        cb = [(r.list_id, list(r.ce)) for r in recentred.collect()]
+    if persist:
+        vecs = vecs.persist()
+    try:
+        cb = [(i + 1, list(r.e)) for i, r in
+              enumerate(vecs.orderBy("vec_id").limit(nlist).collect())]
+        for _ in range(iters):
+            assigned = _nearest_assign(vecs, cb).select("vec_id", "e",
+                                                        "list_id")
+            recentred = (assigned
+                         .select("list_id", F.posexplode("e"))
+                         .groupBy("list_id", "pos")
+                         .agg(F.avg("col").alias("v"))
+                         .groupBy("list_id")
+                         .agg(F.array_sort(F.collect_list(
+                             F.struct("pos", "v"))).alias("pairs"))
+                         .select("list_id",
+                                 F.transform(F.col("pairs"),
+                                             lambda p: p["v"])
+                                 .alias("ce")))
+            cb = [(r.list_id, list(r.ce)) for r in recentred.collect()]
+    finally:
+        if persist:
+            vecs.unpersist()
     return spark.createDataFrame(
         [(i, ce) for i, ce in cb], "list_id int, centroid array<double>")
 
@@ -605,12 +623,25 @@ def semantic_dedup(emb: DataFrame, nlist: int = 8, tau: float = 0.99,
     ``codebook`` (``list_id, centroid`` — e.g. a persisted `ivf_train`
     artifact, or a deterministic seed set) to skip the in-line Lloyd
     training; ``nlist``/``iters`` are then ignored."""
-    from .dedup import connected_components
+    from .dedup import _scoped_cache, connected_components
 
-    vecs = emb.select("vec_id",
-                      F.col("embedding").cast("array<double>").alias("e"))
+    # Scoped-cache the vector projection: the DAG above it (for
+    # `text_semantic_dedup`, a full tokenize + two corpus shuffles) is
+    # consumed by SEVERAL driver actions — ivf_train's seed + recenter
+    # collects, the pair stage's eager checkpoint inside
+    # connected_components, and the final member join. Un-persisted,
+    # each action recomputed the whole upstream (~5-6×, the round-6
+    # x_text_embed_dedup money bug — 41 s vs ~8 s at sf0.1); the cache
+    # bounds that to one materialization, reclaimed by the calling
+    # thread's next dedup-family query (`dedup._scoped_cache`).
+    vecs = _scoped_cache(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
     if codebook is None:
-        codebook = ivf_train(emb.sparkSession, emb, nlist, iters)
+        codebook = ivf_train(
+            emb.sparkSession,
+            vecs.select("vec_id", F.col("e").alias("embedding")),
+            nlist, iters, persist=False)
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     # zero-shuffle codebook-kernel argmax (see _nearest_assign)
     assigned = (_nearest_assign(vecs, cb)
@@ -858,8 +889,11 @@ def text_semantic_dedup(docs: DataFrame, dim: int = 256, tau: float = 0.9,
     ``vec_id`` = ``doc_id``. Corpus-local statistics are correct here
     (one corpus, one pass); pass a `fit_tfidf_stats` frame as ``stats``
     only when these vectors must stay comparable to vectors from OTHER
-    runs. At 100 TB: persist the embedding frame once (parquet), reuse
-    for dedup AND ANN serving."""
+    runs. The embedding DAG is scope-cached inside `semantic_dedup`, so
+    the tokenize + shuffle pipeline materializes ONCE across the
+    training/pair/member actions (round-6 finding: un-persisted it
+    recomputed ~5-6×). At 100 TB: persist the embedding frame once
+    (parquet), reuse for dedup AND ANN serving."""
     return semantic_dedup(
         hashed_tfidf_vectors(docs, dim, text_col, stats=stats),
         nlist=nlist, tau=tau, **kwargs)

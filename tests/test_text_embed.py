@@ -131,6 +131,37 @@ def test_vocab_tail_knobs(spark):
     assert len(nz) == 1          # exactly the 'rare1' bucket survives
 
 
+def test_embedding_dag_materializes_once(spark):
+    """The round-6 money bug: `text_semantic_dedup` drives ~5 driver
+    actions (ivf_train's seed + recenter collects, the component
+    checkpoint, the member join) over the embedding DAG; un-persisted,
+    every action recomputed the full tokenize+shuffle upstream. The
+    scoped cache in `semantic_dedup` (similarity.py) bounds that to ONE
+    materialization — pinned here by an accumulator ticked per source
+    row: one materialization of `hashed_tfidf_vectors` scans the docs
+    frame twice (the tf branch and the 1-row N-count branch), so the
+    cached path ticks 2n; the un-persisted path ticked ~10-12n (one 2n
+    scan pair per action)."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    @F.udf("string")
+    def tick(t):
+        acc.add(1)
+        return t
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta common word{i} gamma{i % 7}") for i in range(n)],
+        "doc_id long, text string").withColumn("text", tick("text"))
+    out = text_semantic_dedup(docs, dim=DIM, tau=0.95, nlist=2, iters=2)
+    assert out.count() == n
+    # cached: 2n (two branches of ONE materialization); broken: ~10n+
+    assert acc.value <= 3 * n, (
+        f"embedding DAG recomputed: {acc.value} source-row evaluations "
+        f"for {n} rows — the semantic_dedup scoped cache is not holding")
+
+
 def test_incremental_semantic_plan_has_no_cartesian(spark):
     """The day-2 kernel path must stay cogrouped equi-keyed — never a
     cross join of batch x store."""
