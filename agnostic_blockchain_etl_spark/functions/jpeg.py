@@ -222,6 +222,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ImageFormatError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — consume them, or a padded-but-valid stream misreads
+        # marker=0xFF and misparses into a truncated-segment error
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            raise ImageFormatError("truncated stream in marker padding")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:            # EOI before SOS
@@ -485,6 +492,14 @@ def encode_jpeg(width: int, height: int, rgb: bytes,
                         code, ln = enc_ac[hk][0xF0]      # ZRL
                         writer.write(code, ln)
                         run -= 16
+                    # baseline AC Huffman tables stop at category 10
+                    # (T.81 F.1.2.2); a near-1 quant table (quality
+                    # ≥~97) on a high-contrast block can quantize to
+                    # |coef| ≥ 1024 = category 11, which would KeyError
+                    # below — clamp to the representable magnitude
+                    # (the standard encoder bound; costs at most 1 LSB
+                    # on an extreme coefficient, stays a valid stream)
+                    v = max(-1023, min(1023, v))
                     s = _category(v)
                     code, ln = enc_ac[hk][(run << 4) | s]
                     writer.write(code, ln)

@@ -62,14 +62,32 @@ def decode_image_stub(payload: bytes, real_decode: bool = False) -> dict:
 
 _OUT_SCHEMA = ("doc_id BIGINT, modality STRING, n_chars BIGINT, "
                "chunk_count BIGINT, n_bytes BIGINT, width BIGINT, "
-               "height BIGINT, checksum BIGINT")
+               "height BIGINT, checksum BIGINT, decode_error STRING")
+
+_FEATURE_COLS = ["n_bytes", "width", "height", "checksum"]
 
 
 def _decode_batches_fn(real_decode: bool):
     """mapInPandas kernel factory: whole Arrow batches in, decoded
     features out; the typed metadata columns pass through the stage
     untouched (the catalog row rides next to the decode — no re-join
-    afterwards)."""
+    afterwards). Flag-don't-drop: an undecodable payload (malformed
+    stream, unsupported format — e.g. MP3) emits its row with null
+    features and the error string in ``decode_error`` instead of
+    raising through the kernel and failing the whole Spark job (the
+    `imagedup._phash_batches` contract; n_bytes is always real — it
+    needs no decode)."""
+    def _decode_one(payload: bytes) -> dict:
+        from ..functions.imaging import ImageFormatError
+        try:
+            row = decode_image_stub(payload, real_decode=real_decode)
+            return {**{c: row.get(c) for c in _FEATURE_COLS},
+                    "n_bytes": row.get("n_bytes", len(payload)),
+                    "decode_error": None}
+        except (ImageFormatError, IndexError, ValueError) as exc:
+            return {**dict.fromkeys(_FEATURE_COLS),
+                    "n_bytes": len(payload), "decode_error": str(exc)}
+
     def _decode_batches(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,8 +96,8 @@ def _decode_batches_fn(real_decode: bool):
                 # (pd.DataFrame([]) has no columns -> schema mismatch)
                 continue
             decoded = pd.DataFrame(
-                [decode_image_stub(bytes(p), real_decode=real_decode)
-                 for p in pdf["payload"]])
+                [_decode_one(bytes(p)) for p in pdf["payload"]],
+                columns=_FEATURE_COLS + ["decode_error"])
             passthrough = pdf[["doc_id", "modality", "n_chars",
                                "chunk_count"]].reset_index(drop=True)
             yield pd.concat([passthrough, decoded], axis=1)
@@ -88,7 +106,9 @@ def _decode_batches_fn(real_decode: bool):
 
 def decode_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode stage over an asset frame with columns
-    ``doc_id, payload, modality, n_chars, chunk_count``."""
+    ``doc_id, payload, modality, n_chars, chunk_count``. Undecodable
+    payloads keep their row: null features + ``decode_error`` string
+    (flag-don't-drop; filter on ``decode_error IS NULL`` downstream)."""
     return assets.mapInPandas(_decode_batches_fn(real_decode), _OUT_SCHEMA)
 
 
@@ -191,7 +211,8 @@ def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
            CAST(octet_length(payload) AS BIGINT)                  AS n_bytes,
            CAST(64 + octet_length(payload) % 512 AS BIGINT)       AS width,
            CAST(64 + (octet_length(payload) * 7) % 512 AS BIGINT) AS height,
-           CAST(byte_sum % 65536 AS BIGINT)                       AS checksum
+           CAST(byte_sum % 65536 AS BIGINT)                       AS checksum,
+           CAST(NULL AS VARCHAR)                                  AS decode_error
     FROM (
         SELECT doc_id, text, encode(text) AS payload,
                list_sum(list_transform(generate_series(1, length(text)),

@@ -218,37 +218,56 @@ def paragraph_store(docs: DataFrame, text_col: str = "text",
 _SEALED = -1
 
 
-def compact_paragraph_store(log: DataFrame) -> DataFrame:
-    """Collapse an append LOG of per-batch frequency rows into totals:
-    ``(h, df, first_doc)``. Replay-safe for tagged rows — an append
-    that ran twice contributes identical (h, batch_id) rows, which
-    dedupe (max df / min first_doc over identical values) BEFORE the
-    cross-batch sum, so compact(log + replayed batch) ≡ compact(log).
-    Untagged rows are treated as one sealed batch (id -1) and their df
+def _collapse_replays(log: DataFrame) -> DataFrame:
+    """Per-(h, batch_id) replay collapse with ``batch_id`` RETAINED:
+    a tagged append that ran twice contributes identical (h, batch_id)
+    rows, which dedupe here (max df / min first_doc over identical
+    values); untagged rows are one sealed batch (id -1) whose df
     contributions SUM within it — sealed rows have no batch identity
     to dedupe on, and collapsing distinct pre-tagging appends with max
-    would silently undercount df (the boilerplate thresholds would
-    then misclassify common paragraphs as rare). The asymmetry is the
-    contract: tagged rows get replay protection, sealed rows get
-    additive merge — tag at ingest to have both.
+    would silently undercount df (boilerplate thresholds would then
+    misclassify common paragraphs as rare). Output is still a LOG
+    (one row per (h, batch_id)), so downstream merges keep deduping
+    replays — the step that loses that power is
+    :func:`compact_paragraph_store`'s final sum, which seals."""
+    if "batch_id" not in log.columns:
+        log = log.withColumn("batch_id", F.lit(_SEALED).cast("long"))
+    return (log.groupBy("h", "batch_id")
+            .agg(F.max("df").alias("mdf"),
+                 F.sum("df").alias("sdf"),
+                 F.min("first_doc").alias("first_doc"))
+            .select("h", "batch_id",
+                    F.when(F.col("batch_id") == _SEALED,
+                           F.col("sdf")).otherwise(F.col("mdf"))
+                    .alias("df"),
+                    "first_doc"))
+
+
+def compact_paragraph_store(log: DataFrame) -> DataFrame:
+    """Collapse an append LOG of per-batch frequency rows into the
+    probe-ready totals ``(h, df, first_doc)``. Replay-safe for tagged
+    rows — the (h, batch_id) dedupe (`_collapse_replays`) runs BEFORE
+    the cross-batch sum, so compact(log + replayed batch) ≡
+    compact(log).
+
+    **Compaction SEALS.** The output drops ``batch_id``, so a later
+    merge of an ORIGINAL tagged batch into a compacted store is
+    undetectable (the sealed rows sum) — ``compact(merge(compact(
+    log, b)), b)`` double-counts b. This is why the tagged-merge path
+    of :func:`merge_paragraph_stores` does NOT route through here: the
+    tagged append-log stays authoritative and replay-deduping through
+    any chain of merges; compact is the terminal read-optimized view
+    you derive from it (per probe, or on a schedule), never the frame
+    you keep appending to. The asymmetry is the contract: tagged rows
+    get replay protection, sealed rows get additive merge — tag at
+    ingest to have both.
 
     Scale: two hash aggregations. The first shuffles the log on
     (h, batch_id) with map-side partial combine; the second shuffles
     the FIRST'S OUTPUT on h — already collapsed to one row per
     (paragraph, batch), i.e. at most batches× the final store size,
     far smaller than the log it summarizes."""
-    if "batch_id" not in log.columns:
-        log = log.withColumn("batch_id", F.lit(_SEALED).cast("long"))
-    per_batch = (log.groupBy("h", "batch_id")
-                 .agg(F.max("df").alias("mdf"),
-                      F.sum("df").alias("sdf"),
-                      F.min("first_doc").alias("first_doc"))
-                 .select("h", "batch_id",
-                         F.when(F.col("batch_id") == _SEALED,
-                                F.col("sdf")).otherwise(F.col("mdf"))
-                         .alias("df"),
-                         "first_doc"))
-    return (per_batch.groupBy("h")
+    return (_collapse_replays(log).groupBy("h")
             .agg(F.sum("df").alias("df"),
                  F.min("first_doc").alias("first_doc")))
 
@@ -261,9 +280,16 @@ def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
     merge-equals-one-shot parity are pytest-pinned.
 
     When either side carries ``batch_id`` (see :func:`paragraph_store`),
-    the merge routes through :func:`compact_paragraph_store`, so merging
-    the SAME tagged batch twice equals merging it once; untagged frames
-    are summed as-is (two untagged stores are assumed distinct)."""
+    the result is the replay-collapsed LOG — per-(h, batch_id) rows
+    with ``batch_id`` retained — NOT the sealed totals: merging the
+    SAME tagged batch twice equals merging it once, and because the
+    output keeps batch identity this holds through CHAINS of merges
+    (``merge(merge(log, b), b) ≡ merge(log, b)``; an earlier revision
+    compacted here, which sealed after the first merge and silently
+    double-counted the replay). Derive the one-row-per-h probe view
+    with :func:`compact_paragraph_store` at read time. Untagged frames
+    are summed as-is to sealed totals (two untagged stores are assumed
+    distinct)."""
     cols = ["h", "df", "first_doc"]
     if "batch_id" in a.columns or "batch_id" in b.columns:
         def tagged(df: DataFrame) -> DataFrame:
@@ -271,7 +297,7 @@ def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
                 df = df.withColumn("batch_id",
                                    F.lit(_SEALED).cast("long"))
             return df.select(*cols, "batch_id")
-        return compact_paragraph_store(tagged(a).unionByName(tagged(b)))
+        return _collapse_replays(tagged(a).unionByName(tagged(b)))
     return (a.select(*cols)
             .unionByName(b.select(*cols))
             .groupBy("h")
@@ -281,7 +307,8 @@ def merge_paragraph_stores(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def incremental_dedup_paragraphs(new_docs: DataFrame, store: DataFrame,
                                  text_col: str = "text", min_df: int = 2,
-                                 min_chars: int = 1
+                                 min_chars: int = 1,
+                                 batch_id: int | None = None
                                  ) -> tuple[DataFrame, DataFrame]:
     """De-boilerplate a new batch against history: returns
     ``(deduped, updated_store)`` where ``deduped`` has the
@@ -301,14 +328,26 @@ def incremental_dedup_paragraphs(new_docs: DataFrame, store: DataFrame,
     hashes (store bucketed by ``h`` → no store-side shuffle); the
     rebuild is the same one doc-keyed aggregation as the batch form.
     Store growth is one merge aggregation — or append + compact via
-    :func:`merge_paragraph_stores` at scale."""
+    :func:`merge_paragraph_stores` at scale.
+
+    ``store`` may be the probe-ready totals (one row per ``h``) OR the
+    tagged append log (per-(h, batch_id) rows — the replay-safe
+    deployment artifact); a log is compacted on the fly for the probe.
+    Pass ``batch_id`` to tag THIS batch's contribution in the returned
+    store, keeping the log authoritative end-to-end: replaying the call
+    with the same tag leaves the (compacted) store unchanged."""
     paras = doc_paragraphs(new_docs, text_col, min_chars)
     batch_freq = paragraph_frequency(paras)
-    probe = (batch_freq
+    probe_store = (compact_paragraph_store(store)
+                   if "batch_id" in store.columns else store)
+    if batch_id is not None:
+        batch_freq = batch_freq.withColumn(
+            "batch_id", F.lit(batch_id).cast("long"))
+    probe = (batch_freq.select("h", "df", "first_doc")
              .select("h", F.col("df").alias("bdf"),
                      F.col("first_doc").alias("bfirst"))
-             .join(store.select("h", F.col("df").alias("hdf"),
-                                F.col("first_doc").alias("hfirst")),
+             .join(probe_store.select("h", F.col("df").alias("hdf"),
+                                      F.col("first_doc").alias("hfirst")),
                    "h", "left"))
     stats = probe.select(
         "h",

@@ -209,6 +209,35 @@ class TestRealDecodeStage:
             assert (g.width, g.height, g.checksum, g.n_bytes) == \
                 (r.exp_w, r.exp_h, r.exp_sum, r.exp_len)
             assert g.modality == r.modality  # metadata passes through
+            assert g.decode_error is None
+
+    def test_undecodable_payload_flags_not_raises(self, spark):
+        """Flag-don't-drop holds for decode_features too (the round-6
+        advice finding: the docstring promised it but only imagedup
+        delivered): a malformed stream or an unsupported format (MP3
+        magic) emits its row with null features + decode_error instead
+        of killing the Spark job mid-kernel."""
+        from agnostic_blockchain_etl_spark.operators.multimodal import (
+            decode_features)
+        good = imaging.encode_bmp(3, 2, _rgb(3, 2))
+        rows = [(1, good, "image/bmp", 0, 1),
+                (2, b"\xff\xd8\x00\x01garbage", "image/jpeg", 0, 1),
+                (3, b"ID3\x03\x00mp3-payload", "audio/mpeg", 0, 1),
+                (4, b"BM\x00", "image/bmp", 0, 1)]
+        out = decode_features(
+            spark.createDataFrame(
+                rows, "doc_id long, payload binary, modality string, "
+                      "n_chars long, chunk_count long"),
+            real_decode=True)
+        got = {r.doc_id: r for r in out.collect()}
+        assert len(got) == 4                      # no row dropped
+        assert got[1].decode_error is None
+        assert got[1].width == 3
+        for bad in (2, 3, 4):
+            assert got[bad].decode_error, bad
+            assert got[bad].width is None and got[bad].checksum is None
+            assert got[bad].n_bytes == len(rows[bad - 1][1])
+            assert got[bad].modality == rows[bad - 1][2]  # passthrough
 
 
 class TestResize:

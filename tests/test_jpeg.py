@@ -161,6 +161,44 @@ def test_dhash_stable_across_bmp_and_jpeg():
     assert bmp_feat["checksum"] != 0
 
 
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker. A padded-but-valid stream must decode identically to the
+    unpadded one (the decoder used to read marker=0xFF and misparse
+    into a truncated-segment error)."""
+    w, h = 16, 16
+    rgb = _gradient(w, h)
+    payload = encode_jpeg(w, h, rgb, 90)
+    want = decode_jpeg(payload)
+    # pad the first DQT and the SOS markers (header region only — the
+    # entropy-coded segment stuffs its own 0xFF bytes as FF 00)
+    padded = payload.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    assert decode_jpeg(padded) == want
+    # an all-0xFF tail is a clean named error, not an IndexError
+    with pytest.raises(ImageFormatError):
+        decode_jpeg(b"\xff\xd8" + b"\xff" * 40)
+
+
+def test_high_quality_high_contrast_encodes():
+    """At quality >= ~97 the quant table clips to 1 and a +/-128
+    checkerboard block quantizes to |coef| >= 1024 = AC category 11,
+    absent from the baseline Huffman tables — the encoder used to
+    KeyError. The clamp to category 10 keeps the stream valid with
+    bounded error."""
+    w, h = 16, 16
+    x = np.indices((h, w)).sum(0) % 2
+    rgb = np.stack([x * 255] * 3, -1).astype(np.uint8).tobytes()
+    for quality in (97, 100):
+        dw, dh, out = decode_jpeg(encode_jpeg(w, h, rgb, quality))
+        assert (dw, dh) == (w, h)
+        err = np.abs(np.frombuffer(rgb, np.uint8).astype(int)
+                     - np.frombuffer(out, np.uint8).astype(int))
+        # chroma of a saturated checkerboard rings at 4:4:4 q~1; the
+        # clamp costs at most 1 quantized LSB on the extreme AC coef
+        assert err.mean() <= 24, (quality, err.mean())
+
+
 def test_progressive_rejected_with_named_error():
     payload = (b"\xff\xd8"
                + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)

@@ -207,7 +207,9 @@ class TestIncremental:
     def test_replayed_tagged_batch_merges_once(self, spark):
         """At-least-once ingest: appending the SAME tagged batch twice
         to the store log and compacting must equal merging it once —
-        the (h, batch_id) dedup runs before the df sum."""
+        the (h, batch_id) dedup runs before the df sum. The tagged
+        merge returns the replay-collapsed LOG (batch_id retained), so
+        totals are read through compact_paragraph_store."""
         from agnostic_blockchain_etl_spark.operators.paragraphs import (
             compact_paragraph_store, merge_paragraph_stores,
             paragraph_store)
@@ -216,8 +218,10 @@ class TestIncremental:
         batch = spark.createDataFrame(docs[20:], "doc_id long, text string")
         s_hist = paragraph_store(hist, batch_id=1)
         s_batch = paragraph_store(batch, batch_id=2)
+        merged_log = merge_paragraph_stores(s_hist, s_batch)
+        assert "batch_id" in merged_log.columns   # still a log
         once = {r.h: (r.df, r.first_doc) for r in
-                merge_paragraph_stores(s_hist, s_batch).collect()}
+                compact_paragraph_store(merged_log).collect()}
         replayed = {r.h: (r.df, r.first_doc) for r in
                     compact_paragraph_store(
                         s_hist.unionByName(s_batch)
@@ -226,12 +230,69 @@ class TestIncremental:
         # two-frame merge form, same replay: merge(a, b) == merge of the
         # log with b appended twice
         replayed2 = {r.h: (r.df, r.first_doc) for r in
-                     merge_paragraph_stores(
-                         s_hist.unionByName(s_batch), s_batch).collect()}
+                     compact_paragraph_store(merge_paragraph_stores(
+                         s_hist.unionByName(s_batch), s_batch)).collect()}
         assert replayed2 == once
         # (replay against SEALED history — untagged totals — is
         # documented as undetectable; the guarantee is log-replay
         # idempotence for tagged rows)
+
+    def test_chained_merge_still_dedupes_replay(self, spark):
+        """The round-6 advice falsifier: merge(merge(log, b), b) must
+        equal merge(log, b). The old tagged-merge path compacted — the
+        first merge SEALED the log (dropped batch_id), so the replayed
+        tagged batch summed on top and df double-counted, pushing
+        common paragraphs past boilerplate thresholds. The merge now
+        retains batch identity, so the chain dedupes indefinitely."""
+        from agnostic_blockchain_etl_spark.operators.paragraphs import (
+            compact_paragraph_store, merge_paragraph_stores,
+            paragraph_store)
+        docs = _rand_corpus()
+        hist = spark.createDataFrame(docs[:20], "doc_id long, text string")
+        batch = spark.createDataFrame(docs[20:], "doc_id long, text string")
+        s_hist = paragraph_store(hist, batch_id=1)
+        s_batch = paragraph_store(batch, batch_id=2)
+        once = merge_paragraph_stores(s_hist, s_batch)
+        chained = merge_paragraph_stores(once, s_batch)
+        got_once = {r.h: (r.df, r.first_doc) for r in
+                    compact_paragraph_store(once).collect()}
+        got_chain = {r.h: (r.df, r.first_doc) for r in
+                     compact_paragraph_store(chained).collect()}
+        assert got_chain == got_once
+        # and a third replay through another chain link
+        third = {r.h: (r.df, r.first_doc) for r in
+                 compact_paragraph_store(
+                     merge_paragraph_stores(chained, s_batch)).collect()}
+        assert third == got_once
+
+    def test_incremental_tagged_replay_adds_nothing(self, spark):
+        """incremental_dedup_paragraphs(batch_id=...) keeps the store a
+        tagged log end-to-end: replaying the same batch with the same
+        tag leaves the compacted totals unchanged, and the log store is
+        probed correctly (compacted on the fly)."""
+        from agnostic_blockchain_etl_spark.operators.paragraphs import (
+            compact_paragraph_store, incremental_dedup_paragraphs,
+            paragraph_store)
+        docs = _rand_corpus()
+        hist = spark.createDataFrame(docs[:20], "doc_id long, text string")
+        batch = spark.createDataFrame(docs[20:], "doc_id long, text string")
+        store = paragraph_store(hist, batch_id=1)
+        out1, store2 = incremental_dedup_paragraphs(batch, store,
+                                                    batch_id=2)
+        out2, store3 = incremental_dedup_paragraphs(batch, store2,
+                                                    batch_id=2)
+        t2 = {r.h: (r.df, r.first_doc) for r in
+              compact_paragraph_store(store2).collect()}
+        t3 = {r.h: (r.df, r.first_doc) for r in
+              compact_paragraph_store(store3).collect()}
+        assert t3 == t2
+        # deduped output identical both runs (store totals were equal)
+        r1 = {r.doc_id: (r.text, r.n_removed) for r in out1.collect()}
+        # the replayed run sees the batch's own paragraphs in history
+        # (the store already owns them), so every duplicate is a
+        # history drop now — text survives identically for the keepers
+        for r in out2.collect():
+            assert r.doc_id in r1
 
 
 def test_untagged_log_contributions_sum(spark):
