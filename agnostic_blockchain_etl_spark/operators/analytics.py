@@ -166,9 +166,13 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 @query("sessionization", oracle=f"""
     WITH ordered AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts,
+        SELECT user_id, event_id, epoch_us(ts) AS ts, value,
                lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                       ORDER BY epoch_us(ts), event_id) AS prev_ts
+                                       ORDER BY epoch_us(ts), event_id) AS prev_ts,
+               round(avg(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                     4) AS value_ma4
         FROM events),
     flagged AS (
         SELECT *, CASE WHEN prev_ts IS NULL
@@ -176,23 +180,37 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
                        THEN 1 ELSE 0 END AS is_new
         FROM ordered),
     sessions AS (
-        SELECT user_id, event_id, ts,
+        SELECT user_id, event_id, ts, value_ma4,
                sum(is_new) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged)
+        FROM flagged),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM sessions)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end
-    FROM sessions GROUP BY user_id, session_id
+           min(ts) AS session_start, max(ts) AS session_end,
+           max(CASE WHEN rnd = 1 THEN value_ma4 END) AS ma4_at_end
+    FROM ranked GROUP BY user_id, session_id
 """)
 def sessionization(spark, sf_dir):
     """Gaps-and-islands sessionization: a new session opens after a 30-min
     silence; session ids are running sums of the new-session flag. One
-    window pass partitioned by user — the canonical scalable shape."""
+    window pass partitioned by user — the canonical scalable shape.
+
+    ``ma4_at_end`` carries the sliding-row-frame facet (the trailing
+    4-row moving average over the per-user event stream, read at each
+    session's closing event) — absorbed from the freed `moving_average`
+    gate row in the round-7 rotation, so ROWS BETWEEN frames stay
+    driver-verified; `moving_average` remains the library entry point."""
     e = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = (e.select("user_id", "event_id", "ts")
+    flagged = (e.select("user_id", "event_id", "ts", "value")
+               .withColumn("value_ma4",
+                           F.round(F.avg("value").over(
+                               w.rowsBetween(-3, Window.currentRow)), 4))
                .withColumn("prev_ts", F.lag("ts").over(w))
                .withColumn("is_new",
                            F.when(F.col("prev_ts").isNull() |
@@ -202,23 +220,23 @@ def sessionization(spark, sf_dir):
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)))
-    return (sessions.groupBy("user_id",
-                             F.col("session_id").cast("long").alias("session_id"))
+    wd = Window.partitionBy("user_id", "session_id") \
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (sessions.withColumn("rnd", F.row_number().over(wd))
+            .groupBy("user_id",
+                     F.col("session_id").cast("long").alias("session_id"))
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end")))
+                 F.max("ts").alias("session_end"),
+                 F.max(F.when(F.col("rnd") == 1, F.col("value_ma4")))
+                  .alias("ma4_at_end")))
 
 
-@query("moving_average", oracle="""
-    SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY epoch_us(ts), event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
-               AS value_ma4
-    FROM events
-""")
 def moving_average(spark, sf_dir):
-    """Trailing moving average over a row frame per user."""
+    """Trailing moving average over a row frame per user. Gate coverage
+    moved into ``sessionization.ma4_at_end`` (round-7 rotation — the
+    slot went to `similarity.text_hashed_tfidf_embed`); kept as a
+    library entry point."""
     e = _events_us(spark, sf_dir)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-3, Window.currentRow))

@@ -878,6 +878,69 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
          .otherwise(F.col("raw")).alias("embedding"))
 
 
+_EMBED_DIM = 32   # gate-row vector width (compact: 500 docs × 32 buckets)
+
+_SQL_WORD_HASH60 = (
+    "CAST(list_sum(list_transform(generate_series(1, 15), "
+    "i -> (strpos('0123456789abcdef', substr(md5(word), i, 1)) - 1)::BIGINT"
+    " << (4 * (15 - i)))) AS BIGINT)")
+
+
+@query("text_hashed_tfidf_embed", oracle=f"""
+    WITH words_t AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS word
+        FROM documents),
+    w2 AS (SELECT doc_id, word FROM words_t WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2
+           GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    hashed AS (
+        SELECT word, {_SQL_WORD_HASH60} AS h
+        FROM (SELECT DISTINCT word FROM w2)),
+    feat AS (
+        SELECT tf.doc_id,
+               CAST(h % {_EMBED_DIM} AS INT) AS b,
+               (CASE WHEN (h >> 59) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                 * tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1) AS w
+        FROM tf JOIN dfreq USING (word) JOIN hashed USING (word)
+        CROSS JOIN n),
+    byb AS (SELECT doc_id, b, sum(w) AS w FROM feat GROUP BY doc_id, b),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM byb
+            GROUP BY doc_id),
+    grid AS (
+        SELECT d.doc_id, g.bucket
+        FROM (SELECT DISTINCT doc_id FROM byb) d
+        CROSS JOIN (SELECT unnest(generate_series(0, {_EMBED_DIM - 1}))
+                    AS bucket) g)
+    SELECT g.doc_id AS vec_id, CAST(g.bucket AS INT) AS bucket,
+           round(coalesce(byb.w, 0)
+                 / (CASE WHEN nrm.nm > 0 THEN nrm.nm ELSE 1 END), 6) AS w
+    FROM grid g
+    LEFT JOIN byb ON byb.doc_id = g.doc_id AND byb.b = g.bucket
+    JOIN nrm ON nrm.doc_id = g.doc_id
+""")
+def text_hashed_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `hashed_tfidf_vectors` — the text→vector bridge that
+    feeds every text-similarity flow — exploded to one row per (doc,
+    bucket) so the driver value-hash pins the WHOLE arithmetic chain:
+    whitespace tokenization, the portable md5 60-bit word hash, bucket
+    = h mod dim, the ±1 top-bit sign, smoothed idf ``ln((N+1)/(df+1))
+    + 1``, the per-(doc, bucket) signed sum, and L2 normalization.
+    Everything is exact integer/md5 arithmetic except the float
+    products/sums, which are summation-order noise (~1e-16 relative)
+    under the 1e-6 rounding — the same tolerance discipline as the
+    cosine gate rows. Token-less documents emit no row on either side
+    (no similarity signal — the operator's documented contract)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    emb = hashed_tfidf_vectors(t["documents"].select("doc_id", "text"),
+                               dim=_EMBED_DIM)
+    return (emb.select("vec_id", F.posexplode("embedding"))
+            .select("vec_id", F.col("pos").cast("int").alias("bucket"),
+                    F.round("col", 6).alias("w")))
+
+
 def text_semantic_dedup(docs: DataFrame, dim: int = 256, tau: float = 0.9,
                         nlist: int = 8, text_col: str = "text",
                         stats: DataFrame | None = None,

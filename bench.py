@@ -57,7 +57,7 @@ HEADLINE = [
     "pivot_unpivot_roundtrip",
     "stats_distinct_agg",
     "time_bucket_rollup",
-    "moving_average",
+    "text_hashed_tfidf_embed",
     "approx_sketches",
     "dedup_hamming_pairs",
     "rollup_cube_agg",

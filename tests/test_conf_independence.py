@@ -22,8 +22,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the full --plain-session harness run, documented in COVERAGE.md).
 SENSITIVE = [
     "time_bucket_rollup",      # timestamp output column
-    "sessionization",          # epoch-µs arithmetic end to end
-    "moving_average",          # epoch-µs + float windows
+    "sessionization",          # epoch-µs arithmetic + float row frame
+                               # (absorbed moving_average, r7 rotation)
+    "text_hashed_tfidf_embed",  # float idf/norm arithmetic end to end
     "asof_join_last_click",    # epoch-µs as-of semantics
     "key_set_facets",          # epoch-day derivation (except facet)
     "dedup_signatures",        # ABSOLUTE hash values (r2's red row)
