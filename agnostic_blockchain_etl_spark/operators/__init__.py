@@ -29,8 +29,8 @@ from .incremental import (corpus_diff, digest_store, incremental_dedup,
                           incremental_neardup_pairs, signature_store,
                           stored_neardup_pairs,
                           write_signature_store_tables)
-from .similarity import (cosine_topk, fit_tfidf_stats,
-                         hashed_tfidf_vectors,
+from .similarity import (compact_semantic_store, cosine_topk,
+                         fit_tfidf_stats, hashed_tfidf_vectors,
                          incremental_semantic_dedup, ivf_search,
                          ivf_train, semantic_dedup,
                          semantic_member_store, text_semantic_dedup)
@@ -77,8 +77,8 @@ __all__ = [
     "stored_neardup_pairs", "write_signature_store_tables",
     "corpus_diff", "digest_store", "incremental_exact_dedup",
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
-    "cosine_topk", "fit_tfidf_stats", "hashed_tfidf_vectors",
-    "incremental_semantic_dedup",
+    "compact_semantic_store", "cosine_topk", "fit_tfidf_stats",
+    "hashed_tfidf_vectors", "incremental_semantic_dedup",
     "ivf_search", "ivf_train", "semantic_dedup", "semantic_member_store",
     "text_semantic_dedup",
     "audio_feature_stage", "decode_features", "resize_images",

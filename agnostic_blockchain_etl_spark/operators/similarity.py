@@ -975,11 +975,60 @@ def semantic_member_store(emb: DataFrame,
     store-side shuffle, exactly like the MinHash signature store; the
     codebook itself (nlist rows) persists beside it and must be REUSED
     for every subsequent batch — assignments under a retrained codebook
-    are not comparable."""
+    are not comparable.
+
+    Lifecycle: `incremental_semantic_dedup` appends kept vectors every
+    batch, so at day-N a popular cluster grows until the
+    ``max_list_size`` guard starts dropping its HISTORY from the probe
+    (bounded work, lost matches). Run :func:`compact_semantic_store` on
+    a schedule (the `compact_paragraph_store` pattern) to collapse
+    mutually-near members to representatives BEFORE the cap ever
+    bites — compaction keeps the matches the cap would have dropped."""
     vecs = emb.select("vec_id",
                       F.col("embedding").cast("array<double>").alias("e"))
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     return _nearest_assign(vecs, cb).select("vec_id", "list_id", "e")
+
+
+def compact_semantic_store(store: DataFrame, tau_compact: float = 0.99,
+                           max_cluster_size: int | None = None
+                           ) -> DataFrame:
+    """Bound day-N growth of a `semantic_member_store`: within each
+    list, members that are mutually cosine-≥``tau_compact`` collapse to
+    ONE representative (the minimum ``vec_id`` of the connected
+    component — the oldest member, so representative identity is stable
+    across compactions). Returns the same ``(vec_id, list_id, e)``
+    schema, ready to persist over the old store.
+
+    Why this beats the cap: ``max_list_size`` on the probe side DROPS
+    an oversized cluster wholesale — bounded work, but every history
+    match in it is silently lost. A flooded cluster is flooded
+    precisely because its members are near-identical, which is exactly
+    what compaction removes: the flood collapses to ~1 row, the list
+    drops back under the cap, and future probes still hit the
+    representative. Run it append-heavy-store → compact on a schedule,
+    the `compact_paragraph_store` rhythm.
+
+    Recall contract: set ``tau_compact`` ≥ the probe ``tau``. Dropping
+    member d because rep r has cos(r, d) ≥ tau_compact loses a future
+    probe v only when cos(v, d) ≥ tau but cos(v, r) < tau — possible in
+    the angular sliver θ(v,r) ≤ θ(v,d) + θ(d,r), which shrinks to zero
+    as tau_compact → 1 (exact-dup compaction is lossless). The same
+    trade `_cluster_pairs` documents for its split guard.
+
+    Scale: one list_id-keyed shuffle into the per-cluster BLAS pair
+    kernel (``max_cluster_size`` passes through to its split/star-probe
+    guard — a degenerate flood costs O(m), not O(m²)), components over
+    the near-dup edge subgraph only, one hash anti-join to drop the
+    non-representatives."""
+    from .dedup import connected_components
+
+    members = store.select("vec_id", "list_id", "e")
+    pairs = _cluster_pairs(members, tau_compact, max_cluster_size)
+    dropped = (connected_components(pairs)
+               .where(F.col("label") != F.col("doc_id"))
+               .select(F.col("doc_id").alias("vec_id")))
+    return members.join(dropped, "vec_id", "left_anti")
 
 
 def incremental_semantic_dedup(new_emb: DataFrame, store: DataFrame,

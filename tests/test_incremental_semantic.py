@@ -6,7 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from agnostic_blockchain_etl_spark.operators.similarity import (
-    incremental_semantic_dedup, semantic_member_store)
+    compact_semantic_store, incremental_semantic_dedup,
+    semantic_member_store)
 
 
 @pytest.fixture(scope="module")
@@ -116,3 +117,62 @@ def test_max_list_size_guard(spark, setting):
     # the flood cluster's history was dropped (logged): its batch probe
     # sees no history and is kept — the documented bounded-work trade
     assert rows[2000].dup_of_history is None and rows[2000].keep == 1
+
+
+def test_compaction_keeps_matches_the_cap_drops(spark):
+    """The day-N lifecycle (round-6 verdict ask): an append-heavy store
+    whose flooded cluster would be amputated by ``max_list_size`` is
+    instead COMPACTED — mutually-near members collapse to the oldest
+    representative — so the list drops under the cap and the history
+    match survives. Same flood, same cap, opposite outcome."""
+    rng = np.random.default_rng(23)
+    pivot = _vec(rng)
+    flood = [(1000 + i, _jitter(pivot, rng, eps=1e-4)) for i in range(50)]
+    other = _vec(rng)
+    hist = spark.createDataFrame(
+        flood + [(1, other)], "vec_id long, embedding array<double>")
+    codebook = spark.createDataFrame(
+        [(0, pivot), (1, other)], "list_id int, centroid array<double>")
+    store = semantic_member_store(hist, codebook)
+
+    compacted = compact_semantic_store(store, tau_compact=0.99)
+    by_list = {r.list_id: r for r in compacted.collect()}
+    # the flood collapsed to its OLDEST member; the singleton untouched
+    assert len(by_list) == 2
+    assert by_list[0].vec_id == 1000
+    assert by_list[1].vec_id == 1
+
+    batch = spark.createDataFrame(
+        [(2000, _jitter(pivot, rng, eps=1e-4))],
+        "vec_id long, embedding array<double>")
+    # uncompacted + cap: history amputated, dup admitted (the r6 state)
+    ann_cap, _ = incremental_semantic_dedup(batch, store, codebook,
+                                            tau=0.99, max_list_size=10)
+    assert ann_cap.collect()[0].keep == 1
+    # compacted + same cap: the representative still rejects the dup
+    ann_cmp, _ = incremental_semantic_dedup(batch, compacted, codebook,
+                                            tau=0.99, max_list_size=10)
+    row = ann_cmp.collect()[0]
+    assert row.dup_of_history == 1000 and row.keep == 0
+
+
+def test_compaction_idempotent_and_star_probe_bounded(spark):
+    """compact(compact(s)) == compact(s) (representatives are mutually
+    below tau_compact by construction), and a sign-degenerate flood
+    far over ``max_cluster_size`` still collapses through the star
+    probe (O(m) edges spanning the flood component)."""
+    rng = np.random.default_rng(29)
+    pivot = _vec(rng)
+    flood = [(i, _jitter(pivot, rng, eps=1e-5)) for i in range(200)]
+    hist = spark.createDataFrame(flood,
+                                 "vec_id long, embedding array<double>")
+    codebook = spark.createDataFrame([(0, pivot)],
+                                     "list_id int, centroid array<double>")
+    store = semantic_member_store(hist, codebook)
+    once = compact_semantic_store(store, tau_compact=0.999,
+                                  max_cluster_size=32)
+    got = once.collect()
+    assert len(got) == 1 and got[0].vec_id == 0   # star probe spans all
+    twice = compact_semantic_store(once, tau_compact=0.999,
+                                   max_cluster_size=32)
+    assert [r.vec_id for r in twice.collect()] == [0]
