@@ -38,6 +38,7 @@ from .tables import load_tables
 from .mixture import (apply_mixture_rates, mixture_weights,
                       temperature_mixture)
 from .multimodal import (audio_feature_stage, decode_features,
+                         mp3_metadata_stage,
                          resize_images, sample_frames)
 from .pii import luhn_valid, pii_scrub, pii_scrub_extended
 from .shards import balanced_shard_assign, write_training_shards
@@ -81,7 +82,8 @@ __all__ = [
     "hashed_tfidf_vectors", "incremental_semantic_dedup",
     "ivf_search", "ivf_train", "semantic_dedup", "semantic_member_store",
     "text_semantic_dedup",
-    "audio_feature_stage", "decode_features", "resize_images",
+    "audio_feature_stage", "decode_features", "mp3_metadata_stage",
+    "resize_images",
     "audio_fingerprint", "audio_near_dup_pairs", "curate_media",
     "hamming_near_dup_pairs", "image_near_dup_pairs", "image_phash",
     "video_frame_phashes", "video_near_dup_pairs",

@@ -170,6 +170,47 @@ def audio_feature_stage(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_features, _AUDIO_SCHEMA)
 
 
+_MP3_SCHEMA = ("doc_id BIGINT, n_frames BIGINT, sample_rate BIGINT, "
+               "channels BIGINT, mode STRING, version STRING, "
+               "bitrate_kbps DOUBLE, vbr BOOLEAN, duration_s DOUBLE, "
+               "decode_error STRING")
+
+_MP3_COLS = ["n_frames", "sample_rate", "channels", "mode", "version",
+             "bitrate_kbps", "vbr", "duration_s"]
+
+
+def mp3_metadata_stage(assets: DataFrame) -> DataFrame:
+    """Arrow-batched MP3 stream-metadata extraction (``functions/mp3.py``
+    — spec-direct frame-header walk: sync, bitrate/samplerate tables,
+    ID3v2 skip, Xing/Info VBR tag, frame count → duration). Input needs
+    ``doc_id, payload``; 1:1 row map; undecodable payloads flag
+    ``decode_error`` and keep their row (flag-don't-drop). This is the
+    MP3 slot's deliberate scope — metadata, not PCM; see COVERAGE.md's
+    multimodal close-out for the sample-decode decision."""
+    from ..functions.mp3 import AudioFormatError, mp3_metadata
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = mp3_metadata(bytes(payload))
+                    rows.append({"doc_id": int(doc_id),
+                                 **{c: m[c] for c in _MP3_COLS},
+                                 "decode_error": None})
+                except (AudioFormatError, IndexError, ValueError) as exc:
+                    rows.append({"doc_id": int(doc_id),
+                                 **dict.fromkeys(_MP3_COLS),
+                                 "decode_error": str(exc)})
+            yield pd.DataFrame(rows, columns=["doc_id", *_MP3_COLS,
+                                              "decode_error"])
+
+    return assets.select("doc_id", "payload").mapInPandas(_meta,
+                                                          _MP3_SCHEMA)
+
+
 _FRAMES_SCHEMA = ("doc_id BIGINT, frame_idx BIGINT, width BIGINT, "
                   "height BIGINT, checksum BIGINT, payload BINARY")
 
