@@ -1061,13 +1061,20 @@ def incremental_semantic_dedup(new_emb: DataFrame, store: DataFrame,
     `_cluster_pairs`' split-don't-drop guard instead (sign-LSH subkey
     split, star-probe fallback). Scale ``nlist`` with the corpus to
     keep expected list size constant."""
-    from .dedup import cap_group_size, connected_components
+    from .dedup import _scoped_cache, cap_group_size, connected_components
 
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     new_vecs = new_emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    assigned = _nearest_assign(new_vecs, cb) \
-        .select("vec_id", "list_id", "e")
+    # Scoped-cache the assigned batch: it feeds FOUR consumers (the
+    # history cogroup, the within-batch pair kernel, the annotation
+    # join, the kept-rows store append) plus connected_components'
+    # eager checkpoint action — un-persisted, each consumer recomputes
+    # the batch embedding DAG upstream (for a text bridge: the full
+    # tokenize + shuffles — the same recompute class as the round-6
+    # text_semantic_dedup finding, fixed the same way).
+    assigned = _scoped_cache(_nearest_assign(new_vecs, cb)
+                             .select("vec_id", "list_id", "e"))
     hist = store.select("vec_id", "list_id", "e")
     if max_list_size is not None:
         hist = cap_group_size(hist, ["list_id"], max_list_size,

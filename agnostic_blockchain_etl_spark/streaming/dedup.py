@@ -238,7 +238,19 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
     its first attempt saw. Semantic state is a per-cluster member
     JOIN, not a point lookup, so it lives in the store table rather
     than the engine's keyed state store — each batch pays one bounded
-    cogrouped kernel against it."""
+    cogrouped kernel against it.
+
+    Day-N lifecycle: the store grows by every kept vector, and a
+    flooded cluster eventually hits ``max_list_size``'s drop-and-log
+    guard. Between stream restarts, run
+    `operators.similarity.compact_semantic_store` over the store
+    parquet and rewrite it as the new baseline (one ``batch_id=0``
+    snapshot directory replacing the old partitions) — compaction
+    keeps the matches the cap would drop. Compacting SEALS replay
+    detection for the batches it absorbed (same contract as
+    `compact_paragraph_store`'s terminal sum): only compact batches
+    the checkpoint has fully committed, i.e. while the stream is
+    stopped."""
     from ..operators.similarity import (hashed_tfidf_vectors,
                                         incremental_semantic_dedup)
 

@@ -159,6 +159,47 @@ def _extra_probes() -> dict:
         k = max(10, d.count() // 10)
         return dsir_sample(d.select("doc_id", "text"), target, k=k)
 
+    def p_text_embed_day2(spark, sf):
+        # the FROZEN-STATS day-2 text path end-to-end (round-6 verdict
+        # ask #6), in its production shape — every cross-step artifact
+        # persists as parquet and is read back, exactly like
+        # `semantic_dedup_stream`'s deployment contract: fit vocabulary
+        # statistics ONCE on history (identical text must embed
+        # identically in every later batch), persist stats + history
+        # embeddings + codebook + member store, then chain TWO
+        # incremental batches, re-persisting the store between them.
+        # The timed number is the whole day-0→day-2 flow; the probe's
+        # 10× ratio is the growth curve of the day-2 text path.
+        import tempfile
+
+        from agnostic_blockchain_etl_spark.operators.similarity import (
+            fit_tfidf_stats, hashed_tfidf_vectors,
+            incremental_semantic_dedup, ivf_train, semantic_member_store)
+        base = tempfile.mkdtemp(prefix="x_text_embed_day2_")
+        d = _docs(spark, sf).select("doc_id", "text")
+        hist_docs = d.where(F.col("doc_id") % 2 == 0)
+        b1_docs = d.where(F.col("doc_id") % 4 == 1)
+        b2_docs = d.where(F.col("doc_id") % 4 == 3)
+
+        def _persist(df, name):
+            df.write.mode("overwrite").parquet(f"{base}/{name}")
+            return spark.read.parquet(f"{base}/{name}")
+
+        stats = _persist(fit_tfidf_stats(hist_docs, min_df=2), "stats")
+        hist_emb = _persist(
+            hashed_tfidf_vectors(hist_docs, dim=128, stats=stats), "emb")
+        cb = _persist(ivf_train(spark, hist_emb, nlist=16, iters=1),
+                      "codebook")
+        store = _persist(semantic_member_store(hist_emb, cb), "store0")
+        _, store1 = incremental_semantic_dedup(
+            hashed_tfidf_vectors(b1_docs, dim=128, stats=stats),
+            store, cb, tau=0.9)
+        store1 = _persist(store1, "store1")
+        ann2, _ = incremental_semantic_dedup(
+            hashed_tfidf_vectors(b2_docs, dim=128, stats=stats),
+            store1, cb, tau=0.9)
+        return ann2
+
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
                                                              ivf_train)
@@ -172,6 +213,7 @@ def _extra_probes() -> dict:
     return {"x_dsir_sample": p_dsir_sample,
             "x_semantic_dedup": p_semantic_dedup,
             "x_text_embed_dedup": p_text_embed_dedup,
+            "x_text_embed_day2": p_text_embed_day2,
             "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,

@@ -119,6 +119,38 @@ def test_max_list_size_guard(spark, setting):
     assert rows[2000].dup_of_history is None and rows[2000].keep == 1
 
 
+def test_batch_dag_materializes_once(spark):
+    """The round-7 twin of the text-path recompute pin: `assigned`
+    inside incremental_semantic_dedup feeds four consumers plus the
+    component checkpoint; the scoped cache bounds the batch embedding
+    DAG to one materialization. An accumulator UDF upstream ticks per
+    source row: cached ≈ 1n, un-persisted was ~4-5n."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    @F.udf("array<double>")
+    def tick(e):
+        acc.add(1)
+        return e
+
+    rng = np.random.default_rng(31)
+    base = _vec(rng)
+    n = 30
+    batch = spark.createDataFrame(
+        [(i, _vec(rng)) for i in range(n)],
+        "vec_id long, embedding array<double>") \
+        .withColumn("embedding", tick("embedding"))
+    store = spark.createDataFrame(
+        [(1000, 0, base)], "vec_id long, list_id int, e array<double>")
+    codebook = spark.createDataFrame(
+        [(0, base)], "list_id int, centroid array<double>")
+    ann, updated = incremental_semantic_dedup(batch, store, codebook,
+                                              tau=0.99)
+    assert ann.count() == n
+    assert acc.value <= 2 * n, (
+        f"batch DAG recomputed: {acc.value} evaluations for {n} rows")
+
+
 def test_compaction_keeps_matches_the_cap_drops(spark):
     """The day-N lifecycle (round-6 verdict ask): an append-heavy store
     whose flooded cluster would be amputated by ``max_list_size`` is
