@@ -89,12 +89,14 @@ def parse_frame_header(payload: bytes, pos: int) -> dict:
             "frame_len": frame_len}
 
 
-def _xing_offset(version: str, channels: int) -> int:
-    """Side-info length (after the 4-byte header) in front of a
-    Xing/Info tag — ISO 11172-3 §2.4.1.7 sizes."""
+def _xing_offset(version: str, channels: int, crc: bool) -> int:
+    """Side-info length (after the 4-byte header and the optional
+    16-bit CRC that protection_bit=0 inserts before it) in front of a
+    Xing/Info tag — ISO 11172-3 §2.4.1.7/§2.4.1.8 sizes."""
+    off = 4 + (2 if crc else 0)
     if version == "MPEG1":
-        return 4 + (17 if channels == 1 else 32)
-    return 4 + (9 if channels == 1 else 17)
+        return off + (17 if channels == 1 else 32)
+    return off + (9 if channels == 1 else 17)
 
 
 def mp3_metadata(payload: bytes) -> dict:
@@ -112,7 +114,6 @@ def mp3_metadata(payload: bytes) -> dict:
     pos, n = start, len(payload)
     frames = 0
     vbr_tag = False
-    rates = set()
     bitrates = []
     first = None
     samples = 0
@@ -120,9 +121,14 @@ def mp3_metadata(payload: bytes) -> dict:
         if payload[pos:pos + 3] == b"TAG" and n - pos == 128:
             break                                  # trailing ID3v1
         f = parse_frame_header(payload, pos)
+        if pos + f["frame_len"] > n:
+            raise AudioFormatError(
+                f"truncated final frame (header promises "
+                f"{f['frame_len']} bytes, {n - pos} remain)")
         if first is None:
             first = f
-            off = pos + _xing_offset(f["version"], f["channels"])
+            off = pos + _xing_offset(f["version"], f["channels"],
+                                     f["crc"])
             tag = payload[off:off + 4]
             if tag in (b"Xing", b"Info"):
                 vbr_tag = tag == b"Xing"
@@ -133,7 +139,6 @@ def mp3_metadata(payload: bytes) -> dict:
             raise AudioFormatError("mid-stream format change")
         frames += 1
         samples += f["n_samples"]
-        rates.add(f["sample_rate"])
         bitrates.append(f["bitrate_kbps"])
         pos += f["frame_len"]
     if frames == 0:
@@ -142,7 +147,8 @@ def mp3_metadata(payload: bytes) -> dict:
                                     and n - pos == 128):
         raise AudioFormatError(
             f"trailing garbage after last frame ({n - pos} bytes)")
-    rate = rates.pop()
+    # the format-change guard pins a single rate across the stream
+    rate = first["sample_rate"]
     return {"n_frames": frames,
             "sample_rate": rate,
             "channels": first["channels"],
@@ -156,7 +162,8 @@ def mp3_metadata(payload: bytes) -> dict:
 
 def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128,
                       sample_rate: int = 44100, mono: bool = False,
-                      bitrates: list[int] | None = None) -> bytes:
+                      bitrates: list[int] | None = None,
+                      crc: bool = False) -> bytes:
     """Assemble a syntactically valid Layer III frame chain with ZEROED
     frame bodies — the parser-side test twin (the role `encode_jpeg`
     plays for the image decoder). Zero bodies are NOT decodable audio;
@@ -173,9 +180,12 @@ def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128,
     seq = bitrates if bitrates is not None else [bitrate_kbps] * n_frames
     for kbps in seq:
         br_idx = table.index(kbps)
-        h = (0x7FF << 21) | (version << 19) | (1 << 17) | (1 << 16) \
+        h = (0x7FF << 21) | (version << 19) | (1 << 17) \
+            | ((0 if crc else 1) << 16) \
             | (br_idx << 12) | (sr_idx << 10) | ((3 if mono else 0) << 6)
         n_samples = 1152 if version == 3 else 576
         frame_len = (n_samples // 8) * kbps * 1000 // sample_rate
+        # protection_bit=0 puts a 16-bit CRC right after the header,
+        # INSIDE frame_len; the parser skips it, so zeros suffice here
         out += struct.pack(">I", h) + bytes(frame_len - 4)
     return bytes(out)

@@ -77,8 +77,9 @@ def _decode_batches_fn(real_decode: bool):
     raising through the kernel and failing the whole Spark job (the
     `imagedup._phash_batches` contract; n_bytes is always real — it
     needs no decode)."""
+    from ..functions.imaging import ImageFormatError
+
     def _decode_one(payload: bytes) -> dict:
-        from ..functions.imaging import ImageFormatError
         try:
             row = decode_image_stub(payload, real_decode=real_decode)
             return {**{c: row.get(c) for c in _FEATURE_COLS},

@@ -1020,10 +1020,14 @@ def compact_semantic_store(store: DataFrame, tau_compact: float = 0.99,
     kernel (``max_cluster_size`` passes through to its split/star-probe
     guard — a degenerate flood costs O(m), not O(m²)), components over
     the near-dup edge subgraph only, one hash anti-join to drop the
-    non-representatives."""
-    from .dedup import connected_components
+    non-representatives. The member projection is scope-cached: the
+    pair kernel's component checkpoint and the final anti-join both
+    consume it, and a lineage-backed store (a text bridge under test,
+    a remote scan) would otherwise recompute its upstream per action
+    (the same multi-consumer class as `semantic_dedup`'s cache)."""
+    from .dedup import _scoped_cache, connected_components
 
-    members = store.select("vec_id", "list_id", "e")
+    members = _scoped_cache(store.select("vec_id", "list_id", "e"))
     pairs = _cluster_pairs(members, tau_compact, max_cluster_size)
     dropped = (connected_components(pairs)
                .where(F.col("label") != F.col("doc_id"))

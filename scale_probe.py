@@ -170,12 +170,14 @@ def _extra_probes() -> dict:
         # incremental batches, re-persisting the store between them.
         # The timed number is the whole day-0→day-2 flow; the probe's
         # 10× ratio is the growth curve of the day-2 text path.
-        import tempfile
-
         from agnostic_blockchain_etl_spark.operators.similarity import (
             fit_tfidf_stats, hashed_tfidf_vectors,
             incremental_semantic_dedup, ivf_train, semantic_member_store)
-        base = tempfile.mkdtemp(prefix="x_text_embed_day2_")
+        # deterministic per-SF scratch dir, OVERWRITTEN per invocation:
+        # mkdtemp would leak one multi-MB parquet tree per warm/timed
+        # pass (4 per probe run), accumulating across runs
+        base = "/tmp/x_text_embed_day2_" \
+            + os.path.basename(sf.rstrip("/"))
         d = _docs(spark, sf).select("doc_id", "text")
         hist_docs = d.where(F.col("doc_id") % 2 == 0)
         b1_docs = d.where(F.col("doc_id") % 4 == 1)

@@ -83,6 +83,25 @@ class TestStreamWalk:
         assert m["n_frames"] == 5                  # tag frame not counted
         assert m["vbr"]
 
+    def test_xing_tag_found_behind_crc(self):
+        """protection_bit=0 inserts a 16-bit CRC between header and
+        side info (ISO 11172-3 §2.4.1.8), shifting a Xing/Info tag by
+        2 bytes — the offset must account for it or a CRC-protected
+        VBR file's tag frame is counted as audio (review finding)."""
+        frames = encode_mp3_frames(6, 128, 44100, crc=True)
+        flen = 144 * 128000 // 44100
+        tag = bytearray(frames[:flen])
+        tag[4 + 2 + 32:4 + 2 + 32 + 4] = b"Xing"   # +2 for the CRC
+        m = mp3_metadata(bytes(tag) + frames[flen:])
+        assert m["n_frames"] == 5 and m["vbr"]
+
+    def test_truncated_final_frame_named_error(self):
+        """A mid-frame-truncated download reports truncation, not a
+        negative 'trailing garbage' count (review finding)."""
+        good = encode_mp3_frames(3, 128, 44100)
+        with pytest.raises(AudioFormatError, match="truncated final"):
+            mp3_metadata(good[:-50])
+
     def test_desync_and_garbage_raise(self):
         good = encode_mp3_frames(2, 128, 44100)
         with pytest.raises(AudioFormatError):
