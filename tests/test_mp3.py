@@ -116,6 +116,46 @@ class TestStreamWalk:
                          + encode_mp3_frames(1, 128, 48000))
 
 
+class TestFuzz:
+    """The flag-don't-drop catch set must be exhaustive: NO payload may
+    raise anything outside (AudioFormatError, IndexError, ValueError)
+    — anything else would escape the Spark stage's except clause and
+    kill the job (the round-6 advice failure class)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=600))
+    def test_random_bytes_never_escape(self, payload):
+        try:
+            mp3_metadata(payload)
+        except (AudioFormatError, IndexError, ValueError):
+            pass
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.binary(max_size=400))
+    def test_syncish_headers_never_escape(self, header, tail):
+        """Bias toward the hard region: a valid-looking sync word with
+        arbitrary header bits and arbitrary body bytes."""
+        payload = b"\xff" + bytes([0xE0 | (header & 0x1F)]) \
+            + (header >> 8).to_bytes(3, "big")[-2:] + tail
+        try:
+            mp3_metadata(payload)
+        except (AudioFormatError, IndexError, ValueError):
+            pass
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(1, 8), st.integers(0, 200))
+    def test_truncations_of_valid_streams_never_escape(self, n, cut):
+        payload = encode_mp3_frames(n, 128, 44100)
+        try:
+            m = mp3_metadata(payload[:len(payload) - cut])
+            assert m["n_frames"] <= n
+        except (AudioFormatError, IndexError, ValueError):
+            pass
+
+
 @pytest.fixture(scope="module")
 def spark():
     from agnostic_blockchain_etl_spark.session import get_session
