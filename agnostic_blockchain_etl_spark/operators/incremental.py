@@ -61,7 +61,8 @@ def _est_jaccard(a: DataFrame, b: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def incremental_neardup_pairs(new_docs: DataFrame, store: DataFrame,
                               threshold: float = _EST_THRESHOLD,
-                              max_bucket_size: int | None = None
+                              max_bucket_size: int | None = None,
+                              new_sigs: DataFrame | None = None
                               ) -> DataFrame:
     """Near-dup pairs of a new batch: ``(doc_a, doc_b, est_jaccard,
     against)`` where ``against`` is ``'history'`` (doc_a in the store,
@@ -73,8 +74,14 @@ def incremental_neardup_pairs(new_docs: DataFrame, store: DataFrame,
     the day-2 store accumulates every boilerplate-heavy batch's
     signatures, so a degenerate store bucket is the realistic skew
     hazard here; with the cap, per-batch candidate work is bounded by
-    batch_size · cap per band regardless of store history."""
-    new_sigs = signature_store(new_docs)
+    batch_size · cap per band regardless of store history.
+
+    ``new_sigs``: pass the batch's `signature_store` frame (ideally
+    persisted) when the caller also consumes it — the signature
+    pipeline is the batch's heaviest DAG and is referenced here by BOTH
+    candidate joins and both estimate joins."""
+    if new_sigs is None:
+        new_sigs = signature_store(new_docs)
     new_bands = minhash_bands(new_sigs)
     store_bands = minhash_bands(store)
     if max_bucket_size is not None:
@@ -200,7 +207,8 @@ def stored_neardup_pairs(new_docs: DataFrame, name: str,
 
 
 def incremental_dedup(new_docs: DataFrame, store: DataFrame,
-                      threshold: float = _EST_THRESHOLD
+                      threshold: float = _EST_THRESHOLD,
+                      new_sigs: DataFrame | None = None
                       ) -> tuple[DataFrame, DataFrame]:
     """Run the incremental pass: returns ``(annotated, updated_store)``.
 
@@ -209,9 +217,20 @@ def incremental_dedup(new_docs: DataFrame, store: DataFrame,
     store and is the canonical (minimum-id) member of its within-batch
     duplicate group. ``updated_store`` is the store plus the kept new
     docs' signatures (dropped dups never enter, so replay is
-    idempotent)."""
-    new_sigs = signature_store(new_docs)
-    pairs = incremental_neardup_pairs(new_docs, store, threshold)
+    idempotent).
+
+    The batch signature frame is referenced by the candidate joins,
+    both estimate joins, and the kept-signatures union — scope-cached
+    here so the shingle+MinHash pipeline materializes once per call
+    (the multi-consumer recompute class; see `semantic_dedup`). Callers
+    that already built (and persisted) the batch's `signature_store`
+    pass it as ``new_sigs`` — the streaming form does, sharing it with
+    its store-delta write."""
+    if new_sigs is None:
+        from .dedup import _scoped_cache
+        new_sigs = _scoped_cache(signature_store(new_docs))
+    pairs = incremental_neardup_pairs(new_docs, store, threshold,
+                                      new_sigs=new_sigs)
 
     hist_hit = (pairs.where(F.col("against") == "history")
                 .groupBy(F.col("doc_b").alias("doc_id"))

@@ -401,8 +401,17 @@ def ivf_search(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
     recall dial's endpoint), which is how the test pins correctness."""
     vecs = emb.select("vec_id",
                       F.col("embedding").cast("array<double>").alias("e"))
+    # bind the query id by NAME (first non-embedding column), not by
+    # position: column order is not a stable property of a DataFrame
+    # through joins/selects, and a positional bind of an array column
+    # surfaced as an opaque Arrow type error at the kernel boundary
+    qid = [c for c in queries.columns if c != "embedding"]
+    if "embedding" not in queries.columns or not qid:
+        raise ValueError(
+            "ivf_search queries need an 'embedding' column and an id "
+            f"column; got {queries.columns}")
     qvecs = queries.select(
-        F.col(queries.columns[0]).alias("query_id"),
+        F.col(qid[0]).alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"))
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     assigned = _nearest_assign(vecs, cb).select("list_id", "vec_id", "e")
@@ -428,15 +437,24 @@ def ivf_search(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
         # neighbor before the self-match filter below runs (the final
         # window cuts back to k)
         kk = min(k + 1, s.shape[1])
-        take = np.argsort(-s, axis=1, kind="stable")[:, :kk]
-        rows_q = np.repeat(qids, take.shape[1])
+        # cut by the SAME order the final window ranks on — rounded
+        # cosine DESC, neighbor_id ASC. A stable argsort over raw
+        # cosines cut ties by arbitrary pandas-group row order, so the
+        # lowest-id tied neighbor could be dropped inside the kernel
+        # before the window's tie-break ever saw it (nondeterministic
+        # across task retries; broke the nprobe=nlist ≡ brute-force
+        # identity under duplicate vectors).
+        rs = np.round(s, 6)
+        take = np.empty((len(qids), kk), dtype=np.int64)
+        for i in range(len(qids)):
+            take[i] = np.lexsort((nids, -rs[i]))[:kk]
+        rows_q = np.repeat(qids, kk)
         rows_n = nids[take.ravel()]
-        rows_c = s[np.repeat(np.arange(len(qids)), take.shape[1]),
-                   take.ravel()]
+        rows_c = rs[np.repeat(np.arange(len(qids)), kk), take.ravel()]
         keep = rows_q != rows_n
         return pd.DataFrame({"query_id": rows_q[keep],
                              "neighbor_id": rows_n[keep],
-                             "cosine": np.round(rows_c[keep], 6)})
+                             "cosine": rows_c[keep]})
 
     cand = (assigned.groupBy("list_id")
             .cogroup(probes.groupBy("list_id"))
@@ -503,7 +521,15 @@ def ivf_train(spark: SparkSession, emb: DataFrame, nlist: int,
                                  F.transform(F.col("pairs"),
                                              lambda p: p["v"])
                                  .alias("ce")))
-            cb = [(r.list_id, list(r.ce)) for r in recentred.collect()]
+            # a list that received ZERO members this pass emits no
+            # recenter row — KEEP its previous centroid instead of
+            # silently shrinking the codebook below nlist (duplicate
+            # vectors in the seed prefix tie-assign to the first seed,
+            # starving the second; callers size serving structures on
+            # nlist, so a shrunken frame breaks the documented
+            # 'list_id 1..nlist' contract)
+            new_cb = {r.list_id: list(r.ce) for r in recentred.collect()}
+            cb = [(lid, new_cb.get(lid, ce)) for lid, ce in cb]
     finally:
         if persist:
             vecs.unpersist()
@@ -834,11 +860,24 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
         .where(F.col("word") != "")   # split("") yields one empty token
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     if stats is not None:
+        # single-reference plan: tf joins the stats frame once (AQE
+        # broadcasts it while the fitted vocabulary is under the
+        # threshold; past that it is a word-keyed shuffle — the
+        # corpus-sized tf side is scanned ONCE either way, the
+        # production per-batch property)
         dfreq = stats.where(F.col("word").isNotNull()) \
             .select("word", "df")
         n = stats.where(F.col("word").isNull()) \
             .select(F.col("df").alias("n_docs"))
     else:
+        # corpus-local statistics reference tf TWICE (the feature rows
+        # and the df aggregation), so this path tokenizes the corpus
+        # twice per materialization — measured the CHEAPER trade at
+        # sf0.1 (caching tf cost +14%: columnar cache encode exceeds
+        # the second tokenize, the same measurement behind
+        # `dedup._scoped_cache`'s lazy-fill note). At 100 TB don't use
+        # this path repeatedly at all: fit once (`fit_tfidf_stats`),
+        # persist, embed under ``stats`` — the single-scan shape above.
         dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
         n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
         if min_df > 1:

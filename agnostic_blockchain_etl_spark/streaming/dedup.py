@@ -31,10 +31,23 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The dedup key is the md5 digest, not the text: state-store entries
     are 16 bytes + key overhead each, so a billion-document history is
-    tens of GB of state across the cluster, not the corpus itself."""
+    tens of GB of state across the cluster, not the corpus itself.
+
+    NULL text gets a per-doc key (``null:<doc_id>``): md5(NULL) is NULL
+    and ``dropDuplicates`` treats NULL keys as equal, which would
+    silently swallow every null-text document after the first —
+    metadata-only rows are not duplicates of each other
+    (flag-don't-drop; filter on ``text IS NULL`` downstream if they
+    must not pass)."""
     return (docs
-            .withColumn(KEY_COL, F.md5(F.col(text_col).cast("binary")))
+            .withColumn(KEY_COL, _null_safe_key(text_col))
             .dropDuplicates([KEY_COL]))
+
+
+def _null_safe_key(text_col: str):
+    return F.coalesce(
+        F.md5(F.col(text_col).cast("binary")),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
 
 
 def _read_store_or(spark, store_path: str, batch_id: int,
@@ -95,15 +108,29 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         from ..operators.incremental import signature_store
-        store = _read_store_or(spark, store_path, batch_id,
-                               signature_store(batch_df.limit(0)))
-        ann, _ = incremental_dedup(batch_df, store, tau)
-        ann.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}")
-        kept = ann.where(F.col("keep") == 1).select("doc_id")
-        (signature_store(batch_df).join(kept, "doc_id")
-         .write.mode("overwrite")
-         .parquet(f"{store_path}/batch_id={batch_id}"))
+        # ONE shingle+MinHash build per batch, shared by the candidate
+        # joins inside incremental_dedup AND the store-delta write —
+        # un-shared, the signature pipeline ran ~3x per batch (the
+        # recompute class semantic_dedup_stream fixed in round 6);
+        # persist ann too: it feeds the output write and the kept join.
+        sigs = signature_store(batch_df).persist()
+        ann = None
+        try:
+            store = _read_store_or(spark, store_path, batch_id,
+                                   sigs.limit(0))
+            ann, _ = incremental_dedup(batch_df, store, tau,
+                                       new_sigs=sigs)
+            ann = ann.persist()
+            ann.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            kept = ann.where(F.col("keep") == 1).select("doc_id")
+            (sigs.join(kept, "doc_id")
+             .write.mode("overwrite")
+             .parquet(f"{store_path}/batch_id={batch_id}"))
+        finally:
+            sigs.unpersist()
+            if ann is not None:
+                ann.unpersist()
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
@@ -115,9 +142,11 @@ def dedup_stream_bounded(docs: DataFrame, ts_col: str,
     """Watermark-bounded variant: duplicates are suppressed only within
     the event-time ``horizon``; state older than the watermark is
     evicted, so state size is bounded by the duplicate-arrival window
-    instead of stream lifetime — the infinite-ingest configuration."""
+    instead of stream lifetime — the infinite-ingest configuration.
+    NULL text passes through per-doc (same key rule as
+    :func:`dedup_stream`)."""
     return (docs
-            .withColumn(KEY_COL, F.md5(F.col(text_col).cast("binary")))
+            .withColumn(KEY_COL, _null_safe_key(text_col))
             .withWatermark(ts_col, horizon)
             .dropDuplicatesWithinWatermark([KEY_COL]))
 
@@ -144,12 +173,14 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
                                         paragraph_store)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.paragraphs import compact_paragraph_store
         spark = batch_df.sparkSession
         rows = _read_store_or(spark, store_path, batch_id,
                               paragraph_store(batch_df.limit(0)))
-        store = (rows.groupBy("h")
-                 .agg(F.sum("df").alias("df"),
-                      F.min("first_doc").alias("first_doc")))
+        # the read-side collapse IS compact_paragraph_store (sealed-sum
+        # semantics for these untagged partitions) — reuse it so the
+        # streaming read path can never diverge from batch compaction
+        store = compact_paragraph_store(rows)
         deduped, _ = incremental_dedup_paragraphs(batch_df, store,
                                                   min_df=min_df,
                                                   min_chars=min_chars)
@@ -189,20 +220,29 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
                 .groupBy("source")
                 .agg(F.sum("n_admitted").alias("used")))
         w = Window.partitionBy(source_col).orderBy("doc_id")
+        # join/store key rides a RESERVED alias: withColumn("source",
+        # col(source_col)) would silently overwrite a pre-existing
+        # `source` column when source_col names a different one
+        # (corrupting the annotated output's provenance)
         ann = (batch_df
-               .withColumn("source", F.col(source_col))
-               .join(used, "source", "left")
+               .withColumn("_capsrc", F.col(source_col))
+               .join(used.withColumnRenamed("source", "_capsrc"),
+                     "_capsrc", "left")
                .withColumn("_rank", F.row_number().over(w))
                .withColumn("cap_keep",
                            ((F.col("_rank") + F.coalesce("used", F.lit(0)))
                             <= cap).cast("int"))
-               .drop("_rank", "used"))
-        ann.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}")
-        (ann.groupBy("source")
-         .agg(F.sum("cap_keep").alias("n_admitted"))
-         .write.mode("overwrite")
-         .parquet(f"{store_path}/batch_id={batch_id}"))
+               .drop("_rank", "used")
+               .persist())   # feeds the output write AND the count write
+        try:
+            ann.drop("_capsrc").write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            (ann.groupBy(F.col("_capsrc").alias("source"))
+             .agg(F.sum("cap_keep").alias("n_admitted"))
+             .write.mode("overwrite")
+             .parquet(f"{store_path}/batch_id={batch_id}"))
+        finally:
+            ann.unpersist()
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())

@@ -87,6 +87,71 @@ def test_partial_probe_is_subset_with_valid_ranks(spark, setting):
         assert len(rows) <= K
 
 
+def test_tied_cosines_cut_deterministically(spark):
+    """Review finding: the kernel's per-list k+1 cut used to order ties
+    by pandas-group row order — with k+2 duplicate vectors tied at the
+    cut, which neighbor survived was nondeterministic. The cut now
+    orders by (rounded cosine DESC, neighbor_id ASC), the same key as
+    the final window, so the LOWEST-id tied neighbors always win."""
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_search
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    # 9 identical corpus vectors (ids 10..18, deliberately inserted in
+    # descending id order) + one distinct, k=5 < 9 ties
+    rows = [(18 - i, base) for i in range(9)] + [(30, other)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>") \
+        .repartition(8)
+    queries = spark.createDataFrame([(100, base)],
+                                    "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame([(1, base), (2, other)],
+                               "list_id int, centroid array<double>")
+    for _ in range(3):   # stable across repeated runs
+        got = sorted(r.neighbor_id for r in
+                     ivf_search(corpus, queries, cb, k=5,
+                                nprobe=2).collect())
+        assert got == [10, 11, 12, 13, 14], got
+
+
+def test_query_id_bound_by_name_not_position(spark):
+    """Review finding: the query id used to bind positionally to
+    columns[0]; reversed column order mis-bound the embedding as the
+    id. Both orders must now work, and a frame without an embedding
+    column raises a named error."""
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_search
+    base = [1.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, base), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame([(1, base)],
+                               "list_id int, centroid array<double>")
+    q_rev = spark.createDataFrame(
+        [([1.0, 0.0], 7)], "embedding array<double>, qid long")
+    got = ivf_search(corpus, q_rev, cb, k=1, nprobe=1).collect()
+    assert got[0].query_id == 7 and got[0].neighbor_id == 1
+    with pytest.raises(ValueError, match="embedding"):
+        ivf_search(corpus, q_rev.select("qid"), cb)
+
+
+def test_ivf_train_keeps_empty_lists(spark):
+    """Review finding: a list receiving zero members in an assign pass
+    emitted no recenter row, silently shrinking the codebook below
+    nlist. Duplicate vectors in the seed prefix tie-assign to the
+    first seed, starving the second — the codebook must still come
+    back with all nlist entries (starved lists keep their previous
+    centroid)."""
+    from agnostic_blockchain_etl_spark.operators.similarity import ivf_train
+    dup = [1.0, 0.0, 0.0]
+    rows = [(0, dup), (1, dup),          # identical seed prefix
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cb = ivf_train(spark, emb, nlist=2, iters=2)
+    got = {r.list_id: r.centroid for r in cb.collect()}
+    assert set(got) == {1, 2}, got       # no silent shrink
+    # the starved list keeps its seed vector verbatim
+    assert got[2] == dup
+
+
 def test_in_corpus_queries_keep_their_true_kth_neighbor(spark, setting):
     """A query vector that is ALSO in the corpus scores 1.0 against
     itself; the kernel must take k+1 candidates per list so the

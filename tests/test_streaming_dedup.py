@@ -64,6 +64,21 @@ def test_first_seen_wins_across_batches_and_restart(spark, tmp_path):
     assert got.where(F.col("text") == "beta").first()["doc_id"] == 2
 
 
+def test_null_text_docs_pass_through(spark, tmp_path):
+    """Review finding: md5(NULL) is NULL and dropDuplicates treats NULL
+    keys as equal, so every null-text doc after the first was silently
+    swallowed. Distinct null-text docs (metadata-only rows) must all
+    pass through; real duplicates still dedupe."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    _write_batch(spark, src, [(1, None), (2, "alpha"), (3, None)])
+    _write_batch(spark, src, [(4, None), (5, "alpha")])
+    _drain(spark, src, sink, ckpt)
+    got = spark.read.parquet(sink)
+    nulls = got.where(F.col("text").isNull())
+    assert {r.doc_id for r in nulls.collect()} == {1, 3, 4}
+    assert got.where(F.col("text") == "alpha").count() == 1
+
+
 def test_incremental_neardup_stream(spark, tmp_path):
     """Near-dup dedup over micro-batches via the signature store: an
     exact re-crawl AND a near-copy (few words changed) arriving in later
@@ -346,6 +361,42 @@ def test_source_cap_stream(spark, tmp_path):
             .sum("n_admitted").collect())
     assert {r.source: r["sum(n_admitted)"] for r in used} \
         == {"hot": 3, "cold": 3}
+
+
+def test_source_cap_stream_preserves_foreign_source_column(spark,
+                                                           tmp_path):
+    """Review finding: capping on source_col='domain' used to overwrite
+    a pre-existing 'source' column with domain values in the annotated
+    output — provenance corrupted with no error. Both columns must
+    survive verbatim; the store keys on the CAP column's values."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        source_cap_stream)
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("fsrc", "fout", "fstore", "fckpt"))
+    schema = "doc_id LONG, source STRING, domain STRING"
+    spark.createDataFrame(
+        [(1, "crawlA", "x.com"), (2, "crawlB", "x.com"),
+         (3, "crawlC", "y.com")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = source_cap_stream(stream, store, out, ckpt, cap=1,
+                          source_col="domain")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # original provenance intact
+    assert {got[i].source for i in (1, 2, 3)} \
+        == {"crawlA", "crawlB", "crawlC"}
+    assert got[1].domain == "x.com"
+    # cap applied on domain: one admit per domain
+    assert got[1].cap_keep + got[2].cap_keep == 1
+    assert got[3].cap_keep == 1
+    # store keyed by the cap column's values
+    used = {r.source for r in spark.read.parquet(store).collect()}
+    assert used == {"x.com", "y.com"}
 
 
 def test_semantic_dedup_stream(spark, tmp_path):
