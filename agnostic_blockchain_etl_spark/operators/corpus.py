@@ -164,8 +164,13 @@ def vocab_tfidf_terms(spark, sf_dir):
     count per word), so the corpus is tokenized exactly once.
 
     Scale: the only large shuffle is the (doc, word) term-frequency one;
-    df/N are small aggregates broadcast into the scoring join; the
-    vocabulary top-k is a TakeOrdered, not a global sort."""
+    the df frame is VOCABULARY-sized — zipfian-tailed, not bounded —
+    so the scoring join carries no broadcast hint (AQE broadcasts it
+    while it fits, falls back to a word-keyed shuffle of the already
+    word-keyed tf past the threshold; a forced broadcast of a web-scale
+    token vocabulary would blow the 8 GB broadcast cap — review
+    finding). Only the 1-row N frame is hint-broadcast. The vocabulary
+    top-k is a TakeOrdered, not a global sort."""
     from .dedup import _scoped_cache
     t = load_tables(spark, sf_dir, ("documents",))
     words = spread(t["documents"]).select(
@@ -183,7 +188,7 @@ def vocab_tfidf_terms(spark, sf_dir):
                      F.lit(None).cast("double").alias("tfidf"),
                      F.lit(None).cast("int").alias("rank")))
     n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(F.broadcast(counts.select("word", "df")), "word")
+    scored = (tf.join(counts.select("word", "df"), "word")
               .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "word",
                       F.round(F.col("tf") * F.log(
@@ -250,11 +255,43 @@ _RATE_CASE_SQL = ("CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()) + " ELSE 0 END")
 
 
-_CAP_HASH_SQL = (
-    "CAST(list_sum(list_transform(generate_series(1, 15), "
-    "i -> (strpos('0123456789abcdef', substr(md5('sourcecap:' || "
-    "CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
-    " << (4 * (15 - i)))) AS BIGINT)")
+def _sql_salted_h60(salt: str) -> str:
+    """DuckDB twin of `_salted_h60`: version-stable nibble arithmetic.
+    CAST('0x'||hex AS BIGINT) changed semantics across DuckDB releases
+    and red-rowed the gate once (r2, dedup_signatures — recorded in
+    dedup._SQL_HASH60's note); every salted-hash oracle must use this
+    form."""
+    return ("CAST(list_sum(list_transform(generate_series(1, 15), "
+            f"i -> (strpos('0123456789abcdef', substr(md5('{salt}' || "
+            "CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+            " << (4 * (15 - i)))) AS BIGINT)")
+
+
+def _salted_h60(salt: str):
+    """THE deterministic-sampling primitive: 60-bit md5 hash of
+    salt||doc_id as a Spark column. Every sampling decision in this
+    module (stratified buckets, splits, A-Res uniforms, source caps)
+    derives from it so membership is a pure, layout-independent
+    function of doc_id — single-sourced here; do not re-inline (the
+    review found five hand-rolled copies drifting apart)."""
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+              .cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _salted_bucket(salt: str, mod: int):
+    return _salted_h60(salt) % mod
+
+
+def _salted_u60(salt: str):
+    """Uniform draw u ∈ (0, 1] as a pure hash of doc_id — the A-Res /
+    Pareto / Gumbel sampling primitive (`weighted_sample`,
+    `quality.quality_pareto_keep`, `dsir.dsir_sample` all draw through
+    here; the +1 keeps u strictly positive for ln(u))."""
+    return (_salted_h60(salt) + 1) / F.lit(_TWO60)
+
+
+_CAP_HASH_SQL = _sql_salted_h60("sourcecap:")
 _CAP = 15
 _WSAMPLE_K = 200
 _TWO60 = float(1 << 60)
@@ -263,14 +300,11 @@ _TWO60 = float(1 << 60)
 @query("corpus_sampling_facets", oracle=f"""
     WITH base AS (
         SELECT doc_id, lang, source,
-               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
-                                   1, 15) AS BIGINT) % 100 AS sample_bucket,
-               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-                                   1, 15) AS BIGINT) % 10  AS split_bucket,
+               {_sql_salted_h60('sample:')} % 100 AS sample_bucket,
+               {_sql_salted_h60('split:')} % 10  AS split_bucket,
                CAST(1 + len(list_distinct({_SQL_WORDS})) AS DOUBLE)
                    / (1 + len({_SQL_WORDS}))             AS w,
-               (CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
-                                    1, 15) AS BIGINT) + 1)
+               ({_sql_salted_h60('wsample:')} + 1)
                    / {_TWO60!r}                          AS u,
                {_CAP_HASH_SQL}                             AS caph
         FROM documents),
@@ -319,11 +353,6 @@ def corpus_sampling_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
 
-    def bucket(salt: str, mod: int):
-        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
-                  .cast("binary"))
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
-
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     w = ((F.lit(1) + F.size(F.array_distinct(words))).cast("double")
          / (F.lit(1) + F.size(words)))
@@ -331,8 +360,8 @@ def corpus_sampling_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for k, v in _SAMPLE_RATES.items()] + [F.lit(0)]))
     base = docs.select(
         "doc_id", "lang", "source", w.alias("w"),
-        bucket("sample:", 100).cast("int").alias("sample_bucket"),
-        bucket("split:", 10).alias("split_bucket"),
+        _salted_bucket("sample:", 100).cast("int").alias("sample_bucket"),
+        _salted_bucket("split:", 10).alias("split_bucket"),
         rate.alias("rate"))
     topk = (weighted_sample(docs.withColumn("w", w), "w", _WSAMPLE_K)
             .select("doc_id", F.lit(1).alias("topk_keep")))
@@ -361,17 +390,12 @@ def stratified_sample(docs: DataFrame,
     tests/test_llm_ops.py::test_membership_survives_repartitioning."""
     rates = rates if rates is not None else _SAMPLE_RATES
 
-    def bucket(salt: str, mod: int):
-        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
-                  .cast("binary"))
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
-
     rate = F.coalesce(*([F.when(F.col("lang") == k, F.lit(v))
                          for k, v in rates.items()] + [F.lit(0)]))
     d = docs.select(
         "doc_id", "lang",
-        bucket("sample:", 100).alias("sample_bucket"),
-        bucket("split:", 10).alias("split_bucket"))
+        _salted_bucket("sample:", 100).alias("sample_bucket"),
+        _salted_bucket("split:", 10).alias("split_bucket"))
     return (d.where(F.col("sample_bucket") < rate)
             .select("doc_id", "lang",
                     F.col("sample_bucket").cast("int").alias("sample_bucket"),
@@ -395,10 +419,7 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int) -> DataFrame:
     Spark plans as TakeOrderedAndProject — per-partition heaps of k rows
     merged on the driver, never a full sort. The priority itself is
     dropped from the output: it exists only to order the heap."""
-    u = ((F.conv(F.substring(
-            F.md5(F.concat(F.lit("wsample:"),
-                           F.col("doc_id").cast("string")).cast("binary")),
-            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    u = _salted_u60("wsample:")
     priority = F.log(u) / F.col(weight_col)
     return (docs.withColumn("__priority", priority)
             .orderBy(F.col("__priority").desc(), "doc_id")

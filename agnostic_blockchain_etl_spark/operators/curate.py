@@ -154,15 +154,23 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame | None = None,
         clf = None   # neutral q_score/clf_keep attached post-join
 
     exact = exact_dedup(base)
+    # LEFT join + default 1: md5(NULL) is NULL and an equi-join on a
+    # NULL key matches nothing, so an inner join here silently DROPPED
+    # null-text documents from the whole annotated frame — breaking the
+    # one-row-per-input, flag-don't-filter contract. A null-text doc
+    # has no content signal, so it is nobody's exact duplicate
+    # (matching the streaming `dedup_stream` null rule) and keeps 1.
     exact_flag = (base
                   .select("doc_id",
                           F.md5(F.col("text").cast("binary"))
                           .alias("content_key"))
                   .join(exact.select("content_key", "keep_doc_id"),
-                        "content_key")
+                        "content_key", "left")
                   .select("doc_id",
-                          (F.col("doc_id") == F.col("keep_doc_id"))
-                          .cast("int").alias("exact_keep")))
+                          F.coalesce(
+                              (F.col("doc_id") == F.col("keep_doc_id"))
+                              .cast("int"), F.lit(1))
+                          .alias("exact_keep")))
 
     labels = connected_components(minhash_lsh_pairs(base)
                                   .select("doc_a", "doc_b"))
@@ -330,7 +338,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
         *[F.sum(1 - F.col(c)).alias(f"drop_{c}")
           for c in ("pii_clean", "quality_keep", "exact_keep",
                     "neardup_keep", "decontam_keep", "gopher_keep",
-                    "clf_keep", "cap_keep", "lm_keep")],
+                    "c4_keep", "clf_keep", "cap_keep", "lm_keep")],
         *[F.sum(F.when(F.col("keep") == 1, 1).otherwise(0) *
                 F.when(F.col("bucket") == b, 1).otherwise(0))
           .alias(f"bucket_{b}") for b in ("head", "middle", "tail")]
@@ -342,7 +350,7 @@ def corpus_datacard(annotated: DataFrame) -> DataFrame:
             + [("attrition", c, float(g[f"drop_{c}"]))
                for c in ("pii_clean", "quality_keep", "exact_keep",
                          "neardup_keep", "decontam_keep", "gopher_keep",
-                         "clf_keep", "cap_keep", "lm_keep")]
+                         "c4_keep", "clf_keep", "cap_keep", "lm_keep")]
             + [("quality", f"kept_{b}", float(g[f"bucket_{b}"]))
                for b in ("head", "middle", "tail")])
     lang = (annotated.where(F.col("keep") == 1)

@@ -30,6 +30,7 @@ has a full value-hash oracle. No Python UDFs anywhere — all JVM exprs.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import threading
 
@@ -77,9 +78,14 @@ _PERMS = _draw_perms()
 
 # Stable fingerprint of the permutation family: persisted signature stores
 # embed it so a store built under stale constants fails loudly instead of
-# silently mis-verifying (incremental.py checks it on read).
-PERMS_FINGERPRINT = "perms-" + format(
-    sum((a * 31 + b) % (2**61 - 1) for a, b in _PERMS) % (2**61 - 1), "x")
+# silently mis-verifying (incremental.py checks it on read). ORDER-
+# SENSITIVE by construction (md5 of the sequence repr): the m_i column
+# meaning depends on permutation POSITION — band j hashes
+# m{j*R}..m{j*R+R-1} — so the same (a, b) multiset in a different order
+# is an incompatible family; the original commutative sum could not
+# tell them apart (round-7 review finding).
+PERMS_FINGERPRINT = "perms-" + hashlib.md5(
+    repr(_PERMS).encode()).hexdigest()[:16]
 
 _JACCARD_THRESHOLD = 0.30
 _SIMHASH_BITS = 60
@@ -563,8 +569,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 # Banding for simhash-LSH: with Hamming ≤ H, any near-dup pair must agree
 # EXACTLY on at least one band whenever there are > H bands (pigeonhole:
-# ≤ 6 flipped bits cannot touch all 7 bands). 6 bands of 9 bits + the top
-# 6 bits.
+# ≤ 6 flipped bits cannot touch all 7 bands).
 # 7 bands (> _HAMMING_MAX, so ≤6 differing bits pigeonhole into ≥1 exact
 # band) with widths as even as possible: the narrowest band bounds the
 # random-collision rate (~n²/2^width per band), so 4×9+3×8 bits strictly
@@ -678,7 +683,11 @@ _SQL_SIMHASH_SH = f"""
         UNION ALL
         SELECT doc_b AS src, doc_a AS dst FROM prs),
     reach(v, u) AS (
-        SELECT doc_id, doc_id FROM sh
+        -- seed from DOCUMENTS, not sh: the Spark side re-attaches every
+        -- doc as a singleton (left join from docs), so a token-less
+        -- (e.g. null-text) doc must appear here too or the engines
+        -- diverge on it (latent cross-engine review finding)
+        SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
     clusters AS (

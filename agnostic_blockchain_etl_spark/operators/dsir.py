@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from .dedup import _spark_hash60, _spark_words
 
 _DEFAULT_BUCKETS = 8192
-_TWO60 = float(1 << 60)
 
 
 def _hashed_features(docs: DataFrame, buckets: int,
@@ -150,10 +149,8 @@ def dsir_sample(raw_docs: DataFrame, target_docs: DataFrame, k: int,
     sort)."""
     lw = dsir_log_weights(raw_docs, target_docs, buckets, text_col,
                           per_token)
-    u = ((F.conv(F.substring(
-            F.md5(F.concat(F.lit("dsir:"),
-                           F.col("doc_id").cast("string")).cast("binary")),
-            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    from .corpus import _salted_u60
+    u = _salted_u60("dsir:")
     gumbel = -F.log(-F.log(u))
     return (raw_docs.join(lw, "doc_id")
             .withColumn("__key", F.col("log_weight") + gumbel)

@@ -41,7 +41,6 @@ from .dsir import _hashed_features
 
 _DEFAULT_BUCKETS = 4096
 _BIAS_BUCKET = -1          # model-frame row carrying the intercept
-_TWO60 = float(1 << 60)
 
 
 def _design(docs: DataFrame, y: int, buckets: int,
@@ -190,10 +189,8 @@ def quality_pareto_keep(scored: DataFrame, alpha: float = 9.0,
     high scores always survive, low scores survive occasionally, so the
     kept set is not a hard cliff at a threshold. Deterministic across
     runs/partitionings; adds ``keep`` to the frame. Zero shuffle."""
-    u = ((F.conv(F.substring(
-            F.md5(F.concat(F.lit(salt),
-                           F.col("doc_id").cast("string")).cast("binary")),
-            1, 15), 16, 10).cast("long") + 1) / F.lit(_TWO60))
+    from .corpus import _salted_u60
+    u = _salted_u60(salt)
     x = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn(
         "keep", (F.col("q_score") > (F.lit(1.0) - x)).cast("boolean"))

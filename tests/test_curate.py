@@ -123,6 +123,25 @@ def test_curate_without_lang_column(spark):
     assert report.collect()[0].n_docs == 3
 
 
+def test_null_text_docs_stay_annotated(spark):
+    """Review finding: md5(NULL) keys never equi-join, so the exact-flag
+    inner join silently DROPPED null-text docs from the annotated frame
+    — filtered, not flagged. Every input doc must keep its row; distinct
+    null-text docs are nobody's exact duplicates (the streaming null
+    rule)."""
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, filler), (2, None), (3, filler), (4, None)],
+        "doc_id long, text string")
+    annotated, report = curate_corpus(docs, vocab_size=100)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    assert set(rows) == {1, 2, 3, 4}        # one row per input, always
+    assert report.collect()[0].n_docs == 4
+    assert rows[3].exact_keep == 0          # real dup still caught
+    # null-text docs are not duplicates of each other
+    assert rows[2].exact_keep == 1 and rows[4].exact_keep == 1
+
+
 def test_bigram_lm_option(spark, corpus):
     docs, _ = corpus
     annotated, report = curate_corpus(docs, vocab_size=2000, lm="bigram")

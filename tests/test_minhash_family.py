@@ -76,3 +76,21 @@ def test_violation_rate_at_noise_floor():
     violations = sum(
         _trial(trial, 2 + trial % 12) > 4.0 for trial in range(3000))
     assert violations <= 6, violations
+
+
+def test_perms_fingerprint_is_order_sensitive():
+    """Store versioning must distinguish the SAME (a, b) multiset in a
+    different order: m_i column meaning is positional (band j hashes
+    m{j*R}..m{j*R+R-1}), so a reordered family is incompatible — the
+    old commutative-sum fingerprint could not tell (review finding)."""
+    import hashlib
+
+    from agnostic_blockchain_etl_spark.operators.dedup import (
+        _PERMS, PERMS_FINGERPRINT)
+
+    def fp(perms):
+        return "perms-" + hashlib.md5(repr(perms).encode()).hexdigest()[:16]
+
+    assert fp(_PERMS) == PERMS_FINGERPRINT
+    reordered = [_PERMS[1], _PERMS[0], *_PERMS[2:]]
+    assert fp(reordered) != PERMS_FINGERPRINT
