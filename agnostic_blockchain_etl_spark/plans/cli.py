@@ -60,16 +60,24 @@ def cmd_pipeline(args) -> int:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
     metrics_server = None
+    live_metrics: list = []   # run_pipeline appends stage dicts LIVE
     if args.metrics_port:
-        from .probe import MetricsServer, run_startup_probe
+        from .probe import (MetricsServer, run_startup_probe,
+                            stage_metrics_collector)
         run_startup_probe(spark)
         metrics_server = MetricsServer(port=int(args.metrics_port))
+        # register BEFORE the blocking run: the collector reads the
+        # live per-stage counters while the pipeline executes
+        metrics_server.register(stage_metrics_collector(live_metrics))
         metrics_server.start()
 
-    result = run_with_retry(SparkExecutor(spark), templates, conf, vars,
-                            scheduler_hook=scheduler_hook)
-    if metrics_server is not None:
-        metrics_server.stop()
+    try:
+        result = run_with_retry(SparkExecutor(spark), templates, conf,
+                                vars, scheduler_hook=scheduler_hook,
+                                stage_metrics_out=live_metrics)
+    finally:
+        if metrics_server is not None:
+            metrics_server.stop()
     print(f"pipeline done: {result.stats.batches} batches, "
           f"{result.stats.items} items, max_end={result.stats.max_end}, "
           f"{result.stats.items_per_s:.1f} items/s")

@@ -173,25 +173,41 @@ class PipelineConfig:
         )
 
 
+# env segments arrive UPPERCASE; from_dict looks keys up case-
+# sensitively, so a segment with no existing YAML key must be inserted
+# under its CANONICAL spelling or the override is a silent no-op
+# (round-7 review finding: AGN_BATCHER_MAXBATCHSIZE on a config with no
+# Batcher section wrote raw['BATCHER']['MAXBATCHSIZE'] and changed
+# nothing).
+_CANON_KEYS = {k.lower(): k for k in (
+    "Engine", "Init", "TipTracker", "Batcher", "Steps", "Finalizer",
+    "Retry", "Vars",
+    "Setup", "Start", "DefaultStart", "ForceStart",
+    "Tip", "PollInterval", "StopAfter",
+    "MaxBatchSize", "MaxBatchSizeMultiplier", "MaxRetries",
+    "Local", "Remote", "Master", "SparkConf",
+)}
+
+
 def _apply_env_overrides(raw: dict, env: dict) -> dict:
     """``AGN_SECTION_KEY=value`` overrides ``raw[Section][Key]``
-    (case-insensitive key match, mirroring cmd/pipeline/pipeline.go:63-69)."""
+    (case-insensitive match against existing keys, canonical spelling
+    for keys the YAML omits — mirroring cmd/pipeline/pipeline.go:63-69)."""
+    def canon(node: dict, seg: str) -> str:
+        return next((k for k in node if k.lower() == seg.lower()),
+                    _CANON_KEYS.get(seg.lower(), seg))
+
     for name, value in env.items():
         if not name.startswith("AGN_"):
             continue
         path = name[4:].split("_")
         node = raw
-        ok = True
         for seg in path[:-1]:
-            match = next((k for k in node if k.lower() == seg.lower()), seg)
+            match = canon(node, seg)
             nxt = node.get(match)
             if not isinstance(nxt, dict):
                 nxt = {}
                 node[match] = nxt
             node = nxt
-        last = path[-1]
-        match = next((k for k in node if k.lower() == last.lower()), last)
-        node[match] = yaml.safe_load(value)
-        if not ok:
-            continue
+        node[canon(node, path[-1])] = yaml.safe_load(value)
     return raw

@@ -64,6 +64,17 @@ def split_statements(sql: str) -> list[str]:
             cur.append(sql[i:j])
             i = j
             continue
+        elif ch == "/" and sql[i:i + 2] == "/*":
+            # bracketed comment (Spark SQL supports them): a ';' or
+            # quote inside one must not split/flip state — review
+            # finding ("/* don't */ SELECT 1; SELECT 2" glued both
+            # statements). Unterminated → consume to EOF (the parser
+            # will complain with the real error).
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            cur.append(sql[i:j])
+            i = j
+            continue
         elif ch == ";":
             parts.append("".join(cur))
             cur = []

@@ -101,22 +101,41 @@ def run_init(executor: Executor, templates: TemplateSet, vars: dict,
 # ---------------------------------------------------------------------------
 
 def run_tip_tracker(ctx: _Ctx, executor: Executor, templates: TemplateSet,
-                    vars: dict, out: queue.Queue, conf: TipTrackerConfig) -> None:
+                    vars: dict, out: queue.Queue, conf: TipTrackerConfig,
+                    consumer_done: threading.Event | None = None) -> None:
     """Poll tip.sql every PollInterval; re-send even if unchanged
-    (tip_tracker.go:70-75 — the Batcher filters non-increasing tips)."""
+    (tip_tracker.go:70-75 — the Batcher filters non-increasing tips).
+
+    ``consumer_done`` is set by the Batcher when IT exits (its own
+    StopAfter, or its input closing): with nobody draining the
+    maxsize-1 tip queue, an unbounded tracker would block in `_put`
+    forever and `run_pipeline`'s join would hang even though all work
+    finished (round-7 review finding — Batcher.StopAfter set without
+    TipTracker.StopAfter deadlocked the process)."""
+    def _stopped() -> bool:
+        return ctx.cancel.is_set() or (consumer_done is not None
+                                       and consumer_done.is_set())
+
     sent = 0
     try:
-        while not ctx.cancel.is_set():
+        while not _stopped():
             row = select_single_row(executor, templates.render(conf.Tip, vars))
             tip = row.get("tip")
             if tip is not None:
-                _put(ctx, out, int(tip))
+                while not _stopped():          # bounded put, stop-aware
+                    try:
+                        out.put(int(tip), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    break
                 sent += 1
                 if conf.StopAfter is not None and sent >= conf.StopAfter:
                     break
-            # sleep in small slices so cancel is responsive
+            # sleep in small slices so cancel/consumer-exit is responsive
             deadline = time.monotonic() + conf.PollIntervalS
-            while time.monotonic() < deadline and not ctx.cancel.is_set():
+            while time.monotonic() < deadline and not _stopped():
                 time.sleep(min(0.05, conf.PollIntervalS))
     except PipelineCancelled:
         pass
@@ -131,9 +150,12 @@ def run_tip_tracker(ctx: _Ctx, executor: Executor, templates: TemplateSet,
 # ---------------------------------------------------------------------------
 
 def run_batcher(ctx: _Ctx, vars: dict, start: int, tips: queue.Queue,
-                out: queue.Queue, conf: BatcherConfig) -> None:
+                out: queue.Queue, conf: BatcherConfig,
+                done: threading.Event | None = None) -> None:
     """Cut ``[start, tip]`` into ≤MaxBatchSize ranges; inject NUMBER/START/
-    END vars (batcher.go:76-78); ignore non-increasing tips (batcher.go:55-57)."""
+    END vars (batcher.go:76-78); ignore non-increasing tips (batcher.go:55-57).
+    ``done`` is set on ANY exit so the tip tracker stops producing into a
+    queue nobody drains (see `run_tip_tracker`)."""
     number = 0
     cursor = start
     last_tip: int | None = None
@@ -161,6 +183,8 @@ def run_batcher(ctx: _Ctx, vars: dict, start: int, tips: queue.Queue,
     except BaseException as e:
         ctx.fail(e)
     finally:
+        if done is not None:
+            done.set()
         _safe_close(ctx, out)
 
 
@@ -332,10 +356,18 @@ class PipelineResult:
 
 def run_pipeline(executor: Executor, templates: TemplateSet,
                  conf: PipelineConfig, vars: dict | None = None,
-                 on_commit=None, scheduler_hook=None) -> PipelineResult:
+                 on_commit=None, scheduler_hook=None,
+                 stage_metrics_out: list | None = None) -> PipelineResult:
     """Assemble and run the full dataflow; blocks until the stream closes
     (StopAfter bounds) or a component errors (error cancels all, parity
-    with the errgroup at pipeline.go:60-65)."""
+    with the errgroup at pipeline.go:60-65).
+
+    ``stage_metrics_out``: pass a LIVE list and the per-stage metric
+    dicts are appended to it as the stages spawn, so a metrics endpoint
+    registered BEFORE the (blocking) run can serve real counters during
+    it — the counters mutate in place (review finding: the CLI's
+    --metrics-port served an empty body for the whole run because
+    nothing could reach these dicts until the run returned)."""
     run_vars = {**conf.Vars, **(vars or {}),
                 "UUID": str(uuidlib.uuid4())}  # pipeline.go:48-54
     # sink DDL for decoded-JSON columns follows the session's dynamic-JSON
@@ -359,12 +391,16 @@ def run_pipeline(executor: Executor, templates: TemplateSet,
         threads.append(t)
         t.start()
 
+    batcher_done = threading.Event()   # tips unconsumed past this point
     spawn(run_tip_tracker, ctx, executor, templates, run_vars, tip_q,
-          conf.TipTracker, name="tip-tracker")
+          conf.TipTracker, batcher_done, name="tip-tracker")
     spawn(run_batcher, ctx, run_vars, start, tip_q, batch_q, conf.Batcher,
-          name="batcher")
+          batcher_done, name="batcher")
 
-    stage_metrics: list[dict] = []
+    if stage_metrics_out is not None:
+        stage_metrics_out.clear()   # a retry re-run must not duplicate
+    stage_metrics: list[dict] = (stage_metrics_out
+                                 if stage_metrics_out is not None else [])
     inq = batch_q
     for i, step in enumerate(conf.Steps):
         outq: queue.Queue = queue.Queue(maxsize=step.ChanSize)
@@ -408,7 +444,8 @@ def is_memory_error(e: BaseException) -> bool:
 
 def run_with_retry(executor: Executor, templates: TemplateSet,
                    conf: PipelineConfig, vars: dict | None = None,
-                   on_commit=None, scheduler_hook=None) -> PipelineResult:
+                   on_commit=None, scheduler_hook=None,
+                   stage_metrics_out: list | None = None) -> PipelineResult:
     """Re-run the whole pipeline with MaxBatchSize × multiplier on memory
     errors (pipeline_retrier.go:47-58); other errors propagate. Safe because
     sinks are replay-idempotent (range-keyed writes, SURVEY.md §7.2)."""
@@ -419,7 +456,8 @@ def run_with_retry(executor: Executor, templates: TemplateSet,
             conf.Batcher.MaxBatchSize = max(1, int(batch_size))
             try:
                 return run_pipeline(executor, templates, conf, vars,
-                                    on_commit, scheduler_hook)
+                                    on_commit, scheduler_hook,
+                                    stage_metrics_out)
             except BaseException as e:
                 if not is_memory_error(e) or attempt == conf.Retry.MaxRetries:
                     raise

@@ -41,7 +41,12 @@ def _eval_expr(expr: str, vars: dict) -> str:
         m = re.match(r'^default\s+(?:"([^"]*)"|\'([^\']*)\'|(\S+))$', filt)
         if not m:
             raise TemplateError(f"unsupported filter {filt!r}")
-        if value is None or value == "":
+        # sprig's `default` replaces any EMPTY value — nil, "", 0,
+        # false, empty collections — not just nil/"" (review finding:
+        # batch 0 injects START=0, and `{{.START | default "latest"}}`
+        # must render 'latest' exactly as Go+sprig does, or reference
+        # templates silently produce different SQL)
+        if value in (None, "", 0, 0.0, False) or value in ([], {}, ()):
             value = m.group(1) if m.group(1) is not None else (
                 m.group(2) if m.group(2) is not None else m.group(3))
     if value is None:

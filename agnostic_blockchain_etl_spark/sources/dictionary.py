@@ -12,6 +12,7 @@ join, which Catalyst turns into a hash-map lookup on every executor
 from __future__ import annotations
 
 import random
+import threading
 import time
 from typing import Callable
 
@@ -37,17 +38,30 @@ class RefreshableDictionary:
         self.lifetime_max_s = lifetime_max_s
         self._df: DataFrame | None = None
         self._expires_at = 0.0
+        self._lock = threading.Lock()
 
     def df(self) -> DataFrame:
-        now = time.monotonic()
-        if self._df is None or now >= self._expires_at:
-            if self._df is not None:
-                self._df.unpersist()
-            self._df = self.loader(self.spark).cache()
-            self._df.count()  # materialize once; later joins reuse
-            self._expires_at = now + random.uniform(
-                self.lifetime_min_s, self.lifetime_max_s)
-        return self._df
+        # locked: the pipeline's N stage workers all call dict_get —
+        # un-locked, two threads seeing the same TTL expiry both
+        # loader().cache(), the loser's cached frame leaks in executor
+        # storage until session end, and one thread can unpersist the
+        # frame another is mid-join on (review finding). The lock holds
+        # for the refresh only; steady-state calls take it briefly.
+        # The OLD frame is unpersisted with blocking=False AFTER the
+        # replacement is live, so an in-flight join on it just
+        # recomputes rather than failing.
+        with self._lock:
+            now = time.monotonic()
+            if self._df is None or now >= self._expires_at:
+                prev = self._df
+                fresh = self.loader(self.spark).cache()
+                fresh.count()  # materialize once; later joins reuse
+                self._df = fresh
+                self._expires_at = now + random.uniform(
+                    self.lifetime_min_s, self.lifetime_max_s)
+                if prev is not None:
+                    prev.unpersist(False)
+            return self._df
 
     def dict_get(self, df: DataFrame, attr: str, key: Column,
                  alias: str | None = None) -> DataFrame:

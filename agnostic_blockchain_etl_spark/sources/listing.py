@@ -24,6 +24,12 @@ def list_partition_files(spark: SparkSession, path: str,
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     fs_path = jvm.org.apache.hadoop.fs.Path(path)
     fs = fs_path.getFileSystem(hconf)
+    # strip the FULLY-QUALIFIED base, not the caller's spelling: Hadoop
+    # echoes paths back qualified (file:/..., s3a://bucket/...), so a
+    # caller's bare '/data/env=prod/events' never prefix-matched and
+    # key=value segments from ANCESTOR directories leaked into the
+    # partitions map (review finding: a phantom env=prod in every row)
+    base = fs.makeQualified(fs_path).toString().rstrip("/")
     rows: list[tuple] = []
     if fs.exists(fs_path):
         it = fs.listFiles(fs_path, True)
@@ -32,7 +38,8 @@ def list_partition_files(spark: SparkSession, path: str,
             p = f.getPath().toString()
             if not p.endswith(suffix):
                 continue
-            parts = dict(_PARTITION_RE.findall(p[len(path):] if p.startswith(path) else p))
+            rel = p[len(base):] if p.startswith(base) else p
+            parts = dict(_PARTITION_RE.findall(rel))
             rows.append((p, parts))
     return spark.createDataFrame(rows, "file STRING, partitions MAP<STRING,STRING>")
 

@@ -59,25 +59,48 @@ def compact_replacing(spark, path: str, keys: list[str],
     replay. Returns the number of rows in the compacted table.
 
     The rewrite stages into a sibling directory and swaps via two
-    renames (parquet has no transaction log here; a crash between the
-    renames leaves the original or the staged result, never a partial
-    mix — the same guarantee a ClickHouse merge gives per part). With
-    ``partition_cols`` the output keeps the hive layout, so partition
-    pruning survives compaction; at 100 TB compact per partition on a
-    schedule instead of whole-table."""
-    import os
-    import shutil
+    Hadoop-FileSystem renames — NOT driver-local ``os.rename``, which
+    only works for POSIX-local paths (review finding: an s3a:///hdfs://
+    table raised FileNotFoundError after paying the full staged write).
+    A crash between the renames leaves the table at ``.compact_old``;
+    the next call HEALS first (old present + main missing → rename
+    back; old present + main present → drop the stale old), so the
+    window is self-recovering rather than hand-fixed. On object stores
+    a rename is a copy (not atomic) — readers racing the swap should
+    read through a catalog/manifest at 100 TB; per-partition compaction
+    on a schedule keeps the copy bounded. With ``partition_cols`` the
+    output keeps the hive layout, so partition pruning survives
+    compaction."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    main, staged, old = (hpath(path.rstrip("/")),
+                         hpath(path.rstrip("/") + ".compact_tmp"),
+                         hpath(path.rstrip("/") + ".compact_old"))
+    fs = main.getFileSystem(conf)
+    # heal a previous crash between the two renames
+    if fs.exists(old):
+        if not fs.exists(main):
+            if not fs.rename(old, main):
+                raise IOError(f"compact recovery rename failed: {old}")
+        else:
+            fs.delete(old, True)
+    fs.delete(staged, True)
 
     df = read_replacing(spark.read.parquet(path), keys, version_col)
-    staged = path.rstrip("/") + ".compact_tmp"
-    old = path.rstrip("/") + ".compact_old"
-    shutil.rmtree(staged, ignore_errors=True)
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(staged)
-    n = spark.read.parquet(staged).count()
-    os.rename(path.rstrip("/"), old)
-    os.rename(staged, path.rstrip("/"))
-    shutil.rmtree(old, ignore_errors=True)
+    writer.parquet(path.rstrip("/") + ".compact_tmp")
+    n = spark.read.parquet(path.rstrip("/") + ".compact_tmp").count()
+    if not fs.rename(main, old):
+        raise IOError(f"compact swap rename failed: {main} -> {old}")
+    if not fs.rename(staged, main):
+        # restore the original before surfacing the error
+        fs.rename(old, main)
+        raise IOError(f"compact swap rename failed: {staged} -> {main}")
+    fs.delete(old, True)
     return n

@@ -58,6 +58,19 @@ class RpcReader(DataSourceReader):
         self.end = int(options.get("end", self.start))
         self.batch = max(1, int(options.get("batch_size", 1000)))
         self.template = options.get("params_template", "[]")
+        # validate the template ONCE at plan time with a probe value: a
+        # malformed template (a typo'd comma) used to be swallowed
+        # per-row into params=[], turning a 100%-of-rows config error
+        # into per-row -32602 RPC envelopes with no hint at the cause
+        # (review finding). Substitution only swaps the placeholder
+        # values, so probe-parseable ⇒ every row parseable.
+        probe = self.template.replace("{n_hex}", "0x0").replace("{n}", "0")
+        try:
+            json.loads(probe)
+        except ValueError as exc:
+            raise ValueError(
+                f"agn_rpc params_template is not valid JSON after "
+                f"substitution: {self.template!r} ({exc})") from exc
 
     def partitions(self) -> list[RangePartition]:
         return [RangePartition(lo, min(lo + self.batch - 1, self.end))
@@ -72,10 +85,10 @@ class RpcReader(DataSourceReader):
             params_json = (self.template
                            .replace("{n_hex}", hex(n))
                            .replace("{n}", str(n)))
-            try:
-                params = json.loads(params_json)
-            except ValueError:
-                params = []
+            # template validated at plan time (__init__); a failure
+            # here is a real bug and must kill the task, not silently
+            # degrade to params=[]
+            params = json.loads(params_json)
             yield (n, rpcmod.ethereum_rpc(self.method, params,
                                           self.endpoint,
                                           transport=transport))

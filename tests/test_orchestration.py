@@ -204,6 +204,42 @@ class TestPipelineEndToEnd:
             assert ex.execs.index(f"create buffer_{s}_{e_}") < \
                 ex.execs.index(f"insert from buffer_{s}_{e_}")
 
+    def test_batcher_stop_after_terminates_without_tip_bound(self):
+        """Review finding: Batcher.StopAfter WITHOUT TipTracker.StopAfter
+        deadlocked — the batcher returned, nobody drained the maxsize-1
+        tip queue, and the unbounded tracker blocked forever in its put,
+        hanging run_pipeline's join. The batcher-done event must stop
+        the tracker."""
+        ex = FakeExecutor(selects=[
+            (r"resume", [{"start": 0}]),
+            (r"head", [{"tip": 10_000}]),   # far more tips than needed
+        ])
+        conf = PipelineConfig.from_dict({
+            "Batcher": {"MaxBatchSize": 10, "StopAfter": 3},
+            "TipTracker": {"PollInterval": "10ms"},   # NO StopAfter
+            "Steps": [
+                {"Stage": {"Files": ["create_buffer.sql"]}},
+                {"Sequencer": {}},
+                {"Stage": {"Files": ["write_to_sink.sql",
+                                     "delete_buffer.sql"]}},
+            ],
+        })
+        committed = []
+        done = {}
+
+        def run():
+            done["result"] = run_pipeline(
+                ex, _pipeline_templates(), conf,
+                on_commit=lambda b: committed.append(b.number))
+
+        import threading
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive(), "run_pipeline hung after Batcher.StopAfter"
+        assert committed == [0, 1, 2]
+        assert done["result"].stats.items == 30
+
     def test_stage_error_cancels_pipeline(self):
         class Boom(FakeExecutor):
             def exec(self, sql):

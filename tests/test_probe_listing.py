@@ -88,3 +88,17 @@ class TestPartitionListing:
     def test_missing_path_is_empty(self, spark, tmp_path):
         n, max_date = partition_summary(spark, str(tmp_path / "nope"), "date")
         assert n == 0 and max_date is None
+
+    def test_ancestor_key_value_dirs_do_not_leak(self, spark, tmp_path):
+        """Review finding: Hadoop echoes fully-qualified paths
+        (file:/...), so the bare-path prefix strip never matched and
+        key=value segments from ANCESTOR directories (env=prod) leaked
+        into every row's partitions map."""
+        base = tmp_path / "env=prod" / "events"
+        spark.createDataFrame([(1, "2024-01-01")], "id INT, date STRING") \
+            .write.partitionBy("date").parquet(str(base))
+        rows = list_partition_files(spark, str(base)).collect()
+        assert rows, "listing must see the files"
+        for r in rows:
+            assert "env" not in r["partitions"], r["partitions"]
+            assert r["partitions"]["date"] == "2024-01-01"

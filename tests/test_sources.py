@@ -153,6 +153,33 @@ class TestCompactReplacing:
             sorted((r["k"], r["payload"], r["v"]) for r in before)
         assert {r["payload"] for r in after} == {"a2", "b"}  # v2 won
 
+    def test_crash_between_renames_heals_on_next_call(self, spark,
+                                                      tmp_path):
+        """Review finding: a crash between the two swap renames left no
+        table at `path` (it sat at .compact_old) and nothing ever
+        recovered it. The next compact_replacing call must heal first:
+        old present + main missing → rename back, then compact."""
+        import os
+        import shutil
+        from agnostic_blockchain_etl_spark.sources.replacing import (
+            compact_replacing)
+        path = str(tmp_path / "csink")
+        schema = "k long, payload string, v long"
+        spark.createDataFrame([(1, "a", 1), (1, "a2", 2)], schema) \
+            .write.parquet(path)
+        # simulate the crash window: table moved aside, main missing
+        os.rename(path, path + ".compact_old")
+        assert not os.path.exists(path)
+        n = compact_replacing(spark, path, ["k"], "v")
+        assert n == 1
+        got = spark.read.parquet(path).collect()
+        assert [(r["k"], r["payload"]) for r in got] == [(1, "a2")]
+        assert not os.path.exists(path + ".compact_old")
+        # stale old NEXT TO a live main is dropped, main untouched
+        shutil.copytree(path, path + ".compact_old")
+        n = compact_replacing(spark, path, ["k"], "v")
+        assert n == 1 and not os.path.exists(path + ".compact_old")
+
     def test_partitioned_compaction_keeps_layout(self, spark, tmp_path):
         from agnostic_blockchain_etl_spark.sources.replacing import (
             compact_replacing)

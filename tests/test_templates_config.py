@@ -26,6 +26,19 @@ class TestRender:
         assert render_string(t, {"CH_DATABASE": "mydb"}) == "mydb"
         assert render_string('{{.P | default ""}}', {}) == ""
 
+    def test_default_treats_zero_and_false_as_empty_like_sprig(self):
+        """sprig's `default` fires on ANY empty value (nil, '', 0,
+        false, empty collections) — batch 0 injects START=0, so
+        reference templates leaning on this must render identically
+        (review finding)."""
+        t = '{{.START | default "latest"}}'
+        assert render_string(t, {"START": 0}) == "latest"
+        assert render_string(t, {"START": 5}) == "5"
+        assert render_string('{{.F | default "x"}}', {"F": False}) == "x"
+        assert render_string('{{.F | default "x"}}', {"F": []}) == "x"
+        # non-empty string "0" is NOT empty in sprig
+        assert render_string(t, {"START": "0"}) == "0"
+
     def test_if_block(self):
         t = "a{{ if .X }},b{{ end }},c"
         assert render_string(t, {"X": 1}) == "a,b,c"
@@ -111,6 +124,22 @@ class TestConfig:
         y.write_text("Batcher: {MaxBatchSize: 100}\n")
         c = PipelineConfig.from_yaml(y, env={"AGN_BATCHER_MAXBATCHSIZE": "50"})
         assert c.Batcher.MaxBatchSize == 50
+
+    def test_env_override_applies_when_yaml_omits_the_key(self, tmp_path):
+        """Review finding: with no Batcher section in the YAML the
+        override landed under the UPPERCASE env spelling, which
+        from_dict's case-sensitive lookup never saw — the documented
+        override was a silent no-op. Omitted sections/keys must insert
+        under their canonical names."""
+        y = tmp_path / "p.yaml"
+        y.write_text("Vars: {X: 1}\n")     # no Batcher, no TipTracker
+        c = PipelineConfig.from_yaml(
+            y, env={"AGN_BATCHER_MAXBATCHSIZE": "50",
+                    "AGN_BATCHER_STOPAFTER": "3",
+                    "AGN_TIPTRACKER_POLLINTERVAL": "5s"})
+        assert c.Batcher.MaxBatchSize == 50
+        assert c.Batcher.StopAfter == 3
+        assert c.TipTracker.PollIntervalS == 5.0
 
     def test_defaults(self):
         c = PipelineConfig.from_dict({})
