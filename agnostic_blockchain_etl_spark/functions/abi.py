@@ -201,11 +201,10 @@ def _parse_param(s: str, allow_indexed: bool) -> Param:
     toks = s.strip()
     indexed = False
     name = ""
-    # strip a trailing name and/or the 'indexed' keyword: "<type> [indexed] [name]"
-    # the type may itself contain spaces only inside tuple parens (handled by
+    # strip a trailing name and/or 'indexed'/location keywords:
+    # "<type> [indexed|memory|calldata|storage] [name]" — the type may
+    # itself contain spaces only inside tuple parens (handled by
     # scanning from the right for bare identifiers).
-    words = toks.rsplit(" ", 2)
-    # progressively strip right-most bare identifiers / 'indexed'
     t = toks
     while True:
         t = t.strip()
@@ -223,10 +222,20 @@ def _parse_param(s: str, allow_indexed: bool) -> Param:
             name = w
         t = t[: m.start()]
         if name:
-            # only one trailing name allowed; keep stripping for 'indexed'
-            m2 = re.search(r"\s+(indexed)$", t)
-            if m2 and allow_indexed:
-                indexed = True
+            # only one trailing name allowed; keep stripping 'indexed'
+            # and location keywords sitting between type and name —
+            # "bytes memory data" is normal Solidity (review finding:
+            # the old code checked only for 'indexed' here, so the
+            # location keyword stayed glued to the type and raised
+            # unknown-ABI-type)
+            while True:
+                m2 = re.search(r"\s+(indexed|memory|calldata|storage)$", t)
+                if not m2:
+                    break
+                if m2.group(1) == "indexed":
+                    if not allow_indexed:
+                        raise AbiError(f"'indexed' not allowed in {s!r}")
+                    indexed = True
                 t = t[: m2.start()]
             break
     return Param(parse_type(t), indexed=indexed, name=name)
@@ -263,29 +272,20 @@ def _decode_value(t: AbiType, data: bytes, off: int):
     if t.is_array:
         d = t.array_dims[-1]
         el = t.element_type()
-        if d == -1:  # dynamic array: head is a pointer to [len, items...]
-            ptr = int.from_bytes(_read_word(data, off), "big")
-            n = int.from_bytes(_read_word(data, ptr), "big")
-            if n > len(data):
-                raise AbiError("array length exceeds payload")
-            return _decode_sequence([el] * n, data, ptr + _WORD)
+        if d == -1:
+            # dynamic types reach decoding ONLY through _decode_at
+            # (their head slot holds a pointer RELATIVE to the
+            # enclosing sequence base, which this function does not
+            # know — the removed inline branch here read it as
+            # absolute and would mis-decode nested dynamics)
+            raise AbiError("internal: dynamic array must decode via "
+                           "_decode_at")
         return _decode_sequence([el] * d, data, off, inline=True)
     if t.base == "tuple":
         return _decode_sequence(list(t.components), data, off, inline=True)
-    if t.base == "string":
-        ptr = int.from_bytes(_read_word(data, off), "big")
-        n = int.from_bytes(_read_word(data, ptr), "big")
-        raw = data[ptr + _WORD: ptr + _WORD + n]
-        if len(raw) < n:
-            raise AbiError("truncated string")
-        return raw.decode("utf-8", errors="replace")
-    if t.base == "bytes" and not t.fixed_size:
-        ptr = int.from_bytes(_read_word(data, off), "big")
-        n = int.from_bytes(_read_word(data, ptr), "big")
-        raw = data[ptr + _WORD: ptr + _WORD + n]
-        if len(raw) < n:
-            raise AbiError("truncated bytes")
-        return "0x" + raw.hex()
+    if t.base == "string" or (t.base == "bytes" and not t.fixed_size):
+        raise AbiError(f"internal: dynamic {t.base} must decode via "
+                       "_decode_at")
     word = _read_word(data, off)
     return _decode_word(t, word)
 

@@ -49,6 +49,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)          # chunks are word-aligned
     if fmt is None or data is None:
         raise AudioFormatError("missing fmt/data chunk")
+    if len(fmt) < 16:   # struct.error is not a ValueError — it would
+        # escape the multimodal stage's flag-don't-drop catch set
+        raise AudioFormatError(f"fmt chunk too short ({len(fmt)} bytes)")
     codec, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
     if codec != 1 or bits != 16:
         raise AudioFormatError(

@@ -185,7 +185,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, top-down RGB bytes) from an 8-bit non-interlaced
     PNG (color types 0/2/6; gray replicates to RGB, alpha is dropped).
-    Chunk CRCs are verified — corruption raises, never mis-decodes."""
+    Chunk CRCs are verified — corruption raises, never mis-decodes.
+    Malformed field reads surface as ``ImageFormatError``, never a bare
+    ``struct.error`` (NOT a ValueError subclass — it would escape the
+    pipeline's flag-don't-drop catch and kill the Spark task; the same
+    containment `decode_jpeg` has)."""
+    try:
+        return _decode_png(payload)
+    except struct.error as exc:
+        raise ImageFormatError(f"truncated PNG field: {exc}") from exc
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:8] != _PNG_MAGIC:
         raise ImageFormatError("not a PNG payload")
     pos, ihdr, idat, ended = 8, None, [], False

@@ -21,6 +21,8 @@ and stay inside whole-stage codegen — no Python at all).
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
@@ -144,9 +146,20 @@ def _udf_ethereum_rpc(method: pd.Series, params: pd.Series,
     # one transport per Arrow batch: connection/retry state is reused
     # across the batch's calls instead of re-resolved per row
     t = rpc.get_default_transport()
-    return pd.Series([
-        rpc.ethereum_rpc(m, list(p) if p is not None else [], e, transport=t)
-        for m, p, e in zip(method, params, endpoint)])
+
+    def one(m, p, e):
+        # null-safe like every other kernel UDF here: a NULL method/
+        # endpoint returns the error envelope instead of raising out
+        # of the UDF and killing the task (review finding); pd.isna
+        # because Arrow surfaces numeric NULLs as NaN, not None
+        if pd.isna(m) or pd.isna(e):
+            return json.dumps({"value": None,
+                               "error": "null method or endpoint"})
+        return rpc.ethereum_rpc(m, list(p) if p is not None else [], e,
+                                transport=t)
+
+    return pd.Series([one(m, p, e)
+                      for m, p, e in zip(method, params, endpoint)])
 
 
 @pandas_udf(StringType())
@@ -154,10 +167,19 @@ def _udf_ethereum_rpc_call(to: pd.Series, func_sig: pd.Series,
                            args_json: pd.Series, block_number: pd.Series,
                            endpoint: pd.Series) -> pd.Series:
     t = rpc.get_default_transport()
-    return pd.Series([
-        rpc.ethereum_rpc_call(a, f, j or "", int(b), e, transport=t)
-        for a, f, j, b, e in zip(to, func_sig, args_json,
-                                 block_number, endpoint)])
+
+    def one(a, f, j, b, e):
+        if any(pd.isna(v) for v in (a, f, b, e)):
+            return json.dumps({"value": None,
+                               "error": "null to/func_sig/block_number/"
+                                        "endpoint"})
+        return rpc.ethereum_rpc_call(a, f,
+                                     "" if pd.isna(j) else j,
+                                     int(b), e, transport=t)
+
+    return pd.Series([one(a, f, j, b, e)
+                      for a, f, j, b, e in zip(to, func_sig, args_json,
+                                               block_number, endpoint)])
 
 
 def register_all(spark: SparkSession) -> None:

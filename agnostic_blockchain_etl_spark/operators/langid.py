@@ -33,8 +33,16 @@ def _char_trigrams(col, max_chars: int = 4000):
     bounds per-row work on degenerate megabyte documents)."""
     s = F.substring(F.lower(col), 1, max_chars)
     n = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(3))))
+    # guarded: Spark sequence AUTO-DESCENDS when start > stop (the
+    # dedup._spark_shingles gotcha) — greatest(n-2, 0) still yields
+    # sequence(1, 0) = [1, 0] for docs under 3 chars, emitting the
+    # whole short string (or '') as junk "trigrams" that pollute
+    # trained profiles and give short docs phantom language evidence
+    idx = F.sequence(F.lit(1), n - 2)
+    return F.when(n >= 3,
+                  F.array_distinct(
+                      F.transform(idx, lambda i: s.substr(i, F.lit(3))))) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def train_language_profiles(docs: DataFrame, lang_col: str = "lang",

@@ -244,3 +244,60 @@ class TestDecoderFuzz:
         sig = "function transfer(address,uint256)(bool)"
         r = json.loads(abi.evm_decode_call(payload, b"", [sig]))
         assert set(r) == {"value", "error"}
+
+
+class TestWave5Regressions:
+    """Round-7 review-wave findings on the kernel layer."""
+
+    def test_abi_location_keyword_before_name(self):
+        from agnostic_blockchain_etl_spark.functions.abi import (
+            parse_signature)
+        sig = parse_signature("event LogData(bytes memory data)")
+        assert sig.inputs[0].type.base == "bytes"
+        assert sig.inputs[0].name == "data"
+        sig2 = parse_signature(
+            "function f(uint256 calldata x) returns (bool ok)")
+        assert sig2.inputs[0].name == "x"
+
+    def test_png_wav_struct_errors_contained(self):
+        import struct
+        import zlib
+
+        from agnostic_blockchain_etl_spark.functions.audio import (
+            AudioFormatError, decode_wav)
+        from agnostic_blockchain_etl_spark.functions.imaging import (
+            ImageFormatError, decode_png)
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)
+                                  & 0xffffffff))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5)
+               + chunk(b"IDAT", zlib.compress(b"\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ImageFormatError):   # NOT struct.error
+            decode_png(png)
+        wav = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+               + b"data" + struct.pack("<I", 0))
+        with pytest.raises(AudioFormatError):
+            decode_wav(wav)
+
+    def test_rpc_udfs_null_safe(self):
+        """A NULL method/endpoint/block_number yields the error
+        envelope, never an exception out of the UDF."""
+        import json as _json
+
+        from agnostic_blockchain_etl_spark.session import get_session
+        spark = get_session(master="local[4]",
+                            conf={"spark.sql.shuffle.partitions": "4"})
+        row = spark.sql(
+            "SELECT ethereum_rpc(CAST(NULL AS STRING), array('x'), "
+            "CAST(NULL AS STRING)) AS r").collect()[0]
+        env = _json.loads(row.r)
+        assert env["value"] is None and "null" in env["error"]
+        row2 = spark.sql(
+            "SELECT ethereum_rpc_call('0xabc', 'f()', '[]', "
+            "CAST(NULL AS BIGINT), 'http://x') AS r").collect()[0]
+        env2 = _json.loads(row2.r)
+        assert env2["value"] is None and "null" in env2["error"]

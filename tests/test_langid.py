@@ -91,3 +91,23 @@ class TestLangId:
         row = detect_language(df, profiles).first()
         assert row["detected_lang"] == "a"
         assert row["lang_score"] == 1
+
+
+def test_short_docs_emit_no_trigrams(spark):
+    """Review finding: Spark sequence(1, greatest(n-2, 0)) AUTO-DESCENDS
+    to [1, 0] for docs under 3 chars, so 'hi' emitted ['hi'] and ''
+    emitted [''] as junk trigrams — polluting trained profiles and
+    giving short docs phantom language evidence. Under-3-char docs must
+    contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from agnostic_blockchain_etl_spark.operators.langid import (
+        _char_trigrams)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "h"), (3, "hi"), (4, "hey")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.tri for r in
+           df.select("doc_id",
+                     _char_trigrams(F.col("text")).alias("tri")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["hey"]
