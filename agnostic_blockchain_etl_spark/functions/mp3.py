@@ -45,7 +45,10 @@ def _id3v2_size(payload: bytes) -> int:
         raise AudioFormatError("corrupt ID3v2 syncsafe size")
     size = ((payload[6] << 21) | (payload[7] << 14)
             | (payload[8] << 7) | payload[9])
-    return 10 + size
+    # ID3v2.4 footer flag (§3.1 flags bit 4): a 10-byte footer follows
+    # the tag payload and is NOT counted in the syncsafe size
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def parse_frame_header(payload: bytes, pos: int) -> dict:
@@ -116,6 +119,7 @@ def mp3_metadata(payload: bytes) -> dict:
     vbr_tag = False
     bitrates = []
     first = None
+    tag_checked = False
     samples = 0
     while pos + 4 <= n:
         if payload[pos:pos + 3] == b"TAG" and n - pos == 128:
@@ -126,14 +130,20 @@ def mp3_metadata(payload: bytes) -> dict:
                 f"truncated final frame (header promises "
                 f"{f['frame_len']} bytes, {n - pos} remain)")
         if first is None:
+            # only the literal FIRST frame can be a Xing/Info tag frame;
+            # `first` must bind to the first AUDIO frame, not the tag —
+            # otherwise version/mode/channels and the format-change
+            # baseline report the tag frame's header
+            if not tag_checked:
+                tag_checked = True
+                off = pos + _xing_offset(f["version"], f["channels"],
+                                         f["crc"])
+                tag = payload[off:off + 4]
+                if tag in (b"Xing", b"Info"):
+                    vbr_tag = tag == b"Xing"
+                    pos += f["frame_len"]
+                    continue                       # tag frame: no audio
             first = f
-            off = pos + _xing_offset(f["version"], f["channels"],
-                                     f["crc"])
-            tag = payload[off:off + 4]
-            if tag in (b"Xing", b"Info"):
-                vbr_tag = tag == b"Xing"
-                pos += f["frame_len"]
-                continue                           # tag frame: no audio
         if (f["sample_rate"], f["channels"]) != (first["sample_rate"],
                                                  first["channels"]):
             raise AudioFormatError("mid-stream format change")

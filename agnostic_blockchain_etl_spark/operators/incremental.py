@@ -177,7 +177,13 @@ def _check_store_fingerprint(spark, name: str) -> None:
             f"permutation family {got!r} (None = unversioned, "
             f"pre-fingerprint store), but this build uses "
             f"{PERMS_FINGERPRINT!r}; rebuild the store "
-            f"(write_signature_store_tables) before incremental use")
+            f"(write_signature_store_tables) before incremental use. "
+            "Note: the fingerprint constant changed in round 7 (order-"
+            "sensitive md5-of-sequence replaced a commutative sum), so "
+            "stores written by earlier builds fail this check even "
+            "though the (a, b) permutation family itself is unchanged "
+            "— the rebuild is a version-stamp refresh, not a "
+            "signature-compatibility break")
 
 
 def stored_neardup_pairs(new_docs: DataFrame, name: str,

@@ -401,17 +401,30 @@ def ivf_search(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
     recall dial's endpoint), which is how the test pins correctness."""
     vecs = emb.select("vec_id",
                       F.col("embedding").cast("array<double>").alias("e"))
-    # bind the query id by NAME (first non-embedding column), not by
-    # position: column order is not a stable property of a DataFrame
-    # through joins/selects, and a positional bind of an array column
-    # surfaced as an opaque Arrow type error at the kernel boundary
-    qid = [c for c in queries.columns if c != "embedding"]
-    if "embedding" not in queries.columns or not qid:
+    # bind the query id by NAME, not by position: column order is not a
+    # stable property of a DataFrame through joins/selects, and a
+    # positional bind of an array column surfaced as an opaque Arrow
+    # type error at the kernel boundary. A conventional id name wins;
+    # otherwise the id must be UNAMBIGUOUS — silently grabbing the
+    # first of several metadata columns re-creates the positional
+    # fragility this bind exists to remove.
+    cand = [c for c in queries.columns if c != "embedding"]
+    if "embedding" not in queries.columns or not cand:
         raise ValueError(
             "ivf_search queries need an 'embedding' column and an id "
             f"column; got {queries.columns}")
+    named = [c for c in cand if c in ("query_id", "vec_id", "doc_id")]
+    if named:
+        qid = named[0]
+    elif len(cand) == 1:
+        qid = cand[0]
+    else:
+        raise ValueError(
+            "ivf_search queries carry several non-embedding columns "
+            f"({cand}) and none is named query_id/vec_id/doc_id — "
+            "select the id column explicitly")
     qvecs = queries.select(
-        F.col(qid[0]).alias("query_id"),
+        F.col(qid).alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"))
     cb = [(r.list_id, list(r.centroid)) for r in codebook.collect()]
     assigned = _nearest_assign(vecs, cb).select("list_id", "vec_id", "e")

@@ -68,10 +68,20 @@ def split_statements(sql: str) -> list[str]:
             # bracketed comment (Spark SQL supports them): a ';' or
             # quote inside one must not split/flip state — review
             # finding ("/* don't */ SELECT 1; SELECT 2" glued both
-            # statements). Unterminated → consume to EOF (the parser
-            # will complain with the real error).
-            j = sql.find("*/", i + 2)
-            j = n if j < 0 else j + 2
+            # statements). Spark's comments NEST (/* a /* b */ c */ is
+            # one comment), so track depth rather than the first '*/'.
+            # Unterminated → consume to EOF (the parser will complain
+            # with the real error).
+            j, depth = i + 2, 1
+            while j < n and depth:
+                if sql[j:j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif sql[j:j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
             cur.append(sql[i:j])
             i = j
             continue

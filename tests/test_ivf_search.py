@@ -130,6 +130,16 @@ def test_query_id_bound_by_name_not_position(spark):
     assert got[0].query_id == 7 and got[0].neighbor_id == 1
     with pytest.raises(ValueError, match="embedding"):
         ivf_search(corpus, q_rev.select("qid"), cb)
+    # several metadata columns, none conventionally named → refuse
+    # rather than silently binding an arbitrary one (advice finding)
+    from pyspark.sql import functions as F
+    q_multi = q_rev.withColumn("source", F.lit("web"))
+    with pytest.raises(ValueError, match="query_id/vec_id/doc_id"):
+        ivf_search(corpus, q_multi, cb, k=1, nprobe=1)
+    # ...but a conventional id name wins over extra metadata columns
+    q_named = q_multi.withColumnRenamed("qid", "query_id")
+    got = ivf_search(corpus, q_named, cb, k=1, nprobe=1).collect()
+    assert got[0].query_id == 7 and got[0].neighbor_id == 1
 
 
 def test_ivf_train_keeps_empty_lists(spark):

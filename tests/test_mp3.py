@@ -83,6 +83,31 @@ class TestStreamWalk:
         assert m["n_frames"] == 5                  # tag frame not counted
         assert m["vbr"]
 
+    def test_id3v24_footer_flag_skipped(self):
+        """ID3v2.4 footer flag (flags bit 4): a 10-byte footer follows
+        the tag and is NOT in the syncsafe size — unskipped it lands on
+        the frame-sync scan and a valid file reads as 'no MP3 frame
+        sync' (advice finding)."""
+        body = encode_mp3_frames(3, 128, 44100)
+        tag_payload = bytes(37)
+        footer = b"3DI\x04\x00\x10" + bytes([0, 0, 0, 37])
+        id3 = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 37]) + tag_payload \
+            + footer
+        m = mp3_metadata(id3 + body)
+        assert m["n_frames"] == 3 and m["has_id3v2"]
+
+    def test_xing_tag_header_does_not_define_stream_fields(self):
+        """The Xing/Info tag frame's own header (often mono to minimize
+        tag size) must not become the stream baseline: version/mode/
+        channels and the format-change reference come from the first
+        AUDIO frame (advice finding — `first` stayed bound to the tag)."""
+        tag_frame = bytearray(encode_mp3_frames(1, 128, 44100, mono=True))
+        tag_frame[4 + 17:4 + 17 + 4] = b"Xing"     # MPEG1 mono offset
+        audio = encode_mp3_frames(4, 128, 44100)   # stereo
+        m = mp3_metadata(bytes(tag_frame) + audio)
+        assert m["n_frames"] == 4 and m["vbr"]
+        assert m["channels"] == 2 and m["mode"] == "stereo"
+
     def test_xing_tag_found_behind_crc(self):
         """protection_bit=0 inserts a 16-bit CRC between header and
         side info (ISO 11172-3 §2.4.1.8), shifting a Xing/Info tag by

@@ -159,6 +159,21 @@ class TestSplitStatements:
         assert split_statements("select 1 -- trailing; not a split\n; select 2") == [
             "select 1 -- trailing; not a split", "select 2"]
 
+    def test_bracketed_comment_hides_semicolon(self):
+        assert split_statements("/* don't; */ select 1; select 2") == [
+            "/* don't; */ select 1", "select 2"]
+
+    def test_nested_bracketed_comments(self):
+        """Spark SQL bracketed comments NEST; a ';' after an inner '*/'
+        is still inside the outer comment (advice finding — the single
+        find('*/') skip split there and corrupted both statements)."""
+        sql = "select /* outer /* inner */ still; comment */ 1; select 2"
+        assert split_statements(sql) == [
+            "select /* outer /* inner */ still; comment */ 1", "select 2"]
+        # unterminated nested comment consumes to EOF, no bogus split
+        assert split_statements("select /* a /* b */ ; 1") == [
+            "select /* a /* b */ ; 1"]
+
 
 def _pipeline_conf(max_batch=10, tips=1, workers=4):
     return PipelineConfig.from_dict({
