@@ -425,3 +425,51 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int) -> DataFrame:
             .orderBy(F.col("__priority").desc(), "doc_id")
             .limit(k)
             .drop("__priority"))
+
+
+_SHARD_N, _SHARD_BUCKETS = 8, 64
+
+
+@query("shard_assign_balanced", oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST({_sql_salted_h60("shard:")} % {_SHARD_BUCKETS} AS INT)
+                   AS bucket
+        FROM documents),
+    t AS (SELECT bucket, SUM(weight) AS w FROM b GROUP BY bucket),
+    a AS (SELECT bucket,
+                 COALESCE(SUM(w) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0)  AS cumb,
+                 SUM(w) OVER ()                 AS tot
+          FROM t),
+    m AS (SELECT bucket,
+                 CAST(LEAST({_SHARD_N - 1},
+                      CASE WHEN tot > 0 THEN (cumb * {_SHARD_N}) // tot
+                           ELSE 0 END) AS INT) AS shard
+          FROM a)
+    SELECT b.doc_id, b.weight, m.shard
+    FROM b JOIN m USING (bucket)
+""")
+def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for `shards.balanced_shard_assign` (round-7 verdict ask
+    #3 — the operator that decides what a training job actually reads
+    was the last pytest-only, oracle-expressible surface): per-document
+    token-balanced shard ids over the corpus, verified value-for-value
+    by the DuckDB twin. Uses the ``range`` strategy (cumulative packing
+    — closed-form window arithmetic, so the twin reproduces the
+    assignment exactly) over the portable salted md5-nibble bucket
+    hash (`_salted_h60` — xxhash64 has no cross-engine twin). The LPT
+    strategy shares every stage but the final greedy placement; its
+    balance property is pytest-pinned (tests/test_shards.py)."""
+    from .shards import balanced_shard_assign
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = (t["documents"]
+         .select("doc_id", F.col("n_chars").cast("long").alias("weight"))
+         .withColumn("bucket",
+                     (_salted_h60("shard:") % _SHARD_BUCKETS)
+                     .cast("int")))
+    out = balanced_shard_assign(d, "weight", _SHARD_N, key_col="doc_id",
+                                n_buckets=_SHARD_BUCKETS,
+                                strategy="range", bucket_col="bucket")
+    return out.select("doc_id", "weight", "shard")

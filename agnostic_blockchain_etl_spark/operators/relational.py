@@ -401,6 +401,17 @@ def array_zip_index(spark, sf_dir):
         EXCEPT
         SELECT user_id, CAST(ts AS DATE) AS day FROM events
         WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'semi', CAST(c_custkey AS VARCHAR), c_name, CAST(NULL AS BIGINT)
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+    UNION ALL
+    SELECT 'anti', CAST(c_custkey AS VARCHAR), c_name, CAST(NULL AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
 """)
 def key_set_facets(spark, sf_dir):
     """Every §2.6 set-operation shape in ONE gate row: UNION ALL of two
@@ -411,10 +422,15 @@ def key_set_facets(spark, sf_dir):
     and EXCEPT on a composite (user, day) key — days a user viewed
     without buying (consolidates the r1-r5 ``set_ops`` row; the corpus
     has every user doing every event type, so the composite key keeps
-    the except facet non-trivial). Each facet keeps its own single
+    the except facet non-trivial). Round 8 folds in the left-SEMI and
+    left-ANTI join facets (customers with a >300k order / customers
+    with no orders — the `semi_anti_join` gate row rotated out to make
+    window room for `shard_assign_balanced`; the standalone query stays
+    a library/bench entry point). Each facet keeps its own single
     shuffle; the final union is plan-level concatenation, not a join."""
     from .tables import epoch_day, events_us
-    t = load_tables(spark, sf_dir, ("events", "part"))
+    t = load_tables(spark, sf_dir, ("events", "part", "customer",
+                                    "orders"))
     e = t["events"]
     a = e.where(F.col("event_type") == "click").select(
         "user_id", F.lit("actor").alias("role"))
@@ -445,7 +461,24 @@ def key_set_facets(spark, sf_dir):
                    F.col("user_id").cast("string").alias("k1"),
                    F.col("day").cast("string").alias("k2"),
                    F.lit(None).cast("long").alias("n")))
-    return wallets.unionByName(parts).unionByName(inter).unionByName(exc)
+    big = t["orders"].where(F.col("o_totalprice") > 300000)
+    semi = (t["customer"]
+            .join(big, t["customer"].c_custkey == big.o_custkey,
+                  "left_semi")
+            .select(F.lit("semi").alias("facet"),
+                    F.col("c_custkey").cast("string").alias("k1"),
+                    F.col("c_name").alias("k2"),
+                    F.lit(None).cast("long").alias("n")))
+    anti = (t["customer"]
+            .join(t["orders"],
+                  t["customer"].c_custkey == t["orders"].o_custkey,
+                  "left_anti")
+            .select(F.lit("anti").alias("facet"),
+                    F.col("c_custkey").cast("string").alias("k1"),
+                    F.col("c_name").alias("k2"),
+                    F.lit(None).cast("long").alias("n")))
+    return (wallets.unionByName(parts).unionByName(inter)
+            .unionByName(exc).unionByName(semi).unionByName(anti))
 
 
 @query("topk_order_limit", oracle="""
@@ -613,3 +646,11 @@ def control_scan_facets(spark, sf_dir):
                 for i, s in enumerate(_CANARY_STRINGS)]
     return start.crossJoin(series).select("start", "total", "n_rows",
                                           *canaries)
+
+
+# Round-8 gate rotation: `semi_anti_join`'s facets folded into
+# `key_set_facets` (making window room for `shard_assign_balanced`);
+# the standalone query stays registered for bench/local-oracle use but
+# moves to the END of queries() so it sits OUTSIDE the driver's
+# 50-slot correctness window.
+QUERIES["semi_anti_join"] = QUERIES.pop("semi_anti_join")

@@ -38,7 +38,9 @@ _DEFAULT_BUCKETS = 1024
 def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
                           key_col: str = "doc_id",
                           n_buckets: int = _DEFAULT_BUCKETS,
-                          shard_col: str = "shard") -> DataFrame:
+                          shard_col: str = "shard",
+                          strategy: str = "lpt",
+                          bucket_col: str | None = None) -> DataFrame:
     """Annotate ``df`` with a ``shard_col`` column (0..n_shards-1)
     balancing ``sum(weight_col)`` per shard. All input columns survive;
     a clashing input column is an explicit error (pack_sequences e.g.
@@ -46,7 +48,29 @@ def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
     rename rather than letting a silent overwrite eat data).
 
     Rows sharing ``key_col`` land in the same shard (bucket granularity),
-    so a document's chunks never straddle shards."""
+    so a document's chunks never straddle shards.
+
+    Two assignment strategies over the same bucket summaries, both with
+    max-shard-overshoot bounded by the heaviest single bucket:
+
+    - ``"lpt"`` (default): greedy longest-processing-time — heaviest
+      bucket onto the currently-lightest shard. Tightest balance; the
+      greedy loop runs driver-side over the ≤ ``n_buckets``-row summary
+      (bounded by the knob, never by data).
+    - ``"range"``: cumulative packing — buckets in bucket-id order,
+      ``shard = (cum_weight_before * n_shards) div total`` (exact
+      integer arithmetic; requires an integral, non-negative weight
+      column such as a token count). Fully distributed — no collect at
+      all (the cumulative window runs over the ``n_buckets``-row
+      summary) — and closed-form SQL-expressible, which is what lets
+      the driver's DuckDB oracle verify the assignment end-to-end
+      (gate row `shard_assign_balanced`).
+
+    ``bucket_col``: use a caller-computed bucket column (values must
+    already be in ``[0, n_buckets)``) instead of the built-in
+    ``pmod(xxhash64(key_col), n_buckets)`` — e.g. the portable
+    md5-nibble hash when the assignment must reproduce outside Spark.
+    The column survives in the output like any other input column."""
     if n_buckets < n_shards:
         raise ValueError(
             f"n_buckets ({n_buckets}) must be >= n_shards ({n_shards})")
@@ -55,26 +79,68 @@ def balanced_shard_assign(df: DataFrame, weight_col: str, n_shards: int,
             f"input already has a {shard_col!r} column "
             "(pack_sequences' packing-stream id?) — pass a different "
             "shard_col= or rename the input column")
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-        .cast("int"))
-    totals = (bucketed.groupBy("_bucket")
-              .agg(F.sum(weight_col).alias("_w"))
-              .collect())  # <= n_buckets rows: the bounded driver summary
-    # LPT: heaviest bucket first onto the lightest shard; heap entries
-    # (load, shard) tie-break on shard index, bucket order ties on id
-    heap = [(0, s) for s in range(n_shards)]
-    heapq.heapify(heap)
-    mapping = []
-    for row in sorted(totals, key=lambda r: (-(r["_w"] or 0), r["_bucket"])):
-        load, shard = heapq.heappop(heap)
-        mapping.append((row["_bucket"], shard))
-        heapq.heappush(heap, (load + (row["_w"] or 0), shard))
-    spark = df.sparkSession
-    map_df = spark.createDataFrame(mapping,
-                                   f"_bucket int, {shard_col} int")
-    return (bucketed.join(F.broadcast(map_df), "_bucket")
-            .drop("_bucket"))
+    if strategy not in ("lpt", "range"):
+        raise ValueError(f"unknown strategy {strategy!r} "
+                         "(expected 'lpt' or 'range')")
+    if bucket_col is not None:
+        bucketed, bcol = df, bucket_col
+    else:
+        bcol = "_bucket"
+        bucketed = df.withColumn(
+            bcol, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+            .cast("int"))
+
+    if strategy == "range":
+        from pyspark.sql.types import IntegralType
+        if not isinstance(df.schema[weight_col].dataType, IntegralType):
+            raise ValueError(
+                f"strategy='range' needs an integral weight column "
+                f"(exact cumulative division); {weight_col!r} is "
+                f"{df.schema[weight_col].dataType.simpleString()}")
+        from pyspark.sql import Window
+        totals = (bucketed.groupBy(F.col(bcol).alias("_b"))
+                  .agg(F.sum(F.col(weight_col).cast("long")).alias("_w")))
+        # single-partition windows over <= n_buckets summary rows —
+        # bounded by the knob, never by data (same scale contract as
+        # the LPT collect)
+        w_cum = Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1)
+        w_all = Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        map_df = (totals
+                  .select("_b",
+                          F.coalesce(F.sum("_w").over(w_cum), F.lit(0))
+                          .alias("_cumb"),
+                          F.sum("_w").over(w_all).alias("_tot"))
+                  .select("_b",
+                          F.when(F.col("_tot") > 0,
+                                 F.least(F.lit(n_shards - 1),
+                                         F.expr(f"(_cumb * {n_shards})"
+                                                " div _tot")))
+                          .otherwise(F.lit(0))
+                          .cast("int").alias(shard_col)))
+    else:
+        totals = (bucketed.groupBy(F.col(bcol).alias("_b"))
+                  .agg(F.sum(weight_col).alias("_w"))
+                  .collect())  # <= n_buckets rows: bounded driver summary
+        # LPT: heaviest bucket first onto the lightest shard; heap
+        # entries (load, shard) tie-break on shard index, bucket order
+        # ties on id
+        heap = [(0, s) for s in range(n_shards)]
+        heapq.heapify(heap)
+        mapping = []
+        for row in sorted(totals,
+                          key=lambda r: (-(r["_w"] or 0), r["_b"])):
+            load, shard = heapq.heappop(heap)
+            mapping.append((row["_b"], shard))
+            heapq.heappush(heap, (load + (row["_w"] or 0), shard))
+        spark = df.sparkSession
+        map_df = spark.createDataFrame(mapping,
+                                       f"_b int, {shard_col} int")
+    joined = bucketed.join(
+        F.broadcast(map_df),
+        bucketed[bcol] == map_df["_b"]).drop("_b")
+    return joined if bucket_col is not None else joined.drop(bcol)
 
 
 def write_training_shards(df: DataFrame, path: str, weight_col: str,

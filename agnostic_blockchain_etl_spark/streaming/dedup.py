@@ -248,12 +248,45 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+def _read_semantic_store(spark, store_path: str, batch_id: int,
+                         empty_schema: str) -> DataFrame:
+    """Member-store read honoring compaction snapshots: the newest
+    snapshot at ``{store_path}_compact/upto=K`` with ``K < batch_id``
+    replaces every raw delta partition with ``batch_id <= K``; raw
+    partitions in ``(K, batch_id)`` union on top. Without a snapshot
+    this is exactly `_read_store_or`'s rule. A replay of batch N never
+    sees its own (possibly half-written) snapshot — ``upto=N`` is not
+    ``< N`` — so the exactly-once construction is unchanged."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_not_found
+    try:
+        snaps = spark.read.parquet(store_path + "_compact")
+    except AnalysisException as exc:
+        if not is_not_found(exc, "PATH_NOT_FOUND",
+                            "Path does not exist"):
+            raise
+        return _read_store_or(spark, store_path, batch_id, empty_schema)
+    upto = snaps.where(F.col("upto") < batch_id) \
+                .agg(F.max("upto")).collect()[0][0]
+    if upto is None:
+        return _read_store_or(spark, store_path, batch_id, empty_schema)
+    tail = (spark.read.parquet(store_path)
+            .where((F.col("batch_id") > upto)
+                   & (F.col("batch_id") < batch_id))
+            .drop("batch_id"))
+    return snaps.where(F.col("upto") == upto).drop("upto") \
+                .unionByName(tail)
+
+
 def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
                           stats_path: str, store_path: str,
                           out_path: str, checkpoint: str,
                           tau: float = 0.99,
                           text_col: str = "text", dim: int = 256,
-                          max_list_size: int | None = None):
+                          max_list_size: int | None = None,
+                          compact_every: int | None = None,
+                          tau_compact: float = 0.99):
     """Day-2 SEMANTIC dedup over an unbounded text stream: each
     micro-batch embeds its documents (`hashed_tfidf_vectors` — no
     external model) under the FROZEN vocabulary statistics at
@@ -282,16 +315,31 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
 
     Day-N lifecycle: the store grows by every kept vector, and a
     flooded cluster eventually hits ``max_list_size``'s drop-and-log
-    guard. Between stream restarts, run
-    `operators.similarity.compact_semantic_store` over the store
-    parquet and rewrite it as the new baseline (one ``batch_id=0``
-    snapshot directory replacing the old partitions) — compaction
-    keeps the matches the cap would drop. Compacting SEALS replay
-    detection for the batches it absorbed (same contract as
-    `compact_paragraph_store`'s terminal sum): only compact batches
-    the checkpoint has fully committed, i.e. while the stream is
-    stopped."""
-    from ..operators.similarity import (hashed_tfidf_vectors,
+    guard. ``compact_every=N`` schedules
+    `operators.similarity.compact_semantic_store` IN-stream: every N
+    batches the post-batch store state (mutually-near members
+    collapsed to their oldest representative at ``tau_compact`` —
+    keep it ≥ ``tau``, the recall contract) is written as a snapshot
+    under ``{store_path}_compact/upto=<batch_id>``, and later store
+    reads take newest-snapshot + raw deltas after it. The snapshot
+    write follows the SAME exactly-once rule as the deltas: a
+    deterministic per-batch directory in overwrite mode, and a replay
+    of batch N reads only snapshots with ``upto < N`` — never its own
+    half-written one — so it recomputes byte-identical state. Raw
+    delta partitions at or below a committed snapshot's ``upto`` are
+    dead weight (safe to prune once the checkpoint passes that batch)
+    but never read again either way.
+
+    The manual form stays available between restarts: run
+    `compact_semantic_store` over the store parquet and rewrite it as
+    a ``batch_id=0`` baseline replacing the old partitions. THAT form
+    rewrites partitions in place and so SEALS replay detection for
+    the batches it absorbed (same contract as
+    `compact_paragraph_store`'s terminal sum) — only do it while the
+    stream is stopped; the in-stream snapshot path above exists
+    precisely because it does not touch the raw partitions."""
+    from ..operators.similarity import (compact_semantic_store,
+                                        hashed_tfidf_vectors,
                                         incremental_semantic_dedup)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -305,7 +353,7 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
         emb = hashed_tfidf_vectors(
             batch_df.select("doc_id", text_col), dim=dim,
             text_col=text_col, stats=stats).persist()
-        store = _read_store_or(
+        store = _read_semantic_store(
             spark, store_path, batch_id,
             "vec_id long, list_id int, e array<double>")
         ann, _ = incremental_semantic_dedup(
@@ -329,11 +377,22 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
         # members on vec_id reuse
         kept_ids = ann.where(F.col("keep") == 1) \
             .select("vec_id", "list_id")
-        (emb.join(kept_ids, "vec_id")
-         .select("vec_id", "list_id",
-                 F.col("embedding").cast("array<double>").alias("e"))
-         .write.mode("overwrite")
-         .parquet(f"{store_path}/batch_id={batch_id}"))
+        delta = (emb.join(kept_ids, "vec_id")
+                 .select("vec_id", "list_id",
+                         F.col("embedding").cast("array<double>")
+                         .alias("e")))
+        delta.write.mode("overwrite") \
+             .parquet(f"{store_path}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # compact the POST-batch state (pre-batch store + this
+            # batch's kept delta — both deterministic under replay)
+            # into the snapshot for upto=batch_id; the member
+            # projection is scope-cached inside compact_semantic_store
+            compact_semantic_store(
+                store.unionByName(delta), tau_compact=tau_compact,
+                max_cluster_size=max_list_size) \
+                .write.mode("overwrite") \
+                .parquet(f"{store_path}_compact/upto={batch_id}")
         ann.unpersist()
         emb.unpersist()
 

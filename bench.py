@@ -49,6 +49,7 @@ HEADLINE = [
     "skew_salted_join",
     "chunk_pack_documents",
     "corpus_sampling_facets",
+    "shard_assign_balanced",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",
@@ -78,6 +79,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
 
     from agnostic_blockchain_etl_spark.session import get_session
     import __spark_entry__ as entrymod
@@ -123,6 +126,39 @@ def main() -> None:
     _canary()  # warm
     calibration_sec = min(_canary() for _ in range(3))
 
+    # Long calibration canary (round-7 verdict ask #2): the ~0.3 s
+    # canary's own run-to-run noise (±14% observed on identical code)
+    # exceeds the 5% moves cross-round normalization needs to resolve.
+    # This one is a fixed ~2.5 s query — per-row md5 over every
+    # lineitem column, a two-key aggregate, a per-partkey top-2 window,
+    # and a global reduce — still touching NO repo operator, so it
+    # tracks machine speed only. Relative noise shrinks ~10×;
+    # `headline_total / calibration_long_sec` is the drift-free ratio
+    # going forward (the short canary stays emitted for one-round
+    # continuity with r1-r7 artifacts).
+    def _canary_long() -> float:
+        from pyspark.sql import Window
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        hashed = li.withColumn(
+            "h", F.md5(F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in li.columns])))
+        agg = (hashed.groupBy("l_partkey", "l_suppkey")
+               .agg(F.count("*").alias("n"),
+                    F.sum("l_quantity").alias("qty"),
+                    F.min("h").alias("hmin"),
+                    F.max("l_extendedprice").alias("pmax")))
+        w = Window.partitionBy("l_partkey") \
+                  .orderBy(F.col("qty").desc(), "l_suppkey")
+        t0 = time.monotonic()
+        (agg.withColumn("rk", F.row_number().over(w))
+         .where(F.col("rk") <= 2)
+         .groupBy().agg(F.count("*"), F.sum("qty"), F.min("hmin"))
+         .write.format("noop").mode("overwrite").save())
+        return round(time.monotonic() - t0, 3)
+
+    _canary_long()  # warm
+    calibration_long_sec = min(_canary_long() for _ in range(3))
+
     # three timed passes, min per query: a single pass is exposed to
     # one-off GC pauses / OS scheduling noise (measured up to ±10 s total
     # swings across identical full runs); the min of three steady-state
@@ -155,6 +191,7 @@ def main() -> None:
         "n_ok": len(ok),
         "n_err": len(timings) - len(ok),
         "calibration_sec": calibration_sec,
+        "calibration_long_sec": calibration_long_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -164,15 +201,28 @@ def main() -> None:
     # headline total — the headline stays the cross-round comparison
     # unit (it keeps its query set), while the extras still land in the
     # artifact. Correctness for these lives in pytest, not the oracle.
+    # Extras are min-of-N like the headline (round-7 verdict ask #1: a
+    # single timed pass produced four phantom regressions the judge had
+    # to re-measure by hand): warm pass, then min-of-3 timed passes for
+    # probes under 10 s and min-of-2 for the heavy ones (the adaptive
+    # split keeps the added runtime near the budgeted ~60 s instead of
+    # doubling the heaviest probe twice).
     from scale_probe import _extra_probes
     extras_d: dict[str, object] = {}
     for name, q in sorted(_extra_probes().items()):
         try:
-            q(spark, sf_dir).write.format("noop") \
-                            .mode("overwrite").save()   # warm
-            t0 = time.monotonic()
-            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extras_d[name] = round(time.monotonic() - t0, 3)
+            def _one_pass() -> float:
+                t0 = time.monotonic()
+                q(spark, sf_dir).write.format("noop") \
+                                .mode("overwrite").save()
+                sec = time.monotonic() - t0
+                spark.catalog.clearCache()
+                return sec
+            _one_pass()                                 # warm
+            first = _one_pass()
+            reps = 2 if first < 10.0 else 1
+            extras_d[name] = round(
+                min([first] + [_one_pass() for _ in range(reps)]), 3)
         except Exception as exc:  # noqa: BLE001
             extras_d[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         spark.catalog.clearCache()

@@ -159,29 +159,36 @@ def _extra_probes() -> dict:
         k = max(10, d.count() // 10)
         return dsir_sample(d.select("doc_id", "text"), target, k=k)
 
-    def p_text_embed_day2(spark, sf):
-        # the FROZEN-STATS day-2 text path end-to-end (round-6 verdict
-        # ask #6), in its production shape — every cross-step artifact
+    def p_text_embed_day3(spark, sf):
+        # the FROZEN-STATS day-N text path end-to-end (round-6 verdict
+        # ask #6, extended to day-3 with in-loop compaction by round-7
+        # ask #5), in its production shape — every cross-step artifact
         # persists as parquet and is read back, exactly like
         # `semantic_dedup_stream`'s deployment contract: fit vocabulary
         # statistics ONCE on history (identical text must embed
         # identically in every later batch), persist stats + history
-        # embeddings + codebook + member store, then chain TWO
-        # incremental batches, re-persisting the store between them.
-        # The timed number is the whole day-0→day-2 flow; the probe's
-        # 10× ratio is the growth curve of the day-2 text path.
+        # embeddings + codebook + member store, then chain THREE
+        # incremental batches with `compact_semantic_store` between
+        # day-2 and day-3 — so the day-N curve measures the
+        # steady-state (compacted) store size, not unbounded append.
+        # The timed number is the whole day-0→day-3 flow. (r7's
+        # x_text_embed_day2 is a strict prefix of this probe — two
+        # batches, no compaction; renamed when the compact step joined
+        # the lifecycle.)
         from agnostic_blockchain_etl_spark.operators.similarity import (
-            fit_tfidf_stats, hashed_tfidf_vectors,
-            incremental_semantic_dedup, ivf_train, semantic_member_store)
+            compact_semantic_store, fit_tfidf_stats,
+            hashed_tfidf_vectors, incremental_semantic_dedup, ivf_train,
+            semantic_member_store)
         # deterministic per-SF scratch dir, OVERWRITTEN per invocation:
         # mkdtemp would leak one multi-MB parquet tree per warm/timed
         # pass (4 per probe run), accumulating across runs
-        base = "/tmp/x_text_embed_day2_" \
+        base = "/tmp/x_text_embed_day3_" \
             + os.path.basename(sf.rstrip("/"))
         d = _docs(spark, sf).select("doc_id", "text")
         hist_docs = d.where(F.col("doc_id") % 2 == 0)
-        b1_docs = d.where(F.col("doc_id") % 4 == 1)
-        b2_docs = d.where(F.col("doc_id") % 4 == 3)
+        b1_docs = d.where(F.col("doc_id") % 8 == 1)
+        b2_docs = d.where(F.col("doc_id") % 8 == 3)
+        b3_docs = d.where(F.col("doc_id") % 8 == 5)
 
         def _persist(df, name):
             df.write.mode("overwrite").parquet(f"{base}/{name}")
@@ -197,10 +204,17 @@ def _extra_probes() -> dict:
             hashed_tfidf_vectors(b1_docs, dim=128, stats=stats),
             store, cb, tau=0.9)
         store1 = _persist(store1, "store1")
-        ann2, _ = incremental_semantic_dedup(
+        _, store2 = incremental_semantic_dedup(
             hashed_tfidf_vectors(b2_docs, dim=128, stats=stats),
             store1, cb, tau=0.9)
-        return ann2
+        store2 = _persist(store2, "store2")
+        # day-2 → day-3 compaction (tau_compact ≥ tau recall contract)
+        store2c = _persist(
+            compact_semantic_store(store2, tau_compact=0.95), "store2c")
+        ann3, _ = incremental_semantic_dedup(
+            hashed_tfidf_vectors(b3_docs, dim=128, stats=stats),
+            store2c, cb, tau=0.9)
+        return ann3
 
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
@@ -215,7 +229,7 @@ def _extra_probes() -> dict:
     return {"x_dsir_sample": p_dsir_sample,
             "x_semantic_dedup": p_semantic_dedup,
             "x_text_embed_dedup": p_text_embed_dedup,
-            "x_text_embed_day2": p_text_embed_day2,
+            "x_text_embed_day3": p_text_embed_day3,
             "x_ivf_search": p_ivf_search,
             "x_lm_buckets": p_lm_buckets,
             "x_curate_corpus": p_curate_corpus,

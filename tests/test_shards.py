@@ -84,6 +84,65 @@ class TestAssignment:
                                   n_buckets=4)
 
 
+class TestRangeStrategy:
+    """strategy='range' (round-8 gate row): cumulative packing — fully
+    distributed (no collect) and closed-form SQL-expressible, with the
+    same balance-bound class as LPT (max shard ≤ mean + heaviest
+    bucket... for cumulative packing the bound is bin width + heaviest
+    bucket, asserted below)."""
+
+    def test_balance_bound_and_coverage(self, spark):
+        df = _corpus(spark)
+        out = balanced_shard_assign(df, "n_tokens", 8, n_buckets=256,
+                                    strategy="range")
+        assert out.count() == df.count()
+        loads = {r.shard: r.w for r in
+                 out.groupBy("shard").agg(F.sum("n_tokens").alias("w"))
+                    .collect()}
+        assert set(loads) <= set(range(8))
+        total = sum(loads.values())
+        max_bucket = max(
+            r.w for r in out.withColumn(
+                "b", F.pmod(F.xxhash64("doc_id"), F.lit(256)))
+            .groupBy("b").agg(F.sum("n_tokens").alias("w")).collect())
+        # cumulative packing: a shard holds buckets whose cum-before
+        # falls in one bin → load ≤ bin width + heaviest single bucket
+        assert max(loads.values()) <= total / 8 + max_bucket + 1e-9
+
+    def test_matches_lpt_on_colocation_and_determinism(self, spark):
+        df = _corpus(spark, n=500)
+        a = {r.doc_id: r.shard for r in balanced_shard_assign(
+            df, "n_tokens", 4, strategy="range").collect()}
+        b = {r.doc_id: r.shard for r in balanced_shard_assign(
+            df, "n_tokens", 4, strategy="range").collect()}
+        assert a == b
+
+    def test_caller_bucket_col_survives_and_drives_assignment(self, spark):
+        df = _corpus(spark, n=300).withColumn(
+            "my_bucket", (F.col("doc_id") % 16).cast("int"))
+        out = balanced_shard_assign(df, "n_tokens", 4, n_buckets=16,
+                                    strategy="range",
+                                    bucket_col="my_bucket")
+        rows = out.collect()
+        assert "my_bucket" in out.columns
+        shard_of_bucket = {}
+        for r in rows:   # same bucket -> same shard, bucket col intact
+            assert r.my_bucket == r.doc_id % 16
+            assert shard_of_bucket.setdefault(r.my_bucket,
+                                              r.shard) == r.shard
+
+    def test_non_integral_weight_raises(self, spark):
+        df = _corpus(spark, 20).withColumn(
+            "w", F.col("n_tokens").cast("double"))
+        with pytest.raises(ValueError, match="integral"):
+            balanced_shard_assign(df, "w", 4, strategy="range")
+
+    def test_unknown_strategy_raises(self, spark):
+        with pytest.raises(ValueError, match="strategy"):
+            balanced_shard_assign(_corpus(spark, 10), "n_tokens", 2,
+                                  strategy="greedy")
+
+
 class TestWriter:
     def test_layout_summary_and_idempotent_overwrite(self, spark, tmp_path):
         df = _corpus(spark, n=800)

@@ -460,3 +460,84 @@ def test_semantic_dedup_stream(spark, tmp_path):
     assert ann[5].keep == 1
     kept = {r.vec_id for r in spark.read.parquet(store).collect()}
     assert kept == {1, 2, 5}
+
+
+def test_semantic_dedup_stream_compacts_mid_stream(spark, tmp_path):
+    """Round-8 lifecycle wiring: `compact_every` runs
+    `compact_semantic_store` IN-stream under the snapshot rule — a
+    planted flood (members admitted under a strict probe tau but
+    mutually near at the looser compaction tau) collapses to its
+    oldest representative mid-stream, a post-compaction batch (after a
+    query restart) still dedups against the representative, and the
+    dropped member is demonstrably GONE from the effective store (its
+    exact re-send passes — reading the raw partitions instead of the
+    snapshot would reject it)."""
+    from agnostic_blockchain_etl_spark.operators.similarity import (
+        fit_tfidf_stats, hashed_tfidf_vectors, ivf_train)
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        semantic_dedup_stream)
+
+    src, out, store, ckpt, cbp, stp = (
+        str(tmp_path / d) for d in ("csrc", "cout", "cstore", "cckpt",
+                                    "ccb", "cstats"))
+    base = ("solar panels convert bright sunlight into cheap "
+            "electricity for suburban homes")
+    variant = ("solar panels convert bright sunlight into cheap "
+               "electricity for suburban turbines")   # one word off
+    other = "the stock market closed higher on strong earnings reports"
+
+    seed = spark.createDataFrame(
+        [(900, base), (901, variant), (902, other)], SCHEMA)
+    stats = fit_tfidf_stats(seed)
+    stats.write.parquet(stp)
+    emb = hashed_tfidf_vectors(seed, dim=64, stats=stats) \
+        .select("vec_id", "embedding")
+    ivf_train(spark, emb, 2, iters=1).write.parquet(cbp)
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = semantic_dedup_stream(stream, cbp, stp, store, out, ckpt,
+                                  tau=0.995, dim=64, compact_every=2,
+                                  tau_compact=0.8)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # batch 0: base + unrelated; batch 1: the near-variant (below the
+    # 0.995 probe bar -> ADMITTED; within 0.8 of base -> flood member).
+    # (1+1) % compact_every == 0 -> snapshot upto=1 written in-stream.
+    _write_batch(spark, src, [(1, base), (2, other)])
+    _write_batch(spark, src, [(3, variant)])
+    drain()
+    ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[1].keep == 1 and ann[2].keep == 1 and ann[3].keep == 1
+    import os as _os
+    assert _os.path.isdir(f"{store}_compact/upto=1")
+    snap = {r.vec_id for r in
+            spark.read.parquet(f"{store}_compact/upto=1").collect()}
+    # flood collapsed to the oldest representative; unrelated doc kept
+    assert snap == {1, 2}
+    # raw delta partitions untouched (replay safety does not depend on
+    # them being rewritten)
+    assert {r.vec_id for r in spark.read.parquet(store).collect()} \
+        == {1, 2, 3}
+
+    # restart (new query, same checkpoint): batch 2 re-sends the
+    # representative exactly (must hit the snapshot) and the DROPPED
+    # member exactly (must MISS -> proves the read is snapshot+tail,
+    # not the raw partitions)
+    _write_batch(spark, src, [(4, base), (5, variant)])
+    drain()
+    ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[4].keep == 0 and ann[4].dup_of_history == 1
+    assert ann[5].keep == 1 and ann[5].dup_of_history is None
+
+    # batch 3 (after the snapshot AND a post-snapshot delta): the
+    # union path — representative still remembered, batch-2 member too
+    _write_batch(spark, src, [(6, base), (7, variant)])
+    drain()
+    ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert ann[6].keep == 0 and ann[6].dup_of_history == 1
+    assert ann[7].keep == 0 and ann[7].dup_of_history == 5
