@@ -541,3 +541,42 @@ def test_semantic_dedup_stream_compacts_mid_stream(spark, tmp_path):
     ann = {r.vec_id: r for r in spark.read.parquet(out).collect()}
     assert ann[6].keep == 0 and ann[6].dup_of_history == 1
     assert ann[7].keep == 0 and ann[7].dup_of_history == 5
+
+
+def test_read_semantic_store_snapshot_selection(spark, tmp_path):
+    """Unit pin for the snapshot rule: batch N reads newest snapshot
+    with upto < N plus raw deltas in (upto, N) — and a REPLAY of the
+    compacting batch itself (N == upto) must NOT see its own snapshot
+    (exactly-once: it reads what its first attempt read and rewrites
+    the snapshot deterministically)."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        _read_semantic_store)
+    store = str(tmp_path / "mstore")
+    schema = "vec_id long, list_id int, e array<double>"
+
+    def member(i):
+        return (i, 1, [float(i)])
+
+    for b, ids in enumerate(([1], [2], [3])):
+        spark.createDataFrame([member(i) for i in ids], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    # snapshot at upto=1 collapses members {1, 2} -> {1}
+    spark.createDataFrame([member(1)], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
+
+    def ids_at(batch_id):
+        return {r.vec_id for r in _read_semantic_store(
+            spark, store, batch_id, schema).collect()}
+
+    assert ids_at(3) == {1, 3}     # snapshot + tail delta (batch 2)
+    assert ids_at(2) == {1}        # snapshot only, batch-2 delta excluded
+    assert ids_at(1) == {1}        # REPLAY of the compacting batch:
+    #                                own snapshot (upto=1) invisible ->
+    #                                raw rule, batch 0 only
+    assert ids_at(0) == set()      # first batch: nothing
+    # no snapshot root at all -> pure raw rule
+    store2 = str(tmp_path / "mstore2")
+    spark.createDataFrame([member(9)], schema) \
+        .write.mode("overwrite").parquet(f"{store2}/batch_id=0")
+    assert {r.vec_id for r in _read_semantic_store(
+        spark, store2, 1, schema).collect()} == {9}
