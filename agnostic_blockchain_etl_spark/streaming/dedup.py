@@ -61,7 +61,20 @@ def _read_store_or(spark, store_path: str, batch_id: int,
     must fail the micro-batch so the checkpoint replays it — swallowing
     it would silently discard the dedup history. This classification is
     safety-critical and shared by EVERY foreachBatch store operator in
-    this module; do not re-inline it."""
+    this module; do not re-inline it.
+
+    One more condition is accepted for batch 0 ONLY: a store root that
+    exists but holds zero committed parquet files (UNABLE_TO_INFER_
+    SCHEMA). A crash mid-write of the very first delta leaves exactly
+    that state — the committer made ``{store}/batch_id=0/_temporary``
+    but committed nothing — and without this case every replay of
+    batch 0 fails schema inference forever (a recovery deadlock).
+    Batch 0's store state is empty BY DEFINITION, so the mapping is
+    safe; for batch_id > 0 the same error still raises, because
+    foreachBatch is sequential — batch N runs only after batch N-1's
+    delta committed, so an uninferable root at N > 0 means the store
+    was wiped out-of-band and silently treating it as empty would
+    discard the dedup history."""
     from pyspark.errors import AnalysisException
 
     from ..errors import is_not_found
@@ -70,8 +83,11 @@ def _read_store_or(spark, store_path: str, batch_id: int,
                 .where(F.col("batch_id") < batch_id)
                 .drop("batch_id"))
     except AnalysisException as exc:
-        if not is_not_found(exc, "PATH_NOT_FOUND",
-                            "Path does not exist"):
+        empty_first = batch_id == 0 and is_not_found(
+            exc, "UNABLE_TO_INFER_SCHEMA", "Unable to infer schema")
+        if not (empty_first
+                or is_not_found(exc, "PATH_NOT_FOUND",
+                                "Path does not exist")):
             raise
         return spark.createDataFrame([], empty) \
             if isinstance(empty, str) else empty
@@ -256,25 +272,46 @@ def _read_semantic_store(spark, store_path: str, batch_id: int,
     partitions in ``(K, batch_id)`` union on top. Without a snapshot
     this is exactly `_read_store_or`'s rule. A replay of batch N never
     sees its own (possibly half-written) snapshot — ``upto=N`` is not
-    ``< N`` — so the exactly-once construction is unchanged."""
+    ``< N`` — so the exactly-once construction is unchanged.
+
+    A snapshot root with zero committed files (a crash mid-write of
+    the FIRST snapshot left only ``_temporary`` debris) reads as
+    no-snapshot: unlike the raw store, falling back is safe at any
+    batch_id because the raw partitions are a SUPERSET of every
+    snapshot's content — dedup against them is strictly more
+    conservative, never lossy."""
     from pyspark.errors import AnalysisException
 
     from ..errors import is_not_found
     try:
         snaps = spark.read.parquet(store_path + "_compact")
     except AnalysisException as exc:
-        if not is_not_found(exc, "PATH_NOT_FOUND",
-                            "Path does not exist"):
+        if not (is_not_found(exc, "PATH_NOT_FOUND",
+                             "Path does not exist")
+                or is_not_found(exc, "UNABLE_TO_INFER_SCHEMA",
+                                "Unable to infer schema")):
             raise
         return _read_store_or(spark, store_path, batch_id, empty_schema)
     upto = snaps.where(F.col("upto") < batch_id) \
                 .agg(F.max("upto")).collect()[0][0]
     if upto is None:
         return _read_store_or(spark, store_path, batch_id, empty_schema)
-    tail = (spark.read.parquet(store_path)
-            .where((F.col("batch_id") > upto)
-                   & (F.col("batch_id") < batch_id))
-            .drop("batch_id"))
+    try:
+        tail = (spark.read.parquet(store_path)
+                .where((F.col("batch_id") > upto)
+                       & (F.col("batch_id") < batch_id))
+                .drop("batch_id"))
+    except AnalysisException as exc:
+        # with a committed snapshot in hand, a missing or file-less raw
+        # root is the normal post-prune state (`prune_semantic_store_
+        # deltas` removed every delta <= upto and nothing arrived
+        # since) — the snapshot IS the full history then
+        if not (is_not_found(exc, "PATH_NOT_FOUND",
+                             "Path does not exist")
+                or is_not_found(exc, "UNABLE_TO_INFER_SCHEMA",
+                                "Unable to infer schema")):
+            raise
+        tail = spark.createDataFrame([], empty_schema)
     return snaps.where(F.col("upto") == upto).drop("upto") \
                 .unionByName(tail)
 
@@ -398,3 +435,72 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
+
+
+def prune_semantic_store_deltas(spark, store_path: str) -> dict:
+    """Reclaim store space made redundant by compaction: delete raw
+    delta partitions with ``batch_id <= upto`` of the newest COMMITTED
+    snapshot, and superseded older snapshots. Returns
+    ``{"upto": K, "pruned_deltas": [...], "pruned_snapshots": [...]}``.
+
+    Safety rules (the same class as `compact_paragraph_store`'s
+    sealing contract):
+
+    - Run ONLY while the stream is stopped AND the checkpoint has
+      committed past the snapshot's batch: a replay of batch
+      ``N <= upto`` cannot see its own-or-later snapshots (the
+      ``upto < N`` read rule) and would need the raw partitions below
+      it — pruning under a live or behind checkpoint breaks replay.
+    - A snapshot directory counts as committed only if it contains at
+      least one non-hidden data file: a crash mid-snapshot-write
+      leaves ``upto=K/_temporary`` debris, and pruning raw history on
+      the authority of an uncommitted snapshot would LOSE it (reads
+      fall back to raw when the snapshot root has no data).
+
+    Uses Hadoop FileSystem operations (not driver-local ``os``), so it
+    works against S3A/HDFS-backed stores exactly like the local tests
+    (`sources/replacing.py` precedent)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    root, snap_root = p(store_path), p(store_path + "_compact")
+    fs = root.getFileSystem(conf)
+    out = {"upto": None, "pruned_deltas": [], "pruned_snapshots": []}
+    if not fs.exists(snap_root):
+        return out
+
+    def committed(dir_status):
+        for f in fs.listStatus(dir_status.getPath()):
+            name = f.getPath().getName()
+            if f.isFile() and not name.startswith(("_", ".")):
+                return True
+        return False
+
+    snaps = {}
+    for st in fs.listStatus(snap_root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("upto="):
+            snaps[int(name.split("=", 1)[1])] = st
+    committed_uptos = [k for k, st in snaps.items() if committed(st)]
+    if not committed_uptos:
+        return out
+    upto = max(committed_uptos)
+    out["upto"] = upto
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                b = int(name.split("=", 1)[1])
+                if b <= upto:
+                    fs.delete(st.getPath(), True)
+                    out["pruned_deltas"].append(b)
+    for k, st in snaps.items():
+        if k < upto:
+            fs.delete(st.getPath(), True)
+            out["pruned_snapshots"].append(k)
+    out["pruned_deltas"].sort()
+    out["pruned_snapshots"].sort()
+    return out

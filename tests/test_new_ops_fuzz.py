@@ -56,6 +56,47 @@ class TestShardFuzz:
         mean = sum(loads.values()) / n_shards
         assert max(loads.values()) <= mean + max(bw.values()) + 1e-9
 
+    @given(seed=st.integers(0, 10**6), n_shards=st.integers(2, 6),
+           whale=st.booleans())
+    @settings(max_examples=6, deadline=None)
+    def test_range_bound_coverage_and_python_twin(self, spark, seed,
+                                                  n_shards, whale):
+        """strategy='range' (round-8 oracle-gated form): same fuzz
+        corpus as LPT, the cumulative-packing bound (max load ≤ bin
+        width + heaviest bucket), plus an exact pure-python twin of the
+        assignment arithmetic — the same closed form the DuckDB gate
+        oracle runs, pinned here under random weights."""
+        from agnostic_blockchain_etl_spark.operators.shards import (
+            balanced_shard_assign)
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([1, 5, 50, 500])) for i in range(300)]
+        if whale:
+            rows.append((300, 50_000))
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = balanced_shard_assign(df, "n_tokens", n_shards,
+                                    n_buckets=64,
+                                    strategy="range").collect()
+        assert len(out) == len(rows)
+        loads = {}
+        for r in out:
+            loads[r.shard] = loads.get(r.shard, 0) + r.n_tokens
+        bw = {r.b: r.w for r in df.withColumn(
+            "b", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+            .groupBy("b").agg(F.sum("n_tokens").alias("w")).collect()}
+        total = sum(bw.values())
+        assert max(loads.values()) \
+            <= total / n_shards + max(bw.values()) + 1e-9
+        # python twin of the closed-form assignment
+        cum, twin = 0, {}
+        for b in sorted(bw):
+            twin[b] = min(n_shards - 1, cum * n_shards // total)
+            cum += bw[b]
+        bucket_of = {r.doc_id: r.b for r in df.withColumn(
+            "b", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+            .select("doc_id", "b").collect()}
+        for r in out:
+            assert r.shard == twin[bucket_of[r.doc_id]], r.doc_id
+
 
 class TestLmFuzz:
     @given(seed=st.integers(0, 10**6))

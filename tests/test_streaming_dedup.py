@@ -580,3 +580,82 @@ def test_read_semantic_store_snapshot_selection(spark, tmp_path):
         .write.mode("overwrite").parquet(f"{store2}/batch_id=0")
     assert {r.vec_id for r in _read_semantic_store(
         spark, store2, 1, schema).collect()} == {9}
+
+
+def test_store_read_survives_first_write_crash_debris(spark, tmp_path):
+    """Crash-recovery: a crash mid-write of the very FIRST store delta
+    (or first compaction snapshot) leaves the root directory with zero
+    committed parquet files — schema inference fails, and before the
+    round-8 fix every replay failed forever (a recovery deadlock).
+    Batch 0 must read that as empty; batch N>0 must still raise (an
+    uninferable root after a committed batch means the store was wiped
+    out-of-band — treating it as empty would silently discard dedup
+    history). A debris-only snapshot root falls back to the raw rule
+    at ANY batch id (raw partitions are a superset of any snapshot)."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        _read_semantic_store, _read_store_or)
+    schema = "vec_id long, list_id int, e array<double>"
+
+    # raw store root with committer debris only
+    store = str(tmp_path / "crashstore")
+    _os.makedirs(f"{store}/batch_id=0/_temporary")
+    assert _read_store_or(spark, store, 0, schema).count() == 0
+    with _pytest.raises(AnalysisException):
+        _read_store_or(spark, store, 1, schema)
+
+    # healthy raw store + debris-only snapshot root -> raw fallback
+    store2 = str(tmp_path / "crashstore2")
+    spark.createDataFrame([(1, 1, [1.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store2}/batch_id=0")
+    _os.makedirs(f"{store2}_compact/upto=0/_temporary")
+    got = {r.vec_id for r in
+           _read_semantic_store(spark, store2, 2, schema).collect()}
+    assert got == {1}
+
+
+def test_prune_semantic_store_deltas(spark, tmp_path):
+    """Space-reclaim lifecycle: raw deltas at or below the newest
+    COMMITTED snapshot (and superseded snapshots) are deleted; a
+    debris-only (uncommitted) snapshot never authorizes pruning —
+    doing so would lose the history reads fall back to. Post-prune
+    reads are unchanged."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        _read_semantic_store, prune_semantic_store_deltas)
+    store = str(tmp_path / "pstore")
+    schema = "vec_id long, list_id int, e array<double>"
+    for b, i in enumerate((1, 2, 3)):
+        spark.createDataFrame([(i, 1, [float(i)])], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    # committed snapshots at upto=0 and upto=1; debris at upto=2
+    spark.createDataFrame([(1, 1, [1.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=0")
+    spark.createDataFrame([(1, 1, [1.0]), (2, 1, [2.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
+    _os.makedirs(f"{store}_compact/upto=2/_temporary")
+
+    before = {r.vec_id for r in _read_semantic_store(
+        spark, store, 3, schema).collect()}
+    got = prune_semantic_store_deltas(spark, store)
+    # debris upto=2 did NOT authorize; newest committed (1) did
+    assert got == {"upto": 1, "pruned_deltas": [0, 1],
+                   "pruned_snapshots": [0]}
+    assert not _os.path.exists(f"{store}/batch_id=0")
+    assert not _os.path.exists(f"{store}/batch_id=1")
+    assert _os.path.exists(f"{store}/batch_id=2")
+    assert not _os.path.exists(f"{store}_compact/upto=0")
+    after = {r.vec_id for r in _read_semantic_store(
+        spark, store, 3, schema).collect()}
+    assert after == before == {1, 2, 3}
+    # idempotent: nothing left to prune
+    again = prune_semantic_store_deltas(spark, store)
+    assert again["pruned_deltas"] == [] and again["upto"] == 1
+    # no snapshot root at all -> no-op
+    assert prune_semantic_store_deltas(
+        spark, str(tmp_path / "nosnaps"))["upto"] is None
