@@ -131,6 +131,23 @@ def test_quality_score_model_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_shard_assign_range_never_shuffles_the_data(spark):
+    """The range-strategy shard assignment's corpus-sized side must
+    meet ONLY a broadcast join: its exchanges are all over the
+    ≤ n_buckets bucket summary (one hash partitioning into the
+    aggregate, one SinglePartition for the cumulative window) — a
+    data-sized shuffle here would make the 100 TB write pay a full
+    repartition just to learn its shard ids."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["shard_assign_balanced"](
+        spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the window over the bucket summary is the only SinglePartition
+    assert plan.count("Exchange SinglePartition") <= 2  # tree + details
+
+
 def test_curate_default_path_plans_no_disabled_stage_joins(spark):
     """The default curate_corpus (every optional stage off) must not pay
     for what it doesn't run: disabled stages attach neutral flags via
