@@ -148,7 +148,8 @@ def write_training_shards(df: DataFrame, path: str, weight_col: str,
                           order_cols: tuple[str, ...] = ("doc_id",),
                           n_buckets: int = _DEFAULT_BUCKETS,
                           shard_col: str = "shard",
-                          shuffle_salt: str | None = None) -> DataFrame:
+                          shuffle_salt: str | None = None,
+                          strategy: str = "lpt") -> DataFrame:
     """Write ``df`` to ``path`` as ``shard=N`` parquet partitions with
     balanced token totals and a deterministic row order inside each
     shard. Returns the per-shard summary ``(shard, n_rows, total_weight)``
@@ -170,7 +171,8 @@ def write_training_shards(df: DataFrame, path: str, weight_col: str,
     shard)."""
     assigned = balanced_shard_assign(df, weight_col, n_shards,
                                      key_col=key_col, n_buckets=n_buckets,
-                                     shard_col=shard_col)
+                                     shard_col=shard_col,
+                                     strategy=strategy)
     if shuffle_salt is not None:
         order = [F.md5(F.concat(F.lit(shuffle_salt),
                                 F.col(key_col).cast("string"))

@@ -144,10 +144,13 @@ class TestRangeStrategy:
 
 
 class TestWriter:
-    def test_layout_summary_and_idempotent_overwrite(self, spark, tmp_path):
+    @pytest.mark.parametrize("strategy", ["lpt", "range"])
+    def test_layout_summary_and_idempotent_overwrite(self, spark,
+                                                     tmp_path, strategy):
         df = _corpus(spark, n=800)
-        path = str(tmp_path / "shards")
-        summary = write_training_shards(df, path, "n_tokens", 4).collect()
+        path = str(tmp_path / f"shards_{strategy}")
+        summary = write_training_shards(df, path, "n_tokens", 4,
+                                        strategy=strategy).collect()
         assert [r.shard for r in summary] == [0, 1, 2, 3]
         assert sum(r.n_rows for r in summary) == 800
         total = df.agg(F.sum("n_tokens")).collect()[0][0]
@@ -155,7 +158,8 @@ class TestWriter:
         dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
         assert dirs == {f"shard={i}" for i in range(4)}
         # replay: same input -> identical shard totals
-        again = write_training_shards(df, path, "n_tokens", 4).collect()
+        again = write_training_shards(df, path, "n_tokens", 4,
+                                      strategy=strategy).collect()
         assert [(r.shard, r.n_rows, r.total_weight) for r in again] == \
                [(r.shard, r.n_rows, r.total_weight) for r in summary]
 
