@@ -95,7 +95,8 @@ def _read_store_or(spark, store_path: str, batch_id: int,
 
 def incremental_neardup_stream(docs: DataFrame, store_path: str,
                                out_path: str, checkpoint: str,
-                               threshold: float | None = None):
+                               threshold: float | None = None,
+                               compact_every: int | None = None):
     """NEAR-dup dedup over an unbounded stream: each micro-batch runs
     the batch-form :func:`operators.incremental.incremental_dedup`
     against the signature store parquet at ``store_path`` via
@@ -117,7 +118,17 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
     against all historical band digests, not a point lookup on one key
     — so the state lives in the store table and each batch pays one
     bounded join against it (see `operators/incremental.py` for the
-    100 TB layout)."""
+    100 TB layout).
+
+    ``compact_every=N``: every N batches the post-batch store content
+    is rewritten as ONE snapshot directory under
+    ``{store_path}_compact/upto=<batch_id>``. Signatures are not
+    collapsible (every kept row stays), so unlike the semantic /
+    paragraph / source-cap snapshots this is an identity rewrite — the
+    win is FILE-COUNT boundedness: without it batch K lists and scans
+    K delta directories (10k micro-batches → 10k partitions per read);
+    with it the read is one snapshot + ≤ N tails. Same snapshot/replay
+    rule; reclaim with `prune_store_deltas`."""
     from ..operators.incremental import _EST_THRESHOLD, incremental_dedup
     tau = _EST_THRESHOLD if threshold is None else threshold
 
@@ -132,17 +143,21 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
         sigs = signature_store(batch_df).persist()
         ann = None
         try:
-            store = _read_store_or(spark, store_path, batch_id,
-                                   sigs.limit(0))
+            store = _read_store_snapshots_or(spark, store_path,
+                                             batch_id, sigs.limit(0))
             ann, _ = incremental_dedup(batch_df, store, tau,
                                        new_sigs=sigs)
             ann = ann.persist()
             ann.write.mode("overwrite").parquet(
                 f"{out_path}/batch_id={batch_id}")
             kept = ann.where(F.col("keep") == 1).select("doc_id")
-            (sigs.join(kept, "doc_id")
-             .write.mode("overwrite")
-             .parquet(f"{store_path}/batch_id={batch_id}"))
+            delta = sigs.join(kept, "doc_id")
+            delta.write.mode("overwrite") \
+                 .parquet(f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                (store.unionByName(delta)
+                 .write.mode("overwrite")
+                 .parquet(f"{store_path}_compact/upto={batch_id}"))
         finally:
             sigs.unpersist()
             if ann is not None:
@@ -169,7 +184,8 @@ def dedup_stream_bounded(docs: DataFrame, ts_col: str,
 
 def paragraph_dedup_stream(docs: DataFrame, store_path: str,
                            out_path: str, checkpoint: str,
-                           min_df: int = 2, min_chars: int = 1):
+                           min_df: int = 2, min_chars: int = 1,
+                           compact_every: int | None = None):
     """Boilerplate-paragraph excision over an unbounded stream: each
     micro-batch runs :func:`operators.paragraphs.
     incremental_dedup_paragraphs` against the paragraph-frequency store
@@ -184,15 +200,30 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
     frequency sketches — the read aggregates them (df sums, first_doc
     mins, `merge_paragraph_stores` semantics) instead of requiring a
     rewritten store per batch, which is what lets the write side stay
-    append-only."""
+    append-only.
+
+    ``compact_every=N``: every N batches the post-batch totals (one
+    sealed row per paragraph — `compact_paragraph_store` of the read
+    state plus this batch's rows) are written as a snapshot under
+    ``{store_path}_compact/upto=<batch_id>``, and later reads take
+    newest-snapshot + raw deltas after it (`_read_store_snapshots_or`,
+    the rule `semantic_dedup_stream` introduced). Without it, batch K
+    reads K delta partitions — after 10k micro-batches every read
+    lists and scans 10k directories even though the aggregated store
+    is small; with it the read is one snapshot + ≤ N tails. Sealing
+    is safe here for the same reason the semantic snapshot is: the
+    snapshot covers only committed batches plus this batch's
+    DETERMINISTIC rows, and a replay of the compacting batch never
+    sees its own snapshot. Reclaim pruned space with
+    `prune_store_deltas` while the stream is stopped."""
     from ..operators.paragraphs import (incremental_dedup_paragraphs,
                                         paragraph_store)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.paragraphs import compact_paragraph_store
         spark = batch_df.sparkSession
-        rows = _read_store_or(spark, store_path, batch_id,
-                              paragraph_store(batch_df.limit(0)))
+        rows = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        paragraph_store(batch_df.limit(0)))
         # the read-side collapse IS compact_paragraph_store (sealed-sum
         # semantics for these untagged partitions) — reuse it so the
         # streaming read path can never diverge from batch compaction
@@ -202,9 +233,13 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
                                                   min_chars=min_chars)
         deduped.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}")
-        paragraph_store(batch_df, min_chars=min_chars) \
-            .write.mode("overwrite").parquet(
-                f"{store_path}/batch_id={batch_id}")
+        freq = paragraph_store(batch_df, min_chars=min_chars)
+        freq.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_paragraph_store(rows.unionByName(freq)) \
+                .write.mode("overwrite") \
+                .parquet(f"{store_path}_compact/upto={batch_id}")
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
@@ -212,7 +247,8 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
 
 def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
                       checkpoint: str, cap: int,
-                      source_col: str = "source"):
+                      source_col: str = "source",
+                      compact_every: int | None = None):
     """Per-source frequency caps over an unbounded stream: admit the
     first ``cap`` documents of each source across all micro-batches
     (first-come admission — the streaming semantics; the batch form's
@@ -226,14 +262,22 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
     a mergeable count sketch (sums on read).
 
     Within a batch, admission order is deterministic (smallest doc_id
-    first) so a replayed batch admits the identical set."""
+    first) so a replayed batch admits the identical set.
+
+    ``compact_every=N``: every N batches the post-batch per-source
+    totals are written as a snapshot under
+    ``{store_path}_compact/upto=<batch_id>`` (same schema as the
+    deltas — counts are trivially mergeable) so the per-batch read
+    stays one snapshot + ≤ N tail partitions instead of one per batch
+    since stream birth; same snapshot/replay rule as the other
+    compacting operators, reclaim with `prune_store_deltas`."""
     from pyspark.sql import Window
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        used = (_read_store_or(spark, store_path, batch_id,
-                               "source string, n_admitted long")
-                .groupBy("source")
+        hist = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        "source string, n_admitted long")
+        used = (hist.groupBy("source")
                 .agg(F.sum("n_admitted").alias("used")))
         w = Window.partitionBy(source_col).orderBy("doc_id")
         # join/store key rides a RESERVED alias: withColumn("source",
@@ -253,10 +297,16 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
         try:
             ann.drop("_capsrc").write.mode("overwrite").parquet(
                 f"{out_path}/batch_id={batch_id}")
-            (ann.groupBy(F.col("_capsrc").alias("source"))
-             .agg(F.sum("cap_keep").alias("n_admitted"))
-             .write.mode("overwrite")
-             .parquet(f"{store_path}/batch_id={batch_id}"))
+            admitted = (ann.groupBy(F.col("_capsrc").alias("source"))
+                        .agg(F.sum("cap_keep").alias("n_admitted")))
+            admitted.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                (hist.unionByName(admitted)
+                 .groupBy("source")
+                 .agg(F.sum("n_admitted").alias("n_admitted"))
+                 .write.mode("overwrite")
+                 .parquet(f"{store_path}_compact/upto={batch_id}"))
         finally:
             ann.unpersist()
 
@@ -264,9 +314,13 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
-def _read_semantic_store(spark, store_path: str, batch_id: int,
-                         empty_schema: str) -> DataFrame:
-    """Member-store read honoring compaction snapshots: the newest
+def _read_store_snapshots_or(spark, store_path: str, batch_id: int,
+                             empty) -> DataFrame:
+    """Store read honoring compaction snapshots — the generic form
+    shared by EVERY snapshot-compacting foreachBatch operator here
+    (semantic members, paragraph frequencies, source-cap counts,
+    near-dup signatures; ``empty`` is a schema string or zero-row
+    frame, `_read_store_or`'s convention): the newest
     snapshot at ``{store_path}_compact/upto=K`` with ``K < batch_id``
     replaces every raw delta partition with ``batch_id <= K``; raw
     partitions in ``(K, batch_id)`` union on top. Without a snapshot
@@ -291,11 +345,11 @@ def _read_semantic_store(spark, store_path: str, batch_id: int,
                 or is_not_found(exc, "UNABLE_TO_INFER_SCHEMA",
                                 "Unable to infer schema")):
             raise
-        return _read_store_or(spark, store_path, batch_id, empty_schema)
+        return _read_store_or(spark, store_path, batch_id, empty)
     upto = snaps.where(F.col("upto") < batch_id) \
                 .agg(F.max("upto")).collect()[0][0]
     if upto is None:
-        return _read_store_or(spark, store_path, batch_id, empty_schema)
+        return _read_store_or(spark, store_path, batch_id, empty)
     try:
         tail = (spark.read.parquet(store_path)
                 .where((F.col("batch_id") > upto)
@@ -303,17 +357,23 @@ def _read_semantic_store(spark, store_path: str, batch_id: int,
                 .drop("batch_id"))
     except AnalysisException as exc:
         # with a committed snapshot in hand, a missing or file-less raw
-        # root is the normal post-prune state (`prune_semantic_store_
-        # deltas` removed every delta <= upto and nothing arrived
-        # since) — the snapshot IS the full history then
+        # root is the normal post-prune state (`prune_store_deltas`
+        # removed every delta <= upto and nothing arrived since) — the
+        # snapshot IS the full history then
         if not (is_not_found(exc, "PATH_NOT_FOUND",
                              "Path does not exist")
                 or is_not_found(exc, "UNABLE_TO_INFER_SCHEMA",
                                 "Unable to infer schema")):
             raise
-        tail = spark.createDataFrame([], empty_schema)
+        tail = spark.createDataFrame([], empty) \
+            if isinstance(empty, str) else empty.limit(0)
     return snaps.where(F.col("upto") == upto).drop("upto") \
                 .unionByName(tail)
+
+
+# back-compat name from the round-8 semantic-store introduction; the
+# snapshot rule is store-agnostic
+_read_semantic_store = _read_store_snapshots_or
 
 
 def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
@@ -437,10 +497,14 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
-def prune_semantic_store_deltas(spark, store_path: str) -> dict:
-    """Reclaim store space made redundant by compaction: delete raw
-    delta partitions with ``batch_id <= upto`` of the newest COMMITTED
-    snapshot, and superseded older snapshots. Returns
+def prune_store_deltas(spark, store_path: str) -> dict:
+    """Reclaim store space made redundant by compaction — works on ANY
+    of this module's snapshot-compacting stores (semantic members,
+    paragraph frequencies, source-cap counts, near-dup signatures; the
+    layout contract is ``{store}/batch_id=N`` deltas +
+    ``{store}_compact/upto=K`` snapshots): delete raw delta partitions
+    with ``batch_id <= upto`` of the newest COMMITTED snapshot, and
+    superseded older snapshots. Returns
     ``{"upto": K, "pruned_deltas": [...], "pruned_snapshots": [...]}``.
 
     Safety rules (the same class as `compact_paragraph_store`'s
@@ -504,3 +568,7 @@ def prune_semantic_store_deltas(spark, store_path: str) -> dict:
     out["pruned_deltas"].sort()
     out["pruned_snapshots"].sort()
     return out
+
+
+# back-compat name from the round-8 semantic-store introduction
+prune_semantic_store_deltas = prune_store_deltas

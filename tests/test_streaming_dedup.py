@@ -659,3 +659,139 @@ def test_prune_semantic_store_deltas(spark, tmp_path):
     # no snapshot root at all -> no-op
     assert prune_semantic_store_deltas(
         spark, str(tmp_path / "nosnaps"))["upto"] is None
+
+
+def test_paragraph_stream_compacts_and_survives_prune(spark, tmp_path):
+    """compact_every on the paragraph stream: the sealed snapshot
+    carries the cumulative df totals, a post-compaction (and post-
+    restart) batch still excises the boilerplate seen before the
+    snapshot, and after pruning the raw deltas the stream resumes on
+    the snapshot alone."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        paragraph_dedup_stream, prune_store_deltas)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("pcsrc", "pcout", "pcstore",
+                                       "pcckpt"))
+    footer = "(c) compaction example corp all rights reserved"
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = paragraph_dedup_stream(stream, store, out, ckpt,
+                                   compact_every=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batch(spark, src, [(1, f"first body\n{footer}")])
+    _write_batch(spark, src, [(2, f"second body\n{footer}")])
+    drain()                                  # batches 0,1 -> snapshot
+    assert _os.path.isdir(f"{store}_compact/upto=1")
+    snap = {r.h: r.df for r in
+            spark.read.parquet(f"{store}_compact/upto=1").collect()}
+    assert max(snap.values()) == 2           # sealed cumulative df
+
+    pr = prune_store_deltas(spark, store)
+    assert pr["upto"] == 1 and pr["pruned_deltas"] == [0, 1]
+
+    # restart AFTER prune: history must come from the snapshot
+    _write_batch(spark, src, [(3, f"third body\n{footer}")])
+    drain()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert footer not in rows[3].text
+    assert rows[3].n_removed_history == 1
+
+
+def test_source_cap_stream_compacts_and_survives_prune(spark, tmp_path):
+    """compact_every on the source-cap stream: admitted counts in the
+    snapshot keep capping post-restart batches after the raw deltas
+    are pruned."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        prune_store_deltas, source_cap_stream)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("sccsrc", "sccout", "sccstore",
+                                       "sccckpt"))
+    schema = "doc_id LONG, source STRING"
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = source_cap_stream(stream, store, out, ckpt, cap=2,
+                              compact_every=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    wb([(1, "web")])
+    wb([(2, "web"), (3, "books")])
+    drain()                                  # batches 0,1 -> snapshot
+    import os as _os
+    assert _os.path.isdir(f"{store}_compact/upto=1")
+    snap = {r.source: r.n_admitted for r in
+            spark.read.parquet(f"{store}_compact/upto=1").collect()}
+    assert snap == {"web": 2, "books": 1}
+    pr = prune_store_deltas(spark, store)
+    assert pr["pruned_deltas"] == [0, 1]
+
+    # post-prune restart: web is at its cap (from the snapshot alone),
+    # books has one admission left
+    wb([(4, "web"), (5, "books"), (6, "books")])
+    drain()
+    got = {r.doc_id: r.cap_keep for r in
+           spark.read.parquet(out).collect()}
+    assert got[4] == 0
+    assert got[5] == 1 and got[6] == 0
+
+
+def test_neardup_stream_compacts_and_survives_prune(spark, tmp_path):
+    """compact_every on the near-dup stream: the identity-rewrite
+    snapshot preserves every kept signature, so a near-duplicate of a
+    pre-snapshot document is still rejected after pruning the raw
+    deltas."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        incremental_neardup_stream, prune_store_deltas)
+
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("nccsrc", "nccout", "nccstore",
+                                       "nccckpt"))
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " changed tail"
+    other = " ".join(f"z{i}" for i in range(40))
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = incremental_neardup_stream(stream, store, out, ckpt,
+                                       compact_every=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batch(spark, src, [(1, base)])
+    _write_batch(spark, src, [(2, other)])
+    drain()                                  # batches 0,1 -> snapshot
+    import os as _os
+    assert _os.path.isdir(f"{store}_compact/upto=1")
+    snap_ids = {r.doc_id for r in
+                spark.read.parquet(f"{store}_compact/upto=1").collect()}
+    assert snap_ids == {1, 2}                # identity rewrite
+    pr = prune_store_deltas(spark, store)
+    assert pr["pruned_deltas"] == [0, 1]
+
+    _write_batch(spark, src, [(3, near),
+                              (4, " ".join(f"q{i}" for i in range(40)))])
+    drain()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[3].keep == 0 and got[3].dup_of_history == 1
+    assert got[4].keep == 1
