@@ -36,9 +36,15 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
     page_ok = (~low.contains("lorem ipsum") &
                ~F.col(text_col).contains("{") &
                (F.size(lkeep) >= min_lines))
+    # metadata-only (null-text) documents: size(NULL) is -1 and every
+    # contains() is NULL, which reported n_lines = -1 and a NULL
+    # c4_keep that silently vanished from datacard sums — flag them as
+    # an explicit 0-line kill instead (flag-don't-drop: the row stays)
+    isnull = F.col(text_col).isNull()
     return docs.select(
         "doc_id",
-        F.array_join(lkeep, "\n").alias("text"),
-        F.size(lines).alias("n_lines"),
-        F.size(lkeep).alias("n_kept_lines"),
-        page_ok.cast("int").alias("c4_keep"))
+        F.when(isnull, F.lit(None).cast("string"))
+        .otherwise(F.array_join(lkeep, "\n")).alias("text"),
+        F.when(isnull, 0).otherwise(F.size(lines)).alias("n_lines"),
+        F.when(isnull, 0).otherwise(F.size(lkeep)).alias("n_kept_lines"),
+        F.when(isnull, 0).otherwise(page_ok.cast("int")).alias("c4_keep"))

@@ -24,6 +24,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _n_tokens(text_col: str):
+    """Whitespace token count, NULL-safe: ``size(split(NULL))`` is -1
+    under Spark's default sizeOfNull, so a null-text (metadata-only)
+    document would SUBTRACT from its stratum's token total — and an
+    all-null stratum would go negative, breaking every share/rate
+    downstream. Null text counts 0 tokens."""
+    return F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+
+
 def mixture_weights(docs: DataFrame, target: dict[str, float],
                     strat_col: str = "lang",
                     text_col: str = "text") -> DataFrame:
@@ -34,7 +44,7 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     tot_target = sum(target.values())
     tmap = F.create_map(*[F.lit(x) for kv in target.items()
                           for x in (kv[0], kv[1] / tot_target)])
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = _n_tokens(text_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"),
                    n_tokens.alias("t"))
@@ -42,13 +52,22 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
            .agg(F.count("*").alias("n_docs"),
                 F.sum("t").cast("long").alias("n_tokens")))
     w = Window.partitionBy()  # the stratum table is tiny — see module doc
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    # ANSI-safe division guards (Spark 4 defaults ANSI on, where /0 is
+    # an ArithmeticException, not NULL): an all-empty corpus, and a
+    # TARGETED stratum holding zero tokens — which makes the mix
+    # unsatisfiable, so the bottleneck m (hence every rate) is 0
+    total_t = F.sum("n_tokens").over(w)
+    share = F.when(total_t > 0,
+                   F.col("n_tokens") / total_t).otherwise(F.lit(0.0))
     tgt = F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
     # bottleneck m = min over targeted strata of share/target; rate_s =
     # (target_s / share_s) * m  →  max rate is exactly 1, kept shares
     # proportional to target
-    m = F.min(F.when(tgt > 0, share / tgt)).over(w)
-    rate = F.when(tgt > 0, tgt / share * m).otherwise(F.lit(0.0))
+    m = F.min(F.when(tgt > 0,
+                     F.when(share > 0, share / tgt)
+                     .otherwise(F.lit(0.0)))).over(w)
+    rate = F.when((tgt > 0) & (share > 0),
+                  tgt / share * m).otherwise(F.lit(0.0))
     return (per.select(
         "stratum", "n_docs", "n_tokens",
         F.round(share, 6).alias("share"),
@@ -75,18 +94,26 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     `corpus.stratified_sample`."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = _n_tokens(text_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"), n_tokens.alias("t"))
            .groupBy("stratum")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("t").cast("long").alias("n_tokens")))
     w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    # same ANSI-safe guards as mixture_weights: zero-token strata get
+    # share/tgt/rate 0 instead of a DIVIDE_BY_ZERO ArithmeticException
+    total_t = F.sum("n_tokens").over(w)
+    share = F.when(total_t > 0,
+                   F.col("n_tokens") / total_t).otherwise(F.lit(0.0))
     powered = F.pow(share, F.lit(float(alpha)))
-    tgt = powered / F.sum(powered).over(w)
-    m = F.min(share / tgt).over(w)
-    rate = tgt / share * m
+    total_p = F.sum(powered).over(w)
+    tgt = F.when(total_p > 0, powered / total_p).otherwise(F.lit(0.0))
+    m = F.min(F.when(tgt > 0,
+                     F.when(share > 0, share / tgt)
+                     .otherwise(F.lit(0.0)))).over(w)
+    rate = F.when((tgt > 0) & (share > 0),
+                  tgt / share * m).otherwise(F.lit(0.0))
     return (per.select(
         "stratum", "n_docs", "n_tokens",
         F.round(share, 6).alias("share"),
@@ -108,10 +135,10 @@ def apply_mixture_rates(docs: DataFrame, plan: DataFrame,
 
     Scale: the plan frame is |strata| rows → broadcast; the pass is one
     zero-shuffle projection over the corpus."""
-    u = ((F.conv(F.substring(
-            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
-                  .cast("binary")),
-            1, 15), 16, 10).cast("long") + 1) / F.lit(float(1 << 60)))
+    from .corpus import _salted_u60
+    u = _salted_u60(salt)   # the single-sourced sampling primitive —
+    #                         an inline copy here was the drift class
+    #                         the round-6 review consolidated
     rates = plan.select(F.col("stratum").alias(strat_col),
                         F.col("rate").alias("__rate"))
     return (docs.join(F.broadcast(rates), strat_col, "left")

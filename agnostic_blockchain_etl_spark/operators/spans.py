@@ -109,22 +109,30 @@ def span_dedup_stats(docs: DataFrame, k: int = 10,
     per_doc = (spans.groupBy("doc_id")
                .agg(F.count("*").alias("n_dup_spans"),
                     F.sum("span_words").alias("n_dup_words")))
+    # null-safe word count: size(NULL array) is -1 under Spark's
+    # default sizeOfNull, which reported n_words = -1 (and a -0.0
+    # fraction) for metadata-only null-text documents
     if words_df is None:
+        warr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         sizes = docs.select(
             "doc_id",
-            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.when(warr.isNull(), 0).otherwise(F.size(warr))
             .alias("n_words"))
     else:
-        sizes = words_df.select("doc_id",
-                                F.size("words").alias("n_words"))
+        sizes = words_df.select(
+            "doc_id",
+            F.when(F.col("words").isNull(), 0)
+            .otherwise(F.size("words")).alias("n_words"))
+    frac = F.when(
+        F.col("n_words") > 0,
+        F.round(F.coalesce("n_dup_words", F.lit(0)).cast("double")
+                / F.col("n_words"), 4))          # 0-word doc: no frac
     return (sizes
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "n_words",
                     F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
                     F.coalesce("n_dup_words", F.lit(0)).alias("n_dup_words"),
-                    F.round(F.coalesce("n_dup_words", F.lit(0))
-                            .cast("double") / F.col("n_words"), 4)
-                    .alias("dup_word_frac")))
+                    frac.alias("dup_word_frac")))
 
 
 def remove_duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:

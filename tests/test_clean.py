@@ -86,3 +86,19 @@ def test_duckdb_parity(spark):
     """).fetchall()
     want = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
     assert got == want
+
+
+def test_null_text_docs_flagged_not_poisoned(spark):
+    """Round-8 review: size(NULL) = -1 and contains(NULL) = NULL made
+    a metadata-only document report n_lines = -1 with a NULL c4_keep
+    that vanished from datacard sums. Null text must be an explicit
+    0-line kill with the row intact (flag-don't-drop)."""
+    from agnostic_blockchain_etl_spark.operators.clean import c4_clean
+    docs = spark.createDataFrame(
+        [(1, "This line is long enough to keep and ends properly."),
+         (2, None)], "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(docs, min_lines=1).collect()}
+    assert got[1].c4_keep == 1
+    assert got[2].n_lines == 0 and got[2].n_kept_lines == 0
+    assert got[2].c4_keep == 0          # not NULL
+    assert got[2].text is None

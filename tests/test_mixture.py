@@ -126,3 +126,27 @@ def test_apply_mixture_rates(spark):
              for r in apply_mixture_rates(docs.repartition(7),
                                           plan).collect()}
     assert again == kept                     # layout-independent
+
+
+def test_null_text_counts_zero_tokens(spark):
+    """size(split(NULL)) is -1 under Spark's default sizeOfNull, so a
+    metadata-only (null-text) document used to SUBTRACT a token from
+    its stratum — and an all-null stratum went negative, corrupting
+    every share/rate downstream (round-8 review finding). Null text
+    must count 0 tokens and leave the rate arithmetic intact."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        mixture_weights, temperature_mixture)
+    rows = [(1, "one two three", "en"), (2, None, "en"),
+            (3, "uno dos", "es"), (4, None, "nulls"), (5, None, "nulls")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    plan = {r.stratum: r for r in
+            mixture_weights(docs, {"en": 1, "es": 1}).collect()}
+    assert plan["en"].n_tokens == 3          # not 3 - 1
+    assert plan["es"].n_tokens == 2
+    assert plan["nulls"].n_tokens == 0       # not -2
+    assert plan["nulls"].rate == 0.0
+    assert all(0.0 <= r.rate <= 1.0 for r in plan.values())
+    tplan = {r.stratum: r for r in
+             temperature_mixture(docs, 0.5).collect()}
+    assert tplan["en"].n_tokens == 3 and tplan["nulls"].n_tokens == 0

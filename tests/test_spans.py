@@ -310,3 +310,19 @@ class TestDecontaminateSpans:
                decontaminate_spans(train, evals, k=self.K).collect()}
         assert got[1].text == "lead" and got[1].n_removed == 8
         assert got[2].text == "tail" and got[2].n_removed == 8
+
+
+def test_null_text_word_count_zero_not_negative(spark):
+    """Round-8 review: size(split(NULL)) = -1 reported n_words = -1
+    (and a -0.0 duplicated fraction) for null-text documents in the
+    corpus-health stats."""
+    from agnostic_blockchain_etl_spark.operators.spans import (
+        span_dedup_stats)
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w0 w1 w2 w3 w4 w5 w6 w7 "
+             "w8 w9"),
+         (2, None)], "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup_stats(docs, k=10).collect()}
+    assert got[2].n_words == 0 and got[2].n_dup_spans == 0
+    assert got[2].dup_word_frac is None
+    assert got[1].n_words == 20
