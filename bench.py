@@ -132,10 +132,17 @@ def main() -> None:
     # This one is a fixed ~2.5 s query — per-row md5 over every
     # lineitem column, a two-key aggregate, a per-partkey top-2 window,
     # and a global reduce — still touching NO repo operator, so it
-    # tracks machine speed only. Relative noise shrinks ~10×;
-    # `headline_total / calibration_long_sec` is the drift-free ratio
-    # going forward (the short canary stays emitted for one-round
-    # continuity with r1-r7 artifacts).
+    # tracks machine speed only. Measured honestly (r8, deep-warmed,
+    # interleaved min-of-3 runs): BOTH canaries carry ~8-9% CV on this
+    # machine — the noise is MULTIPLICATIVE speed variation, which a
+    # longer query cannot average away — so the long canary's wins are
+    # (a) immunity to the ADDITIVE per-job scheduling noise that
+    # dominates a 0.3 s query and (b) spending its cycles in the same
+    # workload classes (hash/shuffle/window) as the headline. To make
+    # within-run drift VISIBLE instead of merely smaller, it is
+    # measured twice — here (start) and again after the extras (end);
+    # an artifact whose two readings disagree materially is
+    # drift-contaminated and says so itself.
     def _canary_long() -> float:
         from pyspark.sql import Window
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -227,6 +234,9 @@ def main() -> None:
             extras_d[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         spark.catalog.clearCache()
     out["extras"] = extras_d
+    # end-of-run drift reading (see the long-canary comment above):
+    # start-vs-end disagreement flags a drift-contaminated artifact
+    out["calibration_long_end_sec"] = min(_canary_long() for _ in range(3))
 
     # --concurrent[=N]: ALSO measure wall-clock with N queries in flight
     # through the FAIR scheduler (how a cluster actually runs a query
