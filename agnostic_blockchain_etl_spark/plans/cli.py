@@ -84,6 +84,26 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_store_prune(args) -> int:
+    """Maintenance: reclaim snapshot-compacted streaming-store space
+    (`streaming.dedup.prune_store_deltas` — semantic members, paragraph
+    frequencies, source-cap counts, near-dup signatures all share the
+    ``batch_id=/upto=`` layout). Run while the stream is STOPPED and
+    its checkpoint has committed past the newest snapshot's batch —
+    the library docstring's safety contract; this command only adds
+    the session plumbing and a dry-run."""
+    import json
+
+    from ..session import get_session
+    from ..streaming.dedup import prune_store_deltas
+    spark = get_session(master=args.master)
+    result = prune_store_deltas(spark, args.store_path,
+                                dry_run=args.dry_run)
+    print(json.dumps({"store": args.store_path,
+                      "dry_run": args.dry_run, **result}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="agnostic-blockchain-etl-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -101,6 +121,16 @@ def main(argv: list[str] | None = None) -> int:
     p2.add_argument("--var", action="append", default=[])
     p2.add_argument("--filter", default=None)
     p2.set_defaults(fn=cmd_render)
+
+    p3 = sub.add_parser(
+        "store-prune",
+        help="reclaim snapshot-compacted streaming-store space "
+             "(run with the stream STOPPED)")
+    p3.add_argument("store_path")
+    p3.add_argument("--master", default="local[*]")
+    p3.add_argument("--dry-run", action="store_true",
+                    help="report what would be pruned without deleting")
+    p3.set_defaults(fn=cmd_store_prune)
 
     args = ap.parse_args(argv)
     return args.fn(args)

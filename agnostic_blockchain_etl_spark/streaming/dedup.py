@@ -497,7 +497,8 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
-def prune_store_deltas(spark, store_path: str) -> dict:
+def prune_store_deltas(spark, store_path: str,
+                       dry_run: bool = False) -> dict:
     """Reclaim store space made redundant by compaction — works on ANY
     of this module's snapshot-compacting stores (semantic members,
     paragraph frequencies, source-cap counts, near-dup signatures; the
@@ -506,6 +507,8 @@ def prune_store_deltas(spark, store_path: str) -> dict:
     with ``batch_id <= upto`` of the newest COMMITTED snapshot, and
     superseded older snapshots. Returns
     ``{"upto": K, "pruned_deltas": [...], "pruned_snapshots": [...]}``.
+    ``dry_run=True`` reports the same dict without deleting anything
+    (the CLI ``store-prune --dry-run`` surface).
 
     Safety rules (the same class as `compact_paragraph_store`'s
     sealing contract):
@@ -559,11 +562,13 @@ def prune_store_deltas(spark, store_path: str) -> dict:
             if st.isDirectory() and name.startswith("batch_id="):
                 b = int(name.split("=", 1)[1])
                 if b <= upto:
-                    fs.delete(st.getPath(), True)
+                    if not dry_run:
+                        fs.delete(st.getPath(), True)
                     out["pruned_deltas"].append(b)
     for k, st in snaps.items():
         if k < upto:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             out["pruned_snapshots"].append(k)
     out["pruned_deltas"].sort()
     out["pruned_snapshots"].sort()

@@ -301,3 +301,33 @@ class TestMemoryErrorClassifier:
         assert is_memory_error(RuntimeError("java.lang.OutOfMemoryError"))
         assert is_memory_error(MemoryError())
         assert not is_memory_error(ValueError("bad sql"))
+
+
+def test_cli_store_prune(tmp_path, capsys):
+    """`store-prune` CLI: dry-run reports without deleting; the real
+    run prunes deltas covered by the newest committed snapshot."""
+    import json
+    import os
+
+    from agnostic_blockchain_etl_spark.plans.cli import main as cli_main
+    from agnostic_blockchain_etl_spark.session import get_session
+    spark = get_session(master="local[2]",
+                        conf={"spark.sql.shuffle.partitions": "2"})
+    store = str(tmp_path / "clistore")
+    schema = "vec_id long, list_id int, e array<double>"
+    for b in (0, 1, 2):
+        spark.createDataFrame([(b, 1, [float(b)])], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    spark.createDataFrame([(0, 1, [0.0]), (1, 1, [1.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
+
+    assert cli_main(["store-prune", store, "--dry-run"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["dry_run"] and rep["pruned_deltas"] == [0, 1]
+    assert os.path.isdir(f"{store}/batch_id=0")   # nothing deleted
+
+    assert cli_main(["store-prune", store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["dry_run"] and rep["pruned_deltas"] == [0, 1]
+    assert not os.path.isdir(f"{store}/batch_id=0")
+    assert os.path.isdir(f"{store}/batch_id=2")
