@@ -473,3 +473,79 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_buckets=_SHARD_BUCKETS,
                                 strategy="range", bucket_col="bucket")
     return out.select("doc_id", "weight", "shard")
+
+
+# target shares chosen binary-exact (0.5/0.25/0.125) so the Python-side
+# normalization in mixture_weights and the SQL literals are the same
+# doubles; 'es' is deliberately untargeted (rate-0 path under the gate)
+_MIX_TARGET = {"en": 0.5, "zh": 0.25, "de": 0.125, "fr": 0.125}
+_MIX_TGT_SQL = ("CASE stratum " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
+    for k, v in _MIX_TARGET.items()) + " ELSE CAST(0 AS DOUBLE) END")
+_MIX_HASH_SQL = _sql_salted_h60("mixture:")
+
+
+@query("mixture_apply", oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 29 = 0 THEN NULL ELSE text END AS text
+        FROM documents),
+    tok AS (
+        SELECT doc_id, lang,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS t
+        FROM d),
+    per AS (
+        SELECT lang AS stratum, CAST(SUM(t) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1),
+    shares AS (
+        SELECT stratum, n_tokens,
+               CASE WHEN CAST(SUM(n_tokens) OVER () AS BIGINT) > 0
+                    THEN n_tokens / CAST(SUM(n_tokens) OVER () AS BIGINT)
+                    ELSE CAST(0 AS DOUBLE) END AS share,
+               {_MIX_TGT_SQL} AS tgt
+        FROM per),
+    bottleneck AS (
+        SELECT stratum, n_tokens, share, tgt,
+               MIN(CASE WHEN tgt > 0 AND share > 0
+                        THEN share / tgt END) OVER () AS m
+        FROM shares),
+    plan AS (
+        SELECT stratum, n_tokens,
+               round(CASE WHEN tgt > 0 AND share > 0
+                          THEN tgt / share * m
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS rate
+        FROM bottleneck)
+    SELECT d.doc_id, d.lang, p.n_tokens, p.rate,
+           CASE WHEN ({_MIX_HASH_SQL} + 1) / 1152921504606846976.0
+                     <= COALESCE(p.rate, CAST(0 AS DOUBLE))
+                THEN 1 ELSE 0 END AS mix_keep
+    FROM d JOIN plan p ON d.lang = p.stratum
+""")
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the mixture planner family (round-8 verdict ask #1
+    — the operator deciding the FINAL corpus composition a training job
+    reads was the last pytest-only, oracle-expressible surface):
+    `mixture.mixture_weights` → `mixture.apply_mixture_rates`
+    end-to-end, per-document keep decisions value-verified by the
+    DuckDB twin. The target is a binary-exact 50/25/12.5/12.5 mix over
+    en/zh/de/fr ('es' stays untargeted → rate 0, every row annotated,
+    none dropped), and every 29th document's text is nulled so the
+    null-text → 0-token path (this round's ANSI-safety fix) runs under
+    the full value oracle inside satisfiable strata. Membership rides
+    the portable salted md5-nibble hash (`_salted_u60`, the same
+    primitive `corpus_sampling_facets` verifies), so keep decisions are
+    pure functions of doc_id on both engines."""
+    from .mixture import apply_mixture_rates, mixture_weights
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 29 == 0,
+               F.lit(None).cast("string"))
+         .otherwise(F.col("text")).alias("text"))
+    plan = mixture_weights(d, _MIX_TARGET)
+    ann = apply_mixture_rates(d, plan)
+    return (ann.join(F.broadcast(plan.select(
+                F.col("stratum").alias("lang"), "n_tokens", "rate")),
+                "lang")
+            .select("doc_id", "lang", "n_tokens", "rate", "mix_keep"))

@@ -10,11 +10,16 @@ stratum downsamples to match, so the solution maximizes total kept
 tokens subject to the mix (any larger rate vector would break a share
 or exceed 1 on the bottleneck).
 
-One groupBy over the corpus plus scalar normalization — the stratum
-table is tiny (|languages| × |sources| rows), so the normalization
-terms ride a window over it rather than a driver collect. Rates are
-deterministic arithmetic; pair with the hash-based
-``corpus_stratified_sample`` (never rand()) to apply them
+One groupBy over the corpus plus scalar normalization. The stratum
+table is tiny (|languages| × |sources| rows) and the planner must
+VALIDATE it (an unsatisfiable target is a config error, not a plan),
+so it is materialized once — a bounded collect, |strata| rows — and
+rebuilt as a literal frame: the share/rate windows then run over the
+literal, the corpus is scanned exactly once per plan, and the plan
+frame downstream consumers join against carries no corpus lineage to
+recompute (the repo's recompute-multiplier rule for multi-consumer
+artifacts). Rates are deterministic arithmetic; pair with the
+hash-based ``corpus_stratified_sample`` (never rand()) to apply them
 reproducibly.
 """
 
@@ -34,16 +39,14 @@ def _n_tokens(text_col: str):
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
 
 
-def mixture_weights(docs: DataFrame, target: dict[str, float],
-                    strat_col: str = "lang",
-                    text_col: str = "text") -> DataFrame:
-    """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
-    target_share, rate, kept_tokens)``. Strata absent from ``target``
-    get rate 0 (dropped); target shares are normalized to sum to 1, so
-    callers can pass unnormalized proportions."""
-    tot_target = sum(target.values())
-    tmap = F.create_map(*[F.lit(x) for kv in target.items()
-                          for x in (kv[0], kv[1] / tot_target)])
+def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str):
+    """One corpus aggregation → the per-stratum ``(stratum, n_docs,
+    n_tokens)`` table as ``(literal_frame, collected_rows)``.
+    The collect is bounded by stratum cardinality (a knob-free contract:
+    |languages| × |sources|), never by corpus size; rebuilding via
+    ``createDataFrame`` severs the corpus lineage so every downstream
+    consumer of the plan (the apply-join, repeated collects in tests)
+    reuses the 5-row literal instead of re-scanning the corpus."""
     n_tokens = _n_tokens(text_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"),
@@ -51,21 +54,61 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
            .groupBy("stratum")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("t").cast("long").alias("n_tokens")))
+    rows = per.collect()
+    return docs.sparkSession.createDataFrame(rows, per.schema), rows
+
+
+def mixture_weights(docs: DataFrame, target: dict[str, float],
+                    strat_col: str = "lang",
+                    text_col: str = "text",
+                    on_unsatisfiable: str = "raise") -> DataFrame:
+    """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
+    target_share, rate, kept_tokens)``. Strata absent from ``target``
+    get rate 0 (dropped); target shares are normalized to sum to 1, so
+    callers can pass unnormalized proportions.
+
+    A TARGETED stratum the corpus cannot supply — absent entirely, or
+    present with zero tokens (all-null/empty text) — makes the mix
+    unsatisfiable. Under the default ``on_unsatisfiable="raise"`` that
+    is a ``ValueError`` naming the strata: the planner decides the
+    final corpus composition, and silently emitting a degenerate plan
+    (the old behavior zeroed EVERY rate when a present stratum had no
+    tokens, yet ignored a wholly absent one — an inconsistent,
+    easy-to-miss failure) ships an empty or mis-mixed corpus.
+    ``on_unsatisfiable="ignore"`` excludes the unsupplied strata from
+    the bottleneck the way absent strata always were, and plans the
+    remaining mix."""
+    if on_unsatisfiable not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_unsatisfiable must be 'raise' or 'ignore',"
+            f" got {on_unsatisfiable!r}")
+    tot_target = sum(target.values())
+    tmap = F.create_map(*[F.lit(x) for kv in target.items()
+                          for x in (kv[0], kv[1] / tot_target)])
+    per, rows = _stratum_counts(docs, strat_col, text_col)
+    supply = {r["stratum"]: r["n_tokens"] for r in rows}
+    unsupplied = sorted(s for s, v in target.items()
+                        if v > 0 and supply.get(s, 0) <= 0)
+    if unsupplied and on_unsatisfiable == "raise":
+        raise ValueError(
+            f"unsatisfiable mixture target: strata {unsupplied} are "
+            "targeted but hold zero tokens in the corpus (absent, or "
+            "all-null/empty text); pass on_unsatisfiable='ignore' to "
+            "plan the remaining mix without them")
     w = Window.partitionBy()  # the stratum table is tiny — see module doc
     # ANSI-safe division guards (Spark 4 defaults ANSI on, where /0 is
-    # an ArithmeticException, not NULL): an all-empty corpus, and a
-    # TARGETED stratum holding zero tokens — which makes the mix
-    # unsatisfiable, so the bottleneck m (hence every rate) is 0
+    # an ArithmeticException, not NULL): an all-empty corpus never
+    # divides, and a zero-token stratum contributes no bottleneck term
     total_t = F.sum("n_tokens").over(w)
     share = F.when(total_t > 0,
                    F.col("n_tokens") / total_t).otherwise(F.lit(0.0))
     tgt = F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
-    # bottleneck m = min over targeted strata of share/target; rate_s =
-    # (target_s / share_s) * m  →  max rate is exactly 1, kept shares
-    # proportional to target
-    m = F.min(F.when(tgt > 0,
-                     F.when(share > 0, share / tgt)
-                     .otherwise(F.lit(0.0)))).over(w)
+    # bottleneck m = min over targeted SUPPLIED strata of share/target;
+    # rate_s = (target_s / share_s) * m  →  max rate is exactly 1, kept
+    # shares proportional to target. Zero-token targeted strata are
+    # excluded from m exactly like absent ones (the validation above
+    # already raised unless the caller opted into that consistency).
+    m = F.min(F.when((tgt > 0) & (share > 0), share / tgt)).over(w)
     rate = F.when((tgt > 0) & (share > 0),
                   tgt / share * m).otherwise(F.lit(0.0))
     return (per.select(
@@ -94,12 +137,7 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     `corpus.stratified_sample`."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    n_tokens = _n_tokens(text_col)
-    per = (docs
-           .select(F.col(strat_col).alias("stratum"), n_tokens.alias("t"))
-           .groupBy("stratum")
-           .agg(F.count("*").alias("n_docs"),
-                F.sum("t").cast("long").alias("n_tokens")))
+    per, _ = _stratum_counts(docs, strat_col, text_col)
     w = Window.partitionBy()
     # same ANSI-safe guards as mixture_weights: zero-token strata get
     # share/tgt/rate 0 instead of a DIVIDE_BY_ZERO ArithmeticException

@@ -50,6 +50,7 @@ HEADLINE = [
     "chunk_pack_documents",
     "corpus_sampling_facets",
     "shard_assign_balanced",
+    "mixture_apply",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

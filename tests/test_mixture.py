@@ -128,6 +128,66 @@ def test_apply_mixture_rates(spark):
     assert again == kept                     # layout-independent
 
 
+def test_unsatisfiable_target_raises(spark):
+    """Round-8 advisory: a TARGETED stratum the corpus cannot supply
+    (present with zero tokens, or absent entirely) used to zero every
+    rate (all-empty plan) in the first case and be silently ignored in
+    the second. Both are one unsatisfiable-mix config error now: raise
+    by default, and under on_unsatisfiable='ignore' both are excluded
+    from the bottleneck consistently — the remaining strata still get a
+    sane plan instead of all-zero rates."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        mixture_weights)
+    rows = [(1, "one two three four", "en"), (2, "uno dos", "es"),
+            (3, None, "empty"), (4, None, "empty")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    # present-but-zero-token targeted stratum
+    with pytest.raises(ValueError, match=r"empty.*zero tokens"):
+        mixture_weights(docs, {"en": 1, "empty": 1})
+    # wholly absent targeted stratum — same error, consistently
+    with pytest.raises(ValueError, match=r"missing.*zero tokens"):
+        mixture_weights(docs, {"en": 1, "missing": 1})
+    with pytest.raises(ValueError, match="on_unsatisfiable"):
+        mixture_weights(docs, {"en": 1}, on_unsatisfiable="nope")
+    # ignore: the supplied strata are planned as if the unsupplied one
+    # were never targeted — NOT the old all-zero-rate plan
+    plan = {r.stratum: r for r in
+            mixture_weights(docs, {"en": 1, "es": 1, "empty": 2},
+                            on_unsatisfiable="ignore").collect()}
+    assert plan["empty"].rate == 0.0
+    assert max(plan["en"].rate, plan["es"].rate) == 1.0
+    assert plan["en"].rate > 0 and plan["es"].rate > 0
+    # kept tokens still follow the 1:1 target among supplied strata
+    assert abs(plan["en"].kept_tokens - plan["es"].kept_tokens) < 1e-6
+
+
+def test_plan_is_literal_no_corpus_rescan(spark):
+    """The plan frame must carry no corpus lineage: mixture_weights
+    materializes the bounded stratum table once, so collecting the plan
+    twice (or joining it downstream) re-evaluates a 4-row literal, not
+    the corpus aggregation (recompute-multiplier rule)."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        mixture_weights)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+    tick_udf = F.udf(tick, StringType())
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "es")],
+        "doc_id long, text string, lang string") \
+        .withColumn("text", tick_udf("text"))
+    plan = mixture_weights(docs, {"en": 1, "es": 1})
+    plan.collect()
+    plan.collect()
+    assert acc.value <= 2 * 2   # corpus evaluated once (2 rows), not 3x
+
+
 def test_null_text_counts_zero_tokens(spark):
     """size(split(NULL)) is -1 under Spark's default sizeOfNull, so a
     metadata-only (null-text) document used to SUBTRACT a token from

@@ -148,6 +148,26 @@ def test_shard_assign_range_never_shuffles_the_data(spark):
     assert plan.count("Exchange SinglePartition") <= 2  # tree + details
 
 
+def test_mixture_apply_data_side_is_broadcast_only(spark):
+    """Applying a mixture plan to the 100 TB corpus must be a
+    zero-shuffle projection plus a broadcast join against the |strata|-
+    row plan: mixture_weights materializes the stratum table (bounded
+    by lang×source cardinality) into a literal frame, so the only
+    exchanges in the apply plan are over that literal (one hash, one
+    SinglePartition window) — never over the corpus."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["mixture_apply"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the corpus is scanned once, projected to the join columns only;
+    # the plan side is a Scan ExistingRDD (the collected literal), so a
+    # reintroduced corpus lineage in the plan frame shows up here as a
+    # second parquet scan (formatted output names each node twice:
+    # tree line + details header)
+    assert plan.count("Scan parquet") <= 2
+
+
 def test_curate_default_path_plans_no_disabled_stage_joins(spark):
     """The default curate_corpus (every optional stage off) must not pay
     for what it doesn't run: disabled stages attach neutral flags via

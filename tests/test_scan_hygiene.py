@@ -62,6 +62,10 @@ CASES = [
     ("projection_struct_facets", "lineitem", 15, "l_orderkey"),
     # chunk+pack reads doc_id/text only (chunking is pure slicing)
     ("chunk_pack_documents", "documents", 2, None),
+    # the mixture APPLY pass reads doc_id/lang only — the plan side is
+    # a collected literal, and text (needed only for the plan's token
+    # counts, a separate bounded job) must be pruned from the apply scan
+    ("mixture_apply", "documents", 2, None),
     # decontamination scans doc_id/text; the train/eval split predicate
     # must push to the scan
     ("decontamination_overlap", "documents", 2, "doc_id"),
