@@ -90,15 +90,18 @@ def cmd_store_prune(args) -> int:
     frequencies, source-cap counts, near-dup signatures all share the
     ``batch_id=/upto=`` layout). Run while the stream is STOPPED and
     its checkpoint has committed past the newest snapshot's batch —
-    the library docstring's safety contract; this command only adds
-    the session plumbing and a dry-run."""
+    the library docstring's safety contract. Pass ``--checkpoint`` to
+    have that precondition VERIFIED against the stream's commit log
+    instead of trusted (the prune refuses when the checkpoint is
+    behind the snapshot)."""
     import json
 
     from ..session import get_session
     from ..streaming.dedup import prune_store_deltas
     spark = get_session(master=args.master)
     result = prune_store_deltas(spark, args.store_path,
-                                dry_run=args.dry_run)
+                                dry_run=args.dry_run,
+                                checkpoint=args.checkpoint)
     print(json.dumps({"store": args.store_path,
                       "dry_run": args.dry_run, **result}))
     return 0
@@ -130,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--master", default="local[*]")
     p3.add_argument("--dry-run", action="store_true",
                     help="report what would be pruned without deleting")
+    p3.add_argument("--checkpoint", default=None,
+                    help="the stream's checkpointLocation: verify its "
+                         "commit log has sealed the snapshot batch "
+                         "before pruning (refuse otherwise)")
     p3.set_defaults(fn=cmd_store_prune)
 
     args = ap.parse_args(argv)

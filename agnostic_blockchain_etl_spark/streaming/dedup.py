@@ -96,7 +96,8 @@ def _read_store_or(spark, store_path: str, batch_id: int,
 def incremental_neardup_stream(docs: DataFrame, store_path: str,
                                out_path: str, checkpoint: str,
                                threshold: float | None = None,
-                               compact_every: int | None = None):
+                               compact_every: int | None = None,
+                               prune_after_compact: bool = False):
     """NEAR-dup dedup over an unbounded stream: each micro-batch runs
     the batch-form :func:`operators.incremental.incremental_dedup`
     against the signature store parquet at ``store_path`` via
@@ -128,7 +129,11 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
     win is FILE-COUNT boundedness: without it batch K lists and scans
     K delta directories (10k micro-batches → 10k partitions per read);
     with it the read is one snapshot + ≤ N tails. Same snapshot/replay
-    rule; reclaim with `prune_store_deltas`."""
+    rule; reclaim with `prune_store_deltas` — or opt into
+    ``prune_after_compact=True`` to reclaim IN-stream right after each
+    snapshot commits (see `_prune_in_stream` for why that is safe by
+    construction), keeping the raw-delta directory count bounded by
+    ~2×``compact_every`` for the stream's whole lifetime."""
     from ..operators.incremental import _EST_THRESHOLD, incremental_dedup
     tau = _EST_THRESHOLD if threshold is None else threshold
 
@@ -158,6 +163,8 @@ def incremental_neardup_stream(docs: DataFrame, store_path: str,
                 (store.unionByName(delta)
                  .write.mode("overwrite")
                  .parquet(f"{store_path}_compact/upto={batch_id}"))
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
         finally:
             sigs.unpersist()
             if ann is not None:
@@ -185,7 +192,8 @@ def dedup_stream_bounded(docs: DataFrame, ts_col: str,
 def paragraph_dedup_stream(docs: DataFrame, store_path: str,
                            out_path: str, checkpoint: str,
                            min_df: int = 2, min_chars: int = 1,
-                           compact_every: int | None = None):
+                           compact_every: int | None = None,
+                           prune_after_compact: bool = False):
     """Boilerplate-paragraph excision over an unbounded stream: each
     micro-batch runs :func:`operators.paragraphs.
     incremental_dedup_paragraphs` against the paragraph-frequency store
@@ -215,7 +223,9 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
     snapshot covers only committed batches plus this batch's
     DETERMINISTIC rows, and a replay of the compacting batch never
     sees its own snapshot. Reclaim pruned space with
-    `prune_store_deltas` while the stream is stopped."""
+    `prune_store_deltas` while the stream is stopped, or opt into
+    ``prune_after_compact=True`` for in-stream reclaim right after
+    each snapshot commits (`_prune_in_stream`)."""
     from ..operators.paragraphs import (incremental_dedup_paragraphs,
                                         paragraph_store)
 
@@ -240,6 +250,8 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
             compact_paragraph_store(rows.unionByName(freq)) \
                 .write.mode("overwrite") \
                 .parquet(f"{store_path}_compact/upto={batch_id}")
+            if prune_after_compact:
+                _prune_in_stream(spark, store_path, batch_id)
 
     return (docs.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint).start())
@@ -248,7 +260,8 @@ def paragraph_dedup_stream(docs: DataFrame, store_path: str,
 def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
                       checkpoint: str, cap: int,
                       source_col: str = "source",
-                      compact_every: int | None = None):
+                      compact_every: int | None = None,
+                      prune_after_compact: bool = False):
     """Per-source frequency caps over an unbounded stream: admit the
     first ``cap`` documents of each source across all micro-batches
     (first-come admission — the streaming semantics; the batch form's
@@ -270,7 +283,8 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
     deltas — counts are trivially mergeable) so the per-batch read
     stays one snapshot + ≤ N tail partitions instead of one per batch
     since stream birth; same snapshot/replay rule as the other
-    compacting operators, reclaim with `prune_store_deltas`."""
+    compacting operators, reclaim with `prune_store_deltas` or
+    in-stream via ``prune_after_compact=True`` (`_prune_in_stream`)."""
     from pyspark.sql import Window
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -307,6 +321,8 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
                  .agg(F.sum("n_admitted").alias("n_admitted"))
                  .write.mode("overwrite")
                  .parquet(f"{store_path}_compact/upto={batch_id}"))
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
         finally:
             ann.unpersist()
 
@@ -383,7 +399,9 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
                           text_col: str = "text", dim: int = 256,
                           max_list_size: int | None = None,
                           compact_every: int | None = None,
-                          tau_compact: float = 0.99):
+                          tau_compact: float = 0.99,
+                          prune_after_compact: bool = False,
+                          allow_lossy_compaction: bool = False):
     """Day-2 SEMANTIC dedup over an unbounded text stream: each
     micro-batch embeds its documents (`hashed_tfidf_vectors` — no
     external model) under the FROZEN vocabulary statistics at
@@ -435,6 +453,23 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
     `compact_paragraph_store`'s terminal sum) — only do it while the
     stream is stopped; the in-stream snapshot path above exists
     precisely because it does not touch the raw partitions."""
+    if compact_every and tau_compact < tau and not allow_lossy_compaction:
+        # the recall contract the docstring states, now ENFORCED
+        # (round-8 advisory): compacting at a looser threshold than
+        # the dedup bar silently over-collapses the store — members a
+        # later near-duplicate would have matched at tau get absorbed
+        # into a representative it no longer clears, losing history
+        # matches with no error anywhere. allow_lossy_compaction=True
+        # is the explicit, greppable opt-in for the one legitimate use
+        # (deliberately forgetting fine-grained history to trade
+        # recall for store size — and the harness test that PROVES a
+        # dropped member is gone).
+        raise ValueError(
+            f"tau_compact={tau_compact} < tau={tau}: in-stream "
+            "compaction would collapse store members the dedup "
+            "contract still needs; keep tau_compact >= tau (or pass "
+            "allow_lossy_compaction=True to trade recall for store "
+            "size deliberately)")
     from ..operators.similarity import (compact_semantic_store,
                                         hashed_tfidf_vectors,
                                         incremental_semantic_dedup)
@@ -490,6 +525,8 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
                 max_cluster_size=max_list_size) \
                 .write.mode("overwrite") \
                 .parquet(f"{store_path}_compact/upto={batch_id}")
+            if prune_after_compact:
+                _prune_in_stream(spark, store_path, batch_id)
         ann.unpersist()
         emb.unpersist()
 
@@ -497,8 +534,57 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+def _prune_in_stream(spark, store_path: str, batch_id: int) -> None:
+    """The ``prune_after_compact=True`` body, shared by all four
+    store-backed foreachBatch operators: right after batch N commits
+    its snapshot, delete the raw deltas the PREVIOUS committed
+    snapshot already covers. Safe by construction, without consulting
+    the checkpoint:
+
+    - foreachBatch is sequential — batch N running proves every batch
+      < N is checkpoint-committed, so only batch ≥ N can ever replay;
+    - a replay of N reads newest-snapshot(upto < N) + deltas above it
+      (`_read_store_snapshots_or`), never the upto=N snapshot it may
+      have half-written;
+    - so ``before_batch=N`` bounds the prune authority to exactly the
+      state that replay needs preserved: the previous snapshot stays,
+      only deltas AT OR BELOW its upto (all unreadable by any possible
+      future batch) are deleted.
+
+    Net effect: raw-delta directories are bounded by ~2×compact_every
+    (one un-pruned cycle + the live tail) for the stream's lifetime,
+    instead of growing one per batch until an operator runs the
+    ``store-prune`` CLI. The very first compaction is a no-op here
+    (no previous snapshot to grant authority)."""
+    prune_store_deltas(spark, store_path, before_batch=batch_id)
+
+
+def last_committed_batch(spark, checkpoint: str) -> int | None:
+    """Newest batch id the Structured Streaming checkpoint at
+    ``checkpoint`` has COMMITTED (the ``commits/<batchId>`` write-ahead
+    markers — a batch id appears there only after its ``foreachBatch``
+    body returned and the engine sealed the batch). ``None`` when the
+    checkpoint or its commits log doesn't exist yet. Used by
+    `prune_store_deltas`' checkpoint guard; Hadoop FS so remote
+    checkpoints work like local ones."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    commits = jvm.org.apache.hadoop.fs.Path(checkpoint + "/commits")
+    fs = commits.getFileSystem(conf)
+    if not fs.exists(commits):
+        return None
+    last = None
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if st.isFile() and name.isdigit():
+            last = max(last, int(name)) if last is not None else int(name)
+    return last
+
+
 def prune_store_deltas(spark, store_path: str,
-                       dry_run: bool = False) -> dict:
+                       dry_run: bool = False,
+                       before_batch: int | None = None,
+                       checkpoint: str | None = None) -> dict:
     """Reclaim store space made redundant by compaction — works on ANY
     of this module's snapshot-compacting stores (semantic members,
     paragraph frequencies, source-cap counts, near-dup signatures; the
@@ -518,11 +604,29 @@ def prune_store_deltas(spark, store_path: str,
       ``N <= upto`` cannot see its own-or-later snapshots (the
       ``upto < N`` read rule) and would need the raw partitions below
       it — pruning under a live or behind checkpoint breaks replay.
-    - A snapshot directory counts as committed only if it contains at
-      least one non-hidden data file: a crash mid-snapshot-write
-      leaves ``upto=K/_temporary`` debris, and pruning raw history on
-      the authority of an uncommitted snapshot would LOSE it (reads
-      fall back to raw when the snapshot root has no data).
+      Pass ``checkpoint=`` to have that precondition VERIFIED instead
+      of trusted: the prune refuses (``ValueError``) unless the
+      checkpoint's newest committed batch is ``>= upto`` (the
+      compacting batch sealed, so no batch ``<= upto`` can ever
+      replay). The CLI surface is ``store-prune --checkpoint``.
+    - A snapshot directory counts as committed only if it holds the
+      job-commit ``_SUCCESS`` marker (written atomically at JOB commit
+      by the parquet committer): a crash mid-snapshot-write can leave
+      anything from ``_temporary`` debris to a PARTIAL subset of
+      task-committed part files under a direct-write/v2-style
+      committer, and a partial snapshot passing a data-files-exist
+      test would authorize deleting raw history it cannot replace —
+      irreversible loss (round-8 advisory). A deployment that disables
+      ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` therefore
+      refuses to prune — fail-safe, never lossy.
+    - ``before_batch=N`` bounds the authority to snapshots with
+      ``upto < N`` — the IN-STREAM form (`prune_after_compact`): when
+      batch N itself runs, every batch < N is checkpoint-committed by
+      foreachBatch's sequential contract, so only batch ≥ N can ever
+      replay, and a replay of N reads newest-snapshot(upto < N) +
+      deltas above it — exactly what this bound preserves (the
+      snapshot batch N just wrote is NEVER its own prune authority:
+      N's replay cannot see it under the ``upto < N`` read rule).
 
     Uses Hadoop FileSystem operations (not driver-local ``os``), so it
     works against S3A/HDFS-backed stores exactly like the local tests
@@ -540,21 +644,30 @@ def prune_store_deltas(spark, store_path: str,
         return out
 
     def committed(dir_status):
-        for f in fs.listStatus(dir_status.getPath()):
-            name = f.getPath().getName()
-            if f.isFile() and not name.startswith(("_", ".")):
-                return True
-        return False
+        success = jvm.org.apache.hadoop.fs.Path(
+            dir_status.getPath(), "_SUCCESS")
+        return bool(fs.exists(success) and fs.getFileStatus(success)
+                    .isFile())
 
     snaps = {}
     for st in fs.listStatus(snap_root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("upto="):
             snaps[int(name.split("=", 1)[1])] = st
-    committed_uptos = [k for k, st in snaps.items() if committed(st)]
+    committed_uptos = [k for k, st in snaps.items() if committed(st)
+                       and (before_batch is None or k < before_batch)]
     if not committed_uptos:
         return out
     upto = max(committed_uptos)
+    if checkpoint is not None:
+        last = last_committed_batch(spark, checkpoint)
+        if last is None or last < upto:
+            raise ValueError(
+                f"refusing to prune {store_path}: checkpoint "
+                f"{checkpoint} has committed through batch {last}, "
+                f"behind the newest snapshot's upto={upto} — a replay "
+                "of an uncommitted batch would need the raw deltas "
+                "this prune deletes")
     out["upto"] = upto
     if fs.exists(root):
         for st in fs.listStatus(root):

@@ -216,6 +216,67 @@ def _extra_probes() -> dict:
             store2c, cb, tau=0.9)
         return ann3
 
+    def _stream_day3(spark, sf, tag, cols, start_fn, n_batches=6):
+        # Day-N lifecycle probe for a foreachBatch store family
+        # (round-8 verdict gap #3: only the semantic store had a
+        # steady-state probe): N micro-batches with compact_every=2 and
+        # prune_after_compact=True — ≥2 full compact+prune cycles — so
+        # the timed number is the STEADY-STATE cost of the snapshot+tail
+        # store reads plus in-stream compaction, not unbounded delta
+        # append. Deterministic per-SF scratch dir, wiped per pass (a
+        # reused checkpoint would make later bench passes no-ops).
+        import shutil
+        base = f"/tmp/x_{tag}_" + os.path.basename(sf.rstrip("/"))
+        shutil.rmtree(base, ignore_errors=True)
+        src, out, store, ckpt = (f"{base}/{d}"
+                                 for d in ("src", "out", "store", "ckpt"))
+        d = _docs(spark, sf).select(*cols)
+        for b in range(n_batches):
+            from pyspark.sql import functions as _F
+            d.where(_F.col("doc_id") % n_batches == b).coalesce(1) \
+                .write.mode("append").parquet(src)
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in d.schema.fields)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_fn(stream, store, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out)
+
+    def p_neardup_stream_day3(spark, sf):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            incremental_neardup_stream)
+        return _stream_day3(
+            spark, sf, "neardup_stream_day3", ("doc_id", "text"),
+            lambda s, store, out, ckpt: incremental_neardup_stream(
+                s, store, out, ckpt, compact_every=2,
+                prune_after_compact=True))
+
+    def p_paragraph_stream_day3(spark, sf):
+        # 4 batches (one full compact+prune cycle): the per-micro-batch
+        # fixed cost dominates these probes, and the paragraph/cap
+        # stores are tiny aggregates — the neardup probe (6 batches,
+        # 2 cycles) carries the read-amplification question
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            paragraph_dedup_stream)
+        return _stream_day3(
+            spark, sf, "paragraph_stream_day3", ("doc_id", "text"),
+            lambda s, store, out, ckpt: paragraph_dedup_stream(
+                s, store, out, ckpt, compact_every=2,
+                prune_after_compact=True), n_batches=4)
+
+    def p_sourcecap_stream_day3(spark, sf):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            source_cap_stream)
+        return _stream_day3(
+            spark, sf, "sourcecap_stream_day3", ("doc_id", "source"),
+            lambda s, store, out, ckpt: source_cap_stream(
+                s, store, out, ckpt, cap=100, compact_every=2,
+                prune_after_compact=True), n_batches=4)
+
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
                                                              ivf_train)
@@ -238,7 +299,10 @@ def _extra_probes() -> dict:
             "x_image_dedup": p_image_dedup,
             "x_incremental_paragraphs": p_incremental_paragraphs,
             "x_quality_train_score": p_quality_train_score,
-            "x_shard_assign": p_shard_assign}
+            "x_shard_assign": p_shard_assign,
+            "x_neardup_stream_day3": p_neardup_stream_day3,
+            "x_paragraph_stream_day3": p_paragraph_stream_day3,
+            "x_sourcecap_stream_day3": p_sourcecap_stream_day3}
 
 
 def _time_query(q, spark, sf_dir: str) -> float:

@@ -497,9 +497,13 @@ def test_semantic_dedup_stream_compacts_mid_stream(spark, tmp_path):
     def drain():
         stream = (spark.readStream.schema(SCHEMA)
                   .option("maxFilesPerTrigger", 1).parquet(src))
+        # tau_compact < tau is DELIBERATE here (allow_lossy_compaction
+        # opts out of the recall-contract guard): the test proves the
+        # dropped member is gone, which needs a lossy snapshot
         q = semantic_dedup_stream(stream, cbp, stp, store, out, ckpt,
                                   tau=0.995, dim=64, compact_every=2,
-                                  tau_compact=0.8)
+                                  tau_compact=0.8,
+                                  allow_lossy_compaction=True)
         try:
             q.processAllAvailable()
         finally:
@@ -659,6 +663,203 @@ def test_prune_semantic_store_deltas(spark, tmp_path):
     # no snapshot root at all -> no-op
     assert prune_semantic_store_deltas(
         spark, str(tmp_path / "nosnaps"))["upto"] is None
+
+
+def test_prune_requires_job_commit_marker(spark, tmp_path):
+    """Round-8 advisory: a snapshot job that died mid-write under a
+    direct-write/v2-style committer can leave a PARTIAL subset of
+    task-committed part files — data files exist, so the old
+    any-data-file test called it committed and let it authorize
+    deleting raw history the partial snapshot cannot replace. The
+    committed test is now the job-commit-atomic _SUCCESS marker:
+    a snapshot with data files but no marker grants no authority."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        prune_store_deltas)
+    store = str(tmp_path / "mstore")
+    schema = "vec_id long, list_id int, e array<double>"
+    for b in (0, 1):
+        spark.createDataFrame([(b, 1, [1.0])], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    # a "partial" snapshot: real part files, job commit never happened
+    spark.createDataFrame([(0, 1, [1.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
+    _os.remove(f"{store}_compact/upto=1/_SUCCESS")
+    got = prune_store_deltas(spark, store)
+    assert got == {"upto": None, "pruned_deltas": [],
+                   "pruned_snapshots": []}
+    assert _os.path.exists(f"{store}/batch_id=0")   # history intact
+
+
+def test_prune_checkpoint_guard(spark, tmp_path):
+    """--checkpoint verifies the docstring's safety precondition
+    instead of trusting it: pruning refuses while the stream's commit
+    log is behind the snapshot batch (a replay of the uncommitted
+    batch would need the raw deltas), and proceeds once the log has
+    sealed it."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        last_committed_batch, prune_store_deltas)
+    store, ckpt = str(tmp_path / "gstore"), str(tmp_path / "gckpt")
+    schema = "source string, n_admitted long"
+    for b in (0, 1, 2):
+        spark.createDataFrame([("web", 1)], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    spark.createDataFrame([("web", 2)], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
+    # commit log sealed only batch 0 -> behind the snapshot's upto=1
+    _os.makedirs(f"{ckpt}/commits")
+    open(f"{ckpt}/commits/0", "w").write("v1")
+    assert last_committed_batch(spark, ckpt) == 0
+    with pytest.raises(ValueError, match="behind the newest snapshot"):
+        prune_store_deltas(spark, store, checkpoint=ckpt)
+    assert _os.path.exists(f"{store}/batch_id=0")   # refusal deleted nothing
+    # missing commit log is equally a refusal, not a default-yes
+    with pytest.raises(ValueError, match="committed through batch None"):
+        prune_store_deltas(spark, store,
+                           checkpoint=str(tmp_path / "nockpt"))
+    # sealed through the snapshot batch -> prune proceeds
+    open(f"{ckpt}/commits/1", "w").write("v1")
+    got = prune_store_deltas(spark, store, checkpoint=ckpt)
+    assert got["upto"] == 1 and got["pruned_deltas"] == [0, 1]
+
+
+def test_prune_before_batch_bounds_authority(spark, tmp_path):
+    """The in-stream form (`prune_after_compact`) prunes on the
+    authority of the PREVIOUS snapshot only: with before_batch=N the
+    newest snapshot (upto=N-1, possibly half-written by the very batch
+    that is still running) grants nothing, so the deltas a replay of
+    batch N-1.. could still need survive."""
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        prune_store_deltas)
+    import os as _os
+    store = str(tmp_path / "bstore")
+    schema = "source string, n_admitted long"
+    for b in range(4):
+        spark.createDataFrame([("web", 1)], schema) \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+    for k in (1, 3):
+        spark.createDataFrame([("web", k + 1)], schema) \
+            .write.mode("overwrite").parquet(f"{store}_compact/upto={k}")
+    got = prune_store_deltas(spark, store, before_batch=3)
+    assert got["upto"] == 1 and got["pruned_deltas"] == [0, 1]
+    assert _os.path.exists(f"{store}/batch_id=2")
+    assert _os.path.exists(f"{store}_compact/upto=1")   # the authority
+    assert _os.path.exists(f"{store}_compact/upto=3")   # never touched
+
+
+def test_source_cap_prune_after_compact_bounds_deltas(spark, tmp_path):
+    """Round-8 verdict ask #2, the 'done' criterion: a stream running
+    ≥3 compact cycles with prune_after_compact=True keeps its raw-delta
+    directory count bounded (~2×compact_every) while producing results
+    identical to the no-prune run — including across a restart."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        source_cap_stream)
+    schema = "doc_id LONG, source STRING"
+    batches = [[(10 * b + i, "web" if i < 2 else "books")
+                for i in range(3)] for b in range(7)]
+
+    def run(tag, prune):
+        src, out, store, ckpt = (str(tmp_path / f"{tag}{d}")
+                                 for d in ("src", "out", "store", "ckpt"))
+
+        def drain():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = source_cap_stream(stream, store, out, ckpt, cap=5,
+                                  compact_every=2,
+                                  prune_after_compact=prune)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        for rows in batches[:4]:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+        drain()
+        for rows in batches[4:]:            # restart mid-lifecycle
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+        drain()
+        deltas = [d for d in _os.listdir(store)
+                  if d.startswith("batch_id=")]
+        res = {r.doc_id: r.cap_keep
+               for r in spark.read.parquet(out).collect()}
+        return deltas, res
+
+    deltas_np, res_np = run("noprune", prune=False)
+    deltas_pr, res_pr = run("pruned", prune=True)
+    assert res_pr == res_np                  # identical admissions
+    assert len(res_pr) == 21
+    assert len(deltas_np) == 7               # one delta per batch
+    # compacts after batches 1,3,5; in-stream prunes at 3 (<=1) and
+    # 5 (<=3): batches 4,5,6 remain = bounded by 2*compact_every
+    assert len(deltas_pr) <= 2 * 2
+    assert sorted(deltas_pr) == [f"batch_id={b}" for b in (4, 5, 6)]
+
+
+def test_neardup_prune_after_compact_keeps_history(spark, tmp_path):
+    """prune_after_compact on the near-dup stream: after two compact
+    cycles with in-stream pruning, a near-duplicate of a batch-0
+    document is still rejected (the pruned deltas' content lives in
+    the surviving snapshot) and the raw tail stays bounded."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        incremental_neardup_stream)
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("npsrc", "npout", "npstore",
+                                       "npckpt"))
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " changed tail"
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = incremental_neardup_stream(stream, store, out, ckpt,
+                                       compact_every=2,
+                                       prune_after_compact=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for b, text in enumerate([base] + [" ".join(f"x{b}_{i}" for i in
+                                                range(40))
+                                       for b in range(4)]):
+        _write_batch(spark, src, [(b + 1, text)])
+    drain()                                  # batches 0..4, compacts at 1,3
+    # in-stream prune at batch 3 deleted deltas <= 1 (authority upto=1)
+    assert not _os.path.exists(f"{store}/batch_id=0")
+    assert not _os.path.exists(f"{store}/batch_id=1")
+    assert _os.path.exists(f"{store}/batch_id=2")
+    _write_batch(spark, src, [(99, near)])   # near-dup of pruned batch 0
+    drain()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[99].keep == 0 and got[99].dup_of_history == 1
+
+
+def test_semantic_stream_rejects_lossy_tau_compact(spark, tmp_path):
+    """Round-8 advisory: the tau_compact >= tau recall contract is
+    enforced, not just documented — a lossier compaction threshold
+    would silently absorb store members future batches still need."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        semantic_dedup_stream)
+    _os.makedirs(str(tmp_path / "never"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "never")))
+    with pytest.raises(ValueError, match="tau_compact"):
+        semantic_dedup_stream(stream, "cb", "st", "sp", "op",
+                              str(tmp_path / "ck"), tau=0.999,
+                              compact_every=2, tau_compact=0.99)
 
 
 def test_paragraph_stream_compacts_and_survives_prune(spark, tmp_path):
