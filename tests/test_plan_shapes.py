@@ -92,16 +92,21 @@ def test_pii_scrub_is_single_scan(spark):
 
 
 def test_mixture_weights_single_aggregation(spark):
-    """mixture_weights: one corpus aggregation; the normalization rides a
-    window over the tiny stratum table, never a driver collect."""
+    """mixture_weights: ONE corpus aggregation, materialized into a
+    bounded (|strata|-row) literal at plan-build time — since round 9
+    the returned plan frame must carry NO corpus lineage at all (zero
+    parquet scans in its plan: collecting or joining the plan N times
+    re-evaluates an N-row literal, never the corpus; the
+    evaluated-once property itself is pinned by the accumulator test
+    in test_mixture.py) and no join."""
     from agnostic_blockchain_etl_spark.operators.mixture import (
         mixture_weights)
     from agnostic_blockchain_etl_spark.operators.tables import load_tables
     docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
     plan = _plan_of(mixture_weights(docs, {"en": 1, "de": 1}))
-    # formatted output names each node twice (tree + details): 2 == 1 scan
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
+    assert "ExistingRDD" in plan          # the collected literal
 
 
 def test_dsir_scoring_join_is_broadcast(spark):
