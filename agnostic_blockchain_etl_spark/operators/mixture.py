@@ -46,7 +46,8 @@ def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str):
     |languages| × |sources|), never by corpus size; rebuilding via
     ``createDataFrame`` severs the corpus lineage so every downstream
     consumer of the plan (the apply-join, repeated collects in tests)
-    reuses the 5-row literal instead of re-scanning the corpus."""
+    reuses the |strata|-row literal instead of re-scanning the
+    corpus."""
     n_tokens = _n_tokens(text_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"),

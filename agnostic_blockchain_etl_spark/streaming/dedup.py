@@ -443,7 +443,11 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
     half-written one — so it recomputes byte-identical state. Raw
     delta partitions at or below a committed snapshot's ``upto`` are
     dead weight (safe to prune once the checkpoint passes that batch)
-    but never read again either way.
+    but never read again either way — ``prune_after_compact=True``
+    deletes them in-stream on the PREVIOUS snapshot's authority
+    (`_prune_in_stream`), and the ``tau_compact >= tau`` recall
+    contract is enforced at call time (``allow_lossy_compaction=True``
+    is the explicit opt-in to trade recall for store size).
 
     The manual form stays available between restarts: run
     `compact_semantic_store` over the store parquet and rewrite it as
