@@ -483,6 +483,7 @@ _MIX_TGT_SQL = ("CASE stratum " + " ".join(
     f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
     for k, v in _MIX_TARGET.items()) + " ELSE CAST(0 AS DOUBLE) END")
 _MIX_HASH_SQL = _sql_salted_h60("mixture:")
+_TMIX_HASH_SQL = _sql_salted_h60("tempmix:")
 
 
 @query("mixture_apply", oracle=f"""
@@ -508,35 +509,50 @@ _MIX_HASH_SQL = _sql_salted_h60("mixture:")
     bottleneck AS (
         SELECT stratum, n_tokens, share, tgt,
                MIN(CASE WHEN tgt > 0 AND share > 0
-                        THEN share / tgt END) OVER () AS m
+                        THEN share / tgt END) OVER ()           AS m,
+               MIN(CASE WHEN share > 0
+                        THEN share / sqrt(share) END) OVER ()   AS tm
         FROM shares),
     plan AS (
         SELECT stratum, n_tokens,
                round(CASE WHEN tgt > 0 AND share > 0
                           THEN tgt / share * m
-                          ELSE CAST(0 AS DOUBLE) END, 6) AS rate
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS rate,
+               round(CASE WHEN share > 0
+                          THEN sqrt(share) / share * tm
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS temp_rate
         FROM bottleneck)
-    SELECT d.doc_id, d.lang, p.n_tokens, p.rate,
+    SELECT d.doc_id, d.lang, p.n_tokens, p.rate, p.temp_rate,
            CASE WHEN ({_MIX_HASH_SQL} + 1) / 1152921504606846976.0
                      <= COALESCE(p.rate, CAST(0 AS DOUBLE))
-                THEN 1 ELSE 0 END AS mix_keep
+                THEN 1 ELSE 0 END AS mix_keep,
+           CASE WHEN ({_TMIX_HASH_SQL} + 1) / 1152921504606846976.0
+                     <= COALESCE(p.temp_rate, CAST(0 AS DOUBLE))
+                THEN 1 ELSE 0 END AS temp_keep
     FROM d JOIN plan p ON d.lang = p.stratum
 """)
 def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate row for the mixture planner family (round-8 verdict ask #1
-    — the operator deciding the FINAL corpus composition a training job
-    reads was the last pytest-only, oracle-expressible surface):
-    `mixture.mixture_weights` → `mixture.apply_mixture_rates`
-    end-to-end, per-document keep decisions value-verified by the
-    DuckDB twin. The target is a binary-exact 50/25/12.5/12.5 mix over
-    en/zh/de/fr ('es' stays untargeted → rate 0, every row annotated,
-    none dropped), and every 29th document's text is nulled so the
-    null-text → 0-token path (this round's ANSI-safety fix) runs under
-    the full value oracle inside satisfiable strata. Membership rides
-    the portable salted md5-nibble hash (`_salted_u60`, the same
-    primitive `corpus_sampling_facets` verifies), so keep decisions are
-    pure functions of doc_id on both engines."""
-    from .mixture import apply_mixture_rates, mixture_weights
+    """Gate row for the WHOLE mixture planner family (round-8 verdict
+    ask #1 — the operators deciding the FINAL corpus composition a
+    training job reads were the last pytest-only, oracle-expressible
+    surface): `mixture.mixture_weights` AND
+    `mixture.temperature_mixture` (alpha=0.5, the canonical
+    flattening temperature), each pushed through
+    `mixture.apply_mixture_rates` end-to-end, per-document keep
+    decisions value-verified by the DuckDB twin. The explicit target
+    is a binary-exact 50/25/12.5/12.5 mix over en/zh/de/fr ('es' stays
+    untargeted → rate 0, every row annotated, none dropped; the
+    temperature facet covers es with a positive rate — both plan
+    regimes on every row), and every 29th document's text is nulled so
+    the null-text → 0-token path runs under the full value oracle
+    inside satisfiable strata. Cross-engine exactness of the
+    temperature rates comes from the Z-free rate algebra +
+    correctly-rounded sqrt (see `temperature_mixture`); membership
+    rides the portable salted md5-nibble hash (`_salted_u60`) under
+    two independent salts, so every keep decision is a pure function
+    of doc_id on both engines."""
+    from .mixture import (apply_mixture_rates, mixture_weights,
+                          temperature_mixture)
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"].select(
         "doc_id", "lang",
@@ -544,8 +560,20 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(None).cast("string"))
          .otherwise(F.col("text")).alias("text"))
     plan = mixture_weights(d, _MIX_TARGET)
-    ann = apply_mixture_rates(d, plan)
+    tplan = temperature_mixture(d, 0.5)
+    # chain the two REAL apply passes column-wise (no doc_id self-join:
+    # each apply is a broadcast of its |strata|-row plan — the corpus
+    # is still scanned exactly once, pinned by test_plan_shapes)
+    ann = apply_mixture_rates(d, plan) \
+        .withColumnRenamed("mix_keep", "__target_keep")
+    ann = apply_mixture_rates(ann, tplan, salt="tempmix:") \
+        .withColumnRenamed("mix_keep", "temp_keep") \
+        .withColumnRenamed("__target_keep", "mix_keep")
     return (ann.join(F.broadcast(plan.select(
                 F.col("stratum").alias("lang"), "n_tokens", "rate")),
                 "lang")
-            .select("doc_id", "lang", "n_tokens", "rate", "mix_keep"))
+            .join(F.broadcast(tplan.select(
+                F.col("stratum").alias("lang"),
+                F.col("rate").alias("temp_rate"))), "lang")
+            .select("doc_id", "lang", "n_tokens", "rate", "temp_rate",
+                    "mix_keep", "temp_keep"))

@@ -131,11 +131,15 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     ``alpha = 1`` keeps the corpus as-is. Returns the same plan frame
     as :func:`mixture_weights` with the temperature-implied target.
 
-    Same scale shape: one corpus aggregation; the stratum table is tiny
-    so the normalizations ride windows over it. The rate vector is the
-    token-maximal one hitting the implied mix (bottleneck stratum at
-    rate 1), ready for hash-deterministic application via
-    `corpus.stratified_sample`."""
+    Same scale shape: one corpus aggregation (materialized like
+    `mixture_weights` — bounded |strata|-row literal, no corpus
+    lineage in the plan). The rate vector is the token-maximal one
+    hitting the implied mix (bottleneck stratum at rate 1), ready for
+    hash-deterministic application via `apply_mixture_rates` /
+    `corpus.stratified_sample`; rates are computed normalization-free
+    (the q^alpha sum cancels — see inline note), which makes them
+    cross-engine bit-reproducible at alpha=0.5 (sqrt path) — the
+    `mixture_apply` gate row's temperature facet."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     per, _ = _stratum_counts(docs, strat_col, text_col)
@@ -145,14 +149,24 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     total_t = F.sum("n_tokens").over(w)
     share = F.when(total_t > 0,
                    F.col("n_tokens") / total_t).otherwise(F.lit(0.0))
-    powered = F.pow(share, F.lit(float(alpha)))
+    # alpha=0.5 (the canonical flattening temperature) goes through
+    # sqrt, which IEEE-754 REQUIRES to be correctly rounded — pow is
+    # libm-approximate (±1 ulp, engine-dependent), so sqrt is both
+    # more accurate and cross-engine reproducible (what lets the
+    # mixture_apply gate row value-verify this planner in DuckDB)
+    powered = (F.sqrt(share) if float(alpha) == 0.5
+               else F.pow(share, F.lit(float(alpha))))
+    # the RATE path is normalization-free: with p = share^alpha and
+    # tgt = p/Z, rate = tgt/share * min(share/tgt) — the constant
+    # Z = sum(p) cancels algebraically, so computing
+    # rate = p/share * min(share/p) directly drops a whole division
+    # chain of rounding error AND the order-dependent double summation
+    # (window SUM over doubles adds in row order; engines disagree in
+    # the last ulp). Z survives only in the REPORTED target_share.
     total_p = F.sum(powered).over(w)
     tgt = F.when(total_p > 0, powered / total_p).otherwise(F.lit(0.0))
-    m = F.min(F.when(tgt > 0,
-                     F.when(share > 0, share / tgt)
-                     .otherwise(F.lit(0.0)))).over(w)
-    rate = F.when((tgt > 0) & (share > 0),
-                  tgt / share * m).otherwise(F.lit(0.0))
+    m = F.min(F.when(share > 0, share / powered)).over(w)
+    rate = F.when(share > 0, powered / share * m).otherwise(F.lit(0.0))
     return (per.select(
         "stratum", "n_docs", "n_tokens",
         F.round(share, 6).alias("share"),
