@@ -552,15 +552,16 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     two independent salts, so every keep decision is a pure function
     of doc_id on both engines."""
     from .mixture import (apply_mixture_rates, mixture_weights,
-                          temperature_mixture)
+                          stratum_counts, temperature_mixture)
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"].select(
         "doc_id", "lang",
         F.when(F.col("doc_id") % 29 == 0,
                F.lit(None).cast("string"))
          .otherwise(F.col("text")).alias("text"))
-    plan = mixture_weights(d, _MIX_TARGET)
-    tplan = temperature_mixture(d, 0.5)
+    counts = stratum_counts(d)     # ONE corpus aggregation, two plans
+    plan = mixture_weights(d, _MIX_TARGET, counts=counts)
+    tplan = temperature_mixture(d, 0.5, counts=counts)
     # chain the two REAL apply passes column-wise (no doc_id self-join:
     # each apply is a broadcast of its |strata|-row plan — the corpus
     # is still scanned exactly once, pinned by test_plan_shapes)

@@ -39,15 +39,34 @@ def _n_tokens(text_col: str):
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
 
 
-def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str):
+def stratum_counts(docs: DataFrame, strat_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
     """One corpus aggregation → the per-stratum ``(stratum, n_docs,
-    n_tokens)`` table as ``(literal_frame, collected_rows)``.
-    The collect is bounded by stratum cardinality (a knob-free contract:
+    n_tokens)`` table, materialized as a literal frame. The collect is
+    bounded by stratum cardinality (a knob-free contract:
     |languages| × |sources|), never by corpus size; rebuilding via
     ``createDataFrame`` severs the corpus lineage so every downstream
     consumer of the plan (the apply-join, repeated collects in tests)
-    reuses the |strata|-row literal instead of re-scanning the
-    corpus."""
+    reuses the |strata|-row literal instead of re-scanning the corpus.
+
+    Public so several planners can share ONE corpus scan: pass the
+    result as ``counts=`` to `mixture_weights` /
+    `temperature_mixture` when planning multiple mixes over the same
+    corpus (the gate row plans a targeted AND a temperature mix from
+    one aggregation this way)."""
+    frame, _ = _stratum_counts(docs, strat_col, text_col)
+    return frame
+
+
+def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str,
+                    counts: DataFrame | None = None):
+    """`stratum_counts` as ``(literal_frame, collected_rows)``; with
+    ``counts`` given (a prior `stratum_counts` result — a bounded
+    literal), skips the corpus aggregation and just re-collects the
+    literal."""
+    if counts is not None:
+        rows = counts.collect()    # collecting a literal: no corpus scan
+        return counts, rows
     n_tokens = _n_tokens(text_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"),
@@ -62,7 +81,8 @@ def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str):
 def mixture_weights(docs: DataFrame, target: dict[str, float],
                     strat_col: str = "lang",
                     text_col: str = "text",
-                    on_unsatisfiable: str = "raise") -> DataFrame:
+                    on_unsatisfiable: str = "raise",
+                    counts: DataFrame | None = None) -> DataFrame:
     """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
     target_share, rate, kept_tokens)``. Strata absent from ``target``
     get rate 0 (dropped); target shares are normalized to sum to 1, so
@@ -86,7 +106,7 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     tot_target = sum(target.values())
     tmap = F.create_map(*[F.lit(x) for kv in target.items()
                           for x in (kv[0], kv[1] / tot_target)])
-    per, rows = _stratum_counts(docs, strat_col, text_col)
+    per, rows = _stratum_counts(docs, strat_col, text_col, counts)
     supply = {r["stratum"]: r["n_tokens"] for r in rows}
     unsupplied = sorted(s for s, v in target.items()
                         if v > 0 and supply.get(s, 0) <= 0)
@@ -122,7 +142,8 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
 
 def temperature_mixture(docs: DataFrame, alpha: float,
                         strat_col: str = "lang",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        counts: DataFrame | None = None) -> DataFrame:
     """Temperature-based resampling rates (the multilingual pre-training
     practice of mBERT / XLM-R, Conneau et al. 2020: sample stratum s
     with probability ``q_s^alpha / Σ_t q_t^alpha`` where ``q_s`` is the
@@ -142,7 +163,7 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     `mixture_apply` gate row's temperature facet."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    per, _ = _stratum_counts(docs, strat_col, text_col)
+    per, _ = _stratum_counts(docs, strat_col, text_col, counts)
     w = Window.partitionBy()
     # same ANSI-safe guards as mixture_weights: zero-token strata get
     # share/tgt/rate 0 instead of a DIVIDE_BY_ZERO ArithmeticException

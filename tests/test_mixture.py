@@ -187,6 +187,17 @@ def test_plan_is_literal_no_corpus_rescan(spark):
     plan.collect()
     assert acc.value <= 2 * 2   # corpus evaluated once (2 rows), not 3x
 
+    # counts= shares ONE aggregation across several planners: planning
+    # a targeted mix AND a temperature mix from the same stratum table
+    # adds zero further corpus evaluations
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        stratum_counts, temperature_mixture)
+    before = acc.value
+    counts = stratum_counts(docs)
+    mixture_weights(docs, {"en": 1, "es": 1}, counts=counts).collect()
+    temperature_mixture(docs, 0.5, counts=counts).collect()
+    assert acc.value - before <= 2 * 2   # the stratum_counts scan only
+
 
 def test_null_text_counts_zero_tokens(spark):
     """size(split(NULL)) is -1 under Spark's default sizeOfNull, so a
