@@ -844,6 +844,67 @@ def test_neardup_prune_after_compact_keeps_history(spark, tmp_path):
     assert got[99].keep == 0 and got[99].dup_of_history == 1
 
 
+def test_prune_crash_window_replay_is_exactly_once(spark, tmp_path):
+    """THE crash window the in-stream prune design must survive: batch
+    N compacted AND pruned, then the engine died before the checkpoint
+    sealed batch N (simulated by deleting the commits/N marker). The
+    restarted query replays batch N against a store whose deltas below
+    the PREVIOUS snapshot are already gone — the before_batch authority
+    rule guarantees the replay reads previous-snapshot + surviving
+    tail, recomputes identical output, rewrites its own delta/snapshot
+    deterministically, and re-runs the prune as a no-op."""
+    import os as _os
+
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        source_cap_stream)
+    src, out, store, ckpt = (str(tmp_path / d)
+                             for d in ("cwsrc", "cwout", "cwstore",
+                                       "cwckpt"))
+    schema = "doc_id LONG, source STRING"
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = source_cap_stream(stream, store, out, ckpt, cap=3,
+                              compact_every=2, prune_after_compact=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for b in range(4):
+        wb([(10 * b, "web"), (10 * b + 1, "books")])
+    drain()              # batches 0..3; compact at 1,3; prune at 3 (<=1)
+    assert not _os.path.exists(f"{store}/batch_id=1")
+    assert _os.path.exists(f"{store}/batch_id=2")
+    before = {r.doc_id: r.cap_keep
+              for r in spark.read.parquet(out).collect()}
+
+    # simulate the crash: batch 3's work is all on disk (delta,
+    # snapshot upto=3, pruned history) but its checkpoint commit is not
+    _os.remove(f"{ckpt}/commits/3")
+    crc = f"{ckpt}/commits/.3.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()              # restart -> engine replays batch 3
+    after = {r.doc_id: r.cap_keep
+             for r in spark.read.parquet(out).collect()}
+    assert after == before                      # exactly-once output
+    # the replayed batch re-sealed its own artifacts
+    assert _os.path.exists(f"{store}/batch_id=3")
+    assert _os.path.exists(f"{store}_compact/upto=3/_SUCCESS")
+    # and the stream continues correctly: caps still enforced from the
+    # (pruned) snapshot history
+    wb([(100, "web"), (101, "books")])
+    drain()
+    got = {r.doc_id: r.cap_keep for r in spark.read.parquet(out).collect()}
+    assert got[100] == 0 and got[101] == 0      # both sources at cap 3
+
+
 def test_semantic_stream_rejects_lossy_tau_compact(spark, tmp_path):
     """Round-8 advisory: the tau_compact >= tau recall contract is
     enforced, not just documented — a lossier compaction threshold
