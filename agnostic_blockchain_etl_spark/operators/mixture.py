@@ -96,26 +96,37 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     (the old behavior zeroed EVERY rate when a present stratum had no
     tokens, yet ignored a wholly absent one — an inconsistent,
     easy-to-miss failure) ships an empty or mis-mixed corpus.
-    ``on_unsatisfiable="ignore"`` excludes the unsupplied strata from
-    the bottleneck the way absent strata always were, and plans the
-    remaining mix."""
+    ``on_unsatisfiable="ignore"`` plans the remaining mix as if the
+    unsupplied strata were never targeted: they are excluded from the
+    bottleneck the way absent strata always were, AND the target
+    shares renormalize over the supplied strata only — so the reported
+    ``target_share`` column matches the mix the rates actually achieve
+    (a plan advertising shares its own rates cannot deliver would fail
+    any downstream kept-tokens-vs-target validation forever)."""
     if on_unsatisfiable not in ("raise", "ignore"):
         raise ValueError(
             f"on_unsatisfiable must be 'raise' or 'ignore',"
             f" got {on_unsatisfiable!r}")
-    tot_target = sum(target.values())
-    tmap = F.create_map(*[F.lit(x) for kv in target.items()
-                          for x in (kv[0], kv[1] / tot_target)])
     per, rows = _stratum_counts(docs, strat_col, text_col, counts)
     supply = {r["stratum"]: r["n_tokens"] for r in rows}
-    unsupplied = sorted(s for s, v in target.items()
-                        if v > 0 and supply.get(s, 0) <= 0)
+    unsupplied = {s for s, v in target.items()
+                  if v > 0 and supply.get(s, 0) <= 0}
     if unsupplied and on_unsatisfiable == "raise":
         raise ValueError(
-            f"unsatisfiable mixture target: strata {unsupplied} are "
-            "targeted but hold zero tokens in the corpus (absent, or "
-            "all-null/empty text); pass on_unsatisfiable='ignore' to "
-            "plan the remaining mix without them")
+            f"unsatisfiable mixture target: strata {sorted(unsupplied)} "
+            "are targeted but hold zero tokens in the corpus (absent, "
+            "or all-null/empty text); pass on_unsatisfiable='ignore' "
+            "to plan the remaining mix without them")
+    eff = {s: v for s, v in target.items() if s not in unsupplied}
+    tot_target = sum(eff.values())
+    if eff and tot_target > 0:
+        tmap = F.create_map(*[F.lit(x) for kv in eff.items()
+                              for x in (kv[0], kv[1] / tot_target)])
+        tgt = F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
+    else:
+        # every targeted stratum unsupplied (ignore mode): an honest
+        # all-zero plan — nothing is kept, and target_share says so
+        tgt = F.lit(0.0)
     w = Window.partitionBy()  # the stratum table is tiny — see module doc
     # ANSI-safe division guards (Spark 4 defaults ANSI on, where /0 is
     # an ArithmeticException, not NULL): an all-empty corpus never
@@ -123,7 +134,6 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     total_t = F.sum("n_tokens").over(w)
     share = F.when(total_t > 0,
                    F.col("n_tokens") / total_t).otherwise(F.lit(0.0))
-    tgt = F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
     # bottleneck m = min over targeted SUPPLIED strata of share/target;
     # rate_s = (target_s / share_s) * m  →  max rate is exactly 1, kept
     # shares proportional to target. Zero-token targeted strata are

@@ -99,9 +99,16 @@ def cmd_store_prune(args) -> int:
     from ..session import get_session
     from ..streaming.dedup import prune_store_deltas
     spark = get_session(master=args.master)
-    result = prune_store_deltas(spark, args.store_path,
-                                dry_run=args.dry_run,
-                                checkpoint=args.checkpoint)
+    try:
+        result = prune_store_deltas(spark, args.store_path,
+                                    dry_run=args.dry_run,
+                                    checkpoint=args.checkpoint)
+    except ValueError as exc:
+        # the checkpoint guard's refusal — keep the one-JSON-line
+        # stdout contract (scripts parse it) instead of a traceback
+        print(json.dumps({"store": args.store_path,
+                          "dry_run": args.dry_run, "error": str(exc)}))
+        return 1
     print(json.dumps({"store": args.store_path,
                       "dry_run": args.dry_run, **result}))
     return 0

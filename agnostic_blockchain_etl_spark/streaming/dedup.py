@@ -595,10 +595,16 @@ def prune_store_deltas(spark, store_path: str,
     layout contract is ``{store}/batch_id=N`` deltas +
     ``{store}_compact/upto=K`` snapshots): delete raw delta partitions
     with ``batch_id <= upto`` of the newest COMMITTED snapshot, and
-    superseded older snapshots. Returns
-    ``{"upto": K, "pruned_deltas": [...], "pruned_snapshots": [...]}``.
+    superseded older snapshots. Returns ``{"upto": K, "pruned_deltas":
+    [...], "pruned_snapshots": [...], "uncommitted_snapshots": [...]}``
+    — the last lists snapshot dirs present WITHOUT a job-commit marker
+    (debris, or a deployment that disabled
+    ``marksuccessfuljobs`` — also warned about when it blocks all
+    pruning, so a forever-no-op is visible, not silent).
     ``dry_run=True`` reports the same dict without deleting anything
-    (the CLI ``store-prune --dry-run`` surface).
+    (the CLI ``store-prune --dry-run`` surface); a checkpoint-guard
+    refusal under dry-run is reported in a ``refused`` field instead
+    of raising, so a behind store can still be inspected.
 
     Safety rules (the same class as `compact_paragraph_store`'s
     sealing contract):
@@ -643,7 +649,8 @@ def prune_store_deltas(spark, store_path: str,
 
     root, snap_root = p(store_path), p(store_path + "_compact")
     fs = root.getFileSystem(conf)
-    out = {"upto": None, "pruned_deltas": [], "pruned_snapshots": []}
+    out = {"upto": None, "pruned_deltas": [], "pruned_snapshots": [],
+           "uncommitted_snapshots": []}
     if not fs.exists(snap_root):
         return out
 
@@ -660,18 +667,40 @@ def prune_store_deltas(spark, store_path: str,
             snaps[int(name.split("=", 1)[1])] = st
     committed_uptos = [k for k, st in snaps.items() if committed(st)
                        and (before_batch is None or k < before_batch)]
+    out["uncommitted_snapshots"] = sorted(
+        k for k, st in snaps.items() if not committed(st))
     if not committed_uptos:
+        if snaps and not any(committed(st) for st in snaps.values()):
+            # snapshots exist but NONE carries the job-commit marker:
+            # either debris (fine — refusing protects the history) or a
+            # deployment that disabled marksuccessfuljobs, where every
+            # prune would silently no-op forever while deltas grow one
+            # per batch — say so instead of looking like "no snapshots"
+            import warnings
+            warnings.warn(
+                f"{store_path}_compact holds snapshot dirs "
+                f"{sorted(snaps)} but none has a _SUCCESS job-commit "
+                "marker; nothing pruned (if this deployment disables "
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs, "
+                "prune can never establish a safe authority)",
+                stacklevel=2)
         return out
     upto = max(committed_uptos)
     if checkpoint is not None:
         last = last_committed_batch(spark, checkpoint)
         if last is None or last < upto:
-            raise ValueError(
+            msg = (
                 f"refusing to prune {store_path}: checkpoint "
                 f"{checkpoint} has committed through batch {last}, "
                 f"behind the newest snapshot's upto={upto} — a replay "
                 "of an uncommitted batch would need the raw deltas "
                 "this prune deletes")
+            if not dry_run:
+                raise ValueError(msg)
+            # dry-run is "report without acting": surface the refusal
+            # AND what an (unsafe) prune would have deleted, so a store
+            # whose checkpoint is behind can still be inspected
+            out["refused"] = msg
     out["upto"] = upto
     if fs.exists(root):
         for st in fs.listStatus(root):

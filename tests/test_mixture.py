@@ -160,6 +160,12 @@ def test_unsatisfiable_target_raises(spark):
     assert plan["en"].rate > 0 and plan["es"].rate > 0
     # kept tokens still follow the 1:1 target among supplied strata
     assert abs(plan["en"].kept_tokens - plan["es"].kept_tokens) < 1e-6
+    # ...and the REPORTED target_share renormalizes over the supplied
+    # strata (review finding: a plan advertising shares its rates
+    # cannot deliver fails downstream kept-vs-target validation)
+    assert plan["en"].target_share == 0.5
+    assert plan["es"].target_share == 0.5
+    assert plan["empty"].target_share == 0.0
 
 
 def test_plan_is_literal_no_corpus_rescan(spark):

@@ -647,9 +647,11 @@ def test_prune_semantic_store_deltas(spark, tmp_path):
     before = {r.vec_id for r in _read_semantic_store(
         spark, store, 3, schema).collect()}
     got = prune_semantic_store_deltas(spark, store)
-    # debris upto=2 did NOT authorize; newest committed (1) did
+    # debris upto=2 did NOT authorize (and is named in the report);
+    # newest committed (1) did
     assert got == {"upto": 1, "pruned_deltas": [0, 1],
-                   "pruned_snapshots": [0]}
+                   "pruned_snapshots": [0],
+                   "uncommitted_snapshots": [2]}
     assert not _os.path.exists(f"{store}/batch_id=0")
     assert not _os.path.exists(f"{store}/batch_id=1")
     assert _os.path.exists(f"{store}/batch_id=2")
@@ -686,9 +688,12 @@ def test_prune_requires_job_commit_marker(spark, tmp_path):
     spark.createDataFrame([(0, 1, [1.0])], schema) \
         .write.mode("overwrite").parquet(f"{store}_compact/upto=1")
     _os.remove(f"{store}_compact/upto=1/_SUCCESS")
-    got = prune_store_deltas(spark, store)
+    with pytest.warns(UserWarning, match="_SUCCESS job-commit marker"):
+        got = prune_store_deltas(spark, store)
+    # the no-op is VISIBLE: the marker-less snapshot is reported (and
+    # warned about above) instead of reading like "no snapshots exist"
     assert got == {"upto": None, "pruned_deltas": [],
-                   "pruned_snapshots": []}
+                   "pruned_snapshots": [], "uncommitted_snapshots": [1]}
     assert _os.path.exists(f"{store}/batch_id=0")   # history intact
 
 
@@ -716,6 +721,12 @@ def test_prune_checkpoint_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="behind the newest snapshot"):
         prune_store_deltas(spark, store, checkpoint=ckpt)
     assert _os.path.exists(f"{store}/batch_id=0")   # refusal deleted nothing
+    # dry-run is report-without-acting: the refusal comes back as a
+    # field (plus what an unsafe prune WOULD delete), not a raise
+    rep = prune_store_deltas(spark, store, checkpoint=ckpt, dry_run=True)
+    assert "behind the newest snapshot" in rep["refused"]
+    assert rep["upto"] == 1 and rep["pruned_deltas"] == [0, 1]
+    assert _os.path.exists(f"{store}/batch_id=0")
     # missing commit log is equally a refusal, not a default-yes
     with pytest.raises(ValueError, match="committed through batch None"):
         prune_store_deltas(spark, store,
