@@ -578,3 +578,112 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rate").alias("temp_rate"))), "lang")
             .select("doc_id", "lang", "n_tokens", "rate", "temp_rate",
                     "mix_keep", "temp_keep"))
+
+
+def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
+                     strat_col: str = "lang", text_col: str = "text",
+                     salt: str = "budget:",
+                     n_buckets: int = 256) -> DataFrame:
+    """EXACT per-stratum token-budget selection — "take N tokens of
+    each language/domain" (the absolute-count companion to the
+    mixture planners' proportional rates; compose them as plan rates
+    → budget caps for a recipe like "web:code 5:3, at most 1T tokens
+    each"): keep documents in deterministic salted-hash order while
+    the stratum's running token total stays ≤ its budget. Membership
+    is a pure function of doc_id (never ``rand()``, same contract as
+    `stratified_sample`), so re-runs, engines, and partitionings
+    agree, and the kept set is the maximal hash-order prefix within
+    budget — adding corpus never reshuffles old decisions below the
+    boundary. Documents in strata without a budget entry keep 0
+    (flag-don't-drop, ``budget_keep``).
+
+    Scale shape (the `balanced_shard_assign` range trick, reused):
+    a naive ``SUM OVER (PARTITION BY stratum ORDER BY hash)`` makes
+    every stratum ONE window partition — a single-task hotspot at
+    corpus scale. Instead the hash's top bits split each stratum into
+    ``n_buckets`` contiguous hash ranges: per-(stratum, bucket) token
+    sums (a ≤ |strata|×n_buckets summary) take a tiny windowed prefix
+    per stratum, broadcast back as offsets, and the per-row running
+    sum windows over (stratum, bucket) — every window partition holds
+    ~1/n_buckets of a stratum, bounded by the knob. Exact integer
+    arithmetic end-to-end: offset + within-bucket prefix equals the
+    global prefix because buckets are monotone in the hash and ties
+    break on doc_id — verified value-for-value against the one-level
+    window formulation in DuckDB (`token_budget_prefix` oracle pair)."""
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two,"
+                         f" got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1   # h>>shift ∈ [0, n_buckets)
+    if isinstance(budget, dict):
+        bmap = F.create_map(*[F.lit(x) for kv in budget.items()
+                              for x in (kv[0], int(kv[1]))])
+        bexpr = F.coalesce(bmap[F.col(strat_col)].cast("long"),
+                           F.lit(0).cast("long"))
+    else:
+        bexpr = F.lit(int(budget)).cast("long")
+    # token semantics single-sourced with the mixture planners (null
+    # text counts 0), so "plan a mix, then cap its token budgets"
+    # composes without drift
+    from .mixture import _n_tokens
+    h = _salted_h60(salt)
+    d = docs.withColumn("__t", _n_tokens(text_col).cast("long")) \
+            .withColumn("__h", h) \
+            .withColumn("__b", F.shiftright("__h", shift).cast("int"))
+    sums = (d.groupBy(F.col(strat_col).alias("__s"), "__b")
+            .agg(F.sum("__t").alias("__bt")))
+    woff = Window.partitionBy("__s").orderBy("__b") \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "__s", F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__off"))
+    wrow = Window.partitionBy(strat_col, "__b") \
+                 .orderBy("__h", "doc_id") \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    return (d.join(F.broadcast(offsets),
+                   (F.col(strat_col) == F.col("__s"))
+                   & (F.col("__b") == F.col("__ob")))
+            .withColumn("__cum", F.col("__off") + F.sum("__t").over(wrow))
+            .withColumn("budget_keep",
+                        (F.col("__cum") <= bexpr).cast("int"))
+            .drop("__t", "__h", "__b", "__ob", "__s", "__off", "__cum"))
+
+
+_BUDGETS = {"en": 3000, "zh": 2000, "de": 1000, "fr": 1000}
+_BUDGET_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _BUDGETS.items()) + " ELSE 0 END")
+
+
+@query("token_budget_prefix", oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS BIGINT)          AS n_tokens,
+               {_sql_salted_h60("budget:")} AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok)
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN cum <= {_BUDGET_SQL} THEN 1 ELSE 0 END AS budget_keep
+    FROM c
+""")
+def token_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle pair for `token_budget_cap` — the DuckDB twin is the
+    NAIVE one-level formulation (one window per stratum over the whole
+    corpus, exactly what the operator refuses to plan at scale), so
+    the hash-verified equality proves the two-level bucketed prefix
+    computes the identical keep set while its window partitions stay
+    bounded by the n_buckets knob. Registered PAST the driver's
+    50-slot gate window (the local harness checks every registered
+    pair; see ``__spark_entry__._PAST_WINDOW``); 'es' deliberately has
+    no budget → all its rows flagged 0, none dropped."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", "lang", "text")
+    out = token_budget_cap(d, _BUDGETS)
+    from .mixture import _n_tokens
+    return out.select("doc_id", "lang",
+                      _n_tokens("text").cast("long").alias("n_tokens"),
+                      "budget_keep")

@@ -648,17 +648,10 @@ def control_scan_facets(spark, sf_dir):
                                           *canaries)
 
 
-# Round-9 gate rotation: `q5_supplier_volume` moves out of the 50-slot
-# window to make room for `mixture_apply` (the round-8 verdict's last
-# output-deciding, oracle-expressible operator). q5's facets stay
-# gate-pinned elsewhere — multi-table equi-join chain + agg + order is
-# exactly q3_shipping_priority + enrich_join_chain's coverage — and
-# the standalone query stays registered and benched (and checked by
-# the local oracle harness, which runs ALL registered pairs).
-QUERIES["q5_supplier_volume"] = QUERIES.pop("q5_supplier_volume")
-# Round-8 gate rotation: `semi_anti_join`'s facets folded into
-# `key_set_facets` (making window room for `shard_assign_balanced`);
-# the standalone query stays registered for bench/local-oracle use but
-# moves to the END of queries() so it sits OUTSIDE the driver's
-# 50-slot correctness window.
-QUERIES["semi_anti_join"] = QUERIES.pop("semi_anti_join")
+# Gate-window rotations (q5_supplier_volume rotated out round 9 for
+# `mixture_apply`, facets pinned by q3 + enrich_join_chain;
+# semi_anti_join rotated out round 8, facets folded into
+# key_set_facets) are ORDERED centrally by `__spark_entry__.
+# _PAST_WINDOW` — the single authority for the driver's 50-slot
+# correctness window. Both queries stay registered, benched, and
+# checked by the local oracle harness.

@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_sampling_facets",
     "shard_assign_balanced",
     "mixture_apply",
+    "token_budget_prefix",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

@@ -227,3 +227,77 @@ def test_null_text_counts_zero_tokens(spark):
     tplan = {r.stratum: r for r in
              temperature_mixture(docs, 0.5).collect()}
     assert tplan["en"].n_tokens == 3 and tplan["nulls"].n_tokens == 0
+
+
+def test_token_budget_cap_prefix_semantics(spark):
+    """token_budget_cap: the kept set is exactly the maximal
+    salted-hash-order prefix whose running token total fits the
+    stratum's budget; membership is layout-independent; strata without
+    a budget entry flag 0 with every row intact; scalar budgets apply
+    to all strata; null text costs 0 tokens."""
+    from agnostic_blockchain_etl_spark.operators.corpus import (
+        _salted_h60, token_budget_cap)
+    from pyspark.sql import functions as F
+    rows = [(i, " ".join(["w"] * (3 + i % 5)),
+             "en" if i % 3 else "de") for i in range(120)]
+    rows += [(900, None, "en")]                  # null text: 0 tokens
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    budgets = {"en": 100}                        # de: no entry -> keep 0
+    got = token_budget_cap(docs, budgets, n_buckets=8)
+    assert got.count() == len(rows)              # flag, don't filter
+    res = {r.doc_id: r.budget_keep for r in got.collect()}
+    assert set(res.values()) <= {0, 1}
+    assert all(res[i] == 0 for i, _, lang in rows if lang == "de")
+    # oracle: replay the prefix in python over the same hash order
+    hashed = {r.doc_id: r.h for r in docs.select(
+        "doc_id", _salted_h60("budget:").alias("h")).collect()}
+    en = sorted(((hashed[i], i, (0 if t is None else len(t.split()))) 
+                 for i, t, lang in rows if lang == "en"))
+    cum, expect = 0, {}
+    for h, i, n in en:
+        cum += n
+        expect[i] = 1 if cum <= budgets["en"] else 0
+    assert {i: res[i] for i in expect} == expect
+    # the boundary binds: something kept, something dropped
+    assert 0 < sum(expect.values()) < len(expect)
+    # layout independence
+    again = {r.doc_id: r.budget_keep for r in
+             token_budget_cap(docs.repartition(13), budgets,
+                              n_buckets=8).collect()}
+    assert again == res
+    # scalar budget applies to every stratum; n_buckets validation
+    sc = token_budget_cap(docs, 50, n_buckets=4)
+    per = {r.lang: r.n for r in
+           sc.where("budget_keep = 1")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per.get("en", 0) > 0 and per.get("de", 0) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power of two"):
+        token_budget_cap(docs, 50, n_buckets=6)
+
+
+def test_token_budget_two_level_equals_naive_window(spark):
+    """The scale-shaped two-level bucketed prefix must equal the naive
+    one-stratum-one-partition window bit-for-bit (the DuckDB oracle
+    pins this cross-engine; this pins it within Spark so a bucketing
+    regression can't hide behind the oracle's own window)."""
+    from agnostic_blockchain_etl_spark.operators.corpus import (
+        _salted_h60, token_budget_cap)
+    from agnostic_blockchain_etl_spark.operators.mixture import _n_tokens
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rows = [(i, " ".join(["w"] * (1 + i % 7)),
+             ["en", "es", "de"][i % 3]) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    two = {r.doc_id: r.budget_keep for r in
+           token_budget_cap(docs, 80, n_buckets=16).collect()}
+    w = Window.partitionBy("lang").orderBy(_salted_h60("budget:"),
+                                           "doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    naive = {r.doc_id: r.k for r in docs.select(
+        "doc_id",
+        (F.sum(_n_tokens("text").cast("long")).over(w) <= 80)
+        .cast("int").alias("k")).collect()}
+    assert two == naive

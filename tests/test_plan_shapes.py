@@ -46,6 +46,7 @@ LINEAR_PLAN_QUERIES = [
     "asof_join_last_click",
     "doc_fingerprint_repetition",
     "dedup_paragraphs",
+    "token_budget_prefix",
 ]
 
 
