@@ -43,8 +43,10 @@ def _all_modules():
 #   semi_anti_join      r8 rotation: facets folded into key_set_facets
 #   token_budget_prefix r9 addition: the two-level bucketed prefix vs
 #                       the naive one-level DuckDB window
+#   corpus_diff_status  r9 addition: snapshot diff (digest full-outer)
+#                       vs the naive text-compare DuckDB window
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
-                "token_budget_prefix"]
+                "token_budget_prefix", "corpus_diff_status"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1212,3 +1212,50 @@ def incremental_neardup_pairs_gate(spark, sf_dir):
     is_new = F.col("doc_id") % _INCR_NEW_MOD == 0
     store = signature_store(docs.where(~is_new))
     return incremental_neardup_pairs(docs.where(is_new), store)
+
+
+@query("corpus_diff_status", oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 29 = 0 THEN NULL ELSE text END AS text
+        FROM documents),
+    old_t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+                    ELSE text END AS text
+        FROM base WHERE doc_id % 5 <> 0),
+    new_t AS (SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old_t o FULL OUTER JOIN new_t n ON o.doc_id = n.doc_id
+""")
+def corpus_diff_status(spark, sf_dir):
+    """Oracle pair for `incremental.corpus_diff` (dataset versioning —
+    the changelog between two corpus snapshots): old = every doc not
+    % 5, with every 7th text edited; new = every doc not % 3 — so all
+    four statuses occur; every 29th text is NULL in both snapshots, so
+    the null-text digest rule rides the value oracle (a metadata-only
+    doc present in both reads 'unchanged', and null -> text reads
+    'changed' — the round-9 digest_store null-key fix; the pre-fix code
+    called both 'added'). The twin is a direct full-outer text
+    comparison, so digest-vs-text equivalence is also pinned.
+    Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    from .incremental import corpus_diff
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 29 == 0,
+               F.lit(None).cast("string"))
+         .otherwise(F.col("text")).alias("text"))
+    old = base.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" EDITED")))
+         .otherwise(F.col("text")).alias("text"))
+    new = base.where(F.col("doc_id") % 3 != 0)
+    ann, _ = corpus_diff(old, new)
+    return ann

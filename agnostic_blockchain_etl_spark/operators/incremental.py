@@ -266,9 +266,19 @@ def digest_store(docs: DataFrame) -> DataFrame:
     """Exact-dedup store: one 16-byte md5 digest per retained document
     (`doc_id, content_key`) — the exact counterpart of the MinHash
     signature store, and the batch twin of `streaming/dedup.py`'s
-    state-store keys."""
+    state-store keys, INCLUDING its null rule (`_null_safe_key`):
+    ``md5(NULL)`` is NULL, and a NULL key is poison downstream —
+    groupBy pools every null-text (metadata-only) doc into one group
+    so all but one get swallowed, while equi-joins never match NULL so
+    the same rows silently FALL OUT of inner joins (found as row loss
+    in `incremental_exact_dedup` and 'added' misclassification in
+    `corpus_diff`). Null text therefore keys per-doc (``null:<id>``):
+    metadata-only rows are never duplicates of each other."""
     return docs.select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_key"))
+        "doc_id",
+        F.coalesce(F.md5(F.col("text").cast("binary")),
+                   F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
+         .alias("content_key"))
 
 
 def incremental_exact_dedup(new_docs: DataFrame, store: DataFrame

@@ -52,6 +52,7 @@ HEADLINE = [
     "shard_assign_balanced",
     "mixture_apply",
     "token_budget_prefix",
+    "corpus_diff_status",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

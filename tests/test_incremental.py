@@ -228,3 +228,36 @@ def test_corpus_diff(spark):
     r = report.collect()[0]
     assert (r.n_ids, r.n_added, r.n_removed, r.n_changed,
             r.n_unchanged) == (4, 1, 1, 1, 1)
+
+
+def test_null_text_docs_survive_exact_dedup_and_diff(spark):
+    """Round-9 review finding: md5(NULL) is NULL, and the NULL key
+    poisoned both digest consumers — incremental_exact_dedup DROPPED
+    null-text rows from its annotated output (NULL never equi-joins)
+    and pooled in-batch null-text docs into one canonical, while
+    corpus_diff classified a null-text doc present in both snapshots
+    as 'added'. digest_store now keys null text per-doc (the streaming
+    _null_safe_key rule): metadata-only rows are never duplicates of
+    each other and diff as unchanged/changed honestly."""
+    from agnostic_blockchain_etl_spark.operators.incremental import (
+        corpus_diff, digest_store, incremental_exact_dedup)
+    schema = "doc_id long, text string"
+    hist = spark.createDataFrame([(1, "alpha"), (2, None)], schema)
+    batch = spark.createDataFrame(
+        [(3, None), (4, None), (5, "alpha"), (6, "beta")], schema)
+    ann, updated = incremental_exact_dedup(batch, digest_store(hist))
+    got = {r.doc_id: r for r in ann.collect()}
+    assert set(got) == {3, 4, 5, 6}          # no row loss
+    assert got[3].keep == 1 and got[4].keep == 1   # both null-text kept
+    assert got[3].dup_of_history is None     # not a dup of hist's null
+    assert got[5].keep == 0 and got[5].dup_of_history == 1
+    assert got[6].keep == 1
+    # diff: null-text doc present in both snapshots is unchanged;
+    # null -> text is changed
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], schema)
+    new = spark.createDataFrame([(1, None), (2, "now text"), (4, "y")],
+                                schema)
+    d, _ = corpus_diff(old, new)
+    st = {r.doc_id: r.status for r in d.collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed",
+                  4: "added"}
