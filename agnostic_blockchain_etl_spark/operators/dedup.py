@@ -159,6 +159,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash, keeping the lowest doc_id; ``docs``
     needs ``doc_id``/``text`` columns (all DataFrame-form dedup APIs do).
 
+    This is the REPORT form (one row per distinct content), and
+    ``md5(NULL)`` pools every null-text doc under the NULL key — fine
+    for the report (its DuckDB twin pools identically), but DO NOT
+    derive per-document keep flags by equi-joining back on
+    ``content_key``: NULL never equi-joins, so null-text rows fall out.
+    Per-document consumers either left-join with a keep-1 default
+    (`curate_corpus`) or use `incremental.digest_store`, whose
+    ``null:<doc_id>`` key makes metadata-only rows nobody's duplicate
+    (the streaming `_null_safe_key` rule).
+
     Scale: group on the digest, not the text — the shuffle carries 16-byte
     keys instead of documents."""
     return (docs
