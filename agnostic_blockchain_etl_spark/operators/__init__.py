@@ -35,7 +35,8 @@ from .similarity import (compact_semantic_store, cosine_topk,
                          ivf_train, semantic_dedup,
                          semantic_member_store, text_semantic_dedup)
 from .tables import load_tables
-from .mixture import (apply_mixture_rates, mixture_weights,
+from .mixture import (apply_mixture_rates, compose_corpus_mix,
+                      mixture_weights, stratum_counts,
                       temperature_mixture)
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
@@ -91,7 +92,8 @@ __all__ = [
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",
     "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
-    "apply_mixture_rates", "mixture_weights", "temperature_mixture",
+    "apply_mixture_rates", "compose_corpus_mix", "mixture_weights",
+    "stratum_counts", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
     "compact_paragraph_store",

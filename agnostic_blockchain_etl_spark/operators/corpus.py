@@ -583,7 +583,8 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
                      strat_col: str = "lang", text_col: str = "text",
                      salt: str = "budget:",
-                     n_buckets: int = 256) -> DataFrame:
+                     n_buckets: int = 256,
+                     eligible_col: str | None = None) -> DataFrame:
     """EXACT per-stratum token-budget selection — "take N tokens of
     each language/domain" (the absolute-count companion to the
     mixture planners' proportional rates; compose them as plan rates
@@ -609,7 +610,14 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
     arithmetic end-to-end: offset + within-bucket prefix equals the
     global prefix because buckets are monotone in the hash and ties
     break on doc_id — verified value-for-value against the one-level
-    window formulation in DuckDB (`token_budget_prefix` oracle pair)."""
+    window formulation in DuckDB (`token_budget_prefix` oracle pair).
+
+    ``eligible_col``: an int flag column (e.g. a curation ``keep`` or
+    mixture ``mix_keep`` conjunction) — ineligible rows contribute 0
+    tokens to the running totals and always get ``budget_keep`` 0, so
+    budgets cap only what upstream stages kept, with ZERO extra joins
+    (the flag rides the same projection; see
+    `mixture.compose_corpus_mix`)."""
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError(f"n_buckets must be a power of two,"
                          f" got {n_buckets}")
@@ -626,7 +634,11 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
     # composes without drift
     from .mixture import _n_tokens
     h = _salted_h60(salt)
-    d = docs.withColumn("__t", _n_tokens(text_col).cast("long")) \
+    tokens = _n_tokens(text_col).cast("long")
+    if eligible_col is not None:
+        tokens = F.when(F.col(eligible_col) == 1, tokens) \
+                  .otherwise(F.lit(0).cast("long"))
+    d = docs.withColumn("__t", tokens) \
             .withColumn("__h", h) \
             .withColumn("__b", F.shiftright("__h", shift).cast("int"))
     sums = (d.groupBy(F.col(strat_col).alias("__s"), "__b")
@@ -644,7 +656,10 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
                    & (F.col("__b") == F.col("__ob")))
             .withColumn("__cum", F.col("__off") + F.sum("__t").over(wrow))
             .withColumn("budget_keep",
-                        (F.col("__cum") <= bexpr).cast("int"))
+                        ((F.col("__cum") <= bexpr)
+                         & ((F.col(eligible_col) == 1)
+                            if eligible_col is not None else F.lit(True)))
+                        .cast("int"))
             .drop("__t", "__h", "__b", "__ob", "__s", "__off", "__cum"))
 
 

@@ -206,6 +206,85 @@ def temperature_mixture(docs: DataFrame, alpha: float,
         F.round(F.col("n_tokens") * rate, 2).alias("kept_tokens")))
 
 
+def compose_corpus_mix(annotated: DataFrame,
+                       target: dict[str, float] | None = None,
+                       alpha: float | None = None,
+                       token_budgets: int | dict[str, int] | None = None,
+                       strat_col: str = "lang",
+                       text_col: str = "text",
+                       keep_col: str = "keep",
+                       on_unsatisfiable: str = "raise"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """The COMPOSITION phase after curation: given `curate_corpus`'s
+    annotated frame (or any frame with ``doc_id``/``text``/strata and a
+    0/1 ``keep`` conjunction), decide what the training corpus actually
+    contains — a proportional mix (``target`` → `mixture_weights`, or
+    ``alpha`` → `temperature_mixture`) and/or absolute per-stratum
+    ``token_budgets`` (→ `corpus.token_budget_cap`) — and return
+    ``(annotated', report)``.
+
+    The plan is computed over the SURVIVORS (``keep_col`` = 1): planning
+    over the raw corpus would mint rates the earlier filters already
+    invalidated, so the achieved mix would drift from the target by
+    exactly the filters' per-stratum attrition. Flags compose without
+    re-joins: ``mix_keep`` is hash-deterministic per doc, budgets see
+    only rows with ``keep × mix_keep`` = 1 (`token_budget_cap`'s
+    ``eligible_col`` — ineligible rows cost 0 tokens and flag 0), and
+    ``final_keep = keep × mix_keep × budget_keep``. Omitted stages
+    attach neutral flags (1 wherever ``keep`` is 1) — flag-don't-drop,
+    one row out per row in.
+
+    ``report``: one row per stratum — plan columns (share/target/rate
+    where a mix was planned) plus the REALIZED ``n_final`` /
+    ``final_tokens``, the numbers a capacity plan checks against the
+    target.
+
+    Scale: one survivor aggregation for the plan (bounded literal), a
+    broadcast join to apply it, and the budget pass's bounded windows —
+    the corpus is never shuffled on a data-sized key."""
+    if target is not None and alpha is not None:
+        raise ValueError("pass target= or alpha=, not both (chain two "
+                         "compose calls to stack regimes)")
+    out = annotated
+    if target is not None or alpha is not None:
+        survivors = out.where(F.col(keep_col) == 1) \
+                       .select("doc_id", strat_col, text_col)
+        counts = stratum_counts(survivors, strat_col, text_col)
+        plan = (mixture_weights(survivors, target, strat_col=strat_col,
+                                text_col=text_col,
+                                on_unsatisfiable=on_unsatisfiable,
+                                counts=counts)
+                if target is not None else
+                temperature_mixture(survivors, alpha, strat_col=strat_col,
+                                    text_col=text_col, counts=counts))
+        out = apply_mixture_rates(out, plan, strat_col=strat_col)
+    else:
+        plan = None   # no mix stage: neutral flag, curate's convention
+        out = out.withColumn("mix_keep", F.lit(1))
+    out = out.withColumn("__elig",
+                         (F.col(keep_col) * F.col("mix_keep"))
+                         .cast("int"))
+    if token_budgets is not None:
+        from .corpus import token_budget_cap
+        out = token_budget_cap(out, token_budgets, strat_col=strat_col,
+                               text_col=text_col, eligible_col="__elig")
+    else:
+        out = out.withColumn("budget_keep", F.col("__elig"))
+    out = (out.withColumn("final_keep",
+                          (F.col(keep_col) * F.col("mix_keep")
+                           * F.col("budget_keep")).cast("int"))
+           .drop("__elig"))
+    realized = (out.groupBy(F.col(strat_col).alias("stratum"))
+                .agg(F.sum("final_keep").alias("n_final"),
+                     F.sum(F.when(F.col("final_keep") == 1,
+                                  _n_tokens(text_col))
+                           .otherwise(F.lit(0))).cast("long")
+                     .alias("final_tokens")))
+    report = realized if plan is None else \
+        plan.join(realized, "stratum", "full_outer")
+    return out, report
+
+
 def apply_mixture_rates(docs: DataFrame, plan: DataFrame,
                         strat_col: str = "lang",
                         salt: str = "mixture:") -> DataFrame:

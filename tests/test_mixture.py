@@ -301,3 +301,52 @@ def test_token_budget_two_level_equals_naive_window(spark):
         (F.sum(_n_tokens("text").cast("long")).over(w) <= 80)
         .cast("int").alias("k")).collect()}
     assert two == naive
+
+
+def test_compose_corpus_mix_phases(spark):
+    """compose_corpus_mix: the plan is computed over SURVIVORS only
+    (keep=0 rows cannot drag a stratum's share), budgets cap only what
+    keep x mix kept, final_keep is the conjunction, every row survives
+    (flag-don't-drop), and omitted stages attach neutral flags."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        compose_corpus_mix)
+    from pyspark.sql import functions as F
+    # en: 40 surviving docs x5 tokens; es: 20 x5; plus keep=0 noise
+    # whose strata would skew the plan if it leaked in
+    rows = ([(i, "a b c d e", "en", 1) for i in range(40)]
+            + [(100 + i, "a b c d e", "es", 1) for i in range(20)]
+            + [(200 + i, "x " * 200, "en", 0) for i in range(30)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, keep int")
+    ann, report = compose_corpus_mix(
+        docs, target={"en": 1, "es": 1}, token_budgets={"en": 60,
+                                                        "es": 1000})
+    assert ann.count() == len(rows)                      # no row loss
+    got = ann.collect()
+    assert all(r.final_keep <= r.keep for r in got)
+    assert all(r.budget_keep <= r.keep * r.mix_keep for r in got)
+    # plan over survivors: es (100 tokens) is the bottleneck at 1:1 vs
+    # en's 200 -> es rate 1.0, en rate 0.5
+    rep = {r.stratum: r for r in report.collect()}
+    assert rep["es"].rate == 1.0 and abs(rep["en"].rate - 0.5) < 1e-9
+    # realized tokens respect the budgets exactly
+    assert rep["en"].final_tokens <= 60
+    assert rep["es"].final_tokens <= 1000
+    assert rep["en"].n_final > 0 and rep["es"].n_final > 0
+    # keep=0 rows never pass any stage
+    assert all(r.final_keep == 0 for r in got if r.keep == 0)
+    # budget-only composition: mix flag neutral
+    ann2, rep2 = compose_corpus_mix(docs, token_budgets=30)
+    g2 = {r.doc_id: r for r in ann2.collect()}
+    assert all(r.mix_keep == 1 for r in g2.values())
+    t2 = {r.stratum: r.final_tokens for r in rep2.collect()}
+    assert t2["en"] <= 30 and t2["es"] <= 30
+    # no-stage composition: final_keep == keep
+    ann3, _ = compose_corpus_mix(docs)
+    assert all(r.final_keep == r.keep for r in ann3.collect())
+    # temperature regime + both-given rejection
+    ann4, rep4 = compose_corpus_mix(docs, alpha=0.5)
+    assert {r.stratum for r in rep4.collect()} == {"en", "es"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not both"):
+        compose_corpus_mix(docs, target={"en": 1}, alpha=0.5)
