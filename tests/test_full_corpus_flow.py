@@ -37,6 +37,20 @@ def test_full_flow(spark, tmp_path):
     rep = report.collect()[0]
     assert rep.n_docs == n_in and 0 < rep.n_kept < n_in
 
+    # composition phase (round 9): mix over the curated survivors +
+    # absolute token budgets, one call — the capstone now exercises
+    # the full curate -> compose -> pack -> shard chain
+    from agnostic_blockchain_etl_spark.operators import compose_corpus_mix
+    composed, comp_rep = compose_corpus_mix(
+        annotated, target={"en": 2, "zh": 1, "de": 1, "fr": 1},
+        token_budgets={"en": 4000, "zh": 2000, "de": 2000, "fr": 2000})
+    assert composed.count() == n_in                     # no row loss
+    comp = {r.stratum: r for r in comp_rep.collect()}
+    assert comp["en"].final_tokens <= 4000              # budgets exact
+    assert comp["es"].n_final == 0                      # untargeted
+    n_final = composed.where("final_keep = 1").count()
+    assert 0 < n_final < rep.n_kept
+
     kept = annotated.where("keep = 1").select("doc_id", "text")
     # pack's `shard` is its packing-stream id, a different concept from
     # the writer's output shard — rename to compose (the writer raises
