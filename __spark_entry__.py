@@ -45,8 +45,12 @@ def _all_modules():
 #                       the naive one-level DuckDB window
 #   corpus_diff_status  r9 addition: snapshot diff (digest full-outer)
 #                       vs the naive text-compare DuckDB window
+#   compose_mix_budget  r9 addition: the whole composition phase
+#                       (survivor plan -> mix -> eligible budgets) as
+#                       one verified conjunction
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
-                "token_budget_prefix", "corpus_diff_status"]
+                "token_budget_prefix", "corpus_diff_status",
+                "compose_mix_budget"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -702,3 +702,85 @@ def token_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang",
                       _n_tokens("text").cast("long").alias("n_tokens"),
                       "budget_keep")
+
+
+@query("compose_mix_budget", oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS keep
+        FROM documents),
+    tok AS (
+        SELECT doc_id, lang, keep,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS BIGINT)            AS t,
+               {_MIX_HASH_SQL}                AS hm,
+               {_sql_salted_h60("budget:")}   AS hb
+        FROM d),
+    per AS (
+        SELECT lang AS stratum,
+               CAST(SUM(CASE WHEN keep = 1 THEN t ELSE 0 END) AS BIGINT)
+                   AS n_tokens
+        FROM tok GROUP BY 1),
+    shares AS (
+        SELECT stratum, n_tokens,
+               CASE WHEN CAST(SUM(n_tokens) OVER () AS BIGINT) > 0
+                    THEN n_tokens / CAST(SUM(n_tokens) OVER () AS BIGINT)
+                    ELSE CAST(0 AS DOUBLE) END AS share,
+               {_MIX_TGT_SQL} AS tgt
+        FROM per),
+    bott AS (
+        SELECT stratum, share, tgt,
+               MIN(CASE WHEN tgt > 0 AND share > 0
+                        THEN share / tgt END) OVER () AS m
+        FROM shares),
+    plan AS (
+        SELECT stratum,
+               round(CASE WHEN tgt > 0 AND share > 0
+                          THEN tgt / share * m
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS rate
+        FROM bott),
+    app AS (
+        SELECT k.doc_id, k.lang, k.keep, k.t, k.hb, p.rate,
+               CASE WHEN (k.hm + 1) / 1152921504606846976.0
+                         <= COALESCE(p.rate, CAST(0 AS DOUBLE))
+                    THEN 1 ELSE 0 END AS mix_keep
+        FROM tok k JOIN plan p ON k.lang = p.stratum),
+    cum AS (
+        SELECT *, keep * mix_keep AS e,
+               SUM(CASE WHEN keep * mix_keep = 1 THEN t ELSE 0 END)
+                   OVER (PARTITION BY lang ORDER BY hb, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS c
+        FROM app)
+    SELECT doc_id, lang, rate, keep, mix_keep,
+           CASE WHEN e = 1 AND c <= {_BUDGET_SQL} THEN 1 ELSE 0 END
+               AS budget_keep,
+           keep * mix_keep
+               * (CASE WHEN e = 1 AND c <= {_BUDGET_SQL}
+                       THEN 1 ELSE 0 END) AS final_keep
+    FROM cum
+""")
+def compose_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle pair for `mixture.compose_corpus_mix` — the whole
+    composition phase as ONE verified conjunction, not just its
+    pieces: a synthetic curation verdict (``keep`` = doc_id % 4 != 0)
+    stands in for `curate_corpus`'s conjunction, the mixture plan is
+    computed over the SURVIVORS only (the twin's per-stratum token
+    sums are keep-conditional — a raw-corpus plan would differ exactly
+    where the filter bites), ``mix_keep`` applies the plan to every
+    row, and the token budgets cap only ``keep × mix`` survivors
+    (`token_budget_cap`'s ``eligible_col``: ineligible rows cost 0 in
+    the running totals and flag 0 — the twin's conditional window
+    SUM). ``final_keep`` is the full product. Registered past the
+    50-slot gate window (``__spark_entry__._PAST_WINDOW``)."""
+    from .mixture import compose_corpus_mix
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "lang", "text",
+        (F.col("doc_id") % 4 != 0).cast("int").alias("keep"))
+    out, report = compose_corpus_mix(d, target=_MIX_TARGET,
+                                     token_budgets=_BUDGETS)
+    return (out.join(F.broadcast(report.select(
+                F.col("stratum").alias("lang"), "rate")), "lang")
+            .select("doc_id", "lang", "rate", "keep", "mix_keep",
+                    "budget_keep", "final_keep"))

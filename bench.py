@@ -53,6 +53,7 @@ HEADLINE = [
     "mixture_apply",
     "token_budget_prefix",
     "corpus_diff_status",
+    "compose_mix_budget",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",
