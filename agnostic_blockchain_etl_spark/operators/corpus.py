@@ -596,7 +596,12 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
     agree, and the kept set is the maximal hash-order prefix within
     budget — adding corpus never reshuffles old decisions below the
     boundary. Documents in strata without a budget entry keep 0
-    (flag-don't-drop, ``budget_keep``).
+    (flag-don't-drop, ``budget_keep``). A NULL stratum is a stratum
+    like any other (the offsets join is null-safe): under a scalar
+    budget it gets its own cap; under a dict budget it has no entry so
+    its rows flag 0 — never dropped, matching the NULL tolerance of
+    the rest of the composition pipeline (`stratum_counts` groups
+    NULL, `apply_mixture_rates` left-joins).
 
     Scale shape (the `balanced_shard_assign` range trick, reused):
     a naive ``SUM OVER (PARTITION BY stratum ORDER BY hash)`` makes
@@ -652,7 +657,7 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
                  .orderBy("__h", "doc_id") \
                  .rowsBetween(Window.unboundedPreceding, 0)
     return (d.join(F.broadcast(offsets),
-                   (F.col(strat_col) == F.col("__s"))
+                   F.col(strat_col).eqNullSafe(F.col("__s"))
                    & (F.col("__b") == F.col("__ob")))
             .withColumn("__cum", F.col("__off") + F.sum("__t").over(wrow))
             .withColumn("budget_keep",

@@ -53,7 +53,11 @@ def stratum_counts(docs: DataFrame, strat_col: str = "lang",
     result as ``counts=`` to `mixture_weights` /
     `temperature_mixture` when planning multiple mixes over the same
     corpus (the gate row plans a targeted AND a temperature mix from
-    one aggregation this way)."""
+    one aggregation this way). The planners validate the column set of
+    a provided ``counts=`` frame; that it was built over the SAME
+    ``strat_col``/``text_col`` as the plan call is the caller's
+    contract — a mismatched stratification is not detectable from the
+    frame."""
     frame, _ = _stratum_counts(docs, strat_col, text_col)
     return frame
 
@@ -63,8 +67,17 @@ def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str,
     """`stratum_counts` as ``(literal_frame, collected_rows)``; with
     ``counts`` given (a prior `stratum_counts` result — a bounded
     literal), skips the corpus aggregation and just re-collects the
-    literal."""
+    literal. The provided frame's column set is validated (schema-only,
+    no job) so a frame that is not a `stratum_counts` result fails
+    loudly here instead of planning a wrong mix; a counts frame built
+    over a DIFFERENT strat_col/text_col is semantically undetectable —
+    that contract stays with the caller (see `stratum_counts`)."""
     if counts is not None:
+        expected = {"stratum", "n_docs", "n_tokens"}
+        if set(counts.columns) != expected:
+            raise ValueError(
+                "counts= must be a stratum_counts() result with columns "
+                f"{sorted(expected)}, got {sorted(counts.columns)}")
         rows = counts.collect()    # collecting a literal: no corpus scan
         return counts, rows
     n_tokens = _n_tokens(text_col)
@@ -213,7 +226,8 @@ def compose_corpus_mix(annotated: DataFrame,
                        strat_col: str = "lang",
                        text_col: str = "text",
                        keep_col: str = "keep",
-                       on_unsatisfiable: str = "raise"
+                       on_unsatisfiable: str = "raise",
+                       persist: bool = False
                        ) -> tuple[DataFrame, DataFrame]:
     """The COMPOSITION phase after curation: given `curate_corpus`'s
     annotated frame (or any frame with ``doc_id``/``text``/strata and a
@@ -241,7 +255,10 @@ def compose_corpus_mix(annotated: DataFrame,
 
     Scale: one survivor aggregation for the plan (bounded literal), a
     broadcast join to apply it, and the budget pass's bounded windows —
-    the corpus is never shuffled on a data-sized key."""
+    the corpus is never shuffled on a data-sized key. ``persist=True``
+    caches the annotated frame at the phase boundary so consuming both
+    the report AND the output runs the pipeline once (multi-action
+    rule; at 100 TB prefer writing the output to parquet)."""
     if target is not None and alpha is not None:
         raise ValueError("pass target= or alpha=, not both (chain two "
                          "compose calls to stack regimes)")
@@ -274,6 +291,17 @@ def compose_corpus_mix(annotated: DataFrame,
                           (F.col(keep_col) * F.col("mix_keep")
                            * F.col("budget_keep")).cast("int"))
            .drop("__elig"))
+    if persist:
+        # one composition DAG, two consumers: `report` aggregates the
+        # SAME lineage as `out`, so a caller that reads the report and
+        # then writes `final_keep = 1` (the README recipe — every real
+        # caller) replays the whole mix+budget pipeline, including
+        # `token_budget_cap`'s corpus-wide (stratum, bucket) shuffle,
+        # once per action. Opt-in cache at the phase boundary, same
+        # convention as `curate_corpus(persist=)`; at 100 TB write
+        # `out` to parquet and read it back instead (the capstone flow
+        # in test_full_corpus_flow.py).
+        out = out.persist()
     realized = (out.groupBy(F.col(strat_col).alias("stratum"))
                 .agg(F.sum("final_keep").alias("n_final"),
                      F.sum(F.when(F.col("final_keep") == 1,

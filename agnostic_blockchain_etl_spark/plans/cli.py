@@ -97,15 +97,17 @@ def cmd_store_prune(args) -> int:
     import json
 
     from ..session import get_session
-    from ..streaming.dedup import prune_store_deltas
+    from ..streaming.dedup import PruneRefusedError, prune_store_deltas
     spark = get_session(master=args.master)
     try:
         result = prune_store_deltas(spark, args.store_path,
                                     dry_run=args.dry_run,
                                     checkpoint=args.checkpoint)
-    except ValueError as exc:
-        # the checkpoint guard's refusal — keep the one-JSON-line
-        # stdout contract (scripts parse it) instead of a traceback
+    except PruneRefusedError as exc:
+        # the checkpoint guard's refusal ONLY — keep the one-JSON-line
+        # stdout contract (scripts parse it) instead of a traceback; any
+        # other ValueError (e.g. a malformed upto=<junk> snapshot dir)
+        # is store corruption and must propagate as a traceback
         print(json.dumps({"store": args.store_path,
                           "dry_run": args.dry_run, "error": str(exc)}))
         return 1

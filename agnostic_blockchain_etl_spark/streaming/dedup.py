@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 KEY_COL = "content_key"
 
 
+class PruneRefusedError(ValueError):
+    """`prune_store_deltas`' checkpoint-guard SAFETY refusal (the
+    checkpoint's commit log is behind the snapshot it would prune
+    under). A distinct type so callers — the CLI's one-JSON-line error
+    contract — can catch exactly the refusal without also swallowing
+    unrelated ``ValueError``s from a corrupted store layout (e.g.
+    ``int()`` on a malformed ``upto=<junk>`` snapshot dir), which
+    should traceback, not print as a clean refusal. Subclasses
+    ``ValueError`` so pre-existing ``except ValueError`` callers keep
+    working."""
+
+
 def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """First-seen exact dedup on a streaming DataFrame: each distinct
     ``text`` digest is emitted exactly once across the whole stream
@@ -615,7 +627,7 @@ def prune_store_deltas(spark, store_path: str,
       ``upto < N`` read rule) and would need the raw partitions below
       it — pruning under a live or behind checkpoint breaks replay.
       Pass ``checkpoint=`` to have that precondition VERIFIED instead
-      of trusted: the prune refuses (``ValueError``) unless the
+      of trusted: the prune refuses (`PruneRefusedError`) unless the
       checkpoint's newest committed batch is ``>= upto`` (the
       compacting batch sealed, so no batch ``<= upto`` can ever
       replay). The CLI surface is ``store-prune --checkpoint``.
@@ -696,7 +708,7 @@ def prune_store_deltas(spark, store_path: str,
                 "of an uncommitted batch would need the raw deltas "
                 "this prune deletes")
             if not dry_run:
-                raise ValueError(msg)
+                raise PruneRefusedError(msg)
             # dry-run is "report without acting": surface the refusal
             # AND what an (unsafe) prune would have deleted, so a store
             # whose checkpoint is behind can still be inspected

@@ -204,6 +204,15 @@ def test_plan_is_literal_no_corpus_rescan(spark):
     temperature_mixture(docs, 0.5, counts=counts).collect()
     assert acc.value - before <= 2 * 2   # the stratum_counts scan only
 
+    # a counts= frame that is not a stratum_counts() result fails
+    # loudly (schema-only check) instead of planning a wrong mix
+    import pytest
+    with pytest.raises(ValueError, match="stratum_counts"):
+        mixture_weights(docs, {"en": 1}, counts=docs)
+    with pytest.raises(ValueError, match="stratum_counts"):
+        temperature_mixture(docs, 0.5,
+                            counts=counts.drop("n_docs"))
+
 
 def test_null_text_counts_zero_tokens(spark):
     """size(split(NULL)) is -1 under Spark's default sizeOfNull, so a
@@ -234,18 +243,25 @@ def test_token_budget_cap_prefix_semantics(spark):
     salted-hash-order prefix whose running token total fits the
     stratum's budget; membership is layout-independent; strata without
     a budget entry flag 0 with every row intact; scalar budgets apply
-    to all strata; null text costs 0 tokens."""
+    to all strata; null text costs 0 tokens; a NULL stratum is never
+    dropped (the offsets join is null-safe)."""
     from agnostic_blockchain_etl_spark.operators.corpus import (
         _salted_h60, token_budget_cap)
     from pyspark.sql import functions as F
     rows = [(i, " ".join(["w"] * (3 + i % 5)),
              "en" if i % 3 else "de") for i in range(120)]
     rows += [(900, None, "en")]                  # null text: 0 tokens
+    rows += [(910 + i, "a b c", None) for i in range(5)]  # NULL stratum
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string")
     budgets = {"en": 100}                        # de: no entry -> keep 0
     got = token_budget_cap(docs, budgets, n_buckets=8)
     assert got.count() == len(rows)              # flag, don't filter
+    # NULL-stratum rows survive the (null-safe) offsets join; with a
+    # dict budget they have no entry -> flagged 0, never dropped
+    nulls = got.where(F.col("lang").isNull()).collect()
+    assert len(nulls) == 5
+    assert all(r.budget_keep == 0 for r in nulls)
     res = {r.doc_id: r.budget_keep for r in got.collect()}
     assert set(res.values()) <= {0, 1}
     assert all(res[i] == 0 for i, _, lang in rows if lang == "de")
@@ -350,3 +366,38 @@ def test_compose_corpus_mix_phases(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not both"):
         compose_corpus_mix(docs, target={"en": 1}, alpha=0.5)
+
+
+def test_compose_persist_materializes_once(spark):
+    """compose_corpus_mix(persist=True) is the phase boundary: report
+    and output aggregate ONE materialization — consuming both must not
+    replay the mix+budget pipeline (multi-action rule; the accumulator
+    template from test_text_embed). Without persist the second action
+    recomputes the corpus DAG; with it, the post-report action adds
+    ZERO upstream evaluations."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        compose_corpus_mix)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, StringType())
+    docs = spark.createDataFrame(
+        [(i, "a b c d e", ["en", "es"][i % 2], 1) for i in range(20)],
+        "doc_id long, text string, lang string, keep int") \
+        .withColumn("text", tick_udf("text"))
+    ann, report = compose_corpus_mix(
+        docs, target={"en": 1, "es": 1}, token_budgets=40, persist=True)
+    try:
+        report.collect()           # populates the phase-boundary cache
+        mid = acc.value
+        assert ann.count() == 20   # served from cache:
+        assert acc.value == mid    # zero new corpus evaluations
+        ann.collect()
+        assert acc.value == mid
+    finally:
+        ann.unpersist()

@@ -331,3 +331,25 @@ def test_cli_store_prune(tmp_path, capsys):
     assert not rep["dry_run"] and rep["pruned_deltas"] == [0, 1]
     assert not os.path.isdir(f"{store}/batch_id=0")
     assert os.path.isdir(f"{store}/batch_id=2")
+
+    # checkpoint-guard refusal: exit 1 + one JSON line (scripts parse
+    # it) — the dedicated PruneRefusedError path, not a traceback
+    spark.createDataFrame([(2, 1, [2.0])], schema) \
+        .write.mode("overwrite").parquet(f"{store}_compact/upto=2")
+    ckpt = str(tmp_path / "cliout_ckpt")
+    os.makedirs(f"{ckpt}/commits")
+    open(f"{ckpt}/commits/0", "w").write("v1")   # behind upto=2
+    assert cli_main(["store-prune", store, "--checkpoint", ckpt]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "behind the newest snapshot" in rep["error"]
+    assert os.path.isdir(f"{store}/batch_id=2")   # refusal deleted nothing
+
+    # store CORRUPTION is not a refusal: a malformed upto=<junk> dir
+    # propagates (traceback), never a clean one-line 'error' JSON
+    import pytest
+    from agnostic_blockchain_etl_spark.streaming.dedup import (
+        PruneRefusedError)
+    os.makedirs(f"{store}_compact/upto=junk")
+    with pytest.raises(ValueError) as exc_info:
+        cli_main(["store-prune", store, "--checkpoint", ckpt])
+    assert not isinstance(exc_info.value, PruneRefusedError)

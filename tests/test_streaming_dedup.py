@@ -706,7 +706,7 @@ def test_prune_checkpoint_guard(spark, tmp_path):
     import os as _os
 
     from agnostic_blockchain_etl_spark.streaming.dedup import (
-        last_committed_batch, prune_store_deltas)
+        PruneRefusedError, last_committed_batch, prune_store_deltas)
     store, ckpt = str(tmp_path / "gstore"), str(tmp_path / "gckpt")
     schema = "source string, n_admitted long"
     for b in (0, 1, 2):
@@ -718,7 +718,8 @@ def test_prune_checkpoint_guard(spark, tmp_path):
     _os.makedirs(f"{ckpt}/commits")
     open(f"{ckpt}/commits/0", "w").write("v1")
     assert last_committed_batch(spark, ckpt) == 0
-    with pytest.raises(ValueError, match="behind the newest snapshot"):
+    # the refusal is the DEDICATED type (the CLI catches exactly it)
+    with pytest.raises(PruneRefusedError, match="behind the newest"):
         prune_store_deltas(spark, store, checkpoint=ckpt)
     assert _os.path.exists(f"{store}/batch_id=0")   # refusal deleted nothing
     # dry-run is report-without-acting: the refusal comes back as a
@@ -728,9 +729,18 @@ def test_prune_checkpoint_guard(spark, tmp_path):
     assert rep["upto"] == 1 and rep["pruned_deltas"] == [0, 1]
     assert _os.path.exists(f"{store}/batch_id=0")
     # missing commit log is equally a refusal, not a default-yes
-    with pytest.raises(ValueError, match="committed through batch None"):
+    with pytest.raises(PruneRefusedError,
+                       match="committed through batch None"):
         prune_store_deltas(spark, store,
                            checkpoint=str(tmp_path / "nockpt"))
+    # a CORRUPTED store layout is NOT a refusal: a malformed
+    # upto=<junk> snapshot dir propagates the plain ValueError (the
+    # CLI must traceback on it, not print a clean one-line refusal)
+    _os.makedirs(f"{store}_compact/upto=junk")
+    with pytest.raises(ValueError) as exc_info:
+        prune_store_deltas(spark, store, checkpoint=ckpt)
+    assert not isinstance(exc_info.value, PruneRefusedError)
+    _os.rmdir(f"{store}_compact/upto=junk")
     # sealed through the snapshot batch -> prune proceeds
     open(f"{ckpt}/commits/1", "w").write("v1")
     got = prune_store_deltas(spark, store, checkpoint=ckpt)
