@@ -26,12 +26,12 @@ def _all_modules():
     # checks the first 50 queries() entries, so the graded LLM-data suite
     # and scale-pattern joins come first. A broken operator module must
     # fail the entry point loudly, not silently shrink the gate.
-    from agnostic_blockchain_etl_spark.operators import (analytics, corpus,
-                                                         extended,
+    from agnostic_blockchain_etl_spark.operators import (analytics, clean,
+                                                         corpus, extended,
                                                          joins_scale,
                                                          llm_data, misc)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational]
+            relational, clean]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -48,9 +48,12 @@ def _all_modules():
 #   compose_mix_budget  r9 addition: the whole composition phase
 #                       (survivor plan -> mix -> eligible budgets) as
 #                       one verified conjunction
+#   c4_clean_page_rules r10 addition: the C4 line/page-rule family
+#                       (formerly a test-only DuckDB twin), incl. the
+#                       null-text 0-line-kill semantics
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
-                "compose_mix_budget"]
+                "compose_mix_budget", "c4_clean_page_rules"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -54,6 +54,7 @@ HEADLINE = [
     "token_budget_prefix",
     "corpus_diff_status",
     "compose_mix_budget",
+    "c4_clean_page_rules",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",
@@ -220,7 +221,18 @@ def main() -> None:
     # doubling the heaviest probe twice).
     from scale_probe import _extra_probes
     extras_d: dict[str, object] = {}
+    # Canary-BRACKETED probes (round-9 verdict ask #1): extras run last,
+    # inside the artifact's self-declared end-of-run drift window, so a
+    # probe whose raw reading moves cross-round is unadjudicable without
+    # a machine-speed reading taken AT ITS SLOT. For watch-listed probes
+    # a long-canary reading is taken immediately before and after; the
+    # probe's drift-free number is extras[name] / (bracket mean /
+    # reference canary), computed by the reader, not baked in.
+    bracketed = {"x_text_embed_day3"}
+    extras_canaries: dict[str, dict[str, float]] = {}
     for name, q in sorted(_extra_probes().items()):
+        if name in bracketed:
+            pre = min(_canary_long() for _ in range(2))
         try:
             def _one_pass() -> float:
                 t0 = time.monotonic()
@@ -237,18 +249,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             extras_d[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         spark.catalog.clearCache()
+        if name in bracketed:
+            extras_canaries[name] = {
+                "cal_long_before": pre,
+                "cal_long_after": min(_canary_long() for _ in range(2))}
     out["extras"] = extras_d
+    if extras_canaries:
+        out["extras_canaries"] = extras_canaries
     # end-of-run drift reading (see the long-canary comment above):
     # start-vs-end disagreement flags a drift-contaminated artifact
     out["calibration_long_end_sec"] = min(_canary_long() for _ in range(3))
 
-    # --concurrent[=N]: ALSO measure wall-clock with N queries in flight
-    # through the FAIR scheduler (how a cluster actually runs a query
-    # inventory — per-query times above stay the per-plan comparison
-    # unit; this is the throughput number). Off by default so the
-    # driver's artifact keeps its one-line contract unchanged.
+    # Concurrent throughput: ALSO measure wall-clock with N queries in
+    # flight through the FAIR scheduler (how a cluster actually runs a
+    # query inventory — per-query times above stay the per-plan
+    # comparison unit; this is the throughput number). ON by default
+    # since round 10 (the r8/r9 verdicts asked for the figure in the
+    # driver artifact); --concurrent=N overrides the thread count,
+    # --no-concurrent skips the ~12 s pass. Still ONE JSON line out.
     conc = next((a for a in sys.argv[1:] if a.startswith("--concurrent")),
-                None)
+                "--concurrent")
+    if "--no-concurrent" in sys.argv[1:]:
+        conc = None
     if conc is not None:
         from concurrent.futures import ThreadPoolExecutor
         n_threads = int(conc.split("=", 1)[1]) if "=" in conc else 8

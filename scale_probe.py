@@ -256,17 +256,16 @@ def _extra_probes() -> dict:
                 prune_after_compact=True))
 
     def p_paragraph_stream_day3(spark, sf):
-        # 4 batches (one full compact+prune cycle): the per-micro-batch
-        # fixed cost dominates these probes, and the paragraph/cap
-        # stores are tiny aggregates — the neardup probe (6 batches,
-        # 2 cycles) carries the read-amplification question
+        # 6 batches = TWO full compact+prune cycles (round-9 verdict
+        # ask #5: a steady-state claim resting on one cycle can't see
+        # cycle-to-cycle growth), matching the neardup probe's depth
         from agnostic_blockchain_etl_spark.streaming.dedup import (
             paragraph_dedup_stream)
         return _stream_day3(
             spark, sf, "paragraph_stream_day3", ("doc_id", "text"),
             lambda s, store, out, ckpt: paragraph_dedup_stream(
                 s, store, out, ckpt, compact_every=2,
-                prune_after_compact=True), n_batches=4)
+                prune_after_compact=True))
 
     def p_sourcecap_stream_day3(spark, sf):
         from agnostic_blockchain_etl_spark.streaming.dedup import (
@@ -275,7 +274,7 @@ def _extra_probes() -> dict:
             spark, sf, "sourcecap_stream_day3", ("doc_id", "source"),
             lambda s, store, out, ckpt: source_cap_stream(
                 s, store, out, ckpt, cap=100, compact_every=2,
-                prune_after_compact=True), n_batches=4)
+                prune_after_compact=True))
 
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
