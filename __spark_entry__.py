@@ -51,9 +51,15 @@ def _all_modules():
 #   c4_clean_page_rules r10 addition: the C4 line/page-rule family
 #                       (formerly a test-only DuckDB twin), incl. the
 #                       null-text 0-line-kill semantics
+#   semantic_decontamination r10 addition: embedding-space eval-set
+#                       contamination flags (sign-LSH candidates,
+#                       struct-max vs the naive window oracle)
+#   quality_weighted_sample r10 addition: FineWeb-style soft quality
+#                       sampling (keep prob = score^gamma, hash-u)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
-                "compose_mix_budget", "c4_clean_page_rules"]
+                "compose_mix_budget", "c4_clean_page_rules",
+                "semantic_decontamination", "quality_weighted_sample"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -196,6 +196,44 @@ def quality_pareto_keep(scored: DataFrame, alpha: float = 9.0,
         "keep", (F.col("q_score") > (F.lit(1.0) - x)).cast("boolean"))
 
 
+def quality_weighted_sample(scored: DataFrame, score_col: str = "q_score",
+                            gamma: float = 1.0,
+                            salt: str = "qsample:") -> DataFrame:
+    """SOFT quality sampling (the FineWeb / RefinedWeb practice of
+    keeping documents with probability proportional to their quality
+    instead of a hard threshold): adds ``sample_keep`` = 1 iff
+    ``u(doc_id) <= clamp(score, 0, 1) ** gamma``. ``gamma > 1``
+    sharpens (low-quality text suppressed harder), ``gamma < 1``
+    flattens, ``gamma = 1`` is keep-probability = score. The
+    probabilistic cousin of `quality_pareto_keep` (which randomizes
+    the THRESHOLD; this randomizes per-document survival) — both draw
+    through `corpus._salted_u60`, so membership is a pure hash of
+    doc_id: reproducible across runs/engines/partitionings, and new
+    corpus rows never re-draw old ones.
+
+    A NULL score keeps 0 (flag-don't-drop — the row stays, like every
+    keep flag in this suite). ``gamma`` ∈ {1, 2, 0.5} computes exactly
+    (identity / self-product / IEEE-correctly-rounded sqrt — the
+    cross-engine-reproducible forms, cf. `temperature_mixture`'s sqrt
+    note); other gammas go through ``pow`` (libm, ±1 ulp
+    engine-dependent — fine in production, not under a value-hash
+    gate). Zero shuffle: one per-row projection."""
+    from .corpus import _salted_u60
+    s = F.least(F.greatest(F.coalesce(F.col(score_col).cast("double"),
+                                      F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
+    g = float(gamma)
+    if g == 1.0:
+        p = s
+    elif g == 2.0:
+        p = s * s
+    elif g == 0.5:
+        p = F.sqrt(s)
+    else:
+        p = F.pow(s, F.lit(g))
+    u = _salted_u60(salt)
+    return scored.withColumn("sample_keep", (u <= p).cast("int"))
+
+
 def sigmoid(z: float) -> float:
     """Driver-side reference sigmoid (used by tests/doc examples)."""
     return 1.0 / (1.0 + math.exp(-z))
@@ -264,3 +302,46 @@ def quality_score_fixed_model_gate(spark, sf_dir):
     model = spark.createDataFrame(_GATE_MODEL, "b int, w double")
     return quality_classifier_score(
         t["documents"].select("doc_id", "text"), model)
+
+
+from .corpus import _TWO60, _sql_salted_h60  # noqa: E402
+
+_QWS_GAMMA = 2.0   # gate gamma: self-product — cross-engine exact
+
+
+@query("quality_weighted_sample", oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS BIGINT)                    AS n_words
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang, n_words,
+               CAST(least(n_words, 200) AS DOUBLE)
+                   / CAST(200 AS DOUBLE)              AS sc,
+               ({_sql_salted_h60('qsample:')} + 1)
+                   / {_TWO60!r}                       AS u
+        FROM tok)
+    SELECT doc_id, lang, n_words,
+           round(sc, 6)                               AS q_score,
+           CASE WHEN u <= sc * sc THEN 1 ELSE 0 END   AS sample_keep
+    FROM s
+""")
+def quality_weighted_sample_gate(spark, sf_dir):
+    """Gate form of `quality_weighted_sample`: a deterministic
+    length-based score (``least(n_words, 200) / 200`` — BIGINT/BIGINT →
+    DOUBLE, the same op chain in both engines, so the keep boundary is
+    bit-exact) sampled at gamma = 2 (self-product — no libm pow).
+    Registered PAST the driver's 50-slot window (see
+    ``__spark_entry__._PAST_WINDOW``)."""
+    from .tables import load_tables
+    t = load_tables(spark, sf_dir, ("documents",))
+    n = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    sc = F.least(n, F.lit(200).cast("long")).cast("double") / F.lit(200.0)
+    scored = t["documents"].select(
+        "doc_id", "lang", n.alias("n_words"), sc.alias("__sc"))
+    out = quality_weighted_sample(scored, "__sc", gamma=_QWS_GAMMA)
+    return out.select("doc_id", "lang", "n_words",
+                      F.round("__sc", 6).alias("q_score"), "sample_keep")

@@ -121,14 +121,22 @@ _SQL_SIG = (
         for i in range(_SIGN_BITS)) + " AS BIGINT)")
 
 
-def _sign_bucket_expr(vec_col: str = "e"):
-    """8-bit coordinate-hyperplane sign signature of an array column —
-    the deterministic LSH bucket key (also the secondary split key for
-    oversized semantic-dedup clusters)."""
+def _sign_bucket_expr(vec_col: str = "e", bits: int = _SIGN_BITS):
+    """Coordinate-hyperplane sign signature of an array column — the
+    deterministic LSH bucket key (also the secondary split key for
+    oversized semantic-dedup clusters). ``bits`` is the recall/cost
+    knob: fewer bits → bigger buckets → more candidates."""
     return sum(
         (F.when(F.element_at(vec_col, i + 1) >= 0,
                 F.lit(1 << i)).otherwise(0)
-         for i in range(_SIGN_BITS)), start=F.lit(0)).cast("long")
+         for i in range(bits)), start=F.lit(0)).cast("long")
+
+
+def _sql_sig(bits: int) -> str:
+    """DuckDB twin of `_sign_bucket_expr` at ``bits`` bits."""
+    return ("CAST(" + " + ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)) + " AS BIGINT)")
 
 
 @query("emb_lsh_bucketed_search", oracle=f"""
@@ -201,6 +209,96 @@ def emb_near_dup_pairs(spark, sf_dir):
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(cos, 4).alias("cosine")))
+
+
+_DECON_TAU = 0.25   # eval-similarity bar for the gate row
+_DECON_BITS = 4     # wider buckets than dedup: recall matters more here
+_DECON_EVAL_MOD = 25   # gate eval set: every 25th vector
+
+
+def semantic_decontamination(corpus_emb: DataFrame, eval_emb: DataFrame,
+                             tau: float = _DECON_TAU,
+                             bits: int = _DECON_BITS,
+                             id_col: str = "vec_id",
+                             eval_id_col: str = "eval_id") -> DataFrame:
+    """EMBEDDING-space decontamination: flag corpus documents whose
+    embedding is cosine-≥ ``tau`` to ANY eval/benchmark embedding (the
+    semantic complement of the n-gram `decontaminate` pass — paraphrased
+    or reformatted eval leakage that shares no 8-gram still lands next
+    to its source in embedding space; cf. the Llama-3 / GPT-4 report
+    practice of embedding-similarity contamination checks).
+
+    ``corpus_emb`` has ``(id_col, e)``, ``eval_emb`` ``(eval_id_col,
+    qe)``, both array<double>. Returns ONE ROW PER CORPUS ROW
+    (flag-don't-drop): ``nearest_eval_id`` / ``max_cosine`` (NULL when
+    no candidate shares a bucket) and ``semdecon_keep`` (0 iff
+    max_cosine ≥ tau). Ties on cosine break to the smallest eval id.
+
+    Scale shape: the eval side is a benchmark suite — thousands of
+    rows, always broadcast; candidates are generated by sign-LSH bucket
+    equality at ``bits`` bits (the recall/cost knob — WIDER buckets
+    than near-dup dedup since a miss here leaks eval data into
+    training), so the corpus never joins the full eval cross product;
+    the per-doc max is a partial aggregation (map-side combine) on a
+    (cosine, -eval_id) struct, never a window over the corpus."""
+    sig = corpus_emb.withColumn("__b", _sign_bucket_expr("e", bits))
+    esig = eval_emb.withColumn("__qb", _sign_bucket_expr("qe", bits))
+    cos = _dot(F.col("e"), F.col("qe")) / (_norm(F.col("e"))
+                                           * _norm(F.col("qe")))
+    best = (sig.join(F.broadcast(esig), F.col("__b") == F.col("__qb"))
+            .select(id_col,
+                    F.struct(cos.alias("c"),
+                             (-F.col(eval_id_col)).alias("ni")).alias("s"))
+            .groupBy(id_col).agg(F.max("s").alias("m")))
+    return (corpus_emb.join(best, id_col, "left")
+            .select(id_col,
+                    (-F.col("m.ni")).cast("long").alias("nearest_eval_id"),
+                    F.round(F.col("m.c"), 4).alias("max_cosine"),
+                    F.when(F.col("m.c") >= tau, 0).otherwise(1)
+                     .cast("int").alias("semdecon_keep")))
+
+
+@query("semantic_decontamination", oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    sig AS (SELECT vec_id, e, {_sql_sig(_DECON_BITS)} AS bucket FROM emb),
+    corpus AS (SELECT * FROM sig WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+    ev AS (SELECT * FROM sig WHERE vec_id % {_DECON_EVAL_MOD} = 0),
+    cand AS (
+        SELECT c.vec_id AS vec_id, ev.vec_id AS eval_id,
+               list_dot_product(c.e, ev.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(ev.e, ev.e))) AS cos
+        FROM corpus c JOIN ev ON c.bucket = ev.bucket),
+    best AS (
+        SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eval_id) AS rn
+        FROM cand)
+    SELECT c.vec_id AS vec_id,
+           b.eval_id               AS nearest_eval_id,
+           round(b.cos, 4)         AS max_cosine,
+           CASE WHEN b.cos >= {_DECON_TAU} THEN 0 ELSE 1 END
+                                   AS semdecon_keep
+    FROM corpus c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         USING (vec_id)
+""")
+def semantic_decontamination_gate(spark, sf_dir):
+    """Gate form of `semantic_decontamination`: every 25th testdata
+    vector plays the eval/benchmark set, the rest the corpus. The
+    oracle is the naive window formulation (rank within ALL candidates)
+    — hash-verified equal to the operator's struct-max partial
+    aggregation, so tie order (smallest eval id) is pinned
+    cross-engine. Registered PAST the driver's 50-slot window (see
+    ``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id",
+                                 _as_double("embedding").alias("e"))
+    corpus = emb.where(F.col("vec_id") % _DECON_EVAL_MOD != 0)
+    ev = (emb.where(F.col("vec_id") % _DECON_EVAL_MOD == 0)
+          .select(F.col("vec_id").alias("eval_id"),
+                  F.col("e").alias("qe")))
+    return semantic_decontamination(corpus, ev)
 
 
 _IVF_LISTS = 16   # coarse codebook size (nlist)

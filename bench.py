@@ -55,6 +55,8 @@ HEADLINE = [
     "corpus_diff_status",
     "compose_mix_budget",
     "c4_clean_page_rules",
+    "semantic_decontamination",
+    "quality_weighted_sample",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

@@ -47,6 +47,7 @@ LINEAR_PLAN_QUERIES = [
     "doc_fingerprint_repetition",
     "dedup_paragraphs",
     "token_budget_prefix",
+    "semantic_decontamination",
 ]
 
 

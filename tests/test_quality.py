@@ -206,3 +206,44 @@ def test_model_is_bounded_artifact(model):
     assert len(rows) == B + 1
     assert sum(1 for r in rows if r.b == -1) == 1
     assert all(math.isfinite(r.w) for r in rows)
+
+
+def test_quality_weighted_sample_semantics(spark):
+    """Soft quality sampling: score 1 always keeps (u ∈ (0,1]), score 0
+    never keeps, NULL score keeps 0 with the row intact, out-of-range
+    scores clamp, sharpening (gamma 2) keeps a SUBSET of gamma 1, and
+    membership is layout-independent + matches the hand-computed hash
+    boundary."""
+    from agnostic_blockchain_etl_spark.operators.quality import (
+        quality_weighted_sample)
+    rows = ([(i, 1.0) for i in range(20)]            # always kept
+            + [(100 + i, 0.0) for i in range(20)]    # never kept
+            + [(200 + i, 0.5) for i in range(200)]   # probabilistic
+            + [(900, None), (901, 5.0), (902, -2.0)])
+    df = spark.createDataFrame(rows, "doc_id long, q_score double")
+    out = quality_weighted_sample(df)
+    assert out.count() == len(rows)                  # flag, don't drop
+    k = {r.doc_id: r.sample_keep for r in out.collect()}
+    assert all(k[i] == 1 for i in range(20))
+    assert all(k[100 + i] == 0 for i in range(20))
+    assert k[900] == 0                               # NULL -> keep 0
+    assert k[901] == 1 and k[902] == 0               # clamped to 1 / 0
+    mid = sum(k[200 + i] for i in range(200))
+    assert 0 < mid < 200                             # the u-draw binds
+    # hand-check one boundary: keep == (u <= p)
+    import hashlib
+    u = (int(hashlib.md5(b"qsample:200").hexdigest()[:15], 16) + 1) / 2.0**60
+    assert k[200] == int(u <= 0.5)
+    # gamma sharpening: keeps(gamma=2) is a subset of keeps(gamma=1)
+    k2 = {r.doc_id: r.sample_keep for r in
+          quality_weighted_sample(df, gamma=2.0).collect()}
+    assert all(k2[d] <= k[d] for d in k)
+    assert sum(k2[200 + i] for i in range(200)) < mid   # strictly fewer
+    # sqrt path flattens: keeps(gamma=0.5) is a superset at score 0.5
+    k05 = {r.doc_id: r.sample_keep for r in
+           quality_weighted_sample(df, gamma=0.5).collect()}
+    assert all(k05[d] >= k[d] for d in k if k[d] is not None)
+    # layout independence
+    again = {r.doc_id: r.sample_keep for r in
+             quality_weighted_sample(df.repartition(7)).collect()}
+    assert again == k

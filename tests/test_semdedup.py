@@ -160,3 +160,38 @@ class TestSemanticDedup:
         assert len({r.vec_id for r in res}) == n
         groups = {r.group_id for r in res}
         assert sum(r.keep for r in res) == len(groups)
+
+
+def test_semantic_decontamination_semantics(spark):
+    """Embedding-space decontamination: a contaminated doc flags 0, a
+    same-bucket far doc keeps 1 with its max_cosine populated, a doc
+    sharing no bucket keeps 1 with NULL max (one row out per row in),
+    and cosine ties break to the smallest eval id."""
+    from agnostic_blockchain_etl_spark.operators.similarity import (
+        semantic_decontamination)
+    # bits=4 bucket = sign pattern of the first 4 dims (0 counts +)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),       # cos 1 vs eval -> flag 0
+         (2, [-1.0, 0.0, 0.0, 0.0]),      # different bucket -> NULL
+         (3, [0.1, 0.1, 0.1, 10.0])],     # same bucket, cos ~0.01 -> 1
+        "vec_id long, e array<double>")
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]),      # identical eval vectors:
+         (5, [1.0, 0.0, 0.0, 0.0])],      # tie -> nearest is id 5
+        "eval_id long, qe array<double>")
+    out = {r.vec_id: r for r in
+           semantic_decontamination(corpus, ev, tau=0.25, bits=4)
+           .collect()}
+    assert len(out) == 3                          # flag, don't drop
+    assert out[1].semdecon_keep == 0 and out[1].max_cosine == 1.0
+    assert out[1].nearest_eval_id == 5            # tie -> smallest id
+    assert out[2].semdecon_keep == 1 and out[2].max_cosine is None
+    assert out[2].nearest_eval_id is None
+    assert out[3].semdecon_keep == 1
+    assert out[3].max_cosine is not None and out[3].max_cosine < 0.25
+    # layout independence (broadcast + partial agg, no rand())
+    again = {r.vec_id: (r.semdecon_keep, r.nearest_eval_id) for r in
+             semantic_decontamination(corpus.repartition(5), ev,
+                                      tau=0.25, bits=4).collect()}
+    assert again == {k: (v.semdecon_keep, v.nearest_eval_id)
+                     for k, v in out.items()}
