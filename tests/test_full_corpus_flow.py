@@ -43,7 +43,8 @@ def test_full_flow(spark, tmp_path):
     from agnostic_blockchain_etl_spark.operators import compose_corpus_mix
     composed, comp_rep = compose_corpus_mix(
         annotated, target={"en": 2, "zh": 1, "de": 1, "fr": 1},
-        token_budgets={"en": 4000, "zh": 2000, "de": 2000, "fr": 2000})
+        token_budgets={"en": 4000, "zh": 2000, "de": 2000, "fr": 2000},
+        persist=True)   # three actions below: one materialization
     assert composed.count() == n_in                     # no row loss
     comp = {r.stratum: r for r in comp_rep.collect()}
     assert comp["en"].final_tokens <= 4000              # budgets exact
