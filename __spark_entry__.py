@@ -56,10 +56,13 @@ def _all_modules():
 #                       struct-max vs the naive window oracle)
 #   quality_weighted_sample r10 addition: FineWeb-style soft quality
 #                       sampling (keep prob = score^gamma, hash-u)
+#   epoch_upsample      r10 addition: mixture rates above 1 — the
+#                       epoch-repetition pass (copies + epoch index)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
-                "semantic_decontamination", "quality_weighted_sample"]
+                "semantic_decontamination", "quality_weighted_sample",
+                "epoch_upsample"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

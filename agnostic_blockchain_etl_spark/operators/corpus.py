@@ -485,6 +485,49 @@ _MIX_TGT_SQL = ("CASE stratum " + " ".join(
 _MIX_HASH_SQL = _sql_salted_h60("mixture:")
 _TMIX_HASH_SQL = _sql_salted_h60("tempmix:")
 
+# epoch multipliers for the upsample gate: 2.3 (2 copies + 30% of a
+# third), 1.0 (integer boundary: frac 0, u>0 strictly -> exactly 1),
+# 0.5 (pure-fractional = apply_mixture_rates semantics), 1.75
+# (binary-exact frac). 'es' absent -> emits nothing. Every rate is
+# CAST AS DOUBLE in the SQL: a bare 2.3 is DECIMAL in DuckDB, whose
+# exact 0.3 fraction would disagree with the double boundary
+# 0.2999999999999998 both engines otherwise share.
+_EPOCH_RATES = {"en": 2.3, "zh": 1.0, "de": 0.5, "fr": 1.75}
+_EPOCH_RATE_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
+    for k, v in _EPOCH_RATES.items()) + " ELSE CAST(0 AS DOUBLE) END")
+
+
+@query("epoch_upsample", oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang, {_EPOCH_RATE_SQL} AS rate,
+               ({_sql_salted_h60('epoch:')} + 1)
+                   / 1152921504606846976.0      AS u
+        FROM documents),
+    c AS (
+        SELECT doc_id, lang,
+               CAST(floor(rate) AS INT)
+               + CASE WHEN u <= rate - floor(rate) THEN 1 ELSE 0 END
+                   AS copies
+        FROM r)
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
+    FROM c WHERE copies > 0
+""")
+def epoch_upsample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `mixture.epoch_upsample` (mixture rates ABOVE 1 —
+    the repetition pass): per-document copy counts AND 1-based epoch
+    indices value-verified cross-engine, covering the integer boundary
+    (zh ×1.0: frac 0, u > 0 strictly → exactly one copy), the
+    pure-fractional r < 1 case (de ×0.5 ≡ `apply_mixture_rates`), a
+    non-binary-exact fraction (en ×2.3) and a binary-exact one
+    (fr ×1.75); 'es' has no rate → emits nothing. Registered PAST the
+    driver's 50-slot window (see ``__spark_entry__._PAST_WINDOW``)."""
+    from .mixture import epoch_upsample
+    t = load_tables(spark, sf_dir, ("documents",))
+    return epoch_upsample(t["documents"].select("doc_id", "lang"),
+                          _EPOCH_RATES)
+
 
 @query("mixture_apply", oracle=f"""
     WITH d AS (

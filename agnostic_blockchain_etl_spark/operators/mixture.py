@@ -313,6 +313,71 @@ def compose_corpus_mix(annotated: DataFrame,
     return out, report
 
 
+def epoch_upsample(docs: DataFrame,
+                   rates: dict[str, float] | DataFrame,
+                   strat_col: str = "lang",
+                   salt: str = "epoch:") -> DataFrame:
+    """Mixture rates ABOVE 1 — epoch-based upsampling (the LLaMA /
+    Gopher recipe practice of giving low-resource or high-value strata
+    several epochs per training run, e.g. "books ×2.3, wikipedia ×4"):
+    a document in a stratum with rate ``r`` is emitted ``floor(r)``
+    times plus one more iff ``u(doc_id) <= r - floor(r)``, so every
+    stratum's EXPECTED token multiplier is exactly ``r`` and the
+    realized multiplier is within one document of exact per stratum.
+    Rates below 1 degrade to `apply_mixture_rates` semantics (0 full
+    copies + a fractional draw — the same keep rule, same hash
+    family), so one operator covers the whole r ∈ [0, ∞) recipe line.
+
+    The extra-copy draw is hash-deterministic per doc_id (never
+    ``rand()``): re-runs, engines, and partitionings agree, and new
+    corpus rows never re-draw old ones. Output adds ``epoch`` (1-based
+    copy index) and CONTAINS REPEATED ROWS BY DESIGN — this is the
+    physical repetition pass a training-data writer runs last, after
+    every keep-flag stage (it is the one operator in this module that
+    is not flag-don't-drop: rate-0 strata emit nothing; run it on the
+    ``final_keep = 1`` slice). Pair ``epoch`` with the shard writer's
+    ``shuffle_salt`` so repeated copies spread across shards instead
+    of clustering.
+
+    ``rates`` is a ``{stratum: multiplier}`` dict or a plan frame with
+    ``(stratum, rate)`` (any `mixture_weights` / `temperature_mixture`
+    output works — their rates are ≤ 1 by construction; pass hand
+    multipliers for upsampling). Strata absent from ``rates`` get 0.
+
+    Scale: the rate rides a broadcast (map literal or |strata|-row
+    frame); copies come from ``explode(sequence(1, n))`` — per-row
+    array work, ZERO shuffle; output size is Σ r_s·|s|, the number a
+    capacity plan already budgets for the training run."""
+    from .corpus import _salted_u60
+    if isinstance(rates, dict):
+        bad = {k: v for k, v in rates.items() if float(v) < 0}
+        if bad:
+            raise ValueError(f"negative upsample rates: {bad}")
+        if rates:
+            rmap = F.create_map(*[F.lit(x) for kv in rates.items()
+                                  for x in (kv[0], float(kv[1]))])
+            r = F.coalesce(rmap[F.col(strat_col)].cast("double"),
+                           F.lit(0.0))
+        else:
+            r = F.lit(0.0)
+        d = docs
+    else:
+        plan_rates = rates.select(F.col("stratum").alias(strat_col),
+                                  F.col("rate").cast("double")
+                                  .alias("__r"))
+        d = docs.join(F.broadcast(plan_rates), strat_col, "left")
+        r = F.coalesce(F.col("__r"), F.lit(0.0))
+    u = _salted_u60(salt)
+    copies = (F.floor(r).cast("int")
+              + F.when(u <= r - F.floor(r), 1).otherwise(0).cast("int"))
+    out = (d.withColumn("__copies", copies)
+           .where(F.col("__copies") > 0)
+           .withColumn("epoch",
+                       F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+           .drop("__copies"))
+    return out.drop("__r") if not isinstance(rates, dict) else out
+
+
 def apply_mixture_rates(docs: DataFrame, plan: DataFrame,
                         strat_col: str = "lang",
                         salt: str = "mixture:") -> DataFrame:

@@ -57,6 +57,7 @@ HEADLINE = [
     "c4_clean_page_rules",
     "semantic_decontamination",
     "quality_weighted_sample",
+    "epoch_upsample",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

@@ -401,3 +401,54 @@ def test_compose_persist_materializes_once(spark):
         assert acc.value == mid
     finally:
         ann.unpersist()
+
+
+def test_epoch_upsample_semantics(spark):
+    """epoch_upsample: floor(r) guaranteed copies + one more with
+    hash-prob frac(r); integer rates are exact (u > 0 strictly);
+    rate < 1 degrades to apply_mixture_rates-style fractional keep;
+    absent strata emit nothing; epoch indices are 1..copies; a plan
+    frame works as the rates input; negative rates raise; membership
+    is layout-independent."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        epoch_upsample, mixture_weights)
+    from pyspark.sql import functions as F
+    rows = [(i, ["en", "zh", "de", "es"][i % 4], "w " * 5)
+            for i in range(400)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    rates = {"en": 2.3, "zh": 1.0, "de": 0.5}
+    out = epoch_upsample(docs.select("doc_id", "lang"), rates)
+    per = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert "es" not in per                        # no rate -> emits 0
+    assert per["zh"] == 100                       # x1.0 exact
+    assert 200 <= per["en"] <= 300                # 2 + Bernoulli(0.3)
+    assert 0 < per["de"] < 100                    # pure fractional
+    # per-doc contract: copies is floor(r) or floor(r)+1, epochs 1..c
+    g = {r.doc_id: r.epochs for r in
+         out.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("epoch")).alias("epochs"))
+            .collect()}
+    for doc_id, lang, _ in rows:
+        c = len(g.get(doc_id, []))
+        base = {"en": 2, "zh": 1, "de": 0, "es": 0}[lang]
+        extra = {"en": 1, "zh": 0, "de": 1, "es": 0}[lang]
+        assert base <= c <= base + extra, (doc_id, lang, c)
+        if c:
+            assert g[doc_id] == list(range(1, c + 1))
+    # layout independence
+    again = {r.doc_id: r.cnt for r in
+             epoch_upsample(docs.select("doc_id", "lang")
+                            .repartition(13), rates)
+             .groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert again == {d: len(e) for d, e in g.items()}
+    # a planner's frame feeds straight in (rates <= 1: pure dedup-side)
+    plan = mixture_weights(docs, {"en": 1, "zh": 1})
+    pout = epoch_upsample(docs.select("doc_id", "lang"), plan)
+    assert pout.where("lang = 'de'").count() == 0   # unplanned -> 0
+    assert pout.groupBy("doc_id").count().agg(F.max("count")) \
+               .first()[0] == 1                     # r <= 1: no repeats
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="negative"):
+        epoch_upsample(docs, {"en": -1.0})
