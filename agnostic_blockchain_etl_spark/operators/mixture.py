@@ -335,9 +335,14 @@ def epoch_upsample(docs: DataFrame,
     physical repetition pass a training-data writer runs last, after
     every keep-flag stage (it is the one operator in this module that
     is not flag-don't-drop: rate-0 strata emit nothing; run it on the
-    ``final_keep = 1`` slice). Pair ``epoch`` with the shard writer's
-    ``shuffle_salt`` so repeated copies spread across shards instead
-    of clustering.
+    ``final_keep = 1`` slice). When shard-writing a repeated corpus,
+    key the writer by a COMPOSITE of (doc_id, epoch) — e.g.
+    ``withColumn("rep_key", concat_ws(":", "doc_id", "epoch"))`` then
+    ``write_training_shards(..., key_col="rep_key", shuffle_salt=...)``
+    — both the shard assignment and the in-shard shuffle order hash
+    ``key_col``, so keying by bare doc_id would CLUSTER all copies of
+    a document into one shard, adjacent to each other (the opposite of
+    what epoch repetition wants).
 
     ``rates`` is a ``{stratum: multiplier}`` dict or a plan frame with
     ``(stratum, rate)`` (any `mixture_weights` / `temperature_mixture`

@@ -211,3 +211,30 @@ def test_shuffle_salt_orders_deterministically(spark, tmp_path):
         keys = [hashlib.md5(f"epoch0{d}".encode()).hexdigest()
                 for d in ids]
         assert keys == sorted(keys), shard   # salted-hash order inside
+
+
+def test_epoch_copies_spread_with_composite_key(spark):
+    """The epoch_upsample -> shard-write recipe: keyed by bare doc_id
+    the writer CLUSTERS every copy of a document into one shard (both
+    the assignment and the shuffle order hash key_col); keyed by the
+    documented (doc_id, epoch) composite the copies spread."""
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        epoch_upsample)
+    from agnostic_blockchain_etl_spark.operators.shards import (
+        balanced_shard_assign)
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id long, lang string")
+    rep = epoch_upsample(docs, {"en": 4.0}) \
+        .withColumn("n_tokens", F.lit(10)) \
+        .withColumn("rep_key", F.concat_ws(":", "doc_id", "epoch"))
+    assert rep.count() == 400                      # x4.0 exact
+    # bare doc_id: every doc's 4 copies land in ONE shard (the hazard)
+    bare = balanced_shard_assign(rep, "n_tokens", 8, key_col="doc_id")
+    per = bare.groupBy("doc_id") \
+        .agg(F.countDistinct("shard").alias("k")).collect()
+    assert all(r.k == 1 for r in per)
+    # composite key: most docs spread over several shards
+    comp = balanced_shard_assign(rep, "n_tokens", 8, key_col="rep_key")
+    kdist = comp.groupBy("doc_id") \
+        .agg(F.countDistinct("shard").alias("k")).collect()
+    assert sum(1 for r in kdist if r.k > 1) > 80
