@@ -58,11 +58,13 @@ def _all_modules():
 #                       sampling (keep prob = score^gamma, hash-u)
 #   epoch_upsample      r10 addition: mixture rates above 1 — the
 #                       epoch-repetition pass (copies + epoch index)
+#   pack_manifest_rollup r10 addition: per-pack loader manifest
+#                       (offset-ordered member lists, spill tokens)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
-                "epoch_upsample"]
+                "epoch_upsample", "pack_manifest_rollup"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,8 +36,11 @@ _PACK_BUDGET = 128   # tokens per training sequence
 _PACK_SHARDS = 8     # parallel packing streams
 
 
-@query("chunk_pack_documents", oracle=f"""
-    WITH words_t AS (
+# chunk -> pack CTE chain, shared by the chunk_pack_documents and
+# pack_manifest_rollup oracles (one source of truth for the packing
+# arithmetic both gates pin)
+_PACK_CTE_SQL = f"""
+    words_t AS (
         SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
     chunked AS (
         SELECT doc_id,
@@ -63,7 +66,11 @@ _PACK_SHARDS = 8     # parallel packing streams
                         ORDER BY doc_id, chunk_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) - n_tokens AS start_pos
-        FROM chunks)
+        FROM chunks)"""
+
+
+@query("chunk_pack_documents", oracle=f"""
+    WITH {_PACK_CTE_SQL}
     SELECT doc_id, chunk_id, chunk_text, n_tokens,
            CAST(shard AS INT)            AS shard,
            start_pos // {_PACK_BUDGET}   AS pack_id,
@@ -126,6 +133,73 @@ def pack_sequences(chunks: DataFrame, budget: int = _PACK_BUDGET,
     return (d.withColumn("pack_id", F.expr(f"start_pos div {budget}"))
             .withColumn("pack_offset", F.col("start_pos") % budget)
             .drop("start_pos"))
+
+
+def pack_manifest(packed: DataFrame,
+                  budget: int = _PACK_BUDGET) -> DataFrame:
+    """Per-pack rollup of a `pack_sequences` frame — the artifact a
+    training DATA LOADER reads: one row per (shard, pack_id) with
+    ``n_chunks`` / ``n_docs`` / ``n_tokens`` (tokens STARTING in the
+    pack — the last chunk may straddle, see ``spill_tokens`` =
+    overhang into the next pack) and ``members``, the offset-ordered
+    ``"doc_id:chunk_id:pack_offset:n_tokens"`` strings a loader needs
+    to build block-diagonal attention masks / position ids across the
+    packed document boundaries. Members are STRING-encoded, not
+    structs, deliberately: the manifest round-trips engines and
+    manifest files bit-identically (and the value oracle can hash it —
+    nested structs normalize differently across drivers).
+
+    Scale: one aggregation keyed by (shard, pack_id) — the same key
+    the packing windows already partitioned by; members per pack are
+    bounded by budget/min_chunk_tokens, so collect_list is bounded by
+    the knob, never by data."""
+    mem = F.concat_ws(":", "doc_id", "chunk_id", "pack_offset",
+                      "n_tokens")
+    return (packed.groupBy("shard", "pack_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.greatest(
+                     F.max(F.col("pack_offset") + F.col("n_tokens"))
+                     - F.lit(budget).cast("long"),
+                     F.lit(0).cast("long")).alias("spill_tokens"),
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct(
+                         F.col("pack_offset").alias("o"),
+                         F.col("doc_id").alias("d"),
+                         F.col("chunk_id").alias("c"),
+                         mem.alias("m")))),
+                     lambda x: x["m"]).alias("members")))
+
+
+@query("pack_manifest_rollup", oracle=f"""
+    WITH {_PACK_CTE_SQL},
+    assigned AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(shard AS INT)          AS shard,
+               start_pos // {_PACK_BUDGET} AS pack_id,
+               start_pos % {_PACK_BUDGET}  AS pack_offset
+        FROM pos)
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT)               AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)          AS n_tokens,
+           greatest(CAST(max(pack_offset + n_tokens) AS BIGINT)
+                    - {_PACK_BUDGET}, 0)          AS spill_tokens,
+           list(doc_id || ':' || chunk_id || ':' || pack_offset
+                || ':' || n_tokens
+                ORDER BY pack_offset, doc_id, chunk_id) AS members
+    FROM assigned GROUP BY shard, pack_id
+""")
+def pack_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `pack_manifest` over the chunk → pack chain (the
+    oracle reuses `_PACK_CTE_SQL`, the same CTE text
+    `chunk_pack_documents` pins, then rolls it up independently —
+    offset-ordered member lists value-hashed cross-engine). Registered
+    PAST the driver's 50-slot window (see
+    ``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return pack_manifest(pack_sequences(chunk(spread(t["documents"]))))
 
 
 @query("vocab_tfidf_terms", oracle=f"""

@@ -58,6 +58,7 @@ HEADLINE = [
     "semantic_decontamination",
     "quality_weighted_sample",
     "epoch_upsample",
+    "pack_manifest_rollup",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

@@ -136,3 +136,47 @@ def test_pipeline_redacts_pii(spark, tmp_path):
                     .orderBy("chunk_id").collect())
     # chunk_text is lowercased by the chunking stage
     assert "<email>" in text and "bob@example.com" not in text
+
+
+def test_pack_manifest_reconstructs_packs(spark):
+    """pack_manifest: members are offset-ordered and CONTIGUOUS (each
+    chunk starts where the previous ended, pack 0 of a shard starts at
+    0), token counts conserve vs the chunk frame, spill_tokens is
+    exactly the last member's overhang, and member counts stay bounded
+    by the budget."""
+    from agnostic_blockchain_etl_spark.operators.corpus import (
+        _PACK_BUDGET, chunk, pack_manifest, pack_sequences)
+    from agnostic_blockchain_etl_spark.operators.tables import (
+        load_tables, spread)
+    from pyspark.sql import functions as F
+    docs = spread(load_tables(spark, SF_DIR, ("documents",))["documents"])
+    packed = pack_sequences(chunk(docs))
+    man = pack_manifest(packed).collect()
+    assert sum(r.n_chunks for r in man) == packed.count()
+    assert (sum(r.n_tokens for r in man)
+            == packed.agg(F.sum("n_tokens")).first()[0])
+    per_shard = {}
+    for r in man:
+        per_shard.setdefault(r.shard, []).append(r)
+        parts = [tuple(map(int, m.split(":"))) for m in r.members]
+        assert len(parts) == r.n_chunks
+        assert len({(d, c) for d, c, _, _ in parts}) == r.n_chunks
+        offs = [o for _, _, o, _ in parts]
+        assert offs == sorted(offs)
+        # contiguity inside the pack: each member starts where the
+        # previous ended (straddle only at the END, captured by spill)
+        for (_, _, o1, n1), (_, _, o2, _) in zip(parts, parts[1:]):
+            assert o2 == o1 + n1, r
+        last = parts[-1]
+        assert r.spill_tokens == max(last[2] + last[3] - _PACK_BUDGET, 0)
+        assert r.n_docs == len({d for d, _, _, _ in parts})
+    # pack chain per shard: ids dense from 0, every non-final pack
+    # filled to the budget (offset+len of last member >= budget)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r.pack_id)
+        assert [r.pack_id for r in rows] == list(range(len(rows)))
+        first = [tuple(map(int, m.split(":"))) for m in rows[0].members]
+        assert first[0][2] == 0
+        for r in rows[:-1]:
+            lastm = tuple(map(int, r.members[-1].split(":")))
+            assert lastm[2] + lastm[3] >= _PACK_BUDGET
