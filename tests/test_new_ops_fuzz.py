@@ -237,3 +237,67 @@ class TestSpanRemovalFuzz:
             spark.createDataFrame(docs, "doc_id long, text string"),
             k).collect()}
         assert got == expect, seed
+
+
+class TestEpochUpsampleFuzz:
+    @given(seed=st.integers(0, 10**6),
+           rates=st.dictionaries(
+               st.sampled_from(["en", "zh", "de", "fr"]),
+               st.floats(0.0, 5.0, allow_nan=False), max_size=4))
+    @settings(max_examples=6, deadline=None)
+    def test_matches_python_reference(self, spark, seed, rates):
+        """epoch_upsample on arbitrary rate vectors: per-doc copy counts
+        equal the pure-python replay of the same hash rule (floor(r) +
+        [u <= frac]), epoch indices are dense 1..c, and total output
+        size is exactly sum(copies)."""
+        import hashlib
+        import math
+
+        from agnostic_blockchain_etl_spark.operators.mixture import (
+            epoch_upsample)
+        rng = random.Random(seed)
+        rows = [(i, rng.choice(["en", "zh", "de", "fr", "es"]))
+                for i in range(150)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {}
+        for r in epoch_upsample(docs, rates).collect():
+            got.setdefault(r.doc_id, []).append(r.epoch)
+        expect = {}
+        for doc_id, lang in rows:
+            rate = float(rates.get(lang, 0.0))
+            u = (int(hashlib.md5(f"epoch:{doc_id}".encode())
+                     .hexdigest()[:15], 16) + 1) / 2.0**60
+            c = int(math.floor(rate)) + (1 if u <= rate - math.floor(rate)
+                                         else 0)
+            if c:
+                expect[doc_id] = list(range(1, c + 1))
+        assert {d: sorted(e) for d, e in got.items()} == expect
+
+
+class TestQualityWeightedSampleFuzz:
+    @given(seed=st.integers(0, 10**6),
+           gamma=st.sampled_from([0.5, 1.0, 2.0]))
+    @settings(max_examples=6, deadline=None)
+    def test_matches_python_reference(self, spark, seed, gamma):
+        """quality_weighted_sample on arbitrary scores (incl. NULLs and
+        out-of-range): keep == [u <= clamp(score)^gamma] replayed in
+        pure python, rows conserved."""
+        import hashlib
+
+        from agnostic_blockchain_etl_spark.operators.quality import (
+            quality_weighted_sample)
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([None, rng.uniform(-0.5, 1.5),
+                                0.0, 1.0, rng.random()]))
+                for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, q_score double")
+        got = {r.doc_id: r.sample_keep for r in
+               quality_weighted_sample(docs, gamma=gamma).collect()}
+        assert len(got) == len(rows)
+        for doc_id, score in rows:
+            s = 0.0 if score is None else min(max(score, 0.0), 1.0)
+            p = s if gamma == 1.0 else (s * s if gamma == 2.0
+                                        else s ** 0.5)
+            u = (int(hashlib.md5(f"qsample:{doc_id}".encode())
+                     .hexdigest()[:15], 16) + 1) / 2.0**60
+            assert got[doc_id] == int(u <= p), (doc_id, score, gamma)
