@@ -69,6 +69,14 @@ CASES = [
     # decontamination scans doc_id/text; the train/eval split predicate
     # must push to the scan
     ("decontamination_overlap", "documents", 2, "doc_id"),
+    # epoch repetition reads doc_id/lang only — copies are per-row
+    # array work, no text ever touched
+    ("epoch_upsample", "documents", 2, None),
+    # the eval-split predicate (vec_id % 25) rides the embedding scans;
+    # both sides read vec_id/embedding only
+    ("semantic_decontamination", "embeddings", 2, None),
+    # the soft sampler's score is computed from text: 3 columns, no more
+    ("quality_weighted_sample", "documents", 3, None),
 ]
 
 
