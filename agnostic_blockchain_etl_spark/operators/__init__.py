@@ -12,7 +12,8 @@ from .lm import (bigram_perplexity_score, perplexity_score,
                  perplexity_score_rowwise, train_bigram_lm,
                  train_unigram_lm)
 from .clean import c4_clean
-from .corpus import chunk, pack_sequences, stratified_sample, weighted_sample
+from .corpus import (chunk, pack_manifest, pack_sequences,
+                     stratified_sample, token_budget_cap, weighted_sample)
 from .curate import corpus_datacard, curate_corpus
 from .dedup import (connected_components, decontaminate, doc_shingles,
                     duplicate_clusters, exact_dedup, minhash_bands,
@@ -32,12 +33,13 @@ from .incremental import (corpus_diff, digest_store, incremental_dedup,
 from .similarity import (compact_semantic_store, cosine_topk,
                          fit_tfidf_stats, hashed_tfidf_vectors,
                          incremental_semantic_dedup, ivf_search,
-                         ivf_train, semantic_dedup,
-                         semantic_member_store, text_semantic_dedup)
+                         ivf_train, semantic_decontamination,
+                         semantic_dedup, semantic_member_store,
+                         text_semantic_dedup)
 from .tables import load_tables
 from .mixture import (apply_mixture_rates, compose_corpus_mix,
-                      mixture_weights, stratum_counts,
-                      temperature_mixture)
+                      epoch_upsample, mixture_weights,
+                      stratum_counts, temperature_mixture)
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)
@@ -52,7 +54,7 @@ from .paragraphs import (dedup_paragraphs, doc_paragraphs,
                          merge_paragraph_stores, paragraph_frequency,
                          paragraph_store)
 from .quality import (quality_classifier_score, quality_pareto_keep,
-                      train_quality_classifier)
+                      quality_weighted_sample, train_quality_classifier)
 from .sourcecap import (source_cap, source_cap_rate,
                         source_doc_counts)
 from .spans import (decontaminate_spans, duplicate_spans,
@@ -69,7 +71,8 @@ __all__ = [
     "perplexity_score", "train_unigram_lm",
     "bigram_perplexity_score", "train_bigram_lm",
     "perplexity_score_rowwise",
-    "chunk", "pack_sequences", "stratified_sample", "weighted_sample",
+    "chunk", "pack_manifest", "pack_sequences", "stratified_sample",
+    "weighted_sample", "token_budget_cap",
     "curate_corpus", "corpus_datacard", "c4_clean",
     "connected_components", "decontaminate", "doc_shingles",
     "duplicate_clusters", "exact_dedup",
@@ -81,7 +84,8 @@ __all__ = [
     "select_cluster_canonical", "simhash_pairs", "simhash_signatures",
     "compact_semantic_store", "cosine_topk", "fit_tfidf_stats",
     "hashed_tfidf_vectors", "incremental_semantic_dedup",
-    "ivf_search", "ivf_train", "semantic_dedup", "semantic_member_store",
+    "ivf_search", "ivf_train", "semantic_decontamination",
+    "semantic_dedup", "semantic_member_store",
     "text_semantic_dedup",
     "audio_feature_stage", "decode_features", "mp3_metadata_stage",
     "resize_images",
@@ -92,15 +96,15 @@ __all__ = [
     "repetition_signals", "gopher_quality",
     "decontaminate_spans", "dsir_log_weights", "dsir_sample",
     "duplicate_spans", "hashed_bucket_logprobs", "remove_duplicate_spans",
-    "apply_mixture_rates", "compose_corpus_mix", "mixture_weights",
-    "stratum_counts", "temperature_mixture",
+    "apply_mixture_rates", "compose_corpus_mix", "epoch_upsample",
+    "mixture_weights", "stratum_counts", "temperature_mixture",
     "pii_scrub", "pii_scrub_extended", "luhn_valid",
     "dedup_paragraphs", "doc_paragraphs", "paragraph_frequency",
     "compact_paragraph_store",
     "incremental_dedup_paragraphs", "merge_paragraph_stores",
     "paragraph_store",
     "quality_classifier_score", "quality_pareto_keep",
-    "train_quality_classifier",
+    "quality_weighted_sample", "train_quality_classifier",
     "source_cap", "source_cap_rate", "source_doc_counts",
     "balanced_shard_assign", "write_training_shards",
     "profile_table", "profile_sketch", "merge_profile_sketches",
