@@ -132,11 +132,15 @@ def pack_sequences(chunks: DataFrame, budget: int = _PACK_BUDGET,
                      F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return (d.withColumn("pack_id", F.expr(f"start_pos div {budget}"))
             .withColumn("pack_offset", F.col("start_pos") % budget)
+            # carry the budget with the frame: `pack_manifest`'s spill
+            # arithmetic must use the budget the packing actually ran
+            # with, not an independently-suppliable duplicate
+            .withColumn("pack_budget", F.lit(int(budget)).cast("long"))
             .drop("start_pos"))
 
 
 def pack_manifest(packed: DataFrame,
-                  budget: int = _PACK_BUDGET) -> DataFrame:
+                  budget: int | None = None) -> DataFrame:
     """Per-pack rollup of a `pack_sequences` frame — the artifact a
     training DATA LOADER reads: one row per (shard, pack_id) with
     ``n_chunks`` / ``n_docs`` / ``n_tokens`` (tokens STARTING in the
@@ -152,7 +156,30 @@ def pack_manifest(packed: DataFrame,
     Scale: one aggregation keyed by (shard, pack_id) — the same key
     the packing windows already partitioned by; members per pack are
     bounded by budget/min_chunk_tokens, so collect_list is bounded by
-    the knob, never by data."""
+    the knob, never by data.
+
+    ``budget``: taken from the frame's own ``pack_budget`` column (a
+    `pack_sequences` output always carries it) so the spill arithmetic
+    cannot silently desync from the budget the packing actually ran
+    with; the explicit parameter exists only for frames from older
+    parquet without the column, and passing BOTH is a conflict error
+    when they disagree."""
+    if "pack_budget" in packed.columns:
+        if budget is not None:
+            # cheap conflict check: the column is a constant literal
+            got = packed.select(F.max("pack_budget")).first()[0]
+            if got is not None and int(got) != int(budget):
+                raise ValueError(
+                    f"budget={budget} conflicts with the frame's own "
+                    f"pack_budget={got} (pack_sequences carried it); "
+                    "drop the parameter")
+        bcol = F.col("pack_budget")
+    elif budget is not None:
+        bcol = F.lit(int(budget)).cast("long")
+    else:
+        raise ValueError(
+            "frame has no pack_budget column (not a pack_sequences "
+            "output?) — pass budget= explicitly")
     mem = F.concat_ws(":", "doc_id", "chunk_id", "pack_offset",
                       "n_tokens")
     return (packed.groupBy("shard", "pack_id")
@@ -160,8 +187,8 @@ def pack_manifest(packed: DataFrame,
                  F.countDistinct("doc_id").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.greatest(
-                     F.max(F.col("pack_offset") + F.col("n_tokens"))
-                     - F.lit(budget).cast("long"),
+                     F.max(F.col("pack_offset") + F.col("n_tokens")
+                           - bcol),
                      F.lit(0).cast("long")).alias("spill_tokens"),
                  F.transform(
                      F.sort_array(F.collect_list(F.struct(

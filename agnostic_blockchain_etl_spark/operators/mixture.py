@@ -353,11 +353,17 @@ def epoch_upsample(docs: DataFrame,
     frame); copies come from ``explode(sequence(1, n))`` — per-row
     array work, ZERO shuffle; output size is Σ r_s·|s|, the number a
     capacity plan already budgets for the training run."""
+    import math
+
     from .corpus import _salted_u60
     if isinstance(rates, dict):
-        bad = {k: v for k, v in rates.items() if float(v) < 0}
+        # NaN needs its own test: float('nan') < 0 is False, and a NaN
+        # rate downstream makes floor() NULL -> the stratum silently
+        # emits nothing instead of failing loudly
+        bad = {k: v for k, v in rates.items()
+               if float(v) < 0 or math.isnan(float(v))}
         if bad:
-            raise ValueError(f"negative upsample rates: {bad}")
+            raise ValueError(f"negative/NaN upsample rates: {bad}")
         if rates:
             rmap = F.create_map(*[F.lit(x) for kv in rates.items()
                                   for x in (kv[0], float(kv[1]))])
@@ -370,6 +376,16 @@ def epoch_upsample(docs: DataFrame,
         plan_rates = rates.select(F.col("stratum").alias(strat_col),
                                   F.col("rate").cast("double")
                                   .alias("__r"))
+        # same validation as the dict path (a corrupted or mis-joined
+        # plan must not silently zero a stratum's epochs): the plan
+        # frame is |strata| rows by contract, so this is a bounded job
+        bad_rows = (plan_rates
+                    .where((F.col("__r") < 0) | F.isnan("__r"))
+                    .limit(5).collect())
+        if bad_rows:
+            raise ValueError(
+                "negative/NaN upsample rates in the plan frame: "
+                + str([(r[strat_col], r["__r"]) for r in bad_rows]))
         d = docs.join(F.broadcast(plan_rates), strat_col, "left")
         r = F.coalesce(F.col("__r"), F.lit(0.0))
     u = _salted_u60(salt)

@@ -211,16 +211,21 @@ def quality_weighted_sample(scored: DataFrame, score_col: str = "q_score",
     doc_id: reproducible across runs/engines/partitionings, and new
     corpus rows never re-draw old ones.
 
-    A NULL score keeps 0 (flag-don't-drop — the row stays, like every
-    keep flag in this suite). ``gamma`` ∈ {1, 2, 0.5} computes exactly
+    A NULL — or NaN — score keeps 0 (flag-don't-drop — the row stays,
+    like every keep flag in this suite; NaN needs its own guard
+    because Spark orders NaN ABOVE every double, so the clamp alone
+    would send a 0/0-scored document to keep-probability 1, the
+    opposite of the defensive default). ``gamma`` ∈ {1, 2, 0.5} computes exactly
     (identity / self-product / IEEE-correctly-rounded sqrt — the
     cross-engine-reproducible forms, cf. `temperature_mixture`'s sqrt
     note); other gammas go through ``pow`` (libm, ±1 ulp
     engine-dependent — fine in production, not under a value-hash
     gate). Zero shuffle: one per-row projection."""
     from .corpus import _salted_u60
-    s = F.least(F.greatest(F.coalesce(F.col(score_col).cast("double"),
-                                      F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
+    raw = F.col(score_col).cast("double")
+    safe = F.when(F.isnan(raw), F.lit(0.0)).otherwise(
+        F.coalesce(raw, F.lit(0.0)))
+    s = F.least(F.greatest(safe, F.lit(0.0)), F.lit(1.0))
     g = float(gamma)
     if g == 1.0:
         p = s

@@ -115,12 +115,6 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame,
                     F.col("rank").cast("int").alias("rank")))
 
 
-_SQL_SIG = (
-    "CAST(" + " + ".join(
-        f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(_SIGN_BITS)) + " AS BIGINT)")
-
-
 def _sign_bucket_expr(vec_col: str = "e", bits: int = _SIGN_BITS):
     """Coordinate-hyperplane sign signature of an array column — the
     deterministic LSH bucket key (also the secondary split key for
@@ -137,6 +131,11 @@ def _sql_sig(bits: int) -> str:
     return ("CAST(" + " + ".join(
         f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(bits)) + " AS BIGINT)")
+
+
+# the 8-bit form the dedup/search oracles embed — derived, not a second
+# hand-rolled copy (the drift class the round-6 review consolidated)
+_SQL_SIG = _sql_sig(_SIGN_BITS)
 
 
 @query("emb_lsh_bucketed_search", oracle=f"""

@@ -283,18 +283,33 @@ def main() -> None:
         # pool assignment by list index, NOT hash(name): Python string
         # hashes are PYTHONHASHSEED-randomized per process, which made
         # the pool distribution (and concurrent_wall_sec) irreproducible
+        # per-query isolation, same reason as the sequential passes
+        # (round 2 lost every timing to one AnalysisException): now that
+        # the concurrent pass runs by DEFAULT, one query failing under
+        # contention must not destroy the whole already-computed
+        # artifact / break the one-JSON-line contract
+        conc_failed: list[str] = []
+
         def run_one(item):
             i, name = item
             spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", f"bench{i % n_threads}")
-            qs[name](spark, sf_dir).write.format("noop") \
-                                   .mode("overwrite").save()
+            try:
+                qs[name](spark, sf_dir).write.format("noop") \
+                                       .mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                conc_failed.append(name)
+                print(f"[bench] concurrent run failed: {name}: "
+                      f"{type(exc).__name__}: {exc}"[:300],
+                      file=sys.stderr)
 
         t0 = time.monotonic()
         with ThreadPoolExecutor(n_threads) as pool:
             list(pool.map(run_one, list(enumerate(names))))
         out["concurrent_wall_sec"] = round(time.monotonic() - t0, 3)
         out["concurrent_threads"] = n_threads
+        if conc_failed:
+            out["concurrent_failed"] = sorted(conc_failed)
         # pool workers are dead now; reclaim their scoped caches (the
         # per-thread registries would otherwise leak them for the rest
         # of the session)

@@ -180,3 +180,32 @@ def test_pack_manifest_reconstructs_packs(spark):
         for r in rows[:-1]:
             lastm = tuple(map(int, r.members[-1].split(":")))
             assert lastm[2] + lastm[3] >= _PACK_BUDGET
+
+
+def test_pack_manifest_budget_rides_the_frame(spark):
+    """pack_manifest derives its budget from pack_sequences' own
+    pack_budget column, so the spill arithmetic cannot silently desync
+    from the budget the packing ran with; a conflicting explicit
+    budget= is an error, a budget-free frame without the column is an
+    error, and an old frame without the column still works with an
+    explicit budget."""
+    import pytest
+    from agnostic_blockchain_etl_spark.operators.corpus import (
+        chunk, pack_manifest, pack_sequences)
+    docs = spark.createDataFrame(
+        [(i, "w " * 100) for i in range(20)], "doc_id long, text string")
+    packed = pack_sequences(chunk(docs), budget=256)
+    man = pack_manifest(packed).collect()          # budget from frame
+    for r in man:
+        parts = [tuple(map(int, m.split(":"))) for m in r.members]
+        last = parts[-1]
+        assert r.spill_tokens == max(last[2] + last[3] - 256, 0), r
+    assert pack_manifest(packed, budget=256).count() == len(man)
+    with pytest.raises(ValueError, match="conflicts"):
+        pack_manifest(packed, budget=128)
+    legacy = packed.drop("pack_budget")
+    with pytest.raises(ValueError, match="pack_budget"):
+        pack_manifest(legacy)
+    leg = {(r.shard, r.pack_id): r.spill_tokens
+           for r in pack_manifest(legacy, budget=256).collect()}
+    assert leg == {(r.shard, r.pack_id): r.spill_tokens for r in man}

@@ -452,3 +452,12 @@ def test_epoch_upsample_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="negative"):
         epoch_upsample(docs, {"en": -1.0})
+    # NaN must fail like negative (float('nan') < 0 is False; unguarded
+    # it would NULL the floor and silently zero the stratum's epochs)
+    with _pytest.raises(ValueError, match="NaN"):
+        epoch_upsample(docs, {"en": float("nan")})
+    # a corrupted PLAN FRAME fails the same way, not silently
+    bad_plan = spark.createDataFrame([("en", -1.0)],
+                                     "stratum string, rate double")
+    with _pytest.raises(ValueError, match="negative/NaN"):
+        epoch_upsample(docs.select("doc_id", "lang"), bad_plan)

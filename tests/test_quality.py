@@ -219,7 +219,8 @@ def test_quality_weighted_sample_semantics(spark):
     rows = ([(i, 1.0) for i in range(20)]            # always kept
             + [(100 + i, 0.0) for i in range(20)]    # never kept
             + [(200 + i, 0.5) for i in range(200)]   # probabilistic
-            + [(900, None), (901, 5.0), (902, -2.0)])
+            + [(900, None), (901, 5.0), (902, -2.0),
+               (903, float("nan"))])
     df = spark.createDataFrame(rows, "doc_id long, q_score double")
     out = quality_weighted_sample(df)
     assert out.count() == len(rows)                  # flag, don't drop
@@ -228,6 +229,9 @@ def test_quality_weighted_sample_semantics(spark):
     assert all(k[100 + i] == 0 for i in range(20))
     assert k[900] == 0                               # NULL -> keep 0
     assert k[901] == 1 and k[902] == 0               # clamped to 1 / 0
+    # NaN -> keep 0, NOT 1: Spark orders NaN above every double, so an
+    # unguarded clamp sends a 0/0-scored doc to keep-probability 1
+    assert k[903] == 0
     mid = sum(k[200 + i] for i in range(200))
     assert 0 < mid < 200                             # the u-draw binds
     # hand-check one boundary: keep == (u <= p)
