@@ -159,17 +159,9 @@ def dsir_sample(raw_docs: DataFrame, target_docs: DataFrame, k: int,
             .drop("__key"))
 
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 _GATE_B = 4096

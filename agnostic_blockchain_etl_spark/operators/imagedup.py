@@ -344,17 +344,9 @@ def curate_media(assets: DataFrame, max_hamming: int = _HAMMING_MAX,
 # Oracle-gate row: the banded-Hamming pair machinery under full value check
 # ---------------------------------------------------------------------------
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # Deterministic synthetic 64-bit perceptual-hash column over `documents`:

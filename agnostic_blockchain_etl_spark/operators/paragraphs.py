@@ -40,17 +40,9 @@ from pyspark.sql import functions as F
 
 from .dedup import _SQL_HASH60, _spark_hash60
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 def doc_paragraphs(docs: DataFrame, text_col: str = "text",

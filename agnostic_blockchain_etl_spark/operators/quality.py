@@ -244,17 +244,9 @@ def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
 
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # Fixed 16-bucket literal model for the gate: training is not

@@ -29,17 +29,9 @@ from pyspark.sql import functions as F
 
 from .tables import avg_units, load_tables
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # ---------------------------------------------------------------------------

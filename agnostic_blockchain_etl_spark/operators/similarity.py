@@ -28,17 +28,9 @@ from pyspark.sql import functions as F
 
 from .tables import load_tables
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 _N_QUERIES = 8        # vec_id < 8 are the query vectors

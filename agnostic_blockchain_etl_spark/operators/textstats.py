@@ -19,17 +19,9 @@ from pyspark.sql import functions as F
 from .pii import count_sql, pii_count, redact, redact_sql
 from .tables import load_tables, spread
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from .registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # shared building blocks --------------------------------------------------
