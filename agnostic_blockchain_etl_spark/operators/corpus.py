@@ -720,7 +720,8 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
                      strat_col: str = "lang", text_col: str = "text",
                      salt: str = "budget:",
                      n_buckets: int = 256,
-                     eligible_col: str | None = None) -> DataFrame:
+                     eligible_col: str | None = None,
+                     tokens_col: str | None = None) -> DataFrame:
     """EXACT per-stratum token-budget selection — "take N tokens of
     each language/domain" (the absolute-count companion to the
     mixture planners' proportional rates; compose them as plan rates
@@ -758,7 +759,13 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
     tokens to the running totals and always get ``budget_keep`` 0, so
     budgets cap only what upstream stages kept, with ZERO extra joins
     (the flag rides the same projection; see
-    `mixture.compose_corpus_mix`)."""
+    `mixture.compose_corpus_mix`).
+
+    ``tokens_col``: cap on a precomputed token-count column (real
+    tokenizer counts) instead of the whitespace default — resolved
+    through `mixture._token_expr`, the same definition the planners
+    use, so a plan-then-cap recipe can never disagree about what a
+    token is."""
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError(f"n_buckets must be a power of two,"
                          f" got {n_buckets}")
@@ -773,9 +780,9 @@ def token_budget_cap(docs: DataFrame, budget: int | dict[str, int],
     # token semantics single-sourced with the mixture planners (null
     # text counts 0), so "plan a mix, then cap its token budgets"
     # composes without drift
-    from .mixture import _n_tokens
+    from .mixture import _token_expr
     h = _salted_h60(salt)
-    tokens = _n_tokens(text_col).cast("long")
+    tokens = _token_expr(text_col, tokens_col)
     if eligible_col is not None:
         tokens = F.when(F.col(eligible_col) == 1, tokens) \
                   .otherwise(F.lit(0).cast("long"))

@@ -39,8 +39,25 @@ def _n_tokens(text_col: str):
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
 
 
+def _token_expr(text_col: str, tokens_col: str | None):
+    """The per-document token COST every composition stage shares:
+    whitespace count of ``text_col`` by default, or a caller-supplied
+    precomputed ``tokens_col`` (REAL tokenizer counts — e.g.
+    `bpe.bpe_encode` lengths persisted next to the text) when budgets
+    and mixes must be tokenizer-accurate rather than
+    whitespace-approximate. NULL costs 0 either way, and the whole
+    family (`stratum_counts`, both planners, `token_budget_cap`,
+    `compose_corpus_mix`) resolves through HERE, so a recipe that
+    plans on tokenizer counts caps on the same counts — no drift."""
+    if tokens_col is not None:
+        return F.coalesce(F.col(tokens_col).cast("long"),
+                          F.lit(0).cast("long"))
+    return _n_tokens(text_col).cast("long")
+
+
 def stratum_counts(docs: DataFrame, strat_col: str = "lang",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   tokens_col: str | None = None) -> DataFrame:
     """One corpus aggregation → the per-stratum ``(stratum, n_docs,
     n_tokens)`` table, materialized as a literal frame. The collect is
     bounded by stratum cardinality (a knob-free contract:
@@ -57,13 +74,16 @@ def stratum_counts(docs: DataFrame, strat_col: str = "lang",
     a provided ``counts=`` frame; that it was built over the SAME
     ``strat_col``/``text_col`` as the plan call is the caller's
     contract — a mismatched stratification is not detectable from the
-    frame."""
-    frame, _ = _stratum_counts(docs, strat_col, text_col)
+    frame. ``tokens_col``: plan on precomputed (tokenizer) token
+    counts instead of the whitespace default — see `_token_expr`."""
+    frame, _ = _stratum_counts(docs, strat_col, text_col,
+                               tokens_col=tokens_col)
     return frame
 
 
 def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str,
-                    counts: DataFrame | None = None):
+                    counts: DataFrame | None = None,
+                    tokens_col: str | None = None):
     """`stratum_counts` as ``(literal_frame, collected_rows)``; with
     ``counts`` given (a prior `stratum_counts` result — a bounded
     literal), skips the corpus aggregation and just re-collects the
@@ -80,7 +100,7 @@ def _stratum_counts(docs: DataFrame, strat_col: str, text_col: str,
                 f"{sorted(expected)}, got {sorted(counts.columns)}")
         rows = counts.collect()    # collecting a literal: no corpus scan
         return counts, rows
-    n_tokens = _n_tokens(text_col)
+    n_tokens = _token_expr(text_col, tokens_col)
     per = (docs
            .select(F.col(strat_col).alias("stratum"),
                    n_tokens.alias("t"))
@@ -95,7 +115,8 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
                     strat_col: str = "lang",
                     text_col: str = "text",
                     on_unsatisfiable: str = "raise",
-                    counts: DataFrame | None = None) -> DataFrame:
+                    counts: DataFrame | None = None,
+                    tokens_col: str | None = None) -> DataFrame:
     """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
     target_share, rate, kept_tokens)``. Strata absent from ``target``
     get rate 0 (dropped); target shares are normalized to sum to 1, so
@@ -120,7 +141,8 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
         raise ValueError(
             f"on_unsatisfiable must be 'raise' or 'ignore',"
             f" got {on_unsatisfiable!r}")
-    per, rows = _stratum_counts(docs, strat_col, text_col, counts)
+    per, rows = _stratum_counts(docs, strat_col, text_col, counts,
+                                tokens_col=tokens_col)
     supply = {r["stratum"]: r["n_tokens"] for r in rows}
     unsupplied = {s for s, v in target.items()
                   if v > 0 and supply.get(s, 0) <= 0}
@@ -166,7 +188,8 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
 def temperature_mixture(docs: DataFrame, alpha: float,
                         strat_col: str = "lang",
                         text_col: str = "text",
-                        counts: DataFrame | None = None) -> DataFrame:
+                        counts: DataFrame | None = None,
+                        tokens_col: str | None = None) -> DataFrame:
     """Temperature-based resampling rates (the multilingual pre-training
     practice of mBERT / XLM-R, Conneau et al. 2020: sample stratum s
     with probability ``q_s^alpha / Σ_t q_t^alpha`` where ``q_s`` is the
@@ -186,7 +209,8 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     `mixture_apply` gate row's temperature facet."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    per, _ = _stratum_counts(docs, strat_col, text_col, counts)
+    per, _ = _stratum_counts(docs, strat_col, text_col, counts,
+                             tokens_col=tokens_col)
     w = Window.partitionBy()
     # same ANSI-safe guards as mixture_weights: zero-token strata get
     # share/tgt/rate 0 instead of a DIVIDE_BY_ZERO ArithmeticException
@@ -227,7 +251,8 @@ def compose_corpus_mix(annotated: DataFrame,
                        text_col: str = "text",
                        keep_col: str = "keep",
                        on_unsatisfiable: str = "raise",
-                       persist: bool = False
+                       persist: bool = False,
+                       tokens_col: str | None = None
                        ) -> tuple[DataFrame, DataFrame]:
     """The COMPOSITION phase after curation: given `curate_corpus`'s
     annotated frame (or any frame with ``doc_id``/``text``/strata and a
@@ -258,15 +283,23 @@ def compose_corpus_mix(annotated: DataFrame,
     the corpus is never shuffled on a data-sized key. ``persist=True``
     caches the annotated frame at the phase boundary so consuming both
     the report AND the output runs the pipeline once (multi-action
-    rule; at 100 TB prefer writing the output to parquet)."""
+    rule; at 100 TB prefer writing the output to parquet).
+
+    ``tokens_col``: run the WHOLE phase — plan shares, budget caps,
+    realized report — on a precomputed token-count column (real
+    tokenizer counts, e.g. `bpe.bpe_encode` lengths) instead of the
+    whitespace default; one definition end-to-end (`_token_expr`), so
+    the plan and the cap can never disagree about what a token is."""
     if target is not None and alpha is not None:
         raise ValueError("pass target= or alpha=, not both (chain two "
                          "compose calls to stack regimes)")
     out = annotated
     if target is not None or alpha is not None:
+        cost_col = tokens_col if tokens_col is not None else text_col
         survivors = out.where(F.col(keep_col) == 1) \
-                       .select("doc_id", strat_col, text_col)
-        counts = stratum_counts(survivors, strat_col, text_col)
+                       .select("doc_id", strat_col, cost_col)
+        counts = stratum_counts(survivors, strat_col, text_col,
+                                tokens_col=tokens_col)
         plan = (mixture_weights(survivors, target, strat_col=strat_col,
                                 text_col=text_col,
                                 on_unsatisfiable=on_unsatisfiable,
@@ -284,7 +317,8 @@ def compose_corpus_mix(annotated: DataFrame,
     if token_budgets is not None:
         from .corpus import token_budget_cap
         out = token_budget_cap(out, token_budgets, strat_col=strat_col,
-                               text_col=text_col, eligible_col="__elig")
+                               text_col=text_col, eligible_col="__elig",
+                               tokens_col=tokens_col)
     else:
         out = out.withColumn("budget_keep", F.col("__elig"))
     out = (out.withColumn("final_keep",
@@ -305,7 +339,7 @@ def compose_corpus_mix(annotated: DataFrame,
     realized = (out.groupBy(F.col(strat_col).alias("stratum"))
                 .agg(F.sum("final_keep").alias("n_final"),
                      F.sum(F.when(F.col("final_keep") == 1,
-                                  _n_tokens(text_col))
+                                  _token_expr(text_col, tokens_col))
                            .otherwise(F.lit(0))).cast("long")
                      .alias("final_tokens")))
     report = realized if plan is None else \

@@ -461,3 +461,50 @@ def test_epoch_upsample_semantics(spark):
                                      "stratum string, rate double")
     with _pytest.raises(ValueError, match="negative/NaN"):
         epoch_upsample(docs.select("doc_id", "lang"), bad_plan)
+
+
+def test_tokens_col_threads_the_whole_composition(spark):
+    """tokens_col: planning, capping, and the realized report all run
+    on a precomputed (tokenizer) token column through one definition —
+    a corpus whose n_bpe column equals another corpus's whitespace
+    counts composes IDENTICALLY (flags and report), and NULL counts
+    cost 0 like NULL text."""
+    from agnostic_blockchain_etl_spark.operators.corpus import (
+        token_budget_cap)
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        compose_corpus_mix, mixture_weights)
+    from pyspark.sql import functions as F
+    rows = [(i, ["en", "es"][i % 2], 3 + i % 5) for i in range(120)]
+    rows += [(900, "en", None)]                    # NULL count: 0 cost
+    # frame A: real text whose whitespace count == n_bpe; frame B: the
+    # counts alone (text deliberately garbage — must be ignored)
+    a = spark.createDataFrame(
+        [(i, lang, None if n is None else " ".join(["w"] * n), 1)
+         for i, lang, n in rows],
+        "doc_id long, lang string, text string, keep int")
+    b = spark.createDataFrame(
+        [(i, lang, "XXX", n, 1) for i, lang, n in rows],
+        "doc_id long, lang string, text string, n_bpe long, keep int")
+    pa = {r.stratum: r for r in mixture_weights(
+        a, {"en": 2, "es": 1}).collect()}
+    pb = {r.stratum: r for r in mixture_weights(
+        b, {"en": 2, "es": 1}, tokens_col="n_bpe").collect()}
+    assert {s: (p.n_tokens, p.rate) for s, p in pa.items()} \
+        == {s: (p.n_tokens, p.rate) for s, p in pb.items()}
+    ka = {r.doc_id: r.budget_keep for r in
+          token_budget_cap(a, {"en": 100, "es": 80}).collect()}
+    kb = {r.doc_id: r.budget_keep for r in
+          token_budget_cap(b, {"en": 100, "es": 80},
+                           tokens_col="n_bpe").collect()}
+    assert ka == kb and 0 < sum(ka.values()) < len(ka)
+    ca, ra = compose_corpus_mix(a, target={"en": 2, "es": 1},
+                                token_budgets=90)
+    cb, rb = compose_corpus_mix(b, target={"en": 2, "es": 1},
+                                token_budgets=90, tokens_col="n_bpe")
+    fa = {r.doc_id: r.final_keep for r in ca.collect()}
+    fb = {r.doc_id: r.final_keep for r in cb.collect()}
+    assert fa == fb
+    assert ({r.stratum: (r.n_final, r.final_tokens)
+             for r in ra.collect()}
+            == {r.stratum: (r.n_final, r.final_tokens)
+                for r in rb.collect()})
