@@ -60,11 +60,15 @@ def _all_modules():
 #                       epoch-repetition pass (copies + epoch index)
 #   pack_manifest_rollup r10 addition: per-pack loader manifest
 #                       (offset-ordered member lists, spill tokens)
+#   bloom_dedup_probe   r10 addition: Bloom-filter membership dedup —
+#                       build (bit_or) + zero-shuffle literal probe vs
+#                       DuckDB's join-form twin, FPs pinned bit-exact
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
-                "epoch_upsample", "pack_manifest_rollup"]
+                "epoch_upsample", "pack_manifest_rollup",
+                "bloom_dedup_probe"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

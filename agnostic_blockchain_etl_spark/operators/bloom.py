@@ -1,0 +1,341 @@
+"""Bloom-filter exact dedup — the memory-bounded membership path for
+corpus-scale "have I seen this content before?" (the CCNet/Dolma-style
+production shape: at 100 TB a digest store is itself corpus-sized and
+every probe is a shuffle join; a Bloom filter compresses membership to
+a FIXED m-bit array so the probe becomes a scan-local bit test with
+zero shuffle and zero join — at the documented price of a bounded
+false-positive rate, i.e. a novel document is occasionally mistaken
+for a duplicate, while a true duplicate is NEVER missed).
+
+Layout: the filter is ``m_words`` 60-bit words. 60 bits — not 64 —
+so bit 63 is never set and every mask/`bit_or`/`&` stays in positive
+signed-long territory on BOTH engines (Spark longs and DuckDB BIGINTs
+are signed; parking the algebra below the sign bit is what makes the
+DuckDB oracle twin exact, same dodge as `corpus._salted_h60`'s 60-bit
+hashes). The k bit positions of a key are independent salted md5
+nibble hashes mod ``60 * m_words`` — pure functions of the content
+key, so filters built on different engines, partitionings, or days
+are bit-identical and mergeable with a word-wise OR.
+
+Content keys follow `incremental.digest_store`'s rule exactly
+(md5(text); null text keys per-doc as ``null:<doc_id>`` so
+metadata-only rows are nobody's duplicate — the `_null_safe_key`
+contract of streaming/dedup.py).
+
+Scale shapes:
+- **build** — per-row hashing, explode k positions, one map-side
+  combined shuffle onto ≤ ``m_words`` keys (the aggregate rows are the
+  FILTER WORDS, not documents — partial `bit_or` makes the shuffle a
+  few KB per task regardless of corpus size);
+- **probe** — the filter collects to ``m_words`` longs (bounded by the
+  knob, NEVER by data) and is inlined as an array literal: each row
+  does k array lookups + bit tests inside whole-stage codegen. Zero
+  shuffle, zero join — the Dolma daily-dedup shape. For filters too
+  big to inline (beyond ~10^8 bits) `bloom_probe_join` keeps the
+  filter distributed and probes via a broadcast join instead;
+- **day-N** — `incremental_bloom_dedup` mirrors
+  `incremental.incremental_exact_dedup`'s ``(annotated, updated
+  store)`` contract with the filter frame as the store: the store is
+  ≤ m_words rows FOREVER (vs. one digest per retained doc), which is
+  the whole point at 100 TB.
+
+Reference: the reference system has no Bloom operator (its Replacing
+dedup is key-exact); this module is part of the LLM-data-pipeline
+mandate (SURVEY.md "beyond the reference" §2-LLM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import make_registry
+from .tables import load_tables
+
+QUERIES, ORACLES, query = make_registry()
+
+BITS_PER_WORD = 60          # sign-safe word width (see module docstring)
+_DEFAULT_M_WORDS = 256      # 15_360 bits — gate-sized; knob up at scale
+_DEFAULT_K = 5
+
+
+def bloom_content_key(text_col: str = "text",
+                      id_col: str = "doc_id") -> Column:
+    """`incremental.digest_store`'s key rule as a Column expression:
+    md5 of the text bytes, with null text keyed per-doc
+    (``null:<doc_id>``) so metadata-only rows never alias each other
+    (and a NULL key can never poison the position hashes)."""
+    return F.coalesce(
+        F.md5(F.col(text_col).cast("binary")),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+
+
+def _keyed_h60(salt: str, key: Column) -> Column:
+    """60-bit salted md5 hash of an arbitrary key column — the
+    `corpus._salted_h60` primitive generalized from doc_id to content
+    keys (15 hex nibbles via conv(); positive, version-stable on both
+    engines — see `corpus._sql_salted_h60`'s DuckDB-cast war story)."""
+    h = F.md5(F.concat(F.lit(salt), key).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _sql_keyed_h60(salt_sql: str, key_sql: str) -> str:
+    """DuckDB twin of `_keyed_h60` (nibble arithmetic, never a hex
+    CAST): ``salt_sql``/``key_sql`` are SQL string expressions."""
+    return ("CAST(list_sum(list_transform(generate_series(1, 15), "
+            f"j -> (strpos('0123456789abcdef', substr(md5({salt_sql} || "
+            f"{key_sql}), j, 1)) - 1)::BIGINT"
+            " << (4 * (15 - j)))) AS BIGINT)")
+
+
+def _mask(bit: Column) -> Column:
+    """``shiftleft(1L, bit)`` with a COLUMN shift count (the Python
+    wrapper `F.shiftleft` only takes an int literal; the SQL function
+    takes any int expression and stays in codegen)."""
+    return F.call_function("shiftleft",
+                           F.lit(1).cast("long"), bit.cast("int"))
+
+
+def _position_structs(key: Column, m_words: int, k: int,
+                      salt: str) -> Column:
+    """Array of k ``(word, bit)`` structs for a key — shared by the
+    build and the join probe (the literal probe inlines the same
+    algebra column-wise instead of exploding)."""
+    m_bits = m_words * BITS_PER_WORD
+    structs = []
+    for i in range(k):
+        h = _keyed_h60(f"{salt}{i}:", key) % m_bits
+        structs.append(F.struct(
+            (h / BITS_PER_WORD).cast("int").alias("word"),
+            (h % BITS_PER_WORD).cast("int").alias("bit")))
+    return F.array(*structs)
+
+
+def _check_params(m_words: int, k: int) -> None:
+    if m_words <= 0 or k <= 0:
+        raise ValueError(f"m_words/k must be positive, got {m_words}/{k}")
+
+
+def bloom_build(docs: DataFrame, *, m_words: int = _DEFAULT_M_WORDS,
+                k: int = _DEFAULT_K, key_col: str | None = None,
+                text_col: str = "text", id_col: str = "doc_id",
+                salt: str = "bloom:") -> DataFrame:
+    """Distributed filter build: ``(word int, bits long)``, one row per
+    word that has at least one bit set (missing word ≡ 0). The shuffle
+    is keyed on ≤ ``m_words`` word indices with map-side partial
+    `bit_or`, so its size is bounded by the knob, not the corpus."""
+    _check_params(m_words, k)
+    key = F.col(key_col) if key_col else bloom_content_key(text_col, id_col)
+    pairs = (docs
+             .select(F.explode(_position_structs(key, m_words, k, salt))
+                     .alias("p"))
+             .select("p.word", _mask(F.col("p.bit")).alias("mask")))
+    return pairs.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_filter_array(filt: DataFrame, m_words: int) -> list[int]:
+    """Densify a filter frame to ``m_words`` Python ints (index =
+    word, unset words 0). The collect is bounded by the m_words knob —
+    never by data — same contract as the IVF codebook collects."""
+    arr = [0] * m_words
+    for row in filt.collect():            # ≤ m_words rows by construction
+        arr[row["word"]] = row["bits"]
+    return arr
+
+
+def bloom_probe(docs: DataFrame, filter_array: list[int], *,
+                m_words: int = _DEFAULT_M_WORDS, k: int = _DEFAULT_K,
+                key_col: str | None = None, text_col: str = "text",
+                id_col: str = "doc_id", salt: str = "bloom:",
+                out_col: str = "bloom_hit") -> DataFrame:
+    """Scan-local probe: k array lookups + bit tests per row against
+    the inlined filter literal — zero shuffle, zero join, whole-stage
+    codegen; all input columns ride through. ``out_col`` is 1 iff
+    every one of the k bits is set ("maybe seen"); a key that went
+    into the build ALWAYS probes 1 (no false negatives — pinned by
+    test_bloom.py)."""
+    _check_params(m_words, k)
+    if len(filter_array) != m_words:
+        raise ValueError(f"filter_array has {len(filter_array)} words, "
+                         f"expected m_words={m_words}")
+    key = F.col(key_col) if key_col else bloom_content_key(text_col, id_col)
+    m_bits = m_words * BITS_PER_WORD
+    lit_arr = F.lit(filter_array).cast("array<long>")
+    hit = F.lit(True)
+    for i in range(k):
+        h = _keyed_h60(f"{salt}{i}:", key) % m_bits
+        word = (h / BITS_PER_WORD).cast("int")
+        mask = _mask(h % BITS_PER_WORD)
+        # F.get is 0-based; dense array -> never null, unset word = 0
+        hit = hit & (F.get(lit_arr, word).bitwiseAND(mask) == mask)
+    return docs.withColumn(out_col, hit.cast("int"))
+
+
+def bloom_probe_join(docs: DataFrame, filt: DataFrame, *,
+                     m_words: int = _DEFAULT_M_WORDS,
+                     k: int = _DEFAULT_K, key_col: str | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     salt: str = "bloom:",
+                     out_col: str = "bloom_hit") -> DataFrame:
+    """Probe form for filters too large to inline as a literal (the
+    filter frame stays distributed; broadcast-joined on the word
+    index): returns ``(id_col, out_col)`` — value-identical to
+    `bloom_probe` (pinned by test_bloom.py's equality test), at the
+    cost of one explode + broadcast join + per-doc min."""
+    _check_params(m_words, k)
+    key = F.col(key_col) if key_col else bloom_content_key(text_col, id_col)
+    pairs = (docs
+             .select(F.col(id_col),
+                     F.explode(_position_structs(key, m_words, k, salt))
+                     .alias("p"))
+             .select(id_col, "p.word", _mask(F.col("p.bit")).alias("mask")))
+    probed = (pairs.join(F.broadcast(filt), "word", "left")
+              .withColumn("__hit",
+                          (F.coalesce(F.col("bits"), F.lit(0))
+                           .bitwiseAND(F.col("mask")) == F.col("mask"))
+                          .cast("int")))
+    return (probed.groupBy(id_col)
+            .agg(F.min("__hit").cast("int").alias(out_col)))
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two filters built with the same (m_words, k, salt):
+    word-wise OR. Filters are mergeable because positions are pure
+    hashes — day-1 ∪ day-2 equals one build over the union of the
+    keys (pinned by test_bloom.py)."""
+    return (a.unionByName(b).groupBy("word")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_stats(filt: DataFrame, *, m_words: int = _DEFAULT_M_WORDS,
+                k: int = _DEFAULT_K) -> dict:
+    """Saturation report (driver-side, one tiny agg over ≤ m_words
+    rows): bits set, fill ratio, and the implied false-positive rate
+    ``fill^k`` — the number to watch before a day-N filter needs a
+    rebuild at larger m (the Dolma resize rule)."""
+    row = filt.select(
+        F.sum(F.bit_count("bits")).alias("set_bits")).collect()[0]
+    set_bits = int(row["set_bits"] or 0)
+    m_bits = m_words * BITS_PER_WORD
+    fill = set_bits / m_bits
+    return {"m_bits": m_bits, "k": k, "set_bits": set_bits,
+            "fill": fill, "fpr_estimate": fill ** k}
+
+
+def incremental_bloom_dedup(new_docs: DataFrame, filt: DataFrame, *,
+                            m_words: int = _DEFAULT_M_WORDS,
+                            k: int = _DEFAULT_K,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            salt: str = "bloom:"
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Day-N exact first-seen dedup against a Bloom store — the
+    bounded-memory twin of `incremental.incremental_exact_dedup`
+    (same ``(annotated, updated_store)`` contract; the store here is
+    the FILTER frame, ≤ m_words rows forever). A doc keeps iff its key
+    misses history's filter AND it is the batch's canonical (lowest
+    ``id_col``) for that key; the returned filter ORs in the kept
+    docs' bits, so replaying the batch is idempotent at the store
+    level. Documented tradeoff vs. the digest store: a false positive
+    (rate ≈ `bloom_stats`'s ``fill^k``) drops a genuinely novel doc;
+    duplicates are never admitted (no false negatives)."""
+    key = bloom_content_key(text_col, id_col)
+    keyed = new_docs.select(F.col(id_col), key.alias("__ck"))
+    arr = bloom_filter_array(filt, m_words)
+    probed = bloom_probe(keyed, arr, m_words=m_words, k=k,
+                         key_col="__ck", salt=salt, out_col="bloom_hit")
+    canon = keyed.groupBy("__ck").agg(F.min(id_col).alias("__canon"))
+    annotated = (probed.join(canon, "__ck")
+                 .withColumn("keep",
+                             ((F.col("bloom_hit") == 0)
+                              & (F.col(id_col) == F.col("__canon")))
+                             .cast("int"))
+                 .select(id_col, F.col("__ck").alias("content_key"),
+                         "bloom_hit", "keep"))
+    kept_bits = bloom_build(
+        annotated.where(F.col("keep") == 1)
+        .select(F.col("content_key").alias("__ck")),
+        m_words=m_words, k=k, key_col="__ck", salt=salt)
+    return annotated, bloom_union(filt, kept_bits)
+
+
+# ---------------------------------------------------------------------------
+# Gate query + DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_GM = _DEFAULT_M_WORDS          # gate filter geometry
+_GK = _DEFAULT_K
+_GM_BITS = _GM * BITS_PER_WORD
+
+_SQL_CK = ("CASE WHEN text IS NULL THEN 'null:' || CAST(doc_id AS VARCHAR) "
+           "ELSE md5(text) END")
+_SQL_H = _sql_keyed_h60("'bloom:' || CAST(i.i AS VARCHAR) || ':'", "k.ck")
+
+
+@query("bloom_dedup_probe", oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 29 = 0 THEN NULL ELSE text END AS text
+        FROM documents),
+    keys AS (
+        SELECT doc_id, {_SQL_CK} AS ck,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS in_ref
+        FROM d),
+    pos AS (
+        SELECT k.doc_id, k.in_ref,
+               (({_SQL_H}) % {_GM_BITS}) // {BITS_PER_WORD}      AS w,
+               CAST(1 AS BIGINT)
+                   << CAST(({_SQL_H}) % {BITS_PER_WORD} AS INT)  AS mask
+        FROM keys k, (SELECT unnest(generate_series(0, {_GK - 1})) AS i) i),
+    filt AS (
+        SELECT w, bit_or(mask) AS bits FROM pos
+        WHERE in_ref = 1 GROUP BY w),
+    probe AS (
+        SELECT p.doc_id,
+               CASE WHEN f.bits IS NOT NULL
+                         AND (f.bits & p.mask) = p.mask
+                    THEN 1 ELSE 0 END AS hit
+        FROM pos p LEFT JOIN filt f USING (w)),
+    agg AS (SELECT doc_id, CAST(MIN(hit) AS INT) AS bloom_hit
+            FROM probe GROUP BY doc_id)
+    SELECT k.doc_id, k.in_ref, a.bloom_hit,
+           CASE WHEN k.ck IN (SELECT ck FROM keys WHERE in_ref = 1)
+                THEN 1 ELSE 0 END AS exact_hit
+    FROM keys k JOIN agg a USING (doc_id)
+""")
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the Bloom family: build the filter over a
+    reference slice (every 3rd doc), probe the WHOLE corpus through
+    the zero-shuffle literal probe, and emit per-doc ``bloom_hit``
+    next to ground-truth ``exact_hit`` (digest membership) — so the
+    value oracle pins the entire bit algebra (keyed hashing, 60-bit
+    word layout, bit_or build, literal probe) against DuckDB's
+    independent formulation, INCLUDING the filter's false positives,
+    bit for bit. Every 29th doc's text is nulled so the
+    ``null:<doc_id>`` key rule runs under the oracle (a null-text doc
+    in the reference hits — same doc, same key — but never aliases
+    another null-text doc). The DuckDB twin probes via the JOIN form;
+    value equality across the two probe shapes is exactly what makes
+    the pair meaningful. Registered PAST the driver's 50-slot window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 29 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("text")).alias("text"))
+    keyed = d.select(
+        "doc_id", bloom_content_key().alias("ck"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("in_ref"))
+    ref = keyed.where(F.col("in_ref") == 1)
+    filt = bloom_build(ref, m_words=_GM, k=_GK, key_col="ck")
+    arr = bloom_filter_array(filt, _GM)
+    probed = bloom_probe(keyed, arr, m_words=_GM, k=_GK, key_col="ck")
+    # ground-truth column: digest-store membership (the thing the
+    # filter approximates) — a data-sized join kept OUT of the scale
+    # path on purpose; it exists so the oracle can certify both the
+    # no-false-negative side and the exact FP set
+    exact = ref.select(F.col("ck").alias("__rk")).distinct()
+    return (probed.join(exact, probed["ck"] == F.col("__rk"), "left")
+            .select("doc_id", "in_ref", "bloom_hit",
+                    F.when(F.col("__rk").isNotNull(), 1).otherwise(0)
+                     .alias("exact_hit")))

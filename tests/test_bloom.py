@@ -1,0 +1,169 @@
+"""Bloom-filter dedup family (`operators/bloom.py`): the probabilistic
+contract (no false negatives EVER; false positives bounded and
+deterministic), the two probe shapes' value equality, filter
+mergeability, and the day-N incremental store lifecycle.
+
+The cross-engine bit algebra itself is pinned by the registered
+`bloom_dedup_probe` oracle pair; these tests pin the properties the
+oracle can't express (quantified "never", shape equalities, store
+round-trips)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.bloom import (  # noqa: E402
+    BITS_PER_WORD, bloom_build, bloom_content_key, bloom_filter_array,
+    bloom_probe, bloom_probe_join, bloom_stats, bloom_union,
+    incremental_bloom_dedup)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+_M, _K = 64, 4          # small filter so saturation/FPs are exercised
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    return load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "text")
+
+
+class TestBloomContract:
+    def test_no_false_negatives_ever(self, spark, docs):
+        """Every key that went into the build probes 1 — even on a
+        deliberately saturated (tiny) filter where FPs abound."""
+        filt = bloom_build(docs, m_words=_M, k=_K)
+        arr = bloom_filter_array(filt, _M)
+        probed = bloom_probe(docs, arr, m_words=_M, k=_K)
+        assert probed.where(F.col("bloom_hit") == 0).count() == 0
+
+    def test_false_positive_rate_tracks_estimate(self, spark, docs):
+        """Probing DISJOINT keys (different salt prefix on the text)
+        yields an observed FP rate within a loose band of the
+        fill^k estimate (deterministic, but the bound is the spec)."""
+        filt = bloom_build(docs, m_words=_M, k=_K)
+        arr = bloom_filter_array(filt, _M)
+        est = bloom_stats(filt, m_words=_M, k=_K)["fpr_estimate"]
+        other = docs.select(
+            "doc_id",
+            F.concat(F.lit("~other~"), F.col("text")).alias("text"))
+        n = other.count()
+        fps = (bloom_probe(other, arr, m_words=_M, k=_K)
+               .where(F.col("bloom_hit") == 1).count())
+        assert fps / n <= max(5 * est, 0.02), (fps, n, est)
+
+    def test_probe_shapes_agree(self, spark, docs):
+        """Literal (zero-shuffle) probe == join-form probe, row for
+        row — the big-filter escape hatch computes the same set."""
+        ref = docs.where(F.col("doc_id") % 2 == 0)
+        filt = bloom_build(ref, m_words=_M, k=_K)
+        arr = bloom_filter_array(filt, _M)
+        a = (bloom_probe(docs, arr, m_words=_M, k=_K)
+             .select("doc_id", "bloom_hit"))
+        b = bloom_probe_join(docs, filt, m_words=_M, k=_K)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_union_equals_joint_build(self, spark, docs):
+        """bit_or merge of two day-filters == one build over both
+        days' keys (mergeability is what makes the store incremental)."""
+        d1 = docs.where(F.col("doc_id") % 2 == 0)
+        d2 = docs.where(F.col("doc_id") % 2 == 1)
+        merged = bloom_union(bloom_build(d1, m_words=_M, k=_K),
+                             bloom_build(d2, m_words=_M, k=_K))
+        joint = bloom_build(docs, m_words=_M, k=_K)
+        assert merged.exceptAll(joint).count() == 0
+        assert joint.exceptAll(merged).count() == 0
+
+    def test_null_text_keys_per_doc(self, spark):
+        """digest_store's null rule: two metadata-only docs never
+        alias each other; the same doc re-probed hits."""
+        a = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+        filt = bloom_build(a.where("doc_id = 1"), m_words=_M, k=_K)
+        arr = bloom_filter_array(filt, _M)
+        out = {r["doc_id"]: r["bloom_hit"]
+               for r in bloom_probe(a, arr, m_words=_M, k=_K).collect()}
+        assert out[1] == 1          # same doc, same null:<id> key
+        assert out[2] == 0          # different metadata-only doc
+
+
+class TestIncrementalBloom:
+    def test_day2_lifecycle(self, spark, docs):
+        """Day-1 builds the store; day-2's exact dups of day-1 are
+        flagged, novel docs keep, within-batch dups keep one (lowest
+        doc_id), and replaying day-2 against the updated store admits
+        nothing."""
+        day1 = docs.where(F.col("doc_id") % 3 == 0)
+        empty = bloom_build(day1.limit(0), m_words=256, k=5)
+        ann1, store = incremental_bloom_dedup(day1, empty,
+                                              m_words=256, k=5)
+        assert ann1.where("keep = 0").count() == 0  # distinct texts
+        # day-2: one exact dup of a day-1 doc, one novel doc, and an
+        # in-batch duplicate pair
+        src = day1.limit(1).collect()[0]
+        day2 = spark.createDataFrame(
+            [(10**9 + 1, src["text"]),          # dup of history
+             (10**9 + 2, "a genuinely novel document"),
+             (10**9 + 3, "twin text"), (10**9 + 4, "twin text")],
+            "doc_id long, text string")
+        ann2, store2 = incremental_bloom_dedup(day2, store,
+                                               m_words=256, k=5)
+        got = {r["doc_id"]: (r["bloom_hit"], r["keep"])
+               for r in ann2.collect()}
+        assert got[10**9 + 1] == (1, 0)          # history dup flagged
+        assert got[10**9 + 2][1] == 1            # novel kept
+        assert got[10**9 + 3][1] == 1            # batch canonical
+        assert got[10**9 + 4] == (0, 0)          # in-batch dup dropped
+        # replay: everything day-2 kept is now in the store
+        ann3, _ = incremental_bloom_dedup(day2, store2, m_words=256, k=5)
+        assert ann3.where("keep = 1").count() == 0
+
+    def test_store_stays_bounded(self, spark, docs):
+        """The store never exceeds m_words rows no matter how many
+        batches fold in — the whole point vs. a digest store."""
+        empty = bloom_build(docs.limit(0), m_words=_M, k=_K)
+        store = empty
+        for third in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == third)
+            _, store = incremental_bloom_dedup(batch, store,
+                                               m_words=_M, k=_K)
+        assert store.count() <= _M
+
+    def test_stats_report(self, spark, docs):
+        filt = bloom_build(docs, m_words=_M, k=_K)
+        s = bloom_stats(filt, m_words=_M, k=_K)
+        assert 0 < s["set_bits"] <= _M * BITS_PER_WORD
+        assert 0 < s["fill"] <= 1 and 0 < s["fpr_estimate"] <= 1
+
+    def test_param_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            bloom_build(docs, m_words=0, k=3)
+        filt = bloom_build(docs, m_words=_M, k=_K)
+        with pytest.raises(ValueError):
+            bloom_probe(docs, bloom_filter_array(filt, _M),
+                        m_words=_M * 2, k=_K)
+
+
+class TestBloomPlanShape:
+    def test_literal_probe_is_scan_local(self, spark, docs):
+        """The zero-shuffle claim, pinned: the literal probe's plan
+        has no Exchange and no Join below the scan projection."""
+        filt = bloom_build(docs, m_words=_M, k=_K)
+        arr = bloom_filter_array(filt, _M)
+        plan = (bloom_probe(docs, arr, m_words=_M, k=_K)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
