@@ -276,6 +276,36 @@ def _extra_probes() -> dict:
                 s, store, out, ckpt, cap=100, compact_every=2,
                 prune_after_compact=True))
 
+    def p_bloom_day3(spark, sf):
+        # Day-N lifecycle of the Bloom membership store (the bounded-
+        # memory exact-dedup path): day-0 filter over half the corpus,
+        # two incremental batches with the filter persisted/re-read as
+        # parquet between days (the production contract), then a day-3
+        # batch that REPLAYS day-1 plus planted history dups — so the
+        # timed number covers build shuffle, per-day filter round-trip,
+        # the bounded collect + literal probe, and the bit_or merge.
+        from agnostic_blockchain_etl_spark.operators import (
+            bloom_build, incremental_bloom_dedup)
+        base = "/tmp/x_bloom_day3_" + os.path.basename(sf.rstrip("/"))
+        d = _docs(spark, sf).select("doc_id", "text")
+        hist = d.where(F.col("doc_id") % 2 == 0)
+        b1 = d.where(F.col("doc_id") % 8 == 1)
+        b2 = d.where(F.col("doc_id") % 8 == 3)
+        M, K = 1024, 7
+
+        def _persist(df, name):
+            df.write.mode("overwrite").parquet(f"{base}/{name}")
+            return spark.read.parquet(f"{base}/{name}")
+
+        filt = _persist(bloom_build(hist, m_words=M, k=K), "f0")
+        _, filt = incremental_bloom_dedup(b1, filt, m_words=M, k=K)
+        filt = _persist(filt, "f1")
+        _, filt = incremental_bloom_dedup(b2, filt, m_words=M, k=K)
+        filt = _persist(filt, "f2")
+        day3 = b1.unionByName(hist.limit(200))   # replay + history dups
+        ann3, _ = incremental_bloom_dedup(day3, filt, m_words=M, k=K)
+        return ann3
+
     def p_ivf_search(spark, sf):
         from agnostic_blockchain_etl_spark.operators import (ivf_search,
                                                              ivf_train)
@@ -299,6 +329,7 @@ def _extra_probes() -> dict:
             "x_incremental_paragraphs": p_incremental_paragraphs,
             "x_quality_train_score": p_quality_train_score,
             "x_shard_assign": p_shard_assign,
+            "x_bloom_day3": p_bloom_day3,
             "x_neardup_stream_day3": p_neardup_stream_day3,
             "x_paragraph_stream_day3": p_paragraph_stream_day3,
             "x_sourcecap_stream_day3": p_sourcecap_stream_day3}
