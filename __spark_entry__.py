@@ -67,12 +67,16 @@ def _all_modules():
 #   training_order_global r10 addition: reproducible corpus shuffle +
 #                       source-interleaved order (two-level bucketed
 #                       ranks vs the naive one-level windows)
+#   stratified_split_exact r10 addition: exact-count per-stratum
+#                       val/test carving incl. the short-stratum fill
+#                       boundary, vs the naive per-stratum window
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
                 "epoch_upsample", "pack_manifest_rollup",
-                "bloom_dedup_probe", "training_order_global"]
+                "bloom_dedup_probe", "training_order_global",
+                "stratified_split_exact"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -43,7 +43,8 @@ from .tables import load_tables
 from .mixture import (apply_mixture_rates, compose_corpus_mix,
                       epoch_upsample, mixture_weights,
                       stratum_counts, temperature_mixture)
-from .ordering import global_order_index, interleaved_order_index
+from .ordering import (global_order_index, interleaved_order_index,
+                       stratified_split_exact)
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)

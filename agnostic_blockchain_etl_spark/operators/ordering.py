@@ -86,6 +86,36 @@ def global_order_index(docs: DataFrame, *, salt: str = "order:",
     return out.drop("__h")
 
 
+def _grouped_rank(docs: DataFrame, group_col: str, salt: str,
+                  n_buckets: int, id_col: str,
+                  rank_col: str) -> DataFrame:
+    """Exact within-group rank in salted hash order WITHOUT whole-group
+    window partitions: per-(group, bucket) counts give per-group
+    offsets (a ≤ |groups|×n_buckets summary — the `token_budget_cap`
+    shape), and row ranks partition by (group, bucket). A NULL group
+    is a group like any other (null-safe offsets join)."""
+    from .corpus import _salted_h60
+    shift = 60 - n_buckets.bit_length() + 1
+    d = docs.withColumn("__h", _salted_h60(salt)) \
+            .withColumn("__bk", F.shiftright("__h", shift).cast("int"))
+    counts = (d.groupBy(F.col(group_col).alias("__g"), "__bk")
+              .agg(F.count("*").alias("__c")))
+    wg = Window.partitionBy("__g").orderBy("__bk") \
+               .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__g", F.col("__bk").alias("__ob"),
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__off"))
+    wrow = Window.partitionBy(group_col, "__bk") \
+                 .orderBy("__h", id_col)
+    return (d.join(F.broadcast(offsets),
+                   F.col(group_col).eqNullSafe(F.col("__g"))
+                   & (F.col("__bk") == F.col("__ob")))
+            .withColumn(rank_col,
+                        (F.col("__off") + F.row_number().over(wrow))
+                        .cast("long"))
+            .drop("__bk", "__ob", "__g", "__off", "__h"))
+
+
 def interleaved_order_index(docs: DataFrame, *,
                             group_col: str = "source",
                             salt: str = "ilv:",
@@ -111,32 +141,55 @@ def interleaved_order_index(docs: DataFrame, *,
     A NULL group is a group like any other (null-safe keys, matching
     the composition family's NULL-stratum tolerance)."""
     _check_buckets(n_buckets)
-    from .corpus import _salted_h60
-    shift = 60 - n_buckets.bit_length() + 1
-    d = docs.withColumn("__h", _salted_h60(salt)) \
-            .withColumn("__bk", F.shiftright("__h", shift).cast("int"))
-    counts = (d.groupBy(F.col(group_col).alias("__g"), "__bk")
-              .agg(F.count("*").alias("__c")))
-    wg = Window.partitionBy("__g").orderBy("__bk") \
-               .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__g", F.col("__bk").alias("__ob"),
-        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__off"))
-    wrow = Window.partitionBy(group_col, "__bk") \
-                 .orderBy("__h", id_col)
-    ranked = (d.join(F.broadcast(offsets),
-                     F.col(group_col).eqNullSafe(F.col("__g"))
-                     & (F.col("__bk") == F.col("__ob")))
-              .withColumn(rank_col,
-                          (F.col("__off") + F.row_number().over(wrow))
-                          .cast("long"))
-              .drop("__bk", "__ob", "__g", "__off", "__h"))
+    ranked = _grouped_rank(docs, group_col, salt, n_buckets, id_col,
+                           rank_col)
     max_r = ranked.agg(F.max(rank_col)).collect()[0][0] or 1  # 1-row
     bucket2 = ((F.col(rank_col) - 1) * n_buckets / F.lit(max_r)) \
         .cast("int")
     return _bucketed_rank(ranked, bucket2,
                           [F.col(rank_col), F.col(group_col),
                            F.col(id_col)], out_col)
+
+
+def stratified_split_exact(docs: DataFrame,
+                           splits: dict[str, int], *,
+                           strat_col: str = "lang",
+                           rest: str = "train",
+                           salt: str = "split-exact:",
+                           n_buckets: int = _DEFAULT_BUCKETS,
+                           id_col: str = "doc_id",
+                           rank_col: str = "split_rank",
+                           out_col: str = "split") -> DataFrame:
+    """EXACT-count per-stratum splits — "carve 500 val + 500 test docs
+    per language, rest train" (the frozen-snapshot heldout recipe):
+    the first ``splits[name1]`` docs of each stratum in salted hash
+    order go to ``name1``, the next ``splits[name2]`` to ``name2``
+    (dict order is assignment order), remainder to ``rest``. A
+    stratum smaller than the cumulative thresholds fills splits in
+    order and leaves later ones short (never errors — the gate covers
+    that boundary).
+
+    vs. `corpus_sampling_facets`' hash-threshold split: that one is
+    PROPORTIONAL and stable under corpus growth (new rows never move
+    old ones); this one is EXACT-count but a grown corpus re-ranks —
+    use it on release snapshots, not on live accumulation (docstring
+    contract, same trade-off `token_budget_cap` documents for its
+    boundary). Scale: one `_grouped_rank` (two-level, bounded window
+    partitions) + a literal CASE — no data-sized joins."""
+    _check_buckets(n_buckets)
+    if not splits or any(int(v) < 0 for v in splits.values()):
+        raise ValueError(f"splits must be non-empty with non-negative "
+                         f"counts, got {splits!r}")
+    ranked = _grouped_rank(docs, strat_col, salt, n_buckets, id_col,
+                           rank_col)
+    expr = None
+    cum = 0
+    for name, n in splits.items():
+        cum += int(n)
+        cond = F.col(rank_col) <= cum
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    return ranked.withColumn(out_col, expr.otherwise(rest))
 
 
 # ---------------------------------------------------------------------------
@@ -180,3 +233,44 @@ def training_order_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = global_order_index(d)
     d = interleaved_order_index(d)
     return d.select("doc_id", "source", "ord", "src_rank", "ord_ilv")
+
+
+_SPLITS = {"val": 40, "test": 40}    # per-stratum; sf0.001 strata hold
+#                                      ~10 docs -> the short-stratum
+#                                      boundary runs under the oracle
+
+
+def _split_oracle() -> str:
+    from .corpus import _sql_salted_h60
+    return f"""
+    WITH h AS (
+        SELECT doc_id, lang, {_sql_salted_h60('split-exact:')} AS h
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY h, doc_id) AS r
+        FROM h)
+    SELECT doc_id, lang, CAST(r AS BIGINT) AS split_rank,
+           CASE WHEN r <= 40 THEN 'val'
+                WHEN r <= 80 THEN 'test'
+                ELSE 'train' END AS split
+    FROM r
+    """
+
+
+@query("stratified_split_exact", oracle=_split_oracle())
+def stratified_split_exact_gate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Gate row for `stratified_split_exact`: 40 val + 40 test per
+    language, rest train — per-doc split assignment AND stratum rank
+    verified against DuckDB's naive per-stratum window (the
+    one-partition-per-stratum plan the operator refuses). At sf0.001
+    every stratum is SMALLER than the val threshold (the
+    short-stratum fill boundary); at sf0.01+ all three splits
+    populate. Registered PAST the driver's 50-slot window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", "lang")
+    return stratified_split_exact(d, _SPLITS) \
+        .select("doc_id", "lang", "split_rank", "split")

@@ -127,6 +127,69 @@ class TestInterleavedOrder:
         assert sorted(r["src_rank"] for r in nulls) == [1, 2]
 
 
+class TestStratifiedSplitExact:
+    def test_exact_counts_per_stratum(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            stratified_split_exact
+        d = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("l"), (F.col("id") % 3)).alias("lang"))
+        out = stratified_split_exact(d, {"val": 20, "test": 10})
+        got = {(r["lang"], r["split"]): r["c"] for r in
+               out.groupBy("lang", "split").agg(F.count("*").alias("c"))
+               .collect()}
+        for lang in ("l0", "l1", "l2"):
+            assert got[(lang, "val")] == 20
+            assert got[(lang, "test")] == 10
+            assert got[(lang, "train")] == 70
+
+    def test_short_stratum_fills_in_order(self, spark):
+        """A stratum smaller than the first threshold puts EVERYTHING
+        in the first split; one straddling the second threshold leaves
+        the later split short — never an error, never a loss."""
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            stratified_split_exact
+        d = spark.createDataFrame(
+            [(i, "tiny") for i in range(5)]
+            + [(100 + i, "mid") for i in range(15)],
+            "doc_id long, lang string")
+        out = stratified_split_exact(d, {"val": 10, "test": 10})
+        got = {(r["lang"], r["split"]): r["c"] for r in
+               out.groupBy("lang", "split").agg(F.count("*").alias("c"))
+               .collect()}
+        assert got[("tiny", "val")] == 5 and ("tiny", "test") not in got
+        assert got[("mid", "val")] == 10 and got[("mid", "test")] == 5
+
+    def test_membership_is_rank_prefix(self, spark):
+        """val IS the rank-1..n prefix (not just n arbitrary docs):
+        every val rank < every test rank < every train rank, within
+        each stratum."""
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            stratified_split_exact
+        d = spark.range(120).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 2)).alias("lang"))
+        out = stratified_split_exact(d, {"val": 15, "test": 15})
+        bounds = (out.groupBy("lang", "split")
+                  .agg(F.min("split_rank").alias("lo"),
+                       F.max("split_rank").alias("hi")).collect())
+        b = {(r["lang"], r["split"]): (r["lo"], r["hi"]) for r in bounds}
+        for lang in ("s0", "s1"):
+            assert b[(lang, "val")] == (1, 15)
+            assert b[(lang, "test")] == (16, 30)
+            assert b[(lang, "train")][0] == 31
+
+    def test_validation(self, spark, docs):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            stratified_split_exact
+        with pytest.raises(ValueError):
+            stratified_split_exact(docs.withColumnRenamed(
+                "source", "lang"), {})
+        with pytest.raises(ValueError):
+            stratified_split_exact(docs.withColumnRenamed(
+                "source", "lang"), {"val": -1})
+
+
 class TestOrderingPlanShape:
     def test_no_corpus_sized_window_partition(self, spark, docs):
         """The scale claim: every WindowExec in the plan either
