@@ -139,6 +139,12 @@ def bloom_filter_array(filt: DataFrame, m_words: int) -> list[int]:
     never by data — same contract as the IVF codebook collects."""
     arr = [0] * m_words
     for row in filt.collect():            # ≤ m_words rows by construction
+        if not 0 <= row["word"] < m_words:
+            raise ValueError(
+                f"filter word {row['word']} out of range for "
+                f"m_words={m_words} — the filter was built with a "
+                f"different geometry (m_words/k/salt must match "
+                f"between build and probe)")
         arr[row["word"]] = row["bits"]
     return arr
 

@@ -24,12 +24,14 @@ Structured-Streaming-facing surface on top of it:
 
 from .cursor_datasource import CursorDataSource
 from .cursor_source import cursor_stream_batches
-from .dedup import (dedup_stream, dedup_stream_bounded,
+from .dedup import (bloom_dedup_stream, dedup_stream,
+                    dedup_stream_bounded,
                     incremental_neardup_stream, last_committed_batch,
                     paragraph_dedup_stream, prune_store_deltas,
                     semantic_dedup_stream, source_cap_stream)
 
-__all__ = ["CursorDataSource", "cursor_stream_batches", "dedup_stream",
+__all__ = ["CursorDataSource", "cursor_stream_batches",
+           "bloom_dedup_stream", "dedup_stream",
            "dedup_stream_bounded", "incremental_neardup_stream",
            "last_committed_batch", "paragraph_dedup_stream",
            "prune_store_deltas", "semantic_dedup_stream",

@@ -342,6 +342,79 @@ def source_cap_stream(docs: DataFrame, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+def bloom_dedup_stream(docs: DataFrame, store_path: str, out_path: str,
+                       checkpoint: str, *, m_words: int = 256,
+                       k: int = 5, text_col: str = "text",
+                       compact_every: int | None = None,
+                       prune_after_compact: bool = False):
+    """Streaming first-seen exact dedup with a BLOOM filter as the
+    store — the bounded-state form of `dedup_stream`: where the
+    engine-native state store (and this module's digest-delta
+    operators) grow one key per retained document forever, this
+    store's merged state is ≤ ``m_words`` filter words no matter how
+    many batches fold in, at the Bloom trade-off documented in
+    `operators/bloom.py` (false positives drop the occasional novel
+    doc; duplicates are NEVER admitted — no false negatives).
+
+    Construction is the module's standard exactly-once shape: each
+    batch reads history (newest snapshot + deltas below its batch_id,
+    `_read_store_snapshots_or`), bit_or-merges it (the filter is a
+    mergeable sketch, like the source-cap counts), probes via the
+    bounded-collect literal probe, flags ``bloom_hit``/``keep``
+    (within-batch canonical = lowest doc_id — deterministic, so a
+    replayed batch admits the identical set), writes annotated rows
+    under ``{out_path}/batch_id=N`` and the KEPT docs' filter delta
+    under ``{store_path}/batch_id=N`` (≤ m_words rows). Compaction is
+    near-trivial — the post-batch merged filter IS the snapshot — so
+    ``compact_every`` keeps reads at one snapshot + ≤ N tails and
+    ``prune_after_compact`` bounds delta dirs, same rules as the other
+    four store families (`_prune_in_stream`)."""
+    from ..operators.bloom import bloom_build, bloom_filter_array, \
+        bloom_probe
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        "word int, bits long")
+        merged = (hist.groupBy("word")
+                  .agg(F.bit_or("bits").alias("bits")))
+        arr = bloom_filter_array(merged, m_words)
+        keyed = batch_df.withColumn(KEY_COL, _null_safe_key(text_col))
+        probed = bloom_probe(keyed, arr, m_words=m_words, k=k,
+                             key_col=KEY_COL)
+        canon = (probed.groupBy(KEY_COL)
+                 .agg(F.min("doc_id").alias("__canon")))
+        ann = (probed.join(canon, KEY_COL)
+               .withColumn("keep",
+                           ((F.col("bloom_hit") == 0)
+                            & (F.col("doc_id") == F.col("__canon")))
+                           .cast("int"))
+               .drop("__canon")
+               .persist())   # feeds the output write AND the delta
+        try:
+            ann.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            delta = bloom_build(ann.where(F.col("keep") == 1),
+                                m_words=m_words, k=k, key_col=KEY_COL)
+            delta.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                (merged.unionByName(
+                    spark.read.parquet(
+                        f"{store_path}/batch_id={batch_id}"))
+                 .groupBy("word")
+                 .agg(F.bit_or("bits").alias("bits"))
+                 .write.mode("overwrite")
+                 .parquet(f"{store_path}_compact/upto={batch_id}"))
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
+        finally:
+            ann.unpersist()
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def _read_store_snapshots_or(spark, store_path: str, batch_id: int,
                              empty) -> DataFrame:
     """Store read honoring compaction snapshots — the generic form

@@ -157,6 +157,78 @@ class TestIncrementalBloom:
                         m_words=_M * 2, k=_K)
 
 
+class TestBloomStream:
+    """`streaming.dedup.bloom_dedup_stream`: the bounded-state member
+    of the foreachBatch store family (store ≤ m_words rows forever)."""
+
+    @staticmethod
+    def _drain(spark, src, store, out, ckpt, **kw):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            bloom_dedup_stream)
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = bloom_dedup_stream(stream, store, out, ckpt,
+                               m_words=256, k=5, **kw)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_first_seen_across_batches_and_restart(self, spark,
+                                                   tmp_path):
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "out", "store",
+                                           "ckpt"))
+
+        def write(rows):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        write([(1, "aa"), (2, "bb"), (3, "aa")])   # in-batch dup
+        write([(4, "aa"), (5, "cc")])              # history dup + novel
+        self._drain(spark, src, store, out, ckpt)
+        got = {r.doc_id: (r.bloom_hit, r.keep)
+               for r in spark.read.parquet(out).collect()}
+        assert got[1] == (0, 1) and got[2] == (0, 1)
+        assert got[3][1] == 0                      # in-batch dup loses
+        assert got[4] == (1, 0) and got[5] == (0, 1)
+        # restart on the same checkpoint+store: history persists
+        write([(6, "bb"), (7, "dd")])
+        self._drain(spark, src, store, out, ckpt)
+        got = {r.doc_id: (r.bloom_hit, r.keep)
+               for r in spark.read.parquet(out).collect()}
+        assert got[6] == (1, 0) and got[7] == (0, 1)
+        # the store is filter words, never documents
+        store_rows = spark.read.parquet(store).count()
+        assert store_rows <= 3 * 256               # ≤ m_words per delta
+
+    def test_compacts_and_prunes_mid_stream(self, spark, tmp_path):
+        import os
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("psrc", "pout", "pstore",
+                                           "pckpt"))
+
+        def write(rows):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        for b in range(4):                         # 4 batches, unique
+            write([(10 * b + i, f"t{b}-{i}") for i in range(3)])
+        write([(100, "t0-0")])                     # dup of batch 0
+        self._drain(spark, src, store, out, ckpt,
+                    compact_every=2, prune_after_compact=True)
+        got = {r.doc_id: r.keep
+               for r in spark.read.parquet(out).collect()}
+        assert got[100] == 0                       # seen through snapshot
+        assert sum(got.values()) == 12             # all uniques kept
+        # snapshots exist and pruning bounded the raw delta dirs
+        snaps = os.listdir(f"{store}_compact")
+        assert any(s.startswith("upto=") for s in snaps)
+        deltas = [d for d in os.listdir(store)
+                  if d.startswith("batch_id=")]
+        assert len(deltas) <= 4                    # ~2×compact_every
+
+
 class TestBloomPlanShape:
     def test_literal_probe_is_scan_local(self, spark, docs):
         """The zero-shuffle claim, pinned: the literal probe's plan
