@@ -70,22 +70,10 @@ def bloom_content_key(text_col: str = "text",
         F.concat(F.lit("null:"), F.col(id_col).cast("string")))
 
 
-def _keyed_h60(salt: str, key: Column) -> Column:
-    """60-bit salted md5 hash of an arbitrary key column — the
-    `corpus._salted_h60` primitive generalized from doc_id to content
-    keys (15 hex nibbles via conv(); positive, version-stable on both
-    engines — see `corpus._sql_salted_h60`'s DuckDB-cast war story)."""
-    h = F.md5(F.concat(F.lit(salt), key).cast("binary"))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-
-
-def _sql_keyed_h60(salt_sql: str, key_sql: str) -> str:
-    """DuckDB twin of `_keyed_h60` (nibble arithmetic, never a hex
-    CAST): ``salt_sql``/``key_sql`` are SQL string expressions."""
-    return ("CAST(list_sum(list_transform(generate_series(1, 15), "
-            f"j -> (strpos('0123456789abcdef', substr(md5({salt_sql} || "
-            f"{key_sql}), j, 1)) - 1)::BIGINT"
-            " << (4 * (15 - j)))) AS BIGINT)")
+# the 60-bit salted hash algebra is single-sourced in hashing.py
+# (review finding: this module re-inlined it; see keyed_h60's notes)
+from .hashing import keyed_h60 as _keyed_h60  # noqa: E402
+from .hashing import sql_keyed_h60 as _sql_keyed_h60  # noqa: E402
 
 
 def _mask(bit: Column) -> Column:
@@ -136,16 +124,24 @@ def bloom_build(docs: DataFrame, *, m_words: int = _DEFAULT_M_WORDS,
 def bloom_filter_array(filt: DataFrame, m_words: int) -> list[int]:
     """Densify a filter frame to ``m_words`` Python ints (index =
     word, unset words 0). The collect is bounded by the m_words knob —
-    never by data — same contract as the IVF codebook collects."""
+    never by data — same contract as the IVF codebook collects.
+
+    Repeated word rows OR-merge (review finding: plain assignment
+    dropped all but the LAST row's bits — a frame that legitimately
+    repeats words, e.g. ``spark.read.parquet(store)`` over a
+    per-batch delta store or a unionByName of day filters, would
+    silently produce FALSE NEGATIVES, the one failure mode the module
+    forbids). OR is the filter's own merge semantics, so un-merged
+    input is simply merged here."""
     arr = [0] * m_words
-    for row in filt.collect():            # ≤ m_words rows by construction
-        if not 0 <= row["word"] < m_words:
+    for row in filt.collect():       # ≤ m_words DISTINCT words; dup
+        if not 0 <= row["word"] < m_words:   # rows OR in place
             raise ValueError(
                 f"filter word {row['word']} out of range for "
                 f"m_words={m_words} — the filter was built with a "
                 f"different geometry (m_words/k/salt must match "
                 f"between build and probe)")
-        arr[row["word"]] = row["bits"]
+        arr[row["word"]] |= row["bits"]
     return arr
 
 

@@ -349,15 +349,11 @@ _RATE_CASE_SQL = ("CASE lang " + " ".join(
 
 
 def _sql_salted_h60(salt: str) -> str:
-    """DuckDB twin of `_salted_h60`: version-stable nibble arithmetic.
-    CAST('0x'||hex AS BIGINT) changed semantics across DuckDB releases
-    and red-rowed the gate once (r2, dedup_signatures — recorded in
-    dedup._SQL_HASH60's note); every salted-hash oracle must use this
-    form."""
-    return ("CAST(list_sum(list_transform(generate_series(1, 15), "
-            f"i -> (strpos('0123456789abcdef', substr(md5('{salt}' || "
-            "CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
-            " << (4 * (15 - i)))) AS BIGINT)")
+    """DuckDB twin of `_salted_h60` — doc_id-keyed form of
+    `hashing.sql_keyed_h60` (the version-stability war story lives
+    there; every salted-hash oracle must use that form)."""
+    from .hashing import sql_keyed_h60
+    return sql_keyed_h60(f"'{salt}'", "CAST(doc_id AS VARCHAR)")
 
 
 def _salted_h60(salt: str):
@@ -365,11 +361,13 @@ def _salted_h60(salt: str):
     salt||doc_id as a Spark column. Every sampling decision in this
     module (stratified buckets, splits, A-Res uniforms, source caps)
     derives from it so membership is a pure, layout-independent
-    function of doc_id — single-sourced here; do not re-inline (the
-    review found five hand-rolled copies drifting apart)."""
-    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
-              .cast("binary"))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    function of doc_id. The hash algebra itself is single-sourced in
+    `hashing.keyed_h60` (generalized to any key column — bloom
+    positions and training order hash through the same primitive);
+    do not re-inline EITHER form (the review found five hand-rolled
+    copies drifting apart)."""
+    from .hashing import keyed_h60
+    return keyed_h60(salt, F.col("doc_id").cast("string"))
 
 
 def _salted_bucket(salt: str, mod: int):

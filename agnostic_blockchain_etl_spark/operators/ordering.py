@@ -78,9 +78,10 @@ def global_order_index(docs: DataFrame, *, salt: str = "order:",
     top bits are the bucket key (monotone by construction), so the
     rank is exact and every window partition is ~N/n_buckets."""
     _check_buckets(n_buckets)
-    from .corpus import _salted_h60
+    from .hashing import keyed_h60
     shift = 60 - n_buckets.bit_length() + 1
-    d = docs.withColumn("__h", _salted_h60(salt))
+    d = docs.withColumn("__h",
+                        keyed_h60(salt, F.col(id_col).cast("string")))
     out = _bucketed_rank(d, F.shiftright("__h", shift).cast("int"),
                          [F.col("__h"), F.col(id_col)], out_col)
     return out.drop("__h")
@@ -94,9 +95,10 @@ def _grouped_rank(docs: DataFrame, group_col: str, salt: str,
     offsets (a ≤ |groups|×n_buckets summary — the `token_budget_cap`
     shape), and row ranks partition by (group, bucket). A NULL group
     is a group like any other (null-safe offsets join)."""
-    from .corpus import _salted_h60
+    from .hashing import keyed_h60
     shift = 60 - n_buckets.bit_length() + 1
-    d = docs.withColumn("__h", _salted_h60(salt)) \
+    d = docs.withColumn("__h",
+                        keyed_h60(salt, F.col(id_col).cast("string"))) \
             .withColumn("__bk", F.shiftright("__h", shift).cast("int"))
     counts = (d.groupBy(F.col(group_col).alias("__g"), "__bk")
               .agg(F.count("*").alias("__c")))
@@ -143,11 +145,21 @@ def interleaved_order_index(docs: DataFrame, *,
     _check_buckets(n_buckets)
     ranked = _grouped_rank(docs, group_col, salt, n_buckets, id_col,
                            rank_col)
-    max_r = ranked.agg(F.max(rank_col)).collect()[0][0] or 1  # 1-row
+    # max rank == largest group's row count: read it off a cheap
+    # count aggregate over docs, NOT off `ranked` — an action on the
+    # ranked lineage would execute the whole grouped-rank pipeline a
+    # second time when the result is consumed (review finding)
+    max_r = (docs.groupBy(group_col).count()
+             .agg(F.max("count")).collect()[0][0]) or 1   # 1-row
     bucket2 = ((F.col(rank_col) - 1) * n_buckets / F.lit(max_r)) \
         .cast("int")
+    # group tie-break pinned NULLS FIRST on BOTH engines: Spark's ASC
+    # default is nulls-first, DuckDB's is nulls-last — an unpinned
+    # NULL group would silently diverge from the oracle (the module
+    # advertises NULL groups as first-class)
     return _bucketed_rank(ranked, bucket2,
-                          [F.col(rank_col), F.col(group_col),
+                          [F.col(rank_col),
+                           F.col(group_col).asc_nulls_first(),
                            F.col(id_col)], out_col)
 
 
@@ -213,7 +225,8 @@ def _oracle() -> str:
         FROM h)
     SELECT doc_id, source, CAST(ord AS BIGINT) AS ord,
            CAST(src_rank AS BIGINT) AS src_rank,
-           CAST(row_number() OVER (ORDER BY src_rank, source, doc_id)
+           CAST(row_number() OVER (ORDER BY src_rank,
+                                   source NULLS FIRST, doc_id)
                 AS BIGINT) AS ord_ilv
     FROM o
     """

@@ -624,7 +624,7 @@ def semantic_dedup_stream(docs: DataFrame, codebook_path: str,
 
 
 def _prune_in_stream(spark, store_path: str, batch_id: int) -> None:
-    """The ``prune_after_compact=True`` body, shared by all four
+    """The ``prune_after_compact=True`` body, shared by all five
     store-backed foreachBatch operators: right after batch N commits
     its snapshot, delete the raw deltas the PREVIOUS committed
     snapshot already covers. Safe by construction, without consulting

@@ -87,6 +87,21 @@ class TestBloomContract:
         assert merged.exceptAll(joint).count() == 0
         assert joint.exceptAll(merged).count() == 0
 
+    def test_filter_array_or_merges_duplicate_words(self, spark, docs):
+        """Review regression: an UN-merged filter frame (raw delta
+        store read / unionByName without bloom_union) must densify to
+        the same array as the merged form — plain assignment kept only
+        the last row per word, producing false negatives."""
+        d1 = docs.where(F.col("doc_id") % 2 == 0)
+        d2 = docs.where(F.col("doc_id") % 2 == 1)
+        f1, f2 = (bloom_build(x, m_words=_M, k=_K) for x in (d1, d2))
+        unmerged = f1.unionByName(f2)            # words repeat
+        a = bloom_filter_array(unmerged, _M)
+        b = bloom_filter_array(bloom_union(f1, f2), _M)
+        assert a == b
+        probed = bloom_probe(docs, a, m_words=_M, k=_K)
+        assert probed.where(F.col("bloom_hit") == 0).count() == 0
+
     def test_null_text_keys_per_doc(self, spark):
         """digest_store's null rule: two metadata-only docs never
         alias each other; the same doc re-probed hits."""

@@ -70,6 +70,30 @@ class TestGlobalOrder:
         with pytest.raises(ValueError):
             global_order_index(docs, n_buckets=100)
 
+    def test_id_col_is_the_hash_key(self, spark, docs):
+        """Review regression: the order hash was hardwired to a column
+        literally named doc_id (only the tie-break honored id_col) —
+        a frame with no doc_id column crashed, and one with an
+        UNRELATED doc_id column silently ordered by the wrong key.
+        Same ids under a different name must produce the identical
+        permutation; an unrelated doc_id column must be ignored."""
+        renamed = docs.withColumnRenamed("doc_id", "uid")
+        a = global_order_index(docs).select(
+            F.col("doc_id").alias("uid"), "ord")
+        b = global_order_index(renamed, id_col="uid") \
+            .select("uid", "ord")
+        assert a.exceptAll(b).count() == 0
+        # decoy doc_id present: the hash must still key on uid
+        decoy = renamed.withColumn("doc_id", F.lit(0))
+        c = global_order_index(decoy, id_col="uid").select("uid", "ord")
+        assert c.exceptAll(b).count() == 0
+        # grouped path too (interleave + split share _grouped_rank)
+        g = interleaved_order_index(renamed, id_col="uid") \
+            .select("uid", F.col("ord_ilv"))
+        g2 = interleaved_order_index(docs).select(
+            F.col("doc_id").alias("uid"), "ord_ilv")
+        assert g.exceptAll(g2).count() == 0
+
 
 class TestInterleavedOrder:
     def test_run_length_bounded_by_live_groups(self, spark, docs):
@@ -111,6 +135,38 @@ class TestInterleavedOrder:
         ours = interleaved_order_index(docs, n_buckets=16) \
             .select("doc_id", F.col("ord_ilv").alias("ilv"))
         assert ours.exceptAll(naive).count() == 0
+
+    def test_null_group_parity_with_duckdb(self, spark):
+        """NULL-group tie-break is pinned NULLS FIRST on both engines
+        (Spark's ASC default vs DuckDB's nulls-last default would
+        silently diverge — review finding). Mini cross-engine run with
+        a NULL source present, the case the registered gate's testdata
+        never exercises."""
+        import duckdb
+        import pandas as pd
+        from agnostic_blockchain_etl_spark.operators.hashing import \
+            sql_keyed_h60
+        rows = [(i, None if i % 3 == 0 else f"s{i % 2}")
+                for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        ours = {r["doc_id"]: r["ord_ilv"]
+                for r in interleaved_order_index(d).collect()}
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows,
+                                          columns=["doc_id", "source"]))
+        h = sql_keyed_h60("'ilv:'", "CAST(doc_id AS VARCHAR)")
+        naive = con.sql(f"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY {h}, doc_id) AS r
+                FROM docs)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY r, source NULLS FIRST,
+                                      doc_id) AS ilv
+            FROM r""").df()
+        theirs = dict(zip(naive["doc_id"], naive["ilv"]))
+        assert ours == theirs
 
     def test_null_group_participates(self, spark):
         d = spark.createDataFrame(
