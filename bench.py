@@ -81,6 +81,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_supplier_volume",
     "control_scan_facets",
+    "bloom_dedup_probe",
+    "training_order_global",
+    "stratified_split_exact",
 ]
 
 
