@@ -70,13 +70,16 @@ def _all_modules():
 #   stratified_split_exact r10 addition: exact-count per-stratum
 #                       val/test carving incl. the short-stratum fill
 #                       boundary, vs the naive per-stratum window
+#   bloom_decontamination r10 addition: eval n-gram set as a Bloom
+#                       filter (bounded-memory decontamination), FP
+#                       inflations pinned vs the exact pair's numbers
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
                 "epoch_upsample", "pack_manifest_rollup",
                 "bloom_dedup_probe", "training_order_global",
-                "stratified_split_exact"]
+                "stratified_split_exact", "bloom_decontamination"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,9 +6,9 @@ Every public operator has a ``queries()`` entry in ``__spark_entry__.py``
 paired with DuckDB oracle SQL for the driver's correctness gate.
 """
 
-from .bloom import (bloom_build, bloom_content_key, bloom_filter_array,
-                    bloom_probe, bloom_probe_join, bloom_stats,
-                    bloom_union, incremental_bloom_dedup)
+from .bloom import (bloom_build, bloom_content_key, bloom_decontaminate,
+                    bloom_filter_array, bloom_probe, bloom_probe_join,
+                    bloom_stats, bloom_union, incremental_bloom_dedup)
 from .bpe import bpe_encode, train_bpe, word_histogram
 from .langid import detect_language, train_language_profiles
 from .lm import (bigram_perplexity_score, perplexity_score,

@@ -261,6 +261,51 @@ def incremental_bloom_dedup(new_docs: DataFrame, filt: DataFrame, *,
     return annotated, bloom_union(filt, kept_bits)
 
 
+def bloom_decontaminate(train_docs: DataFrame, eval_docs: DataFrame, *,
+                        m_words: int = 2048, k: int = _DEFAULT_K,
+                        max_contamination: float | None = None,
+                        salt: str = "bloomdecon:") -> DataFrame:
+    """Benchmark decontamination with the eval n-gram set compressed
+    into a Bloom filter — `dedup.decontaminate`'s contract at a FIXED
+    memory bound. At production scale the eval suite's distinct
+    shingle set is hundreds of millions of 8-byte hashes (a
+    multi-gigabyte broadcast); the filter caps it at m bits
+    regardless. The approximation direction is the SAFE one for this
+    task: a false positive can only INFLATE a document's contamination
+    (an innocent n-gram counted as eval overlap), so a clean document
+    is occasionally over-flagged — while leaked eval content is NEVER
+    missed (no false negatives, the filter's hard guarantee). Same
+    output schema and keep rule as `decontaminate`
+    (`dedup._contamination_flags` is shared, so the two forms can
+    never disagree about the rule; at large m they agree value-for-
+    value — pinned by test_bloom.py).
+
+    Scale: eval shingles build the filter (one bounded-key shuffle);
+    the train corpus is scanned ONCE with the zero-shuffle literal
+    probe per shingle row, then one groupBy(doc_id) — the broadcast
+    hash-set probe of `decontaminate` replaced by k in-codegen bit
+    tests."""
+    from .dedup import _CONTAM_MAX, _contamination_flags, doc_shingles
+    if max_contamination is None:
+        max_contamination = _CONTAM_MAX
+    # keys are the 60-bit shingle hashes rendered as decimal strings
+    # (identical text on both engines; doc_shingles is distinct-per-doc)
+    eval_keys = (doc_shingles(eval_docs)
+                 .select(F.col("h").cast("string").alias("__ck"))
+                 .distinct())
+    filt = bloom_build(eval_keys, m_words=m_words, k=k,
+                       key_col="__ck", salt=salt)
+    arr = bloom_filter_array(filt, m_words)
+    train_sh = doc_shingles(train_docs).select(
+        "doc_id", F.col("h").cast("string").alias("__ck"))
+    probed = bloom_probe(train_sh, arr, m_words=m_words, k=k,
+                         key_col="__ck", salt=salt, out_col="__hit")
+    agg = (probed.groupBy("doc_id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum("__hit").cast("long").alias("n_overlap")))
+    return _contamination_flags(train_docs, agg, max_contamination)
+
+
 # ---------------------------------------------------------------------------
 # Gate query + DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -341,3 +386,86 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "in_ref", "bloom_hit",
                     F.when(F.col("__rk").isNotNull(), 1).otherwise(0)
                      .alias("exact_hit")))
+
+
+_DM, _DK = 2048, 5            # decontamination gate geometry: ~34% fill
+_DM_BITS = _DM * BITS_PER_WORD  # at sf0.1 (real FPs under the oracle)
+_H_EV = _sql_keyed_h60("'bloomdecon:' || CAST(i.i AS VARCHAR) || ':'",
+                       "e.ck")
+_H_TR = _sql_keyed_h60("'bloomdecon:' || CAST(i.i AS VARCHAR) || ':'",
+                       "t.ck")
+
+
+def _decon_oracle() -> str:
+    from .dedup import (_CONTAM_MAX, _EVAL_MOD, _SQL_HASH60,
+                        _SQL_SHINGLES, _SQL_WORDS)
+    return f"""
+    WITH words_t AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    shingles_t AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM words_t),
+    hashed AS (
+        SELECT doc_id, shingle, {_SQL_HASH60} AS h FROM shingles_t),
+    eval_k AS (
+        SELECT DISTINCT CAST(h AS VARCHAR) AS ck FROM hashed
+        WHERE doc_id % {_EVAL_MOD} = 0),
+    epos AS (
+        SELECT (({_H_EV}) % {_DM_BITS}) // {BITS_PER_WORD}      AS w,
+               CAST(1 AS BIGINT)
+                   << CAST(({_H_EV}) % {BITS_PER_WORD} AS INT)  AS mask
+        FROM eval_k e,
+             (SELECT unnest(generate_series(0, {_DK - 1})) AS i) i),
+    filt AS (SELECT w, bit_or(mask) AS bits FROM epos GROUP BY w),
+    train AS (
+        SELECT doc_id, shingle, CAST(h AS VARCHAR) AS ck FROM hashed
+        WHERE doc_id % {_EVAL_MOD} <> 0),
+    tpos AS (
+        SELECT t.doc_id, t.shingle,
+               (({_H_TR}) % {_DM_BITS}) // {BITS_PER_WORD}      AS w,
+               CAST(1 AS BIGINT)
+                   << CAST(({_H_TR}) % {BITS_PER_WORD} AS INT)  AS mask
+        FROM train t,
+             (SELECT unnest(generate_series(0, {_DK - 1})) AS i) i),
+    tprobe AS (
+        SELECT p.doc_id, p.shingle,
+               MIN(CASE WHEN f.bits IS NOT NULL
+                             AND (f.bits & p.mask) = p.mask
+                        THEN 1 ELSE 0 END) AS hit
+        FROM tpos p LEFT JOIN filt f USING (w)
+        GROUP BY p.doc_id, p.shingle),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(hit) AS BIGINT)         AS n_overlap
+        FROM tprobe GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.n_overlap, 0)  AS n_overlap,
+           round(CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0.0
+                 ELSE CAST(a.n_overlap AS DOUBLE) / a.n_shingles END, 4)
+               AS contamination,
+           CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 1
+                WHEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles
+                     < {_CONTAM_MAX} THEN 1 ELSE 0 END AS decontam_keep
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    """
+
+
+@query("bloom_decontamination", oracle=_decon_oracle())
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for `bloom_decontaminate` — the exact companion of
+    `decontamination_overlap` (same held-out split, same shingle
+    definition, same keep rule) with the eval shingle set pushed
+    through the Bloom filter instead of the broadcast hash set, so the
+    value oracle pins shingle-hash keying, the filter build over eval
+    n-grams, the per-shingle literal probe, the per-doc overlap
+    aggregation, AND the filter's false-positive inflations (real at
+    sf0.1's ~34% fill; the conservative direction — contamination only
+    ever overestimated vs. the exact pair's numbers). Registered PAST
+    the driver's 50-slot window (``__spark_entry__._PAST_WINDOW``)."""
+    from .dedup import _EVAL_MOD
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return bloom_decontaminate(docs.where(~is_eval), docs.where(is_eval),
+                               m_words=_DM, k=_DK)

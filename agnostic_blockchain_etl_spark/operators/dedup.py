@@ -1145,6 +1145,15 @@ def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
            .agg(F.count("*").alias("n_shingles"),
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
                  .alias("n_overlap")))
+    return _contamination_flags(train_docs, agg, max_contamination)
+
+
+def _contamination_flags(train_docs: DataFrame, agg: DataFrame,
+                         max_contamination: float) -> DataFrame:
+    """Shared tail of `decontaminate` and `bloom.bloom_decontaminate`:
+    per-doc (n_shingles, n_overlap) → contamination ratio + keep flag
+    (shingle-less docs keep 1). Single-sourced so the exact and the
+    Bloom form can never disagree about the keep rule."""
     out = (train_docs.select("doc_id")
            .join(agg, "doc_id", "left")
            .select("doc_id",

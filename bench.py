@@ -84,6 +84,7 @@ HEADLINE = [
     "bloom_dedup_probe",
     "training_order_global",
     "stratified_split_exact",
+    "bloom_decontamination",
 ]
 
 

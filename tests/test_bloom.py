@@ -172,6 +172,57 @@ class TestIncrementalBloom:
                         m_words=_M * 2, k=_K)
 
 
+class TestBloomDecontaminate:
+    """`bloom_decontaminate` vs the exact `decontaminate`: agreement
+    at large m, one-sided error at small m (never under-counts, never
+    illegally keeps), shingle-less and empty-eval boundaries."""
+
+    @pytest.fixture(scope="class")
+    def split(self, docs):
+        is_eval = F.col("doc_id") % 7 == 0
+        return docs.where(~is_eval), docs.where(is_eval)
+
+    def test_large_m_matches_exact(self, spark, split):
+        from agnostic_blockchain_etl_spark.operators.bloom import \
+            bloom_decontaminate
+        from agnostic_blockchain_etl_spark.operators.dedup import \
+            decontaminate
+        train, ev = split
+        a = bloom_decontaminate(train, ev, m_words=1 << 15, k=7)
+        b = decontaminate(train, ev)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_small_m_errs_one_sided(self, spark, split):
+        """Saturated filter: overlap counts only ever INFLATE, and the
+        keep flag only ever flips keep→drop — leaked eval content can
+        never slip through on account of the approximation."""
+        from agnostic_blockchain_etl_spark.operators.bloom import \
+            bloom_decontaminate
+        from agnostic_blockchain_etl_spark.operators.dedup import \
+            decontaminate
+        train, ev = split
+        a = bloom_decontaminate(train, ev, m_words=32, k=3) \
+            .select("doc_id", F.col("n_overlap").alias("ob"),
+                    F.col("decontam_keep").alias("kb"))
+        b = decontaminate(train, ev) \
+            .select("doc_id", F.col("n_overlap").alias("oe"),
+                    F.col("decontam_keep").alias("ke"))
+        j = a.join(b, "doc_id")
+        assert j.where(F.col("ob") < F.col("oe")).count() == 0
+        assert j.where((F.col("kb") == 1) & (F.col("ke") == 0)) \
+                .count() == 0
+        # the tiny filter really is saturated (the test bites)
+        assert j.where(F.col("ob") > F.col("oe")).count() > 0
+
+    def test_empty_eval_keeps_everything(self, spark, split):
+        from agnostic_blockchain_etl_spark.operators.bloom import \
+            bloom_decontaminate
+        train, ev = split
+        out = bloom_decontaminate(train, ev.limit(0), m_words=_M, k=_K)
+        assert out.where("n_overlap != 0").count() == 0
+        assert out.where("decontam_keep = 0").count() == 0
+
+
 class TestBloomStream:
     """`streaming.dedup.bloom_dedup_stream`: the bounded-state member
     of the foreachBatch store family (store ≤ m_words rows forever)."""
