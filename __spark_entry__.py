@@ -27,12 +27,13 @@ def _all_modules():
     # and scale-pattern joins come first. A broken operator module must
     # fail the entry point loudly, not silently shrink the gate.
     from agnostic_blockchain_etl_spark.operators import (analytics, clean,
-                                                         corpus, extended,
+                                                         cms, corpus,
+                                                         extended,
                                                          joins_scale,
                                                          llm_data, misc,
                                                          ordering)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean, ordering]
+            relational, clean, ordering, cms]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -73,13 +74,17 @@ def _all_modules():
 #   bloom_decontamination r10 addition: eval n-gram set as a Bloom
 #                       filter (bounded-memory decontamination), FP
 #                       inflations pinned vs the exact pair's numbers
+#   cms_frequency_estimate r10 addition: count-min sketch frequency
+#                       estimation, collision overestimates pinned
+#                       next to exact counts (tight 16x3 geometry)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
                 "semantic_decontamination", "quality_weighted_sample",
                 "epoch_upsample", "pack_manifest_rollup",
                 "bloom_dedup_probe", "training_order_global",
-                "stratified_split_exact", "bloom_decontamination"]
+                "stratified_split_exact", "bloom_decontamination",
+                "cms_frequency_estimate"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

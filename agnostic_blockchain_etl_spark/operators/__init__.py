@@ -10,6 +10,7 @@ from .bloom import (bloom_build, bloom_content_key, bloom_decontaminate,
                     bloom_filter_array, bloom_probe, bloom_probe_join,
                     bloom_stats, bloom_union, incremental_bloom_dedup)
 from .bpe import bpe_encode, train_bpe, word_histogram
+from .cms import cms_build, cms_counters, cms_estimate, cms_merge
 from .langid import detect_language, train_language_profiles
 from .lm import (bigram_perplexity_score, perplexity_score,
                  perplexity_score_rowwise, train_bigram_lm,

@@ -85,6 +85,7 @@ HEADLINE = [
     "training_order_global",
     "stratified_split_exact",
     "bloom_decontamination",
+    "cms_frequency_estimate",
 ]
 
 

@@ -1,8 +1,10 @@
 """Capstone: the WHOLE corpus engine end-to-end on real testdata —
-curate (scrub/quality/dedup/LM) → keep → chunk → pack → token-balanced
-shard write → datacard — asserting the global invariants that hold
-across stage boundaries (token conservation, shard balance, id
-coverage, manifest consistency)."""
+curate (scrub/quality/dedup/LM) → compose (mix + budgets) → exact
+heldout split → reproducible training order → chunk → pack →
+token-balanced shard write → datacard — asserting the global
+invariants that hold across stage boundaries (token conservation,
+shard balance, id coverage, permutation exactness, manifest
+consistency)."""
 
 from __future__ import annotations
 
@@ -51,6 +53,34 @@ def test_full_flow(spark, tmp_path):
     assert comp["es"].n_final == 0                      # untargeted
     n_final = composed.where("final_keep = 1").count()
     assert 0 < n_final < rep.n_kept
+
+    # post-composition phase (round 10): exact heldout carving +
+    # reproducible training order over the final corpus — the stages a
+    # loader consumes after composition decides WHAT trains
+    from agnostic_blockchain_etl_spark.operators import (
+        global_order_index, interleaved_order_index,
+        stratified_split_exact)
+    final = composed.where("final_keep = 1")
+    split = stratified_split_exact(final.select("doc_id", "lang"),
+                                   {"val": 5}, strat_col="lang")
+    assert split.count() == n_final                     # no row loss
+    per = {r.lang: r.c for r in split.where("split = 'val'")
+           .groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert all(v <= 5 for v in per.values()) and per   # exact carve
+    train = split.where("split = 'train'") \
+        .join(final.select("doc_id", "lang"), ["doc_id", "lang"])
+    ordered = interleaved_order_index(
+        global_order_index(train, salt="cap-epoch0:"),
+        group_col="lang")
+    n_train = train.count()
+    got = ordered.agg(F.countDistinct("ord"), F.max("ord"),
+                      F.countDistinct("ord_ilv")).collect()[0]
+    assert tuple(got) == (n_train, n_train, n_train)   # permutations
+    # interleave: the first full round covers every live language once
+    langs = train.select("lang").distinct().count()
+    head = [r.lang for r in
+            ordered.orderBy("ord_ilv").limit(langs).collect()]
+    assert len(set(head)) == langs
 
     kept = annotated.where("keep = 1").select("doc_id", "text")
     # pack's `shard` is its packing-stream id, a different concept from
