@@ -31,9 +31,10 @@ def _all_modules():
                                                          extended,
                                                          joins_scale,
                                                          llm_data, misc,
-                                                         ordering)
+                                                         ordering,
+                                                         retrieval)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean, ordering, cms]
+            relational, clean, ordering, cms, retrieval]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -77,6 +78,17 @@ def _all_modules():
 #   cms_frequency_estimate r10 addition: count-min sketch frequency
 #                       estimation, collision overestimates pinned
 #                       next to exact counts (tight 16x3 geometry)
+#   bm25_topk_search    r10 addition: Okapi BM25 ranked search (fixed
+#                       3-query workload, hit-only explode) vs the
+#                       same algebra in DuckDB
+#   bm25_hard_negatives r10 addition: top-k negatives with the literal
+#                       positive-label set anti-joined pre-window
+#   ann_recall_at_k     r10 addition: sign-LSH recall@5 graded against
+#                       brute-force cosine truth
+#   rrf_fuse_rankings   r10 addition: reciprocal-rank fusion of the
+#                       dense exact + LSH ranked lists
+#   ndcg_label_lsh      r10 addition: label-relevance nDCG@5 of the
+#                       LSH ranking (lost queries score 0, present)
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
@@ -84,7 +96,9 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "epoch_upsample", "pack_manifest_rollup",
                 "bloom_dedup_probe", "training_order_global",
                 "stratified_split_exact", "bloom_decontamination",
-                "cms_frequency_estimate"]
+                "cms_frequency_estimate", "bm25_topk_search",
+                "bm25_hard_negatives", "ann_recall_at_k",
+                "rrf_fuse_rankings", "ndcg_label_lsh"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

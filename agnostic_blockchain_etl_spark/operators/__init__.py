@@ -46,6 +46,8 @@ from .mixture import (apply_mixture_rates, compose_corpus_mix,
                       stratum_counts, temperature_mixture)
 from .ordering import (global_order_index, interleaved_order_index,
                        stratified_split_exact)
+from .retrieval import (ann_recall, bm25_hard_negatives, bm25_scores,
+                        bm25_topk, ndcg_at_k, rrf_fuse)
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)
@@ -116,4 +118,12 @@ __all__ = [
     "profile_table", "profile_sketch", "merge_profile_sketches",
     "span_dedup_stats",
     "text_stats",
+    "bloom_build", "bloom_content_key", "bloom_decontaminate",
+    "bloom_filter_array", "bloom_probe", "bloom_probe_join",
+    "bloom_stats", "bloom_union", "incremental_bloom_dedup",
+    "cms_build", "cms_counters", "cms_estimate", "cms_merge",
+    "global_order_index", "interleaved_order_index",
+    "stratified_split_exact",
+    "ann_recall", "bm25_hard_negatives", "bm25_scores", "bm25_topk",
+    "ndcg_at_k", "rrf_fuse",
 ]

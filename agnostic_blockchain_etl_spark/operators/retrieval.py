@@ -1,0 +1,563 @@
+"""Retrieval-quality operators: Okapi BM25 ranked search over the
+corpus and recall@k evaluation of the approximate-NN paths against the
+brute-force truth.
+
+Training-data pipelines need retrieval twice: BM25 is the standard
+lexical ranker for hard-negative mining, eval-set leakage hunting
+("which training docs score suspiciously high against eval queries?")
+and RAG-corpus QA; recall@k is the "measure, don't guess" loop for the
+ANN index knobs — before trusting sign-LSH buckets or IVF probes at
+100 TB you quantify what fraction of the true neighbors they surface
+at the current bit/probe settings.
+
+Scale design (BM25):
+- The corpus is NEVER exploded token-by-token. Document token arrays
+  are filtered to the query-term set (a bounded workload artifact,
+  broadcast as a literal) with a JVM higher-order `filter` BEFORE the
+  explode, so the shuffled frame is proportional to query-term HITS,
+  not corpus tokens.
+- Corpus statistics (N, avgdl) aggregate a column-pruned scan (text
+  only) into a 1-row broadcast; document frequencies aggregate the
+  hit frame into a |terms|-row broadcast. The only corpus-sized
+  shuffle is the per-(query, doc) score sum.
+- Top-k per query uses a row_number window partitioned by query_id.
+  Each partition is the set of docs matching that query — for huge
+  matched sets apply `ordering._bucketed_rank`'s two-level pattern;
+  at typical query fan-out the per-query partial top-k under AQE is
+  the right plan.
+
+Cross-engine exactness: token split, `ln`, and round-at-the-end follow
+the conventions the gate already pins (`textstats` split regex,
+`dsir`'s ln + round, `similarity`'s round-4 scores); the score algebra
+is written in the identical operation order in both engines.
+
+Reference: no counterpart (the reference has no text-retrieval
+surface); LLM-data-pipeline mandate, sibling of
+`similarity.emb_cosine_topk` / `emb_lsh_bucketed_search`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import make_registry
+from .tables import load_tables
+
+QUERIES, ORACLES, query = make_registry()
+
+_K1 = 1.2
+_B = 0.75
+_BM25_K = 10
+
+# the gate's fixed query workload (terms drawn from the synthetic
+# corpus vocabulary; a workload is a bounded artifact, not data)
+_GATE_QUERIES = {
+    0: "hash join",
+    1: "window merge sort",
+    2: "spark stream batch scan",
+}
+
+
+def _tokenize(query_text: str) -> list[str]:
+    """Python twin of the engine token convention
+    (``split(lower(trim(text)), '\\s+')``) for query strings."""
+    return query_text.strip().lower().split()
+
+
+def bm25_scores(docs: DataFrame, queries: dict[int, str], *,
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = _K1, b: float = _B) -> DataFrame:
+    """``(query_id, doc_id, score)`` — Okapi BM25 with parameters
+    ``k1``/``b``; one row per (query, matching doc). ``queries`` maps
+    query_id -> query string (tokenized with the corpus convention;
+    duplicate terms within a query count once — unit query tf).
+
+    score = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    N counts every document (a NULL-text doc can't match but does count
+    toward N — flag-don't-drop; identical in the oracle). Scores are
+    rounded to 4 decimals so ranking ties break identically everywhere.
+    """
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: text} dict")
+    qpairs = sorted({(qid, t) for qid, s in queries.items()
+                     for t in _tokenize(s)})
+    if not qpairs:
+        raise ValueError("queries tokenized to an empty term set")
+    terms = sorted({t for _, t in qpairs})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qpairs, "query_id int, term string")
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # one tokenize pass feeds BOTH the corpus stats and the hit frame:
+    # cache the narrow (doc_id, dl, query-term hits) projection — never
+    # the token arrays — so the text scan runs once (dsir's
+    # single-scan pattern; the cached frame is hits-sized, not corpus-
+    # token-sized)
+    from .dedup import _scoped_cache
+    feats = _scoped_cache(docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("double").alias("dl"),
+        F.filter(words, lambda w: w.isin(*terms)).alias("hits")))
+    stats = feats.agg(F.count("*").cast("double").alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+    hit = feats.select("doc_id", "dl", F.explode("hits").alias("term"))
+    tf = (hit.groupBy("doc_id", "term", "dl")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = (df_.crossJoin(F.broadcast(stats))
+           .select("term",
+                   F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df")
+                                       + F.lit(0.5))
+                         / (F.col("df") + F.lit(0.5))).alias("idf"),
+                   "avgdl"))
+    contrib = (tf.join(F.broadcast(idf), "term")
+               .join(F.broadcast(qdf), "term")
+               .select("query_id", "doc_id",
+                       (F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+                        / (F.col("tf")
+                           + F.lit(k1) * (F.lit(1.0 - b)
+                                          + F.lit(b) * F.col("dl")
+                                          / F.col("avgdl"))))
+                       .alias("c")))
+    return (contrib.groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("c"), 4).alias("score")))
+
+
+def bm25_topk(docs: DataFrame, queries: dict[int, str], *,
+              k: int = _BM25_K, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = _K1,
+              b: float = _B) -> DataFrame:
+    """Top-``k`` documents per query by BM25 score (ties break on
+    doc_id ascending — deterministic because scores are pre-rounded).
+    Adds an int ``rank`` column (1-based, contiguous per query)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = bm25_scores(docs, queries, text_col=text_col,
+                         id_col=id_col, k1=k1, b=b)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
+def _sql_bm25_body(queries: dict[int, str], k: int,
+                   k1: float, b: float) -> str:
+    """DuckDB twin of `bm25_topk` over the `documents` view — the same
+    algebra in the same operation order."""
+    qpairs = sorted({(qid, t) for qid, s in queries.items()
+                     for t in _tokenize(s)})
+    qvalues = ", ".join(f"({qid}, '{t}')" for qid, t in qpairs)
+    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qpairs}))
+    return f"""
+    WITH q(query_id, term) AS (VALUES {qvalues}),
+    toks AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS words
+             FROM documents),
+    dls AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words
+            FROM toks),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dls),
+    hit AS (SELECT doc_id, dl, unnest(words) AS term FROM dls),
+    tf AS (SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+           FROM hit WHERE term IN ({in_list})
+           GROUP BY doc_id, term, dl),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM tf GROUP BY term),
+    idf AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dfq, stats),
+    contrib AS (SELECT q.query_id, tf.doc_id,
+                       idf.idf * (tf.tf * {k1 + 1.0!r})
+                       / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl
+                                            / idf.avgdl)) AS c
+                FROM tf
+                JOIN idf USING (term)
+                JOIN q USING (term)),
+    scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+               FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rn
+               FROM scored)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("bm25_topk_search", oracle=_sql_bm25_body(_GATE_QUERIES, _BM25_K,
+                                                 _K1, _B))
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `bm25_topk`: the fixed 3-query workload over the
+    documents corpus, top-10 per query, scores value-pinned."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bm25_topk(docs, _GATE_QUERIES)
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """recall@k of an approximate neighbor list against the brute-force
+    truth: both inputs are ``(query_id, neighbor_id)`` frames (ranked
+    lists already cut to k). Returns one row per query present in
+    ``exact``: ``(query_id, n_candidates, n_hit, recall)`` with
+    ``recall = n_hit / k``. Queries the approximate index missed
+    entirely (empty bucket) score 0, not absent — an index that loses
+    a query must show up in the metric.
+
+    Scale: both inputs are |queries|·k rows — the expensive part is
+    producing them, not this comparison; every join here is on the
+    bounded evaluation frames."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hit = (ex.join(ap, ["query_id", "neighbor_id"])
+           .groupBy("query_id").agg(F.count("*").alias("n_hit_nz")))
+    cand = (ap.groupBy("query_id")
+            .agg(F.count("*").alias("n_candidates_nz")))
+    return (ex.select("query_id").distinct()
+            .join(hit, "query_id", "left")
+            .join(cand, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("n_candidates_nz", F.lit(0)).cast("long")
+                 .alias("n_candidates"),
+                F.coalesce("n_hit_nz", F.lit(0)).cast("long")
+                 .alias("n_hit"),
+                F.round(F.coalesce("n_hit_nz", F.lit(0)).cast("double")
+                        / F.lit(float(k)), 4).alias("recall")))
+
+
+def _sql_ann_recall() -> str:
+    """DuckDB twin of `ann_recall_at_k`: brute-force top-k and sign-LSH
+    top-k re-stated as CTEs (the same bodies the `emb_cosine_topk` /
+    `emb_lsh_bucketed_search` oracles pin), then the recall join."""
+    from .similarity import _N_QUERIES, _SQL_SIG, _TOP_K
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM emb q CROSS JOIN emb c
+           WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM bf) WHERE rn <= {_TOP_K}),
+    sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb),
+    ls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM sig q JOIN sig c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < {_N_QUERIES}),
+    ap AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM ls) WHERE rn <= {_TOP_K}),
+    hit AS (SELECT e.query_id, count(*) AS n_hit_nz
+            FROM ex e JOIN ap a
+              ON e.query_id = a.query_id
+             AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id),
+    cand AS (SELECT query_id, count(*) AS n_candidates_nz
+             FROM ap GROUP BY query_id)
+    SELECT q.query_id,
+           CAST(coalesce(c.n_candidates_nz, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hit_nz, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(h.n_hit_nz, 0) AS DOUBLE)
+                 / {float(_TOP_K)!r}, 4) AS recall
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit h USING (query_id)
+    LEFT JOIN cand c USING (query_id)
+    """
+
+
+@query("ann_recall_at_k", oracle=_sql_ann_recall())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `ann_recall`: sign-LSH bucketed search graded
+    against brute-force cosine truth at the similarity family's own
+    settings (8 queries, k=5, 8-bit signatures) — the measured recall
+    the LSH bit-count knob trades against scan cost."""
+    from .similarity import _TOP_K, emb_cosine_topk, emb_lsh_bucketed_search
+    exact = emb_cosine_topk(spark, sf_dir)
+    approx = emb_lsh_bucketed_search(spark, sf_dir)
+    return ann_recall(exact, approx, _TOP_K)
+
+
+_RRF_K = 60.0   # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fuse(rankings: list[DataFrame], *, k: float = _RRF_K,
+             topn: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (the standard hybrid
+    lexical+dense retrieval combiner): each input has ``(query_id,
+    neighbor_id, rank)``; fused score = Σ_lists 1/(k + rank), summed
+    over the lists the item appears in. Returns ``(query_id,
+    neighbor_id, rrf_score, fused_rank)``; ``topn`` cuts per query.
+
+    Scale: a unionByName of pre-cut ranked lists (|queries|·k rows per
+    list) and one tiny groupBy — fusion is never the expensive stage.
+    Scores round to 6 so the fused_rank tie-break (score desc, id asc)
+    is engine-independent."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    base = rankings[0].select("query_id", "neighbor_id", "rank")
+    for r in rankings[1:]:
+        base = base.unionByName(r.select("query_id", "neighbor_id", "rank"))
+    fused = (base.groupBy("query_id", "neighbor_id")
+             .agg(F.round(F.sum(F.lit(1.0)
+                                / (F.lit(float(k))
+                                   + F.col("rank").cast("double"))), 6)
+                  .alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(),
+                                               "neighbor_id")
+    out = fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+    if topn is not None:
+        out = out.where(F.col("fused_rank") <= topn)
+    return out
+
+
+def _sql_rrf() -> str:
+    """DuckDB twin of `rrf_fuse_rankings`: the brute-force and sign-LSH
+    ranked lists (the same CTE bodies the similarity oracles pin) fused
+    with 1/(60+rank)."""
+    from .similarity import _N_QUERIES, _SQL_SIG, _TOP_K
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM emb q CROSS JOIN emb c
+           WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM bf) WHERE rn <= {_TOP_K}),
+    sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb),
+    ls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM sig q JOIN sig c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < {_N_QUERIES}),
+    ap AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM ls) WHERE rn <= {_TOP_K}),
+    unioned AS (SELECT * FROM ex UNION ALL SELECT * FROM ap),
+    fused AS (SELECT query_id, neighbor_id,
+                     round(sum(1.0 / ({_RRF_K!r}
+                                      + CAST(rank AS DOUBLE))), 6)
+                         AS rrf_score
+              FROM unioned GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, neighbor_id) AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("rrf_fuse_rankings", oracle=_sql_rrf())
+def rrf_fuse_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `rrf_fuse`: the brute-force cosine and sign-LSH
+    top-5 lists fused — items surfaced by both retrievers outrank
+    single-list items, the hybrid-retrieval contract."""
+    from .similarity import emb_cosine_topk, emb_lsh_bucketed_search
+    exact = emb_cosine_topk(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "rank")
+    approx = emb_lsh_bucketed_search(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "rank")
+    return rrf_fuse([exact, approx])
+
+
+# arbitrary labeled positives for the gate workload (a label set is a
+# workload artifact like the queries themselves)
+_GATE_POSITIVES = [(0, 1), (1, 2), (2, 3)]
+
+
+def bm25_hard_negatives(docs: DataFrame, queries: dict[int, str],
+                        positives: DataFrame, *, k: int = _BM25_K,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k1: float = _K1, b: float = _B) -> DataFrame:
+    """Hard-negative mining for retriever/embedding training: the
+    top-``k`` BM25-scoring documents per query that are NOT labeled
+    positives (``positives`` is ``(query_id, doc_id)``) — the
+    highest-confusion negatives a contrastive trainer wants. The
+    anti-join runs BEFORE the ranking window so negative ranks are
+    contiguous 1..k.
+
+    Scale: positives are a label set (broadcast); everything else is
+    `bm25_scores`' shape."""
+    scored = bm25_scores(docs, queries, text_col=text_col,
+                         id_col=id_col, k1=k1, b=b)
+    neg = scored.join(F.broadcast(positives.select("query_id", "doc_id")),
+                      ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               "doc_id")
+    return (neg.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
+def _sql_hard_negatives() -> str:
+    pos = ", ".join(f"({q}, {d})" for q, d in _GATE_POSITIVES)
+    body = _sql_bm25_body(_GATE_QUERIES, _BM25_K, _K1, _B)
+    # same pipeline with the positives anti-joined before the window
+    return body.replace(
+        "scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score\n"
+        "               FROM contrib GROUP BY query_id, doc_id),",
+        "allscored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score\n"
+        "               FROM contrib GROUP BY query_id, doc_id),\n"
+        f"    pos(query_id, doc_id) AS (VALUES {pos}),\n"
+        "    scored AS (SELECT s.* FROM allscored s ANTI JOIN pos p\n"
+        "               ON s.query_id = p.query_id"
+        " AND s.doc_id = p.doc_id),")
+
+
+@query("bm25_hard_negatives", oracle=_sql_hard_negatives())
+def bm25_hard_negatives_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `bm25_hard_negatives`: the fixed query workload with
+    a literal positive-label set excluded from the rankings."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pos = spark.createDataFrame(_GATE_POSITIVES, "query_id int, doc_id long")
+    return bm25_hard_negatives(docs, _GATE_QUERIES, pos)
+
+
+def ndcg_at_k(ranked: DataFrame, relevant: DataFrame, *,
+              k: int, queries: DataFrame | None = None) -> DataFrame:
+    """nDCG@k with binary relevance: ``ranked`` is ``(query_id,
+    neighbor_id, rank)`` (already cut to k), ``relevant`` is
+    ``(query_id, neighbor_id)`` — the full relevant set per query.
+    DCG = Σ_{rel hits} 1/(ln(rank+1)/ln(2)); IDCG places all R relevant
+    items first (min(R, k) terms). ``queries`` (a 1-column query_id
+    frame) fixes the output universe so a query the index lost entirely
+    (empty bucket → no ranked rows) still scores 0 — flagged, not
+    dropped; default is the queries present in ``ranked``. Queries with
+    R = 0 likewise score 0 with ``n_relevant = 0``.
+
+    Scale: both inputs are evaluation frames (|queries|·k and the label
+    set); the discount table is built from a bounded range."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    spark = ranked.sparkSession
+    # discount(r) = 1 / (ln(r+1)/ln(2)), r = 1..k — a k-row literal
+    disc = (spark.range(1, k + 1).toDF("r")
+            .select("r", (F.lit(1.0)
+                          / (F.log(F.col("r").cast("double") + F.lit(1.0))
+                             / F.log(F.lit(2.0)))).alias("d")))
+    hits = (ranked.join(relevant.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"])
+            .join(F.broadcast(disc), ranked["rank"] == disc["r"])
+            .groupBy("query_id").agg(F.sum("d").alias("dcg")))
+    rel_n = (relevant.groupBy("query_id")
+             .agg(F.count("*").alias("n_relevant")))
+    # IDCG over min(R, k) leading positions: join the discount table
+    # under r <= min(R, k) and sum — still |queries|·k rows at most
+    idcg = (rel_n.join(F.broadcast(disc),
+                       disc["r"] <= F.least(F.col("n_relevant"), F.lit(k)))
+            .groupBy("query_id").agg(F.sum("d").alias("idcg")))
+    qs = (queries.select("query_id").distinct() if queries is not None
+          else ranked.select("query_id").distinct())
+    return (qs.join(rel_n, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .join(idcg, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("n_relevant", F.lit(0)).cast("long")
+                 .alias("n_relevant"),
+                F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+                F.when(F.coalesce("idcg", F.lit(0.0)) > 0.0,
+                       F.round(F.coalesce("dcg", F.lit(0.0))
+                               / F.col("idcg"), 6))
+                 .otherwise(F.lit(0.0)).alias("ndcg")))
+
+
+def _sql_ndcg() -> str:
+    """DuckDB twin of `ndcg_label_lsh`: the sign-LSH ranked list graded
+    against same-label relevance, identical discount algebra."""
+    from .similarity import _N_QUERIES, _SQL_SIG, _TOP_K
+    return f"""
+    WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    sig AS (SELECT vec_id, label, e, {_SQL_SIG} AS bucket FROM emb),
+    ls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM sig q JOIN sig c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < {_N_QUERIES}),
+    ranked AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM ls) WHERE rn <= {_TOP_K}),
+    rel AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM emb q JOIN emb c
+              ON q.label = c.label AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}),
+    disc AS (SELECT r, 1.0 / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)) AS d
+             FROM range(1, {_TOP_K} + 1) t(r)),
+    hits AS (SELECT rk.query_id, sum(disc.d) AS dcg
+             FROM ranked rk
+             JOIN rel ON rk.query_id = rel.query_id
+                     AND rk.neighbor_id = rel.neighbor_id
+             JOIN disc ON rk.rank = disc.r
+             GROUP BY rk.query_id),
+    rel_n AS (SELECT query_id, count(*) AS n_relevant
+              FROM rel GROUP BY query_id),
+    idcg AS (SELECT rel_n.query_id, sum(disc.d) AS idcg
+             FROM rel_n JOIN disc
+               ON disc.r <= least(rel_n.n_relevant, {_TOP_K})
+             GROUP BY rel_n.query_id),
+    qs AS (SELECT vec_id AS query_id FROM emb
+           WHERE vec_id < {_N_QUERIES})
+    SELECT qs.query_id,
+           CAST(coalesce(rel_n.n_relevant, 0) AS BIGINT) AS n_relevant,
+           round(coalesce(hits.dcg, 0.0), 6) AS dcg,
+           CASE WHEN coalesce(idcg.idcg, 0.0) > 0.0
+                THEN round(coalesce(hits.dcg, 0.0) / idcg.idcg, 6)
+                ELSE 0.0 END AS ndcg
+    FROM qs
+    LEFT JOIN rel_n ON qs.query_id = rel_n.query_id
+    LEFT JOIN hits ON qs.query_id = hits.query_id
+    LEFT JOIN idcg ON qs.query_id = idcg.query_id
+    """
+
+
+@query("ndcg_label_lsh", oracle=_sql_ndcg())
+def ndcg_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `ndcg_at_k`: the sign-LSH top-5 graded against
+    same-`label` relevance from the embeddings table — position-
+    discounted ranking quality next to `ann_recall_at_k`'s set
+    overlap."""
+    from .similarity import (_N_QUERIES, _TOP_K, _as_double,
+                             emb_lsh_bucketed_search)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", "label",
+                                 _as_double("embedding").alias("e"))
+    ranked = emb_lsh_bucketed_search(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "rank")
+    q = (emb.where(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("qlabel")))
+    rel = (emb.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+           .where(F.col("vec_id") != F.col("query_id"))
+           .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    return ndcg_at_k(ranked, rel, k=_TOP_K,
+                     queries=q.select("query_id"))

@@ -59,6 +59,11 @@ HEADLINE = [
     "quality_weighted_sample",
     "epoch_upsample",
     "pack_manifest_rollup",
+    "bm25_topk_search",
+    "bm25_hard_negatives",
+    "ann_recall_at_k",
+    "rrf_fuse_rankings",
+    "ndcg_label_lsh",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

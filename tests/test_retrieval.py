@@ -1,0 +1,285 @@
+"""BM25 retrieval + ANN recall (`operators/retrieval.py`): score
+exactness against a pure-Python Okapi BM25 reference, ranking
+determinism, the flag-don't-drop N convention, and the recall metric's
+missed-query semantics. Cross-engine value parity is pinned by the
+registered `bm25_topk_search` / `ann_recall_at_k` oracle pairs."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.retrieval import (  # noqa: E402
+    _GATE_QUERIES, _tokenize, ann_recall, bm25_hard_negatives, bm25_scores,
+    bm25_topk, ndcg_at_k, rrf_fuse)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+_K1, _B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+_DOCS = [(1, "hash join hash"),
+         (2, "hash join window"),
+         (3, "merge sort the window"),
+         (4, None),
+         (5, "scan scan scan scan")]
+_QUERIES = {0: "hash join", 1: "window"}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def _py_bm25(docs, queries, k1=_K1, b=_B):
+    """Independent reference: same formula, pure Python floats."""
+    toks = {d: (t.strip().lower().split() if t is not None else None)
+            for d, t in docs}
+    dls = [len(w) for w in toks.values() if w is not None]
+    n_docs = float(len(docs))          # NULL text still counts toward N
+    avgdl = sum(dls) / len(dls)
+    out = {}
+    for qid, qtext in queries.items():
+        for term in set(_tokenize(qtext)):
+            dfreq = sum(1 for w in toks.values() if w and term in w)
+            if dfreq == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+            for d, w in toks.items():
+                if not w or term not in w:
+                    continue
+                tf, dl = float(w.count(term)), float(len(w))
+                c = (idf * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                out[(qid, d)] = out.get((qid, d), 0.0) + c
+    return {k: round(v, 4) for k, v in out.items()}
+
+
+class TestBm25Scores:
+    def test_matches_python_reference(self, spark, docs):
+        got = {(r.query_id, r.doc_id): r.score
+               for r in bm25_scores(docs, _QUERIES).collect()}
+        want = _py_bm25(_DOCS, _QUERIES)
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], abs=1e-6), key
+
+    def test_tf_saturation_and_length_penalty(self, spark, docs):
+        got = {(r.query_id, r.doc_id): r.score
+               for r in bm25_scores(docs, _QUERIES).collect()}
+        # doc 1 has tf(hash)=2 vs doc 2's 1 at equal dl -> higher score
+        assert got[(0, 1)] > got[(0, 2)] > 0
+        # 'window': doc 2 (dl=3) beats doc 3 (dl=4) at equal tf=1
+        assert got[(1, 2)] > got[(1, 3)]
+
+    def test_null_text_never_scores_but_counts_toward_n(self, spark, docs):
+        scored = bm25_scores(docs, _QUERIES).collect()
+        assert all(r.doc_id != 4 for r in scored)
+        # the python reference (which counts doc 4 in N) agrees exactly,
+        # so N=5 is what the engine used; with N=4 idf shifts by >1e-3
+        want = _py_bm25(_DOCS, _QUERIES)
+        got = {(r.query_id, r.doc_id): r.score for r in scored}
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_duplicate_query_terms_count_once(self, spark, docs):
+        once = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(docs, {0: "hash"}).collect()}
+        twice = {(r.query_id, r.doc_id): r.score
+                 for r in bm25_scores(docs, {0: "hash hash"}).collect()}
+        assert once == twice
+
+    def test_unmatched_query_produces_no_rows(self, spark, docs):
+        scored = bm25_scores(docs, {0: "hash", 7: "zzz_absent"}).collect()
+        assert {r.query_id for r in scored} == {0}
+
+    def test_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            bm25_scores(docs, {})
+        with pytest.raises(ValueError):
+            bm25_scores(docs, {0: "   "})
+        with pytest.raises(ValueError):
+            bm25_topk(docs, {0: "hash"}, k=0)
+
+
+class TestBm25TopK:
+    def test_rank_contiguous_and_cut(self, spark, docs):
+        rows = bm25_topk(docs, _QUERIES, k=2).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in by_q.items():
+            ranks = sorted(r.rank for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len(rs) <= 2
+            srt = sorted(rs, key=lambda r: (-r.score, r.doc_id))
+            assert [r.rank for r in srt] == ranks
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            bm25_topk_search
+        rows = bm25_topk_search(spark, SF_DIR).collect()
+        assert rows, "gate workload found no matches"
+        assert {r.query_id for r in rows} <= set(_GATE_QUERIES)
+        assert all(r.score > 0 and 1 <= r.rank <= 10 for r in rows)
+
+    def test_scan_reads_only_id_and_text(self, spark):
+        import contextlib
+        import io
+        import re
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            bm25_topk_search
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bm25_topk_search(spark, SF_DIR).explain("formatted")
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", buf.getvalue()):
+            cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+            assert cols <= {"doc_id", "text"}, cols
+
+
+class TestAnnRecall:
+    def test_metric(self, spark):
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 11), (1, 20), (1, 21)],
+            "query_id long, neighbor_id long")
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 12)], "query_id long, neighbor_id long")
+        got = {r.query_id: r for r in ann_recall(exact, approx, 2).collect()}
+        assert got[0].n_hit == 1 and got[0].n_candidates == 2
+        assert got[0].recall == pytest.approx(0.5)
+        # query 1 missed entirely by the index: present, zero — not absent
+        assert got[1].n_hit == 0 and got[1].n_candidates == 0
+        assert got[1].recall == 0.0
+
+    def test_perfect_index_scores_one(self, spark):
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 11)], "query_id long, neighbor_id long")
+        got = ann_recall(exact, exact, 2).collect()
+        assert len(got) == 1 and got[0].recall == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        exact = spark.createDataFrame(
+            [(0, 10)], "query_id long, neighbor_id long")
+        with pytest.raises(ValueError):
+            ann_recall(exact, exact, 0)
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            ann_recall_at_k
+        rows = ann_recall_at_k(spark, SF_DIR).collect()
+        assert len(rows) == 8          # one row per query vector
+        for r in rows:
+            assert 0 <= r.n_hit <= 5 and 0.0 <= r.recall <= 1.0
+            assert r.n_hit <= r.n_candidates
+
+
+class TestRrfFuse:
+    def test_both_lists_beat_single_list(self, spark):
+        a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)],
+                                  "query_id long, neighbor_id long, rank int")
+        b = spark.createDataFrame([(0, 10, 2), (0, 12, 1)],
+                                  "query_id long, neighbor_id long, rank int")
+        got = {r.neighbor_id: r for r in rrf_fuse([a, b]).collect()}
+        # item 10 appears in both lists: 1/61 + 1/62 > any single 1/61
+        assert got[10].fused_rank == 1
+        assert got[10].rrf_score == pytest.approx(
+            round(1 / 61 + 1 / 62, 6))
+        assert got[12].rrf_score == pytest.approx(round(1 / 61, 6))
+        # 12 (rank 1) beats 11 (rank 2) among single-list items
+        assert got[12].fused_rank == 2 and got[11].fused_rank == 3
+
+    def test_topn_cut_and_validation(self, spark):
+        a = spark.createDataFrame([(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+                                  "query_id long, neighbor_id long, rank int")
+        assert rrf_fuse([a], topn=2).count() == 2
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        with pytest.raises(ValueError):
+            rrf_fuse([a], k=0)
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            rrf_fuse_rankings
+        rows = rrf_fuse_rankings(spark, SF_DIR).collect()
+        assert rows
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rs in by_q.values():
+            assert sorted(r.fused_rank for r in rs) == \
+                list(range(1, len(rs) + 1))
+
+
+class TestHardNegatives:
+    def test_positives_excluded_ranks_contiguous(self, spark, docs):
+        pos = spark.createDataFrame([(0, 1)], "query_id int, doc_id long")
+        neg = bm25_hard_negatives(docs, _QUERIES, pos, k=5).collect()
+        assert (0, 1) not in {(r.query_id, r.doc_id) for r in neg}
+        q0 = sorted(r.rank for r in neg if r.query_id == 0)
+        assert q0 == list(range(1, len(q0) + 1))
+        # the non-positive docs keep their relative BM25 order
+        full = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(docs, _QUERIES).collect()}
+        for r in neg:
+            assert r.score == pytest.approx(full[(r.query_id, r.doc_id)])
+
+    def test_positives_of_other_queries_unaffected(self, spark, docs):
+        pos = spark.createDataFrame([(0, 2)], "query_id int, doc_id long")
+        neg = bm25_hard_negatives(docs, _QUERIES, pos, k=5).collect()
+        pairs = {(r.query_id, r.doc_id) for r in neg}
+        assert (0, 2) not in pairs
+        assert (1, 2) in pairs          # doc 2 only excluded for query 0
+
+
+class TestNdcg:
+    def test_perfect_ranking_scores_one(self, spark):
+        ranked = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2)],
+            "query_id long, neighbor_id long, rank int")
+        rel = spark.createDataFrame(
+            [(0, 10), (0, 11)], "query_id long, neighbor_id long")
+        got = ndcg_at_k(ranked, rel, k=2).collect()
+        assert len(got) == 1 and got[0].ndcg == pytest.approx(1.0)
+
+    def test_hand_computed(self, spark):
+        # relevant item at rank 2 of 2, R=3 (idcg uses min(R,k)=2 terms)
+        ranked = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2)],
+            "query_id long, neighbor_id long, rank int")
+        rel = spark.createDataFrame(
+            [(0, 11), (0, 20), (0, 21)], "query_id long, neighbor_id long")
+        got = ndcg_at_k(ranked, rel, k=2).collect()[0]
+        dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+        idcg = 1.0 / (math.log(2.0) / math.log(2.0)) + dcg
+        assert got.n_relevant == 3
+        assert got.dcg == pytest.approx(round(dcg, 6))
+        assert got.ndcg == pytest.approx(round(dcg / idcg, 6))
+
+    def test_no_relevant_scores_zero_not_absent(self, spark):
+        ranked = spark.createDataFrame(
+            [(0, 10, 1)], "query_id long, neighbor_id long, rank int")
+        rel = spark.createDataFrame(
+            [(1, 99)], "query_id long, neighbor_id long")
+        qs = spark.createDataFrame([(0,), (1,)], "query_id long")
+        got = {r.query_id: r
+               for r in ndcg_at_k(ranked, rel, k=1, queries=qs).collect()}
+        assert got[0].n_relevant == 0 and got[0].ndcg == 0.0
+        assert got[1].n_relevant == 1 and got[1].ndcg == 0.0  # lost query
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            ndcg_label_lsh
+        rows = ndcg_label_lsh(spark, SF_DIR).collect()
+        assert len(rows) == 8
+        assert all(0.0 <= r.ndcg <= 1.0 for r in rows)
