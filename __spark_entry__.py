@@ -89,6 +89,9 @@ def _all_modules():
 #                       dense exact + LSH ranked lists
 #   ndcg_label_lsh      r10 addition: label-relevance nDCG@5 of the
 #                       LSH ranking (lost queries score 0, present)
+#   bm25_store_scoring  r10 addition: the incremental path — two
+#                       'ingest day' stores merged then scored, vs
+#                       the naive one-shot DuckDB BM25
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
@@ -98,7 +101,8 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "stratified_split_exact", "bloom_decontamination",
                 "cms_frequency_estimate", "bm25_topk_search",
                 "bm25_hard_negatives", "ann_recall_at_k",
-                "rrf_fuse_rankings", "ndcg_label_lsh"]
+                "rrf_fuse_rankings", "ndcg_label_lsh",
+                "bm25_store_scoring"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -47,7 +47,8 @@ from .mixture import (apply_mixture_rates, compose_corpus_mix,
 from .ordering import (global_order_index, interleaved_order_index,
                        stratified_split_exact)
 from .retrieval import (ann_recall, bm25_hard_negatives, bm25_scores,
-                        bm25_topk, ndcg_at_k, rrf_fuse)
+                        bm25_scores_from_stats, bm25_stats, bm25_topk,
+                        merge_bm25_stats, ndcg_at_k, rrf_fuse)
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)
@@ -125,5 +126,6 @@ __all__ = [
     "global_order_index", "interleaved_order_index",
     "stratified_split_exact",
     "ann_recall", "bm25_hard_negatives", "bm25_scores", "bm25_topk",
+    "bm25_scores_from_stats", "bm25_stats", "merge_bm25_stats",
     "ndcg_at_k", "rrf_fuse",
 ]

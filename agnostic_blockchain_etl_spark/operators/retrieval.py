@@ -197,6 +197,169 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _GATE_QUERIES)
 
 
+def bm25_stats(docs: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id",
+               terms: list[str] | None = None) -> DataFrame:
+    """Mergeable per-batch BM25 corpus statistics — the day-2 path's
+    store artifact (`digest_store`'s role for retrieval): one row per
+    distinct term ``(term, df, 0, 0, 0)`` plus one corpus row
+    ``(NULL, 0, n_docs, n_dl, sum_dl)`` (a token is never NULL, so
+    NULL is a safe sentinel key). ``n_docs`` counts every doc (idf's
+    N); ``n_dl`` counts docs with a defined length — avgdl divides by
+    it, matching `bm25_scores`' NULL-skipping avg. Batches merge by
+    summation
+    (`merge_bm25_stats`), so a growing corpus keeps exact global
+    df/N/avgdl without ever re-scanning history.
+
+    ``terms`` restricts the store to a known query vocabulary
+    (workload-specific store, hit-sized); default is the full
+    vocabulary — an inverted-index stats table, built with one
+    map-side-combined term count (the standard one-pass shape; the
+    output is vocabulary-sized, not corpus-sized).
+
+    NULL-text docs count toward n_docs but contribute no terms and no
+    dl — exactly `bm25_scores`' N convention."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    uniq = F.array_distinct(words)
+    if terms is not None:
+        if not terms:
+            raise ValueError("terms must be None or non-empty")
+        uniq = F.filter(uniq, lambda w: w.isin(*sorted(set(terms))))
+    feats = docs.select(F.size(words).cast("long").alias("dl"),
+                        uniq.alias("uniq"))
+    term_df = (feats.select(F.explode("uniq").alias("term"))
+               .groupBy("term").agg(F.count("*").alias("df")))
+    corpus = (feats.agg(F.count("*").alias("n_docs"),
+                        F.count("dl").alias("n_dl"),
+                        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+              .select(F.lit(None).cast("string").alias("term"),
+                      F.lit(0).cast("long").alias("df"),
+                      F.col("n_docs").cast("long"),
+                      F.col("n_dl").cast("long"),
+                      F.col("sum_dl").cast("long")))
+    return (term_df.select("term", "df",
+                           F.lit(0).cast("long").alias("n_docs"),
+                           F.lit(0).cast("long").alias("n_dl"),
+                           F.lit(0).cast("long").alias("sum_dl"))
+            .unionByName(corpus))
+
+
+def merge_bm25_stats(*stores: DataFrame) -> DataFrame:
+    """Fold any number of per-batch stats stores into one: counts sum
+    cell-wise per term (NULL-safe — the corpus sentinel row is a group
+    like any other). merge(stats(A), stats(B)) == stats(A ∪ B)
+    exactly, the store family's merge contract."""
+    if not stores:
+        raise ValueError("need at least one stats store")
+    u = stores[0]
+    for s in stores[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy("term")
+            .agg(F.sum("df").alias("df"),
+                 F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_dl").alias("n_dl"),
+                 F.sum("sum_dl").alias("sum_dl")))
+
+
+def bm25_scores_from_stats(docs: DataFrame, queries: dict[int, str],
+                           stats: DataFrame, *,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k1: float = _K1, b: float = _B) -> DataFrame:
+    """`bm25_scores` with the global statistics (df/N/avgdl) read from
+    a (possibly merged) `bm25_stats` store instead of recomputed: the
+    incremental scoring path — only the scoring TARGET ``docs`` (a new
+    batch, or any subset) is scanned; history lives in the store. The
+    same algebra in the same order, so scores are bit-identical to the
+    one-shot form over the cumulative corpus (the registered
+    `bm25_store_scoring` pair pins this against the naive oracle).
+
+    Scale: the store is filtered to the query terms, then broadcast —
+    the corpus-row and term-row frames are tiny; the target scan is
+    the only data-sized input.
+
+    Contract: a term present in ``docs`` but absent from the store
+    contributes 0 (the store predates it — it has no defined df).
+    For exact global scores merge the scoring batch's own
+    `bm25_stats` into the store first, as the gate query does."""
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: text} dict")
+    qpairs = sorted({(qid, t) for qid, s in queries.items()
+                     for t in _tokenize(s)})
+    if not qpairs:
+        raise ValueError("queries tokenized to an empty term set")
+    terms = sorted({t for _, t in qpairs})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qpairs, "query_id int, term string")
+
+    # match bm25_scores' float path exactly: n_docs via count cast
+    # double, avgdl via double division of exact long sums. The rows
+    # are RE-AGGREGATED first, which (a) accepts a raw union of
+    # per-batch stores without an explicit merge and (b) keeps the
+    # division un-foldable — a pushed-down filter otherwise leaves the
+    # term-row branch dividing literal 0/0, which ANSI mode rejects at
+    # constant-folding time even though the rows are filtered away
+    corpus = (stats.where(F.col("term").isNull())
+              .agg(F.sum("n_docs").alias("nd"), F.sum("n_dl").alias("nl"),
+                   F.sum("sum_dl").alias("sd"))
+              .select(F.col("nd").cast("double").alias("n_docs"),
+                      (F.col("sd").cast("double")
+                       / F.col("nl").cast("double")).alias("avgdl")))
+    term_stats = (stats.where(F.col("term").isin(*terms))
+                  .groupBy("term")
+                  .agg(F.sum("df").cast("double").alias("df")))
+    idf = (term_stats.crossJoin(F.broadcast(corpus))
+           .select("term",
+                   F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df")
+                                       + F.lit(0.5))
+                         / (F.col("df") + F.lit(0.5))).alias("idf"),
+                   "avgdl"))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hit = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("double").alias("dl"),
+        F.explode(F.filter(words, lambda w: w.isin(*terms))).alias("term"))
+    tf = (hit.groupBy("doc_id", "term", "dl")
+          .agg(F.count("*").cast("double").alias("tf")))
+    contrib = (tf.join(F.broadcast(idf), "term")
+               .join(F.broadcast(qdf), "term")
+               .select("query_id", "doc_id",
+                       (F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+                        / (F.col("tf")
+                           + F.lit(k1) * (F.lit(1.0 - b)
+                                          + F.lit(b) * F.col("dl")
+                                          / F.col("avgdl"))))
+                       .alias("c")))
+    return (contrib.groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("c"), 4).alias("score")))
+
+
+# a second fixed workload for the store-path gate (distinct from
+# _GATE_QUERIES so the two gate rows don't time identical work)
+_STORE_QUERIES = {0: "customer order line", 1: "big small value"}
+
+
+@query("bm25_store_scoring", oracle=_sql_bm25_body(_STORE_QUERIES,
+                                                   _BM25_K, _K1, _B))
+def bm25_store_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of the INCREMENTAL path: the corpus is split in two
+    deterministic halves (doc_id parity — two 'ingest days'), each
+    half builds its own `bm25_stats` store, the stores merge, and the
+    full corpus is scored from the merged store. The oracle is the
+    NAIVE one-shot DuckDB BM25 over the whole corpus — hash equality
+    proves day-split + merge + store-scoring is exact, the same
+    two-path proof shape as `token_budget_prefix`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    day1 = docs.where(F.col("doc_id") % 2 == 0)
+    day2 = docs.where(F.col("doc_id") % 2 == 1)
+    merged = merge_bm25_stats(bm25_stats(day1), bm25_stats(day2))
+    scored = bm25_scores_from_stats(docs, _STORE_QUERIES, merged)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= _BM25_K)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """recall@k of an approximate neighbor list against the brute-force
     truth: both inputs are ``(query_id, neighbor_id)`` frames (ranked

@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "rrf_fuse_rankings",
     "ndcg_label_lsh",
+    "bm25_store_scoring",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

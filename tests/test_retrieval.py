@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agnostic_blockchain_etl_spark.operators.retrieval import (  # noqa: E402
     _GATE_QUERIES, _tokenize, ann_recall, bm25_hard_negatives, bm25_scores,
-    bm25_topk, ndcg_at_k, rrf_fuse)
+    bm25_scores_from_stats, bm25_stats, bm25_topk, merge_bm25_stats,
+    ndcg_at_k, rrf_fuse)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -240,6 +241,83 @@ class TestHardNegatives:
         pairs = {(r.query_id, r.doc_id) for r in neg}
         assert (0, 2) not in pairs
         assert (1, 2) in pairs          # doc 2 only excluded for query 0
+
+
+def _stats_map(df):
+    return {r.term: (r.df, r.n_docs, r.n_dl, r.sum_dl)
+            for r in df.collect()}
+
+
+class TestBm25Store:
+    def test_merge_equals_one_shot(self, spark, docs):
+        a = docs.where("doc_id <= 2")
+        b = docs.where("doc_id > 2")
+        merged = merge_bm25_stats(bm25_stats(a), bm25_stats(b))
+        assert _stats_map(merged) == _stats_map(bm25_stats(docs))
+
+    def test_store_scoring_equals_naive(self, spark, docs):
+        store = bm25_stats(docs)
+        got = {(r.query_id, r.doc_id): r.score
+               for r in bm25_scores_from_stats(docs, _QUERIES,
+                                               store).collect()}
+        want = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(docs, _QUERIES).collect()}
+        assert got == want          # bit-identical, not approx
+
+    def test_day2_batch_scores_match_global(self, spark, docs):
+        # scoring ONLY the new batch against the cumulative store gives
+        # the same per-doc scores as one-shot over the full corpus
+        day1 = docs.where("doc_id <= 2")
+        day2 = docs.where("doc_id > 2")
+        store = merge_bm25_stats(bm25_stats(day1), bm25_stats(day2))
+        got = {(r.query_id, r.doc_id): r.score
+               for r in bm25_scores_from_stats(day2, _QUERIES,
+                                               store).collect()}
+        full = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(docs, _QUERIES).collect()}
+        assert got == {k: v for k, v in full.items() if k[1] > 2}
+
+    def test_terms_restricted_store(self, spark, docs):
+        store = bm25_stats(docs, terms=["hash", "join"])
+        m = _stats_map(store)
+        assert set(m) == {"hash", "join", None}
+        # N counts the NULL-text doc; n_dl and sum_dl skip it
+        assert m[None] == (0, 5, 4, 14)
+        assert m["hash"][0] == 2       # docs 1 and 2
+
+    def test_null_text_counts_in_corpus_row_only(self, spark):
+        nulls = spark.createDataFrame([(1, None), (2, "hash")],
+                                      "doc_id long, text string")
+        m = _stats_map(bm25_stats(nulls))
+        assert m[None] == (0, 2, 1, 1)
+        assert m["hash"] == (1, 0, 0, 0)
+
+    def test_unseen_term_contributes_zero(self, spark, docs):
+        day1 = docs.where("doc_id <= 2")   # no 'scan' in days 1-2
+        store = bm25_stats(day1)
+        day3 = docs.where("doc_id = 5")    # 'scan scan scan scan'
+        got = bm25_scores_from_stats(day3, {0: "scan"}, store).collect()
+        assert got == []                   # dropped, per the contract
+
+    def test_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            merge_bm25_stats()
+        with pytest.raises(ValueError):
+            bm25_stats(docs, terms=[])
+        with pytest.raises(ValueError):
+            bm25_scores_from_stats(docs, {}, bm25_stats(docs))
+
+    def test_gate_query_matches_one_shot_topk(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import (
+            _STORE_QUERIES, bm25_store_scoring)
+        from agnostic_blockchain_etl_spark.operators.tables import \
+            load_tables
+        got = {(r.query_id, r.doc_id): (r.score, r.rank)
+               for r in bm25_store_scoring(spark, SF_DIR).collect()}
+        d = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        want = {(r.query_id, r.doc_id): (r.score, r.rank)
+                for r in bm25_topk(d, _STORE_QUERIES).collect()}
+        assert got == want
 
 
 class TestNdcg:
