@@ -16,10 +16,11 @@ Scale design (BM25):
   broadcast as a literal) with a JVM higher-order `filter` BEFORE the
   explode, so the shuffled frame is proportional to query-term HITS,
   not corpus tokens.
-- Corpus statistics (N, avgdl) aggregate a column-pruned scan (text
-  only) into a 1-row broadcast; document frequencies aggregate the
-  hit frame into a |terms|-row broadcast. The only corpus-sized
-  shuffle is the per-(query, doc) score sum.
+- One scoped-cached narrow projection (doc_id, dl, query-term hits)
+  feeds both the corpus statistics (a 1-row broadcast) and the tf
+  frame; document frequencies aggregate the hit frame into a
+  |terms|-row broadcast. The only corpus-sized shuffle is the
+  per-(query, doc) score sum.
 - Top-k per query uses a row_number window partitioned by query_id.
   Each partition is the set of docs matching that query — for huge
   matched sets apply `ordering._bucketed_rank`'s two-level pattern;
@@ -198,7 +199,6 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_stats(docs: DataFrame, *, text_col: str = "text",
-               id_col: str = "doc_id",
                terms: list[str] | None = None) -> DataFrame:
     """Mergeable per-batch BM25 corpus statistics — the day-2 path's
     store artifact (`digest_store`'s role for retrieval): one row per
@@ -218,7 +218,12 @@ def bm25_stats(docs: DataFrame, *, text_col: str = "text",
     output is vocabulary-sized, not corpus-sized).
 
     NULL-text docs count toward n_docs but contribute no terms and no
-    dl — exactly `bm25_scores`' N convention."""
+    dl — exactly `bm25_scores`' N convention.
+
+    Cost: two passes over the BATCH text (the 1-row length aggregate
+    and the term count) — acceptable because the input is an ingest
+    batch, not the cumulative corpus; that asymmetry is the whole
+    point of the store."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     uniq = F.array_distinct(words)
     if terms is not None:
@@ -302,8 +307,14 @@ def bm25_scores_from_stats(docs: DataFrame, queries: dict[int, str],
               .agg(F.sum("n_docs").alias("nd"), F.sum("n_dl").alias("nl"),
                    F.sum("sum_dl").alias("sd"))
               .select(F.col("nd").cast("double").alias("n_docs"),
-                      (F.col("sd").cast("double")
-                       / F.col("nl").cast("double")).alias("avgdl")))
+                      # guarded: an all-NULL-text (or empty) corpus has
+                      # no defined avgdl — NULL, not an ANSI 0/0 error;
+                      # no term can match such a corpus, so the NULL
+                      # never reaches a score
+                      F.when(F.col("nl") > 0,
+                             F.col("sd").cast("double")
+                             / F.col("nl").cast("double"))
+                       .alias("avgdl")))
     term_stats = (stats.where(F.col("term").isin(*terms))
                   .groupBy("term")
                   .agg(F.sum("df").cast("double").alias("df")))
@@ -566,6 +577,8 @@ def bm25_hard_negatives(docs: DataFrame, queries: dict[int, str],
 
     Scale: positives are a label set (broadcast); everything else is
     `bm25_scores`' shape."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     scored = bm25_scores(docs, queries, text_col=text_col,
                          id_col=id_col, k1=k1, b=b)
     neg = scored.join(F.broadcast(positives.select("query_id", "doc_id")),
@@ -581,7 +594,7 @@ def _sql_hard_negatives() -> str:
     pos = ", ".join(f"({q}, {d})" for q, d in _GATE_POSITIVES)
     body = _sql_bm25_body(_GATE_QUERIES, _BM25_K, _K1, _B)
     # same pipeline with the positives anti-joined before the window
-    return body.replace(
+    out = body.replace(
         "scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score\n"
         "               FROM contrib GROUP BY query_id, doc_id),",
         "allscored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score\n"
@@ -590,6 +603,10 @@ def _sql_hard_negatives() -> str:
         "    scored AS (SELECT s.* FROM allscored s ANTI JOIN pos p\n"
         "               ON s.query_id = p.query_id"
         " AND s.doc_id = p.doc_id),")
+    if out == body:     # the template drifted — fail at import, loudly
+        raise RuntimeError("hard-negatives oracle splice did not match "
+                           "the bm25 SQL template")
+    return out
 
 
 @query("bm25_hard_negatives", oracle=_sql_hard_negatives())

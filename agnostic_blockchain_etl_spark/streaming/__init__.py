@@ -24,14 +24,14 @@ Structured-Streaming-facing surface on top of it:
 
 from .cursor_datasource import CursorDataSource
 from .cursor_source import cursor_stream_batches
-from .dedup import (bloom_dedup_stream, dedup_stream,
+from .dedup import (bloom_dedup_stream, bm25_stats_stream, dedup_stream,
                     dedup_stream_bounded,
                     incremental_neardup_stream, last_committed_batch,
                     paragraph_dedup_stream, prune_store_deltas,
                     semantic_dedup_stream, source_cap_stream)
 
 __all__ = ["CursorDataSource", "cursor_stream_batches",
-           "bloom_dedup_stream", "dedup_stream",
+           "bloom_dedup_stream", "bm25_stats_stream", "dedup_stream",
            "dedup_stream_bounded", "incremental_neardup_stream",
            "last_committed_batch", "paragraph_dedup_stream",
            "prune_store_deltas", "semantic_dedup_stream",

@@ -415,6 +415,70 @@ def bloom_dedup_stream(docs: DataFrame, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+_BM25_STORE_SCHEMA = ("term string, df long, n_docs long, n_dl long, "
+                      "sum_dl long")
+
+
+def bm25_stats_stream(docs: DataFrame, store_path: str, out_path: str,
+                      checkpoint: str, *, queries: dict[int, str],
+                      text_col: str = "text",
+                      compact_every: int | None = None,
+                      prune_after_compact: bool = False):
+    """Streaming BM25 over a growing corpus: each micro-batch extends
+    the mergeable statistics store (`operators.retrieval.bm25_stats` —
+    per-term df rows + the corpus sentinel row) and scores ITSELF
+    against the cumulative statistics INCLUDING its own contribution,
+    so every emitted score equals the one-shot BM25 over the corpus as
+    of that batch (the exactness `bm25_store_scoring` pins for the
+    batch form). Only the new batch is ever tokenized — history is the
+    vocabulary-sized store, never re-read text.
+
+    The module's standard exactly-once shape: history = newest
+    committed snapshot + deltas strictly below this batch_id
+    (`_read_store_snapshots_or`); the batch's own delta is a pure
+    function of the batch, so a crash-window replay rewrites
+    identical ``{out_path}/batch_id=N`` scores and an identical
+    ``{store_path}/batch_id=N`` delta. Compaction folds history + the
+    committed delta into one summed snapshot (the store is
+    vocabulary-sized, so the snapshot IS the merged table);
+    ``prune_after_compact`` bounds raw delta dirs under the family's
+    `_prune_in_stream` rules."""
+    from ..operators.retrieval import bm25_scores_from_stats, bm25_stats
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        _BM25_STORE_SCHEMA)
+        delta = bm25_stats(batch_df, text_col=text_col).persist()
+        try:
+            # raw union — the scorer re-aggregates store rows itself
+            scored = bm25_scores_from_stats(
+                batch_df, queries, hist.unionByName(delta),
+                text_col=text_col)
+            scored.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            delta.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                (hist.unionByName(
+                    spark.read.parquet(
+                        f"{store_path}/batch_id={batch_id}"))
+                 .groupBy("term")
+                 .agg(F.sum("df").alias("df"),
+                      F.sum("n_docs").alias("n_docs"),
+                      F.sum("n_dl").alias("n_dl"),
+                      F.sum("sum_dl").alias("sum_dl"))
+                 .write.mode("overwrite")
+                 .parquet(f"{store_path}_compact/upto={batch_id}"))
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
+        finally:
+            delta.unpersist()
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def _read_store_snapshots_or(spark, store_path: str, batch_id: int,
                              empty) -> DataFrame:
     """Store read honoring compaction snapshots — the generic form

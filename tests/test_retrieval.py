@@ -306,6 +306,9 @@ class TestBm25Store:
             bm25_stats(docs, terms=[])
         with pytest.raises(ValueError):
             bm25_scores_from_stats(docs, {}, bm25_stats(docs))
+        pos = spark.createDataFrame([(0, 1)], "query_id int, doc_id long")
+        with pytest.raises(ValueError):
+            bm25_hard_negatives(docs, _QUERIES, pos, k=0)
 
     def test_gate_query_matches_one_shot_topk(self, spark):
         from agnostic_blockchain_etl_spark.operators.retrieval import (
@@ -318,6 +321,108 @@ class TestBm25Store:
         want = {(r.query_id, r.doc_id): (r.score, r.rank)
                 for r in bm25_topk(d, _STORE_QUERIES).collect()}
         assert got == want
+
+
+class TestBm25StatsStream:
+    """`streaming.dedup.bm25_stats_stream`: scores emitted per batch
+    equal the one-shot BM25 over the cumulative corpus as of that
+    batch; the store stays vocabulary-sized; snapshot compaction and
+    pruning follow the family rules."""
+
+    _Q = {0: "hash join"}
+
+    @staticmethod
+    def _drain(spark, src, store, out, ckpt, **kw):
+        from agnostic_blockchain_etl_spark.streaming.dedup import \
+            bm25_stats_stream
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = bm25_stats_stream(stream, store, out, ckpt,
+                              queries=TestBm25StatsStream._Q, **kw)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    @staticmethod
+    def _write(spark, src, rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def test_scores_match_one_shot_as_of_each_batch(self, spark,
+                                                    tmp_path):
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "out", "store",
+                                           "ckpt"))
+        batches = [
+            [(1, "hash join hash"), (2, "join window")],
+            [(3, "hash table scan"), (4, None)],
+            [(5, "join join hash")],
+        ]
+        for b in batches:
+            self._write(spark, src, b)
+        self._drain(spark, src, store, out, ckpt)
+        cumulative = []
+        for i, b in enumerate(batches):
+            cumulative.extend(b)
+            cum = spark.createDataFrame(cumulative,
+                                        "doc_id long, text string")
+            batch_ids = {d for d, _ in b}
+            want = {(r.query_id, r.doc_id): r.score
+                    for r in bm25_scores(cum, self._Q).collect()
+                    if r.doc_id in batch_ids}
+            got = {(r.query_id, r.doc_id): r.score
+                   for r in spark.read.parquet(
+                       f"{out}/batch_id={i}").collect()}
+            assert got == want, f"batch {i}"   # bit-identical
+
+    def test_restart_compaction_and_prune(self, spark, tmp_path):
+        import os
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("rsrc", "rout", "rstore",
+                                           "rckpt"))
+        batches = [[(10 * b + i, f"hash doc{b} w{i}") for i in range(3)]
+                   for b in range(4)]
+        for b in batches[:3]:
+            self._write(spark, src, b)
+        self._drain(spark, src, store, out, ckpt,
+                    compact_every=2, prune_after_compact=True)
+        # restart on the same checkpoint + store: history persists
+        self._write(spark, src, batches[3])
+        self._drain(spark, src, store, out, ckpt,
+                    compact_every=2, prune_after_compact=True)
+        snaps = os.listdir(f"{store}_compact")
+        assert any(s.startswith("upto=") for s in snaps)
+        deltas = [d for d in os.listdir(store)
+                  if d.startswith("batch_id=")]
+        assert len(deltas) <= 4                # pruning bounded raws
+        # the LAST batch's scores equal one-shot over all 12 docs
+        cum = spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id long, text string")
+        want = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(cum, self._Q).collect()
+                if r.doc_id >= 30}
+        got = {(r.query_id, r.doc_id): r.score
+               for r in spark.read.parquet(
+                   f"{out}/batch_id=3").collect()}
+        assert got == want
+
+    def test_all_null_batch_is_harmless(self, spark, tmp_path):
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("nsrc", "nout", "nstore",
+                                           "nckpt"))
+        self._write(spark, src, [(1, None), (2, None)])
+        self._write(spark, src, [(3, "hash join")])
+        self._drain(spark, src, store, out, ckpt)
+        assert spark.read.parquet(f"{out}/batch_id=0").count() == 0
+        got = spark.read.parquet(f"{out}/batch_id=1").collect()
+        assert len(got) == 1 and got[0].doc_id == 3
+        # N=3 reached the scorer: match one-shot over all three docs
+        cum = spark.createDataFrame(
+            [(1, None), (2, None), (3, "hash join")],
+            "doc_id long, text string")
+        want = bm25_scores(cum, self._Q).collect()
+        assert got[0].score == want[0].score
 
 
 class TestNdcg:
