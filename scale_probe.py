@@ -276,6 +276,16 @@ def _extra_probes() -> dict:
                 s, store, out, ckpt, cap=100, compact_every=2,
                 prune_after_compact=True))
 
+    def p_bm25_stream_day3(spark, sf):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            bm25_stats_stream)
+        return _stream_day3(
+            spark, sf, "bm25_stream_day3", ("doc_id", "text"),
+            lambda s, store, out, ckpt: bm25_stats_stream(
+                s, store, out, ckpt,
+                queries={0: "hash join", 1: "window scan batch"},
+                compact_every=2, prune_after_compact=True))
+
     def p_bloom_day3(spark, sf):
         # Day-N lifecycle of the Bloom membership store (the bounded-
         # memory exact-dedup path): day-0 filter over half the corpus,
@@ -330,6 +340,7 @@ def _extra_probes() -> dict:
             "x_quality_train_score": p_quality_train_score,
             "x_shard_assign": p_shard_assign,
             "x_bloom_day3": p_bloom_day3,
+            "x_bm25_stream_day3": p_bm25_stream_day3,
             "x_neardup_stream_day3": p_neardup_stream_day3,
             "x_paragraph_stream_day3": p_paragraph_stream_day3,
             "x_sourcecap_stream_day3": p_sourcecap_stream_day3}

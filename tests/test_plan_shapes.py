@@ -219,3 +219,20 @@ def test_source_cap_salted_form_is_two_bounded_windows(spark):
     assert "_b" in plan            # level-one partitioning carries the salt
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_data_side_joins_are_broadcast_only(spark):
+    """BM25's corpus-sized tf frame must meet ONLY broadcasts (the
+    |terms|-row idf table and the query-term map); the one nested loop
+    is the 1-row corpus-stats crossJoin onto the |terms|-row df frame
+    (bounded by construction, the emb_ivf_topk exemption class). A
+    shuffled idf join would add a corpus-sized exchange keyed on term."""
+    import re
+
+    import __spark_entry__ as entry
+    for name in ("bm25_topk_search", "bm25_store_scoring"):
+        plan = _plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            assert m.group(1) == "Cross", (name, plan)
