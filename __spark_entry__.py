@@ -32,9 +32,10 @@ def _all_modules():
                                                          joins_scale,
                                                          llm_data, misc,
                                                          ordering,
-                                                         retrieval)
+                                                         retrieval,
+                                                         winnow)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean, ordering, cms, retrieval]
+            relational, clean, ordering, cms, retrieval, winnow]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -92,6 +93,9 @@ def _all_modules():
 #   bm25_store_scoring  r10 addition: the incremental path — two
 #                       'ingest day' stores merged then scored, vs
 #                       the naive one-shot DuckDB BM25
+#   winnow_dup_pairs    r10 addition: MOSS winnowing fingerprints —
+#                       window-min selection + rightmost tie + flood
+#                       guard, pair counts value-pinned
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
@@ -102,7 +106,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "cms_frequency_estimate", "bm25_topk_search",
                 "bm25_hard_negatives", "ann_recall_at_k",
                 "rrf_fuse_rankings", "ndcg_label_lsh",
-                "bm25_store_scoring"]
+                "bm25_store_scoring", "winnow_dup_pairs"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

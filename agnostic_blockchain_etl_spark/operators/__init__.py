@@ -49,6 +49,7 @@ from .ordering import (global_order_index, interleaved_order_index,
 from .retrieval import (ann_recall, bm25_hard_negatives, bm25_scores,
                         bm25_scores_from_stats, bm25_stats, bm25_topk,
                         merge_bm25_stats, ndcg_at_k, rrf_fuse)
+from .winnow import winnow_fingerprints, winnow_pairs
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)
@@ -128,4 +129,5 @@ __all__ = [
     "ann_recall", "bm25_hard_negatives", "bm25_scores", "bm25_topk",
     "bm25_scores_from_stats", "bm25_stats", "merge_bm25_stats",
     "ndcg_at_k", "rrf_fuse",
+    "winnow_fingerprints", "winnow_pairs",
 ]

@@ -1,0 +1,160 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+the MOSS algorithm) — position-aware near-dup detection that is ROBUST
+TO EDITS in a way set-based shingling is not: hash every k-gram, slide
+a w-hash window, keep each window's minimum (rightmost on ties), and
+any shared passage of length ≥ w + k − 1 tokens is GUARANTEED to share
+a selected fingerprint. Density is ~2/(w+1) of the k-grams, so the
+fingerprint table is a tunable fraction of the token count — the knob
+LLM-data pipelines use to trade recall against index size when hunting
+copied passages (licensing scans, boilerplate provenance, cross-source
+plagiarism) rather than whole-document duplicates.
+
+One deliberate deviation from the paper, identical in both engines:
+trailing truncated windows are included (standard SQL ROWS framing),
+so a document with at least one k-gram always fingerprints — the
+selected set is a superset of canonical winnowing's and the match
+guarantee is unchanged (flag-don't-drop).
+
+Scale: fingerprint selection is a per-document window (partitioned by
+doc_id — no cross-document shuffle until the final distinct); the pair
+join is a fingerprint equi-join with a document-frequency guard
+(`max_df`) dropping boilerplate fingerprints before they can flood it
+— the `max_shingle_df` / LSH-band shape, never all-pairs. Hashes are
+`hashing.keyed_h60` — the engine's one cross-engine hash primitive.
+
+Reference: no counterpart; LLM-data-pipeline mandate, sibling of
+`dedup.ngram_jaccard_pairs` (set overlap) and `spans.duplicate_spans`
+(exact spans) — winnowing sits between them: approximate like the
+first, position-bearing like the second.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .hashing import keyed_h60, sql_keyed_h60
+from .registry import make_registry
+from .tables import load_tables
+
+QUERIES, ORACLES, query = make_registry()
+
+_K = 4          # tokens per k-gram
+_W = 5          # hashes per winnowing window
+_MAX_DF = 50    # fingerprint document-frequency flood guard
+_MIN_SHARED = 2
+_SALT = "winnow:"
+
+
+def _check(k: int, w: int) -> None:
+    if k <= 0 or w <= 0:
+        raise ValueError(f"k/w must be positive, got {k}/{w}")
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        salt: str = _SALT) -> DataFrame:
+    """``(doc_id, fp, fp_pos)`` — the distinct winnowed fingerprints of
+    each document: 60-bit salted k-gram hashes, one minimum per w-hash
+    window (rightmost minimum on ties, the paper's rule, expressed as
+    a lexicographic struct MIN over (hash, −pos)). ``fp_pos`` is the
+    0-based k-gram position the fingerprint was taken from — the
+    position-bearing half of the scheme (span reconstruction, passage
+    alignment). NULL/short texts (< k tokens) produce no rows."""
+    _check(k, w)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    kgs = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(words, i + 1, k)).alias("gram"))))
+    flat = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(kgs).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    keyed_h60(salt, F.col("s.gram")).alias("h")))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    sel = flat.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"),
+                       (-F.col("pos")).alias("np"))).over(win).alias("m"))
+    return (sel.select("doc_id", F.col("m.h").alias("fp"),
+                       (-F.col("m.np")).cast("int").alias("fp_pos"))
+            .distinct())
+
+
+def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
+                 min_shared: int = _MIN_SHARED, max_df: int = _MAX_DF,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 salt: str = _SALT) -> DataFrame:
+    """``(doc_a, doc_b, n_shared)`` — document pairs sharing at least
+    ``min_shared`` winnowed fingerprints (doc_a < doc_b): the copied-
+    passage candidate pairs. Fingerprints present in more than
+    ``max_df`` documents are boilerplate (licence headers, templates)
+    and are dropped BEFORE the join — the flood guard that keeps the
+    equi-join linear in real matches instead of quadratic in the
+    hottest fingerprint."""
+    _check(k, w)
+    if min_shared <= 0 or max_df <= 0:
+        raise ValueError(f"min_shared/max_df must be positive, "
+                         f"got {min_shared}/{max_df}")
+    fps = (winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                               id_col=id_col, salt=salt)
+           .select("doc_id", "fp").distinct())
+    guard = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+             .where(F.col("_df") <= max_df).select("fp"))
+    g = fps.join(guard, "fp")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("fp"))
+    return (g.select(F.col("doc_id").alias("doc_a"), "fp")
+            .join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def _sql_winnow_pairs() -> str:
+    h = sql_keyed_h60(f"'{_SALT}'", "s.gram")
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents),
+    kg AS (SELECT doc_id,
+                  CASE WHEN len(words) >= {_K} THEN
+                    list_transform(generate_series(0, len(words) - {_K}),
+                      i -> {{'pos': i,
+                             'gram': array_to_string(
+                                 words[i+1:i+{_K}], ' ')}})
+                  ELSE [] END AS kgs
+           FROM toks),
+    flat AS (SELECT doc_id, unnest(kgs) AS s FROM kg),
+    hashed AS (SELECT doc_id, s.pos AS pos, {h} AS h FROM flat),
+    sel AS (SELECT doc_id,
+                   min(struct_pack(h := h, np := -pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_W - 1} FOLLOWING) AS m
+            FROM hashed),
+    fps AS (SELECT DISTINCT doc_id, (m).h AS fp FROM sel),
+    guard AS (SELECT fp FROM fps
+              GROUP BY fp HAVING count(*) <= {_MAX_DF}),
+    g AS (SELECT f.doc_id, f.fp FROM fps f JOIN guard USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_MIN_SHARED}
+    """
+
+
+@query("winnow_dup_pairs", oracle=_sql_winnow_pairs())
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `winnow_pairs` at the module defaults (k=4 w=5,
+    min_shared=2, max_df=50) — the window-min selection, the tie rule,
+    the flood guard, and the pair counts all value-pinned."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return winnow_pairs(docs)

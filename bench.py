@@ -65,6 +65,7 @@ HEADLINE = [
     "rrf_fuse_rankings",
     "ndcg_label_lsh",
     "bm25_store_scoring",
+    "winnow_dup_pairs",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

@@ -82,6 +82,31 @@ def test_full_flow(spark, tmp_path):
             ordered.orderBy("ord_ilv").limit(langs).collect()]
     assert len(set(head)) == langs
 
+    # retrieval phase (round 10): leakage hunt + store-path QA over the
+    # FINAL corpus — BM25 eval queries rank the trained-on docs, and
+    # the day-N statistics-store path must reproduce the one-shot
+    # scores bit-for-bit on the same corpus (the operator contract,
+    # here exercised at a real phase boundary)
+    from agnostic_blockchain_etl_spark.operators import (
+        bm25_scores, bm25_scores_from_stats, bm25_stats, bm25_topk)
+    final_docs = composed.where("final_keep = 1").select("doc_id", "text")
+    evalq = {0: "hash join scan", 1: "window batch merge"}
+    leak = bm25_topk(final_docs, evalq, k=5).collect()
+    assert leak, "eval queries must hit the final corpus"
+    per_q: dict = {}
+    for r in leak:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+    one_shot = {(r.query_id, r.doc_id): r.score
+                for r in bm25_scores(final_docs, evalq).collect()}
+    via_store = {(r.query_id, r.doc_id): r.score
+                 for r in bm25_scores_from_stats(
+                     final_docs, evalq, bm25_stats(final_docs)).collect()}
+    assert via_store == one_shot            # bit-identical, post-compose
+
     kept = annotated.where("keep = 1").select("doc_id", "text")
     # pack's `shard` is its packing-stream id, a different concept from
     # the writer's output shard — rename to compose (the writer raises

@@ -1,0 +1,135 @@
+"""Winnowing fingerprints (`operators/winnow.py`): the paper's match
+guarantee (shared passage ≥ w+k−1 tokens ⇒ shared fingerprint), the
+coverage bound (selected positions are never more than w apart), the
+rightmost-tie rule, edit robustness, the flood guard, and NULL/short
+text. Cross-engine values are pinned by the registered
+`winnow_dup_pairs` oracle pair."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.winnow import (  # noqa: E402
+    winnow_fingerprints, winnow_pairs)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+K, W = 4, 5
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _passage(n, tag):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+class TestGuarantee:
+    def test_shared_passage_of_guarantee_length_always_pairs(self, spark):
+        # any shared run of w+k-1 tokens must share >= 1 fingerprint
+        shared = _passage(W + K - 1, "s")
+        d = _docs(spark, [
+            (1, _passage(30, "a") + " " + shared + " " + _passage(30, "b")),
+            (2, _passage(25, "c") + " " + shared + " " + _passage(35, "d")),
+        ])
+        got = winnow_pairs(d, min_shared=1).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+    def test_disjoint_docs_never_pair(self, spark):
+        d = _docs(spark, [(1, _passage(60, "a")), (2, _passage(60, "b"))])
+        assert winnow_pairs(d, min_shared=1).count() == 0
+
+    def test_edit_robustness(self, spark):
+        # a single substituted token in a long doc: the two versions
+        # still share almost everything
+        base = _passage(80, "t").split()
+        edited = list(base)
+        edited[40] = "CHANGED"
+        d = _docs(spark, [(1, " ".join(base)), (2, " ".join(edited))])
+        got = winnow_pairs(d, min_shared=2).collect()
+        assert len(got) == 1 and got[0].n_shared >= 5
+
+
+class TestSelection:
+    def test_coverage_gap_never_exceeds_w(self, spark):
+        d = _docs(spark, [(1, _passage(100, "x"))])
+        pos = sorted(r.fp_pos
+                     for r in winnow_fingerprints(d).collect())
+        assert pos[0] <= W - 1                       # a window 0 pick
+        gaps = [b - a for a, b in zip(pos, pos[1:])]
+        assert gaps and max(gaps) <= W
+
+    def test_rightmost_tie_rule(self, spark):
+        # all-identical tokens -> every k-gram hash equal -> each
+        # window must pick its RIGHTMOST position: w-1 .. m-1
+        n_tokens, m = 20, 20 - K + 1
+        d = _docs(spark, [(1, " ".join(["same"] * n_tokens))])
+        pos = sorted(r.fp_pos
+                     for r in winnow_fingerprints(d).collect())
+        assert pos == list(range(W - 1, m))
+
+    def test_short_and_null_texts_no_rows_no_error(self, spark):
+        d = _docs(spark, [(1, "a b c"), (2, None), (3, "")])
+        assert winnow_fingerprints(d).count() == 0
+        assert winnow_pairs(d, min_shared=1).count() == 0
+
+    def test_fingerprints_are_a_subset_of_kgram_count(self, spark):
+        d = _docs(spark, [(1, _passage(50, "q"))])
+        n = winnow_fingerprints(d).count()
+        assert 0 < n <= 50 - K + 1
+
+
+class TestGuardsAndGate:
+    def test_max_df_flood_guard(self, spark):
+        # the same boilerplate passage in every doc; unique remainder.
+        # with max_df below the doc count the boilerplate fingerprints
+        # are dropped and nothing pairs at min_shared=1
+        boiler = _passage(W + K - 1, "lic")
+        rows = [(i, boiler + " " + _passage(40, f"u{i}_"))
+                for i in range(6)]
+        d = _docs(spark, rows)
+        assert winnow_pairs(d, min_shared=1, max_df=3).count() == 0
+        assert winnow_pairs(d, min_shared=1, max_df=10).count() == 15
+
+    def test_validation(self, spark):
+        d = _docs(spark, [(1, "a b c d e f")])
+        with pytest.raises(ValueError):
+            winnow_fingerprints(d, k=0)
+        with pytest.raises(ValueError):
+            winnow_pairs(d, w=0)
+        with pytest.raises(ValueError):
+            winnow_pairs(d, min_shared=0)
+        with pytest.raises(ValueError):
+            winnow_pairs(d, max_df=0)
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.winnow import \
+            winnow_dup_pairs
+        rows = winnow_dup_pairs(spark, SF_DIR).collect()
+        assert rows, "the corpus has near-dups; winnowing must find some"
+        assert all(r.doc_a < r.doc_b and r.n_shared >= 2 for r in rows)
+
+    def test_plan_is_equi_join_not_cartesian(self, spark):
+        import contextlib
+        import io
+        from agnostic_blockchain_etl_spark.operators.tables import \
+            load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            winnow_pairs(docs).explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
