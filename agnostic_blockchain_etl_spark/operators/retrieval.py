@@ -97,6 +97,10 @@ def bm25_scores(docs: DataFrame, queries: dict[int, str], *,
     # the token arrays — so the text scan runs once (dsir's
     # single-scan pattern; the cached frame is hits-sized, not corpus-
     # token-sized)
+    # deliberately NOT spread(): BM25's per-row work (one split + a
+    # |terms|-literal filter) is too light to pay for the healing
+    # shuffle — measured +0.8 s at sf0.1 WITH spread vs without
+    # (winnow's k-gram construction is the heavy case that pays)
     from .dedup import _scoped_cache
     feats = _scoped_cache(docs.select(
         F.col(id_col).alias("doc_id"),

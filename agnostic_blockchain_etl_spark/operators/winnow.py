@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .hashing import keyed_h60, sql_keyed_h60
 from .registry import make_registry
-from .tables import load_tables
+from .tables import load_tables, spread
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -51,18 +51,12 @@ def _check(k: int, w: int) -> None:
         raise ValueError(f"k/w must be positive, got {k}/{w}")
 
 
-def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
-                        text_col: str = "text",
-                        id_col: str = "doc_id",
-                        salt: str = _SALT) -> DataFrame:
-    """``(doc_id, fp, fp_pos)`` — the distinct winnowed fingerprints of
-    each document: 60-bit salted k-gram hashes, one minimum per w-hash
-    window (rightmost minimum on ties, the paper's rule, expressed as
-    a lexicographic struct MIN over (hash, −pos)). ``fp_pos`` is the
-    0-based k-gram position the fingerprint was taken from — the
-    position-bearing half of the scheme (span reconstruction, passage
-    alignment). NULL/short texts (< k tokens) produce no rows."""
-    _check(k, w)
+def _selected(docs: DataFrame, k: int, w: int, text_col: str,
+              id_col: str, salt: str) -> DataFrame:
+    """Pre-distinct window-min selections ``(doc_id, fp, fp_pos)`` —
+    one row per k-gram position (each carrying its window's winner);
+    both public forms distinct this ONCE on the columns they need."""
+    docs = spread(docs)  # tokenize+k-gram+hash must not run one-core
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     kgs = F.when(
         F.size(words) >= k,
@@ -81,9 +75,23 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
         "doc_id",
         F.min(F.struct(F.col("h"),
                        (-F.col("pos")).alias("np"))).over(win).alias("m"))
-    return (sel.select("doc_id", F.col("m.h").alias("fp"),
-                       (-F.col("m.np")).cast("int").alias("fp_pos"))
-            .distinct())
+    return sel.select("doc_id", F.col("m.h").alias("fp"),
+                      (-F.col("m.np")).cast("int").alias("fp_pos"))
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        salt: str = _SALT) -> DataFrame:
+    """``(doc_id, fp, fp_pos)`` — the distinct winnowed fingerprints of
+    each document: 60-bit salted k-gram hashes, one minimum per w-hash
+    window (rightmost minimum on ties, the paper's rule, expressed as
+    a lexicographic struct MIN over (hash, −pos)). ``fp_pos`` is the
+    0-based k-gram position the fingerprint was taken from — the
+    position-bearing half of the scheme (span reconstruction, passage
+    alignment). NULL/short texts (< k tokens) produce no rows."""
+    _check(k, w)
+    return _selected(docs, k, w, text_col, id_col, salt).distinct()
 
 
 def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
@@ -101,8 +109,9 @@ def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
     if min_shared <= 0 or max_df <= 0:
         raise ValueError(f"min_shared/max_df must be positive, "
                          f"got {min_shared}/{max_df}")
-    fps = (winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
-                               id_col=id_col, salt=salt)
+    # distinct straight on (doc_id, fp) — going through the public
+    # 3-column form would shuffle the selection frame twice
+    fps = (_selected(docs, k, w, text_col, id_col, salt)
            .select("doc_id", "fp").distinct())
     guard = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
              .where(F.col("_df") <= max_df).select("fp"))
