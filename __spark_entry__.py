@@ -33,9 +33,9 @@ def _all_modules():
                                                          llm_data, misc,
                                                          ordering,
                                                          retrieval,
-                                                         winnow)
+                                                         winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean, ordering, cms, retrieval, winnow]
+            relational, clean, ordering, cms, retrieval, winnow, zipf]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -96,6 +96,9 @@ def _all_modules():
 #   winnow_dup_pairs    r10 addition: MOSS winnowing fingerprints —
 #                       window-min selection + rightmost tie + flood
 #                       guard, pair counts value-pinned
+#   corpus_zipf_stats   r10 addition: Zipf rank-frequency diagnostics
+#                       — two-level bucketed rank + closed-form fit
+#                       vs the naive window oracle
 _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "token_budget_prefix", "corpus_diff_status",
                 "compose_mix_budget", "c4_clean_page_rules",
@@ -106,7 +109,8 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "cms_frequency_estimate", "bm25_topk_search",
                 "bm25_hard_negatives", "ann_recall_at_k",
                 "rrf_fuse_rankings", "ndcg_label_lsh",
-                "bm25_store_scoring", "winnow_dup_pairs"]
+                "bm25_store_scoring", "winnow_dup_pairs",
+                "corpus_zipf_stats"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

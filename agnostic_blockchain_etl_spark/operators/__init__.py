@@ -50,6 +50,7 @@ from .retrieval import (ann_recall, bm25_hard_negatives, bm25_scores,
                         bm25_scores_from_stats, bm25_stats, bm25_topk,
                         merge_bm25_stats, ndcg_at_k, rrf_fuse)
 from .winnow import winnow_fingerprints, winnow_pairs
+from .zipf import corpus_zipf_stats, zipf_rank_frequencies
 from .multimodal import (audio_feature_stage, decode_features,
                          mp3_metadata_stage,
                          resize_images, sample_frames)
@@ -130,4 +131,5 @@ __all__ = [
     "bm25_scores_from_stats", "bm25_stats", "merge_bm25_stats",
     "ndcg_at_k", "rrf_fuse",
     "winnow_fingerprints", "winnow_pairs",
+    "corpus_zipf_stats", "zipf_rank_frequencies",
 ]

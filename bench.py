@@ -66,6 +66,7 @@ HEADLINE = [
     "ndcg_label_lsh",
     "bm25_store_scoring",
     "winnow_dup_pairs",
+    "corpus_zipf_stats",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",
