@@ -155,8 +155,12 @@ def _sql_bm25_body(queries: dict[int, str], k: int,
     algebra in the same operation order."""
     qpairs = sorted({(qid, t) for qid, s in queries.items()
                      for t in _tokenize(s)})
-    qvalues = ", ".join(f"({qid}, '{t}')" for qid, t in qpairs)
-    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qpairs}))
+    # SQL-escape embedded single quotes (r10 ADVICE: a workload term
+    # like "don't" must not generate broken oracle SQL)
+    esc = {t: t.replace("'", "''") for _, t in qpairs}
+    qvalues = ", ".join(f"({qid}, '{esc[t]}')" for qid, t in qpairs)
+    in_list = ", ".join(f"'{esc[t]}'"
+                        for t in sorted({t for _, t in qpairs}))
     return f"""
     WITH q(query_id, term) AS (VALUES {qvalues}),
     toks AS (SELECT doc_id,
@@ -378,24 +382,28 @@ def bm25_store_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """recall@k of an approximate neighbor list against the brute-force
     truth: both inputs are ``(query_id, neighbor_id)`` frames (ranked
-    lists already cut to k). Returns one row per query present in
-    ``exact``: ``(query_id, n_candidates, n_hit, recall)`` with
-    ``recall = n_hit / k``. Queries the approximate index missed
-    entirely (empty bucket) score 0, not absent — an index that loses
-    a query must show up in the metric.
+    lists already cut to k; duplicate pairs are collapsed — the inputs
+    are sets). Returns one row per query present in ``exact``:
+    ``(query_id, n_candidates, n_hit, recall)`` with
+    ``recall = n_hit / min(k, |exact_q|)`` — a query whose exact truth
+    list has fewer than k rows (small corpus, filtered universe) can
+    still reach recall 1.0 (r10 ADVICE). Queries the approximate index
+    missed entirely (empty bucket) score 0, not absent — an index that
+    loses a query must show up in the metric.
 
     Scale: both inputs are |queries|·k rows — the expensive part is
     producing them, not this comparison; every join here is on the
     bounded evaluation frames."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    ex = exact.select("query_id", "neighbor_id")
-    ap = approx.select("query_id", "neighbor_id")
+    ex = exact.select("query_id", "neighbor_id").distinct()
+    ap = approx.select("query_id", "neighbor_id").distinct()
     hit = (ex.join(ap, ["query_id", "neighbor_id"])
            .groupBy("query_id").agg(F.count("*").alias("n_hit_nz")))
     cand = (ap.groupBy("query_id")
             .agg(F.count("*").alias("n_candidates_nz")))
-    return (ex.select("query_id").distinct()
+    n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (n_ex
             .join(hit, "query_id", "left")
             .join(cand, "query_id", "left")
             .select(
@@ -405,7 +413,8 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
                 F.coalesce("n_hit_nz", F.lit(0)).cast("long")
                  .alias("n_hit"),
                 F.round(F.coalesce("n_hit_nz", F.lit(0)).cast("double")
-                        / F.lit(float(k)), 4).alias("recall")))
+                        / F.least(F.col("n_exact"), F.lit(k))
+                           .cast("double"), 4).alias("recall")))
 
 
 def _sql_ann_recall() -> str:
@@ -446,13 +455,15 @@ def _sql_ann_recall() -> str:
              AND e.neighbor_id = a.neighbor_id
             GROUP BY e.query_id),
     cand AS (SELECT query_id, count(*) AS n_candidates_nz
-             FROM ap GROUP BY query_id)
+             FROM ap GROUP BY query_id),
+    nex AS (SELECT query_id, count(*) AS n_exact
+            FROM ex GROUP BY query_id)
     SELECT q.query_id,
            CAST(coalesce(c.n_candidates_nz, 0) AS BIGINT) AS n_candidates,
            CAST(coalesce(h.n_hit_nz, 0) AS BIGINT) AS n_hit,
            round(CAST(coalesce(h.n_hit_nz, 0) AS DOUBLE)
-                 / {float(_TOP_K)!r}, 4) AS recall
-    FROM (SELECT DISTINCT query_id FROM ex) q
+                 / CAST(least(q.n_exact, {_TOP_K}) AS DOUBLE), 4) AS recall
+    FROM nex q
     LEFT JOIN hit h USING (query_id)
     LEFT JOIN cand c USING (query_id)
     """
@@ -627,6 +638,10 @@ def ndcg_at_k(ranked: DataFrame, relevant: DataFrame, *,
     """nDCG@k with binary relevance: ``ranked`` is ``(query_id,
     neighbor_id, rank)`` (already cut to k), ``relevant`` is
     ``(query_id, neighbor_id)`` — the full relevant set per query.
+    ``relevant`` is treated as a SET — duplicate (query_id,
+    neighbor_id) rows are collapsed before grading, so a caller
+    passing a non-deduplicated label frame cannot inflate DCG or
+    n_relevant past 1.0-nDCG (r10 ADVICE).
     DCG = Σ_{rel hits} 1/(ln(rank+1)/ln(2)); IDCG places all R relevant
     items first (min(R, k) terms). ``queries`` (a 1-column query_id
     frame) fixes the output universe so a query the index lost entirely
@@ -639,12 +654,13 @@ def ndcg_at_k(ranked: DataFrame, relevant: DataFrame, *,
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     spark = ranked.sparkSession
+    relevant = relevant.select("query_id", "neighbor_id").distinct()
     # discount(r) = 1 / (ln(r+1)/ln(2)), r = 1..k — a k-row literal
     disc = (spark.range(1, k + 1).toDF("r")
             .select("r", (F.lit(1.0)
                           / (F.log(F.col("r").cast("double") + F.lit(1.0))
                              / F.log(F.lit(2.0)))).alias("d")))
-    hits = (ranked.join(relevant.select("query_id", "neighbor_id"),
+    hits = (ranked.join(relevant,
                         ["query_id", "neighbor_id"])
             .join(F.broadcast(disc), ranked["rank"] == disc["r"])
             .groupBy("query_id").agg(F.sum("d").alias("dcg")))

@@ -443,7 +443,17 @@ def bm25_stats_stream(docs: DataFrame, store_path: str, out_path: str,
     vocabulary-sized, so the snapshot IS the merged table);
     ``prune_after_compact`` bounds raw delta dirs under the family's
     `_prune_in_stream` rules."""
-    from ..operators.retrieval import bm25_scores_from_stats, bm25_stats
+    from ..operators.retrieval import (_tokenize, bm25_scores_from_stats,
+                                       bm25_stats)
+
+    # validate the workload EAGERLY (r10 ADVICE): an empty or
+    # whitespace-only query dict must fail here at definition time,
+    # like the module's other argument checks — not start a stream
+    # that dies in batch 0 inside the foreachBatch body
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: text} dict")
+    if not {t for s in queries.values() for t in _tokenize(s)}:
+        raise ValueError("queries tokenized to an empty term set")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

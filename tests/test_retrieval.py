@@ -175,6 +175,29 @@ class TestAnnRecall:
         with pytest.raises(ValueError):
             ann_recall(exact, exact, 0)
 
+    def test_short_exact_list_reaches_recall_one(self, spark):
+        # r10 ADVICE: a query whose truth list has FEWER than k rows
+        # must still score 1.0 when the index surfaces all of them —
+        # the denominator is min(k, |exact_q|), not the constant k
+        exact = spark.createDataFrame(
+            [(0, 10)], "query_id long, neighbor_id long")
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 11), (0, 12)], "query_id long, neighbor_id long")
+        got = ann_recall(exact, approx, 5).collect()
+        assert len(got) == 1 and got[0].recall == pytest.approx(1.0)
+        assert got[0].n_hit == 1
+
+    def test_duplicate_input_rows_collapse(self, spark):
+        # inputs are sets: duplicated (query, neighbor) pairs must not
+        # inflate n_hit / n_candidates past the set semantics
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 10), (0, 11)], "query_id long, neighbor_id long")
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 10)], "query_id long, neighbor_id long")
+        got = ann_recall(exact, approx, 2).collect()[0]
+        assert got.n_hit == 1 and got.n_candidates == 1
+        assert got.recall == pytest.approx(0.5)
+
     def test_gate_query_runs(self, spark):
         from agnostic_blockchain_etl_spark.operators.retrieval import \
             ann_recall_at_k
@@ -460,9 +483,55 @@ class TestNdcg:
         assert got[0].n_relevant == 0 and got[0].ndcg == 0.0
         assert got[1].n_relevant == 1 and got[1].ndcg == 0.0  # lost query
 
+    def test_duplicate_relevant_rows_collapse(self, spark):
+        # r10 ADVICE: a non-deduplicated label frame must not multiply
+        # DCG terms or inflate n_relevant/IDCG (ndcg stayed > 1 before)
+        ranked = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2)],
+            "query_id long, neighbor_id long, rank int")
+        rel_dup = spark.createDataFrame(
+            [(0, 10), (0, 10), (0, 10), (0, 11)],
+            "query_id long, neighbor_id long")
+        rel_set = spark.createDataFrame(
+            [(0, 10), (0, 11)], "query_id long, neighbor_id long")
+        got_dup = ndcg_at_k(ranked, rel_dup, k=2).collect()[0]
+        got_set = ndcg_at_k(ranked, rel_set, k=2).collect()[0]
+        assert got_dup == got_set
+        assert got_dup.n_relevant == 2
+        assert got_dup.ndcg == pytest.approx(1.0)
+
     def test_gate_query_runs(self, spark):
         from agnostic_blockchain_etl_spark.operators.retrieval import \
             ndcg_label_lsh
         rows = ndcg_label_lsh(spark, SF_DIR).collect()
         assert len(rows) == 8
         assert all(0.0 <= r.ndcg <= 1.0 for r in rows)
+
+
+class TestOracleSqlHygiene:
+    def test_apostrophe_terms_generate_valid_sql(self, spark):
+        # r10 ADVICE: a workload term containing a single quote must
+        # produce parseable oracle SQL (escaped, not broken literals)
+        import duckdb
+        import pandas as pd
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            _sql_bm25_body
+        sql = _sql_bm25_body({0: "don't stop"}, 5, _K1, _B)
+        assert "'don''t'" in sql
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["don't look back", "stop the scan", None]}))
+        got = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+        assert (0, 1) in got and (0, 2) in got     # both terms matched
+
+    def test_stream_workload_validated_eagerly(self, spark):
+        # r10 ADVICE: an empty / whitespace-only workload must fail at
+        # definition time, not start a stream that dies in batch 0
+        from agnostic_blockchain_etl_spark.streaming.dedup import \
+            bm25_stats_stream
+        docs = spark.readStream.format("rate").load()
+        for bad in ({}, {0: "   "}):
+            with pytest.raises(ValueError):
+                bm25_stats_stream(docs, "/tmp/x-store", "/tmp/x-out",
+                                  "/tmp/x-ckpt", queries=bad)
