@@ -221,6 +221,37 @@ def test_source_cap_salted_form_is_two_bounded_windows(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnow_selection_scan_is_spread(spark):
+    """Pin the winnow spread() decision (r10 verdict advisory #3): the
+    k-gram construction is CPU-heavy per row, so the selection scan
+    must be healed off the single-row-group scan — the plan carries a
+    RoundRobinPartitioning exchange (spread's repartition) and the
+    selection frame runs on >= defaultParallelism partitions. A
+    refactor that silently drops the spread() re-inflicts the measured
+    4.6 s one-core scan at sf0.1."""
+    import __spark_entry__ as entry
+    df = entry.queries()["winnow_dup_pairs"](spark, SF_DIR)
+    plan = _plan_of(df)
+    assert "RoundRobinPartitioning" in plan, plan
+    from agnostic_blockchain_etl_spark.operators.tables import (load_tables,
+                                                                spread)
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    cores = spark.sparkContext.defaultParallelism
+    assert spread(docs).rdd.getNumPartitions() >= cores
+
+
+def test_bm25_plan_has_no_healing_exchange(spark):
+    """Pin the BM25 NON-spread decision (r10 verdict advisory #3): the
+    per-row work (one split + a literal-set filter) is too light to
+    pay for the healing shuffle (measured +0.8 s at sf0.1 WITH it), so
+    the feature scan must carry NO RoundRobinPartitioning exchange —
+    every exchange in the plan is hash-partitioned aggregation/window
+    shuffle. A refactor that adds spread() here flips a measured win."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["bm25_topk_search"](spark, SF_DIR))
+    assert "RoundRobinPartitioning" not in plan, plan
+
+
 def test_bm25_data_side_joins_are_broadcast_only(spark):
     """BM25's corpus-sized tf frame must meet ONLY broadcasts (the
     |terms|-row idf table and the query-term map); the one nested loop
