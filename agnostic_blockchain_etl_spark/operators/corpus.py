@@ -930,3 +930,88 @@ def compose_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("stratum").alias("lang"), "rate")), "lang")
             .select("doc_id", "lang", "rate", "keep", "mix_keep",
                     "budget_keep", "final_keep"))
+
+
+# the MIXED-regime gate target (binary-exact shares summing to exactly
+# 1.0, so the Python normalization is a no-op and the SQL literals are
+# the same doubles): at the gate corpus's shares, en lands BELOW 1
+# (downsampled) while zh/de/fr land ABOVE 1 (epoch-repeated) under the
+# token-preserving anchor; 'es' is untargeted (rate-0 path)
+_EPOCH_MIX_TARGET = {"en": 0.25, "zh": 0.375, "de": 0.1875, "fr": 0.1875}
+_EPOCH_MIX_TGT_SQL = ("CASE stratum " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
+    for k, v in _EPOCH_MIX_TARGET.items()) + " ELSE CAST(0 AS DOUBLE) END")
+
+
+@query("compose_mix_epochs", oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS keep
+        FROM documents),
+    tok AS (
+        SELECT doc_id, lang, keep,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS BIGINT)            AS t,
+               {_MIX_HASH_SQL}                AS hm
+        FROM d),
+    per AS (
+        SELECT lang AS stratum,
+               CAST(SUM(CASE WHEN keep = 1 THEN t ELSE 0 END) AS BIGINT)
+                   AS n_tokens
+        FROM tok GROUP BY 1),
+    shares AS (
+        SELECT stratum, n_tokens,
+               CASE WHEN CAST(SUM(n_tokens) OVER () AS BIGINT) > 0
+                    THEN n_tokens / CAST(SUM(n_tokens) OVER () AS BIGINT)
+                    ELSE CAST(0 AS DOUBLE) END AS share,
+               {_EPOCH_MIX_TGT_SQL} AS tgt
+        FROM per),
+    plan AS (
+        SELECT stratum,
+               round(CASE WHEN tgt > 0 AND share > 0
+                          THEN tgt / share
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS rate
+        FROM shares),
+    app AS (
+        SELECT k.doc_id, k.lang, k.keep, p.rate,
+               CAST(floor(p.rate) AS INT)
+               + CASE WHEN (k.hm + 1) / 1152921504606846976.0
+                           <= p.rate - floor(p.rate)
+                      THEN 1 ELSE 0 END AS copies
+        FROM tok k JOIN plan p ON k.lang = p.stratum),
+    ex AS (
+        SELECT doc_id, lang, rate, keep,
+               CASE WHEN copies > 0 THEN 1 ELSE 0 END AS mix_keep,
+               unnest(generate_series(
+                   1, CASE WHEN keep = 1 AND rate > 1 THEN copies
+                           ELSE 1 END)) AS epoch
+        FROM app)
+    SELECT doc_id, lang, rate, keep, mix_keep,
+           CAST(epoch AS INT) AS epoch,
+           keep * mix_keep AS final_keep
+    FROM ex
+""")
+def compose_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle pair for the UNIFIED mixture regimes (r10 verdict ask
+    #4): one `compose_corpus_mix(allow_epochs=True)` call plans a
+    token-preserving mix whose rates straddle 1 and routes application
+    — the downsampled stratum (en) draws a keep flag through
+    `apply_mixture_rates`, the upsampled strata (zh/de/fr) repeat
+    surviving rows through `epoch_upsample` (same ``mixture:`` hash
+    salt — the twin applies ONE copies formula to every stratum and
+    must match both routes bit-exactly, including the integer-boundary
+    rate-0 'es' path and the keep=0 pass-through-unrepeated rule).
+    Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    from .mixture import compose_corpus_mix
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "lang", "text",
+        (F.col("doc_id") % 4 != 0).cast("int").alias("keep"))
+    out, report = compose_corpus_mix(d, target=_EPOCH_MIX_TARGET,
+                                     allow_epochs=True)
+    return (out.join(F.broadcast(report.select(
+                F.col("stratum").alias("lang"), "rate")), "lang")
+            .select("doc_id", "lang", "rate", "keep", "mix_keep",
+                    "epoch", "final_keep"))

@@ -116,7 +116,8 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
                     text_col: str = "text",
                     on_unsatisfiable: str = "raise",
                     counts: DataFrame | None = None,
-                    tokens_col: str | None = None) -> DataFrame:
+                    tokens_col: str | None = None,
+                    allow_epochs: bool = False) -> DataFrame:
     """Per-stratum plan: ``(stratum, n_docs, n_tokens, share,
     target_share, rate, kept_tokens)``. Strata absent from ``target``
     get rate 0 (dropped); target shares are normalized to sum to 1, so
@@ -136,7 +137,17 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     shares renormalize over the supplied strata only — so the reported
     ``target_share`` column matches the mix the rates actually achieve
     (a plan advertising shares its own rates cannot deliver would fail
-    any downstream kept-tokens-vs-target validation forever)."""
+    any downstream kept-tokens-vs-target validation forever).
+
+    ``allow_epochs=True`` switches the rate anchor from the bottleneck
+    (max rate exactly 1 — a pure downsampling plan) to the
+    TOKEN-PRESERVING constant c=1: ``rate_s = target_s / share_s``, so
+    the emitted token total equals the survivor total while hitting
+    the mix — strata above their target share downsample (< 1) and
+    strata below it repeat via epochs (> 1). Apply such a plan through
+    `compose_corpus_mix(allow_epochs=True)` (or `epoch_upsample`
+    directly), never `apply_mixture_rates` alone — a rate above 1 is
+    a repetition count, not a keep probability."""
     if on_unsatisfiable not in ("raise", "ignore"):
         raise ValueError(
             f"on_unsatisfiable must be 'raise' or 'ignore',"
@@ -174,9 +185,13 @@ def mixture_weights(docs: DataFrame, target: dict[str, float],
     # shares proportional to target. Zero-token targeted strata are
     # excluded from m exactly like absent ones (the validation above
     # already raised unless the caller opted into that consistency).
-    m = F.min(F.when((tgt > 0) & (share > 0), share / tgt)).over(w)
-    rate = F.when((tgt > 0) & (share > 0),
-                  tgt / share * m).otherwise(F.lit(0.0))
+    if allow_epochs:
+        rate = F.when((tgt > 0) & (share > 0),
+                      tgt / share).otherwise(F.lit(0.0))
+    else:
+        m = F.min(F.when((tgt > 0) & (share > 0), share / tgt)).over(w)
+        rate = F.when((tgt > 0) & (share > 0),
+                      tgt / share * m).otherwise(F.lit(0.0))
     return (per.select(
         "stratum", "n_docs", "n_tokens",
         F.round(share, 6).alias("share"),
@@ -189,7 +204,8 @@ def temperature_mixture(docs: DataFrame, alpha: float,
                         strat_col: str = "lang",
                         text_col: str = "text",
                         counts: DataFrame | None = None,
-                        tokens_col: str | None = None) -> DataFrame:
+                        tokens_col: str | None = None,
+                        allow_epochs: bool = False) -> DataFrame:
     """Temperature-based resampling rates (the multilingual pre-training
     practice of mBERT / XLM-R, Conneau et al. 2020: sample stratum s
     with probability ``q_s^alpha / Σ_t q_t^alpha`` where ``q_s`` is the
@@ -233,8 +249,17 @@ def temperature_mixture(docs: DataFrame, alpha: float,
     # the last ulp). Z survives only in the REPORTED target_share.
     total_p = F.sum(powered).over(w)
     tgt = F.when(total_p > 0, powered / total_p).otherwise(F.lit(0.0))
-    m = F.min(F.when(share > 0, share / powered)).over(w)
-    rate = F.when(share > 0, powered / share * m).otherwise(F.lit(0.0))
+    if allow_epochs:
+        # token-preserving anchor (see mixture_weights): rate =
+        # tgt/share — here the Z = sum(p) normalization does NOT
+        # cancel, so epoch-mode temperature rates carry the window
+        # sum; the plan frame's round-6 rate (what application joins
+        # against) keeps them engine-reproducible regardless
+        rate = F.when(share > 0, tgt / share).otherwise(F.lit(0.0))
+    else:
+        m = F.min(F.when(share > 0, share / powered)).over(w)
+        rate = F.when(share > 0,
+                      powered / share * m).otherwise(F.lit(0.0))
     return (per.select(
         "stratum", "n_docs", "n_tokens",
         F.round(share, 6).alias("share"),
@@ -252,7 +277,8 @@ def compose_corpus_mix(annotated: DataFrame,
                        keep_col: str = "keep",
                        on_unsatisfiable: str = "raise",
                        persist: bool = False,
-                       tokens_col: str | None = None
+                       tokens_col: str | None = None,
+                       allow_epochs: bool = False
                        ) -> tuple[DataFrame, DataFrame]:
     """The COMPOSITION phase after curation: given `curate_corpus`'s
     annotated frame (or any frame with ``doc_id``/``text``/strata and a
@@ -289,10 +315,34 @@ def compose_corpus_mix(annotated: DataFrame,
     realized report — on a precomputed token-count column (real
     tokenizer counts, e.g. `bpe.bpe_encode` lengths) instead of the
     whitespace default; one definition end-to-end (`_token_expr`), so
-    the plan and the cap can never disagree about what a token is."""
+    the plan and the cap can never disagree about what a token is.
+
+    ``allow_epochs=True`` unifies the two mixture regimes (r10 verdict
+    ask #4): the planner runs with the token-preserving anchor (see
+    `mixture_weights(allow_epochs=True)`), so rates straddle 1, and
+    application ROUTES by stratum — rate ≤ 1 strata through
+    `apply_mixture_rates` (one row out per row in, ``epoch`` = 1),
+    rate > 1 strata through `epoch_upsample` (surviving rows REPEAT
+    with ``epoch`` = 1..n; rows the curation already dropped pass
+    through once, unrepeated). Both draws share the ``mixture:`` hash
+    salt, so the fractional decision is one primitive across regimes.
+    The output contract gains an ``epoch`` column everywhere (1 for
+    every non-repeated row) and is otherwise identical; the realized
+    report counts emitted (post-repetition) rows and tokens. Epoch
+    expansion is the LAST physical pass of a recipe by the module's
+    own convention, so ``token_budgets`` cannot be combined with it —
+    cap in a prior compose call, then epoch-expand."""
     if target is not None and alpha is not None:
         raise ValueError("pass target= or alpha=, not both (chain two "
                          "compose calls to stack regimes)")
+    if allow_epochs and target is None and alpha is None:
+        raise ValueError("allow_epochs=True needs a mix regime "
+                         "(target= or alpha=)")
+    if allow_epochs and token_budgets is not None:
+        raise ValueError(
+            "allow_epochs=True cannot be combined with token_budgets: "
+            "epoch repetition is the last physical pass — cap budgets "
+            "in a prior compose call, then epoch-expand the result")
     out = annotated
     if target is not None or alpha is not None:
         cost_col = tokens_col if tokens_col is not None else text_col
@@ -303,11 +353,38 @@ def compose_corpus_mix(annotated: DataFrame,
         plan = (mixture_weights(survivors, target, strat_col=strat_col,
                                 text_col=text_col,
                                 on_unsatisfiable=on_unsatisfiable,
-                                counts=counts)
+                                counts=counts, allow_epochs=allow_epochs)
                 if target is not None else
                 temperature_mixture(survivors, alpha, strat_col=strat_col,
-                                    text_col=text_col, counts=counts))
-        out = apply_mixture_rates(out, plan, strat_col=strat_col)
+                                    text_col=text_col, counts=counts,
+                                    allow_epochs=allow_epochs))
+        if allow_epochs:
+            # route by stratum rate: the plan is a bounded literal, so
+            # collecting the |strata| rate rows is a no-scan job
+            gt1 = sorted(r["stratum"] for r in
+                         plan.select("stratum", "rate").collect()
+                         if r["rate"] > 1.0)
+            is_gt = (F.col(strat_col).isin(gt1) if gt1 else F.lit(False))
+            le = apply_mixture_rates(
+                out.where(~F.coalesce(is_gt, F.lit(False))),
+                plan, strat_col=strat_col) \
+                .withColumn("epoch", F.lit(1).cast("int"))
+            gt = out.where(F.coalesce(is_gt, F.lit(False)))
+            # surviving rows of upsampled strata repeat (rate > 1 ⇒
+            # floor ≥ 1 ⇒ epoch_upsample drops nothing here); rows
+            # curation dropped pass through once — repeating a dead
+            # row would inflate the frame with final_keep=0 copies
+            gt_kept = epoch_upsample(gt.where(F.col(keep_col) == 1),
+                                     plan, strat_col=strat_col,
+                                     salt="mixture:") \
+                .withColumn("mix_keep", F.lit(1).cast("int"))
+            gt_dead = (gt.where(~(F.col(keep_col) == 1)
+                                | F.col(keep_col).isNull())
+                       .withColumn("mix_keep", F.lit(1).cast("int"))
+                       .withColumn("epoch", F.lit(1).cast("int")))
+            out = le.unionByName(gt_kept).unionByName(gt_dead)
+        else:
+            out = apply_mixture_rates(out, plan, strat_col=strat_col)
     else:
         plan = None   # no mix stage: neutral flag, curate's convention
         out = out.withColumn("mix_keep", F.lit(1))

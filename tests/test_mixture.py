@@ -508,3 +508,100 @@ def test_tokens_col_threads_the_whole_composition(spark):
              for r in ra.collect()}
             == {r.stratum: (r.n_final, r.final_tokens)
                 for r in rb.collect()})
+
+
+def test_epoch_anchor_rates_straddle_one(spark):
+    """allow_epochs=True (r10 verdict ask #4): token-preserving anchor
+    — rate = target/share, emitted totals equal survivor totals, strata
+    above their target downsample and strata below it exceed 1."""
+    docs = _corpus(spark)          # shares en 60/105, de 30/105, fr 10/105
+    out = {r["stratum"]: r
+           for r in mixture_weights(docs, {"en": 2, "de": 1, "fr": 1},
+                                    allow_epochs=True).collect()}
+    assert out["xx"]["rate"] == 0.0
+    # en share (60/105 ≈ .571) exceeds its target (.5) -> rate < 1;
+    # de (.286 vs .25) also above target -> < 1... fr (.095 vs .25) -> > 1
+    assert out["en"]["rate"] < 1.0
+    assert out["fr"]["rate"] > 1.0
+    # token preservation: sum of kept_tokens over targeted strata equals
+    # the full corpus token total (xx's share is reabsorbed by the mix)
+    total = sum(out[s]["n_tokens"] for s in out)
+    kept = sum(out[s]["kept_tokens"] for s in ("en", "de", "fr"))
+    assert kept == pytest.approx(total, rel=1e-4)
+    # and the kept mix still follows the 2:1:1 target
+    assert out["en"]["kept_tokens"] == pytest.approx(
+        2 * out["de"]["kept_tokens"], rel=1e-4)
+
+
+def test_compose_allow_epochs_routes_both_regimes(spark):
+    """One compose(allow_epochs=True) call: downsampled strata keep the
+    one-row-per-row flag contract (epoch 1), upsampled strata repeat
+    surviving rows with a 1-based epoch index; dropped (keep=0) rows
+    pass through once, unrepeated; the two routes agree with calling
+    the underlying operators directly on the same plan."""
+    from pyspark.sql import functions as F
+
+    from agnostic_blockchain_etl_spark.operators.mixture import (
+        apply_mixture_rates, compose_corpus_mix, epoch_upsample)
+    rows = []
+    did = 0
+    for lang, docs, words in (("en", 20, 10), ("fr", 4, 10)):
+        for _ in range(docs):
+            did += 1
+            rows.append((did, " ".join(["w"] * words), lang,
+                         0 if did % 7 == 0 else 1))  # doc 21 = fr, keep 0
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, keep int")
+    target = {"en": 0.5, "fr": 0.5}   # fr is tiny -> rate > 1, en < 1
+    out, report = compose_corpus_mix(d, target=target, allow_epochs=True)
+    got = out.collect()
+    plan = {r["stratum"]: r["rate"] for r in report.collect()}
+    assert plan["en"] < 1.0 < plan["fr"]
+    # en rows: exactly one row each, epoch 1, mix flag 0/1
+    en = [r for r in got if r.lang == "en"]
+    assert len(en) == 20 and all(r.epoch == 1 for r in en)
+    # fr keep=0 rows: one row, unrepeated
+    fr_dead = [r for r in got if r.lang == "fr" and r.keep == 0]
+    assert len(fr_dead) == 1 and fr_dead[0].epoch == 1
+    # fr survivors: every copy count >= floor(rate) >= 1, epochs 1..n
+    fr_live = {}
+    for r in got:
+        if r.lang == "fr" and r.keep == 1:
+            fr_live.setdefault(r.doc_id, []).append(r.epoch)
+    import math
+    for doc_id, epochs in fr_live.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+        assert len(epochs) >= math.floor(plan["fr"])
+        assert len(epochs) <= math.ceil(plan["fr"])
+    # route-equivalence: the composed output matches the underlying
+    # operators applied manually with the same plan + salt
+    plan_df = spark.createDataFrame(
+        [(s, r) for s, r in plan.items()], "stratum string, rate double")
+    manual_en = apply_mixture_rates(d.where(F.col("lang") == "en"),
+                                    plan_df)
+    want_en = {(r.doc_id, r.mix_keep) for r in manual_en.collect()}
+    assert {(r.doc_id, r.mix_keep) for r in en} == want_en
+    manual_fr = epoch_upsample(
+        d.where((F.col("lang") == "fr") & (F.col("keep") == 1)),
+        plan_df, salt="mixture:")
+    want_fr = {}
+    for r in manual_fr.collect():
+        want_fr.setdefault(r.doc_id, []).append(r.epoch)
+    assert {k: sorted(v) for k, v in fr_live.items()} == \
+        {k: sorted(v) for k, v in want_fr.items()}
+    # final_keep conjunction holds on the expanded frame
+    assert all((r.final_keep == 1) == (r.keep == 1 and r.mix_keep == 1)
+               for r in got)
+
+
+def test_compose_allow_epochs_validation(spark):
+    from agnostic_blockchain_etl_spark.operators.mixture import \
+        compose_corpus_mix
+    d = spark.createDataFrame(
+        [(1, "w w", "en", 1)],
+        "doc_id long, text string, lang string, keep int")
+    with pytest.raises(ValueError):       # epochs need a mix regime
+        compose_corpus_mix(d, allow_epochs=True)
+    with pytest.raises(ValueError):       # budgets cap BEFORE epochs
+        compose_corpus_mix(d, target={"en": 1.0}, token_budgets=10,
+                           allow_epochs=True)
