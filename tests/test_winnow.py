@@ -15,7 +15,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agnostic_blockchain_etl_spark.operators.winnow import (  # noqa: E402
-    winnow_fingerprints, winnow_pairs)
+    winnow_fingerprints, winnow_pairs, winnow_passages)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 K, W = 4, 5
@@ -120,6 +120,63 @@ class TestGuardsAndGate:
         rows = winnow_dup_pairs(spark, SF_DIR).collect()
         assert rows, "the corpus has near-dups; winnowing must find some"
         assert all(r.doc_a < r.doc_b and r.n_shared >= 2 for r in rows)
+
+    def test_planted_passage_aligns(self, spark):
+        # a 30-token passage planted at offset 30 in doc 1 and offset
+        # 25 in doc 2: one span row on the diag 5 diagonal whose
+        # endpoints bracket the passage in BOTH docs (slack ≤ w + k:
+        # winnowing selects at least every w positions inside it but
+        # the first/last selections may sit up to w-1 in)
+        shared = _passage(30, "s")
+        d = _docs(spark, [
+            (1, _passage(30, "a") + " " + shared + " " + _passage(30, "b")),
+            (2, _passage(25, "c") + " " + shared + " " + _passage(35, "d")),
+        ])
+        got = winnow_passages(d, min_fps=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.a_start - r.b_start == 5          # the planted offset
+        assert 30 <= r.a_start <= 30 + W + K       # starts inside it
+        assert 60 - 1 - (W + K) <= r.a_end <= 60 + K - 1
+        assert r.n_fps >= 2
+        # span-vs-pairs consistency: the pair exists with >= n_fps
+        pair = winnow_pairs(d, min_shared=2).collect()[0]
+        assert pair.n_shared >= r.n_fps
+
+    def test_two_separate_passages_two_spans(self, spark):
+        # two shared passages far apart on DIFFERENT diagonals must
+        # not merge into one span
+        p1, p2 = _passage(20, "x"), _passage(20, "y")
+        d = _docs(spark, [
+            (1, p1 + " " + _passage(40, "a") + " " + p2),
+            (2, p2 + " " + _passage(50, "c") + " " + p1),
+        ])
+        got = winnow_passages(d, min_fps=2).collect()
+        assert len(got) == 2
+        diags = sorted(r.a_start - r.b_start for r in got)
+        assert diags[0] != diags[1]
+
+    def test_disjoint_docs_no_spans(self, spark):
+        d = _docs(spark, [(1, _passage(60, "a")), (2, _passage(60, "b"))])
+        assert winnow_passages(d, min_fps=1).count() == 0
+
+    def test_passages_validation(self, spark):
+        d = _docs(spark, [(1, "a b c d e f")])
+        for bad in (dict(min_fps=0), dict(max_df=0), dict(max_gap=0),
+                    dict(k=0)):
+            with pytest.raises(ValueError):
+                winnow_passages(d, **bad)
+
+    def test_passage_gate_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.winnow import \
+            winnow_passage_spans
+        rows = winnow_passage_spans(spark, SF_DIR).collect()
+        assert rows, "the corpus has near-dups; spans must exist"
+        for r in rows:
+            assert r.doc_a < r.doc_b and r.n_fps >= 2
+            assert r.a_end - r.a_start == r.b_end - r.b_start  # same diag
+            assert r.a_end >= r.a_start + K - 1
 
     def test_plan_is_equi_join_not_cartesian(self, spark):
         import contextlib
