@@ -87,6 +87,15 @@ def _all_modules():
 #   corpus_zipf_stats   r10 addition: Zipf rank-frequency diagnostics
 #                       — two-level bucketed rank + closed-form fit
 #                       vs the naive window oracle
+#   winnow_passage_spans r11 addition: aligned copied-passage spans —
+#                       diagonal island merge over the winnowed
+#                       fingerprint matches (lag/cumsum walk vs the
+#                       same algebra in DuckDB)
+#   compose_mix_epochs  r11 addition: the UNIFIED mixture regimes —
+#                       one compose(allow_epochs=True) call routes
+#                       downsampled strata through the keep-flag draw
+#                       and upsampled strata through epoch repetition,
+#                       vs one copies formula in DuckDB
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -110,7 +119,8 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "bm25_hard_negatives", "ann_recall_at_k",
                 "rrf_fuse_rankings", "ndcg_label_lsh",
                 "bm25_store_scoring",
-                "corpus_zipf_stats",
+                "corpus_zipf_stats", "compose_mix_epochs",
+                "winnow_passage_spans",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -218,3 +218,123 @@ def test_full_flow_round4_recipe(spark, tmp_path):
     assert sorted(a) == sorted(b)
     assert spark.read.parquet(p1).select("doc_id").distinct().count() \
         == selected.count()
+
+
+def test_last_mile_flow(spark, tmp_path):
+    """The r11 last mile (r10 verdict asks #3/#4): curate →
+    budget-capped compose → UNIFIED epoch mix (`allow_epochs` routing,
+    rates straddling 1) → chunk → pack → pack_manifest → interleaved
+    training order → composite-key shard write, graded by the
+    retrieval family (BM25 hard negatives off the final corpus,
+    recall@k + nDCG@k over the corpus embeddings) — with row/token
+    conservation asserted at every stage boundary."""
+    from agnostic_blockchain_etl_spark.operators import (
+        ann_recall, bm25_hard_negatives, chunk, compose_corpus_mix,
+        curate_corpus, global_order_index, interleaved_order_index,
+        load_tables, pack_manifest, pack_sequences, write_training_shards)
+    from agnostic_blockchain_etl_spark.operators.mixture import _n_tokens
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"] \
+        .select("doc_id", "text", "lang")
+    n_in = docs.count()
+    annotated, report = curate_corpus(docs, vocab_size=10_000)
+    assert report.collect()[0].n_docs == n_in          # stage 1 conserves
+
+    # stage 2 — budget cap (epoch repetition must be the LAST pass, so
+    # budgets run in their own compose call first)
+    budgets = {"en": 5000, "zh": 2500, "de": 2000, "fr": 2000, "es": 2000}
+    capped, cap_rep = compose_corpus_mix(annotated, token_budgets=budgets)
+    assert capped.count() == n_in                      # flag-don't-drop
+    for r in cap_rep.collect():
+        assert r.final_tokens <= budgets[r.stratum]    # budgets exact
+
+    survivors = capped.where("final_keep = 1") \
+        .select("doc_id", "text", "lang") \
+        .withColumn("keep", F.lit(1)).cache()
+    n_surv = survivors.count()
+    surv_tokens = survivors.agg(
+        F.sum(_n_tokens("text"))).collect()[0][0]
+
+    # stage 3 — the unified mixed regime: one call, rates straddle 1
+    target = {"en": 0.25, "zh": 0.375, "de": 0.1875, "fr": 0.1875}
+    mixed, mix_rep = compose_corpus_mix(survivors, target=target,
+                                        allow_epochs=True)
+    plan = {r.stratum: r.rate for r in mix_rep.collect()
+            if r.rate is not None}
+    assert any(v > 1.0 for v in plan.values())         # epochs planned
+    assert any(0.0 < v < 1.0 for v in plan.values())   # and downsampling
+    emitted = mixed.where("final_keep = 1").cache()
+    emit_tokens = emitted.agg(F.sum(_n_tokens("text"))).collect()[0][0]
+    # token preservation is the anchor's contract: the emitted total
+    # matches the survivor total within the fractional-draw noise
+    assert emit_tokens == pytest.approx(surv_tokens, rel=0.10)
+    # per-row conservation: every survivor appears; epochs 1..n each
+    per_doc = {r.doc_id: r.n for r in emitted.groupBy("doc_id")
+               .agg(F.count("*").alias("n")).collect()}
+    dropped = mixed.where("final_keep = 0").select("doc_id").distinct()
+    assert len(per_doc) + dropped.count() == n_surv
+
+    # stage 4 — composite (doc, epoch) identity, chunk, pack, manifest
+    rep_docs = emitted.select(
+        (F.col("doc_id") * 100 + F.col("epoch")).alias("doc_id"),
+        "text", "lang").cache()
+    n_rep = rep_docs.count()
+    chunks = pack_sequences(chunk(rep_docs.select("doc_id", "text"))) \
+        .withColumnRenamed("shard", "pack_stream").cache()
+    n_chunkable = rep_docs.where(_n_tokens("text") > 0).count()
+    assert chunks.select("doc_id").distinct().count() == n_chunkable
+    tok_total = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    man = pack_manifest(
+        chunks.withColumnRenamed("pack_stream", "shard")).cache()
+    assert man.agg(F.sum("n_tokens")).collect()[0][0] == tok_total
+    bad = man.where(F.size("members") != F.col("n_chunks")).count()
+    assert bad == 0 and man.where("spill_tokens < 0").count() == 0
+
+    # stage 5 — reproducible interleaved training order over the
+    # REPEATED corpus (composite ids keep the permutation total)
+    ordered = interleaved_order_index(
+        global_order_index(rep_docs, salt="lastmile:"), group_col="lang")
+    got = ordered.agg(F.countDistinct("ord"), F.max("ord"),
+                      F.countDistinct("ord_ilv")).collect()[0]
+    assert tuple(got) == (n_rep, n_rep, n_rep)
+
+    # stage 6 — shard write keyed by the composite id: copies of one
+    # document must SCATTER, not cluster
+    path = str(tmp_path / "lastmile")
+    shard_man = write_training_shards(
+        chunks, path, "n_tokens", 4,
+        key_col="doc_id", order_cols=("doc_id", "chunk_id")).collect()
+    assert sum(r.n_rows for r in shard_man) == chunks.count()
+    assert sum(r.total_weight for r in shard_man) == tok_total
+    back = spark.read.parquet(path) \
+        .select((F.col("doc_id") / 100).cast("long").alias("orig"),
+                "shard").distinct()
+    multi = (back.groupBy("orig")
+             .agg(F.countDistinct("shard").alias("s")).where("s > 1"))
+    assert multi.count() > 0, "epoch copies must spread across shards"
+
+    # stage 7 — retrieval grading of the final corpus: hard negatives
+    # exclude the labeled positive and rank contiguously; the ANN
+    # grader scores the corpus embeddings sanely
+    uniq = survivors.select("doc_id", "text")
+    top = bm25_hard_negatives(
+        uniq, {0: "hash join scan"},
+        spark.createDataFrame([(0, -1)], "query_id int, doc_id long"),
+        k=5).collect()
+    assert top and [r.rank for r in sorted(top, key=lambda r: r.rank)] \
+        == list(range(1, len(top) + 1))
+    pos_id = top[0].doc_id
+    neg = bm25_hard_negatives(
+        uniq, {0: "hash join scan"},
+        spark.createDataFrame([(0, int(pos_id))],
+                              "query_id int, doc_id long"), k=5).collect()
+    assert pos_id not in {r.doc_id for r in neg}
+    from agnostic_blockchain_etl_spark.operators.similarity import (
+        emb_cosine_topk, emb_lsh_bucketed_search)
+    rec = ann_recall(emb_cosine_topk(spark, SF_DIR),
+                     emb_lsh_bucketed_search(spark, SF_DIR), 5).collect()
+    assert len(rec) == 8 and all(0.0 <= r.recall <= 1.0 for r in rec)
+    from agnostic_blockchain_etl_spark.operators.retrieval import \
+        ndcg_label_lsh
+    nd = ndcg_label_lsh(spark, SF_DIR).collect()
+    assert len(nd) == 8 and all(0.0 <= r.ndcg <= 1.0 for r in nd)
