@@ -30,12 +30,15 @@ def _all_modules():
                                                          cms, corpus,
                                                          extended,
                                                          joins_scale,
+                                                         embstats,
                                                          llm_data, misc,
+                                                         observe,
                                                          ordering,
                                                          retrieval,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
-            relational, clean, ordering, cms, retrieval, winnow, zipf]
+            relational, clean, ordering, cms, retrieval, winnow, zipf,
+            observe, embstats]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -87,6 +90,15 @@ def _all_modules():
 #   corpus_zipf_stats   r10 addition: Zipf rank-frequency diagnostics
 #                       — two-level bucketed rank + closed-form fit
 #                       vs the naive window oracle
+#   emb_covariance_matrix r11 addition: d x d embedding covariance
+#                       (declarative avg-of-products path; the gram
+#                       scale path is pytest-pinned against it)
+#   corpus_js_divergence r11 addition: Jensen-Shannon drift between
+#                       two corpus halves' unigram distributions
+#   source_overlap_matrix r11 addition: LSH-verified near-dup pairs
+#                       rolled up by unordered source pair
+#   pack_efficiency_report r11 addition: per-shard packing
+#                       utilization + boundary spill
 #   winnow_passage_spans r11 addition: aligned copied-passage spans —
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
@@ -120,7 +132,9 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "rrf_fuse_rankings", "ndcg_label_lsh",
                 "bm25_store_scoring",
                 "corpus_zipf_stats", "compose_mix_epochs",
-                "winnow_passage_spans",
+                "winnow_passage_spans", "corpus_js_divergence",
+                "source_overlap_matrix", "pack_efficiency_report",
+                "emb_covariance_matrix",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -1,0 +1,301 @@
+"""Corpus observability: the aggregate diagnostics a 100 TB training-
+data pipeline runs BETWEEN builds — has the ingest distribution
+drifted, which sources copy from each other, how efficiently does the
+packed stream use its budget. Each operator reduces the corpus to a
+bounded report frame (vocabulary-, |sources|²-, or |shards|-sized);
+none ever returns a data-sized result.
+
+- `corpus_js_divergence`: Jensen-Shannon divergence (in bits) between
+  two corpora's unigram distributions — the standard symmetric,
+  bounded [0, 1] drift score (Lin 1991) a crawl-ops dashboard tracks
+  between ingest days or before/after a filter change. One token-count
+  aggregation per side (map-side combined), one vocabulary-sized
+  full-outer join; the corpus text is scanned exactly once per side.
+- `source_overlap_matrix`: which sources near-duplicate each other —
+  the MinHash-LSH verified pairs (`dedup.minhash_lsh_pairs`, the
+  banded join that never goes all-pairs) aggregated into a
+  (source_a, source_b) matrix with pair counts and mean Jaccard; the
+  licensing/provenance question ("how much of source X is source Y?")
+  as one bounded frame. Pairs are the small side of every join here.
+- `pack_efficiency_report`: per-output-shard packing utilization of a
+  `corpus.pack_sequences` frame — packs, chunks, tokens, boundary
+  spill, and tokens/capacity — the number that says whether the
+  packing budget and chunking stride waste accelerator steps. One
+  aggregation over the already-packed frame, |shards| rows out.
+
+Reference: no counterpart (the reference has no corpus-analytics
+surface); LLM-data-pipeline mandate, sibling of `zipf.py`'s
+language-shape diagnostics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import make_registry
+from .tables import load_tables, spread
+
+QUERIES, ORACLES, query = make_registry()
+
+
+def unigram_histogram(docs: DataFrame, *,
+                      text_col: str = "text") -> DataFrame:
+    """``(term, n)`` unigram counts under the engine token convention
+    (``split(lower(trim(text)), '\\s+')``; NULL text contributes no
+    terms). Map-side combined — the shuffle is vocabulary-sized."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (docs.select(F.explode(words).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("n")))
+
+
+def corpus_js_divergence(p_docs: DataFrame, q_docs: DataFrame, *,
+                         text_col: str = "text") -> DataFrame:
+    """One-row report: ``(n_terms_p, n_terms_q, n_shared, jsd_bits)``
+    — the Jensen-Shannon divergence between the two corpora's unigram
+    distributions, in bits (base-2; 0 = identical, 1 = disjoint).
+
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2; zero-probability
+    terms contribute 0 to their side's KL (the 0·ln 0 convention), and
+    a term private to one side contributes p·ln 2 — the quantity is
+    always finite, which is why JSD (not KL) is the drift metric of
+    choice between corpora with non-identical vocabularies.
+
+    Scale: two histogram aggregations + a vocabulary-sized full-outer
+    join; the normalization window runs over the joined VOCABULARY
+    frame, never the corpus. Rounded to 6 decimals (order-insensitive
+    cross-engine, the repo's log-sum precedent)."""
+    hp = unigram_histogram(p_docs, text_col=text_col) \
+        .withColumnRenamed("n", "p_n")
+    hq = unigram_histogram(q_docs, text_col=text_col) \
+        .withColumnRenamed("n", "q_n")
+    j = (hp.join(hq, "term", "full_outer")
+         .select("term",
+                 F.coalesce("p_n", F.lit(0)).alias("p_n"),
+                 F.coalesce("q_n", F.lit(0)).alias("q_n")))
+    w = Window.partitionBy()    # vocabulary-sized frame — see module doc
+    p = F.col("p_n") / F.sum("p_n").over(w)
+    q = F.col("q_n") / F.sum("q_n").over(w)
+    m = (p + q) / F.lit(2.0)
+    probs = j.select(
+        "p_n", "q_n",
+        F.when(F.col("p_n") > 0, p * F.log(p / m))
+         .otherwise(F.lit(0.0)).alias("kp"),
+        F.when(F.col("q_n") > 0, q * F.log(q / m))
+         .otherwise(F.lit(0.0)).alias("kq"))
+    return probs.agg(
+        F.sum(F.when(F.col("p_n") > 0, 1).otherwise(0)).cast("long")
+         .alias("n_terms_p"),
+        F.sum(F.when(F.col("q_n") > 0, 1).otherwise(0)).cast("long")
+         .alias("n_terms_q"),
+        F.sum(F.when((F.col("p_n") > 0) & (F.col("q_n") > 0), 1)
+              .otherwise(0)).cast("long").alias("n_shared"),
+        F.round((F.lit(0.5) * F.sum("kp") + F.lit(0.5) * F.sum("kq"))
+                / F.log(F.lit(2.0)), 6).alias("jsd_bits"))
+
+
+@query("corpus_js_divergence", oracle="""
+    WITH hp AS (
+        SELECT term, count(*) AS p_n FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS term
+            FROM documents WHERE doc_id % 2 = 0) GROUP BY term),
+    hq AS (
+        SELECT term, count(*) AS q_n FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS term
+            FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
+    j AS (
+        SELECT coalesce(hp.term, hq.term) AS term,
+               coalesce(p_n, 0) AS p_n, coalesce(q_n, 0) AS q_n
+        FROM hp FULL OUTER JOIN hq ON hp.term = hq.term),
+    probs AS (
+        SELECT p_n, q_n,
+               CASE WHEN p_n > 0 THEN
+                 (p_n / SUM(p_n) OVER ())
+                 * ln((p_n / SUM(p_n) OVER ())
+                      / (((p_n / SUM(p_n) OVER ())
+                          + (q_n / SUM(q_n) OVER ())) / 2.0))
+               ELSE 0.0 END AS kp,
+               CASE WHEN q_n > 0 THEN
+                 (q_n / SUM(q_n) OVER ())
+                 * ln((q_n / SUM(q_n) OVER ())
+                      / (((p_n / SUM(p_n) OVER ())
+                          + (q_n / SUM(q_n) OVER ())) / 2.0))
+               ELSE 0.0 END AS kq
+        FROM j)
+    SELECT CAST(SUM(CASE WHEN p_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_terms_p,
+           CAST(SUM(CASE WHEN q_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_terms_q,
+           CAST(SUM(CASE WHEN p_n > 0 AND q_n > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           round((0.5 * SUM(kp) + 0.5 * SUM(kq)) / ln(2.0), 6)
+               AS jsd_bits
+    FROM probs
+""")
+def corpus_js_divergence_gate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Gate form of `corpus_js_divergence`: the documents corpus split
+    in two deterministic halves (doc_id parity — the 'day 1 vs day 2'
+    drift question), divergence value-pinned. Registered past the
+    50-slot gate window (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus_js_divergence(docs.where(F.col("doc_id") % 2 == 0),
+                                docs.where(F.col("doc_id") % 2 == 1))
+
+
+def source_overlap_matrix(docs: DataFrame, *,
+                          strat_col: str = "source",
+                          max_bucket_size: int | None = None
+                          ) -> DataFrame:
+    """``(source_a, source_b, n_pairs, mean_jaccard)`` — the verified
+    MinHash-LSH near-dup pairs of the corpus rolled up by UNORDERED
+    stratum pair (``source_a <= source_b``; the diagonal counts
+    intra-source duplication). The provenance question — which sources
+    copy from each other, and how strongly — as a bounded |sources|²
+    frame.
+
+    Scale: candidate generation is `dedup.minhash_lsh_pairs`' banded
+    equi-join (pass ``max_bucket_size`` for the 100 TB skew guard);
+    the pair frame is match-sized and rides the small side of both
+    stratum-lookup joins."""
+    from .dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"),
+                              max_bucket_size=max_bucket_size)
+    s = docs.select("doc_id", F.col(strat_col).alias("__s"))
+    j = (pairs
+         .join(s.select(F.col("doc_id").alias("doc_a"),
+                        F.col("__s").alias("sa")), "doc_a")
+         .join(s.select(F.col("doc_id").alias("doc_b"),
+                        F.col("__s").alias("sb")), "doc_b"))
+    return (j.select(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"),
+                     "jaccard")
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 4).alias("mean_jaccard")))
+
+
+def _sql_source_overlap() -> str:
+    """DuckDB twin: the `dedup_minhash_lsh_pairs` oracle's CTE chain
+    with the stratum rollup on top."""
+    from .dedup import _JACCARD_THRESHOLD, _R, _SQL_MINHASH_BASE
+    return _SQL_MINHASH_BASE + f"""
+    , bands AS (
+        SELECT doc_id, perm // {_R} AS band,
+               md5(array_to_string(list(minhash ORDER BY perm), '-'))
+                   AS bucket
+        FROM sig GROUP BY doc_id, perm // {_R}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id),
+    doc_sh AS (
+        SELECT doc_id, shingle FROM shingles_t GROUP BY doc_id, shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.n_common AS DOUBLE)
+                     / (za.n + zb.n - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+              >= {_JACCARD_THRESHOLD})
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT)       AS n_pairs,
+           round(avg(p.jaccard), 4)       AS mean_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("source_overlap_matrix", oracle=_sql_source_overlap())
+def source_overlap_matrix_gate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Gate form of `source_overlap_matrix` over the testdata corpus
+    at the dedup family's own LSH settings. Registered past the
+    50-slot gate window (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return source_overlap_matrix(docs)
+
+
+def pack_efficiency_report(packed: DataFrame) -> DataFrame:
+    """``(shard, n_packs, n_chunks, n_tokens, spill_tokens,
+    utilization)`` — per-output-shard packing efficiency of a
+    `corpus.pack_sequences` frame. ``utilization`` is tokens over
+    capacity (``n_packs × budget``; < 1 means the final pack of the
+    stream runs short, the padding a loader pays), ``spill_tokens``
+    sums each pack's boundary overhang (chunks straddling into the
+    next pack — `pack_manifest`'s spill, totaled).
+
+    The budget is read from the frame's own ``pack_budget`` column
+    (`pack_sequences` always carries it) so the arithmetic can't
+    desync from the packing run. One aggregation keyed by the packing
+    keys, |shards| rows out."""
+    if "pack_budget" not in packed.columns:
+        raise ValueError("frame has no pack_budget column (not a "
+                         "pack_sequences output?)")
+    per_pack = (packed.groupBy("shard", "pack_id", "pack_budget")
+                .agg(F.count("*").alias("n_chunks"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.greatest(
+                         F.max(F.col("pack_offset") + F.col("n_tokens"))
+                         - F.col("pack_budget"),
+                         F.lit(0).cast("long")).alias("spill")))
+    return (per_pack.groupBy("shard", "pack_budget")
+            .agg(F.count("*").alias("n_packs"),
+                 F.sum("n_chunks").cast("long").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum("spill").cast("long").alias("spill_tokens"))
+            .select("shard", "n_packs", "n_chunks", "n_tokens",
+                    "spill_tokens",
+                    F.round(F.col("n_tokens").cast("double")
+                            / (F.col("n_packs") * F.col("pack_budget"))
+                              .cast("double"), 6).alias("utilization")))
+
+
+def _sql_pack_efficiency() -> str:
+    from .corpus import _PACK_BUDGET, _PACK_CTE_SQL
+    return f"""
+    WITH {_PACK_CTE_SQL},
+    per_pack AS (
+        SELECT shard, start_pos // {_PACK_BUDGET} AS pack_id,
+               count(*) AS n_chunks, SUM(n_tokens) AS n_tokens,
+               greatest(MAX(start_pos % {_PACK_BUDGET} + n_tokens)
+                        - {_PACK_BUDGET}, 0) AS spill
+        FROM pos GROUP BY 1, 2)
+    SELECT CAST(shard AS INT) AS shard,
+           count(*) AS n_packs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(spill) AS BIGINT) AS spill_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST(count(*) * {_PACK_BUDGET} AS DOUBLE), 6)
+               AS utilization
+    FROM per_pack GROUP BY shard
+    """
+
+
+@query("pack_efficiency_report", oracle=_sql_pack_efficiency())
+def pack_efficiency_report_gate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Gate form of `pack_efficiency_report` over the chunked + packed
+    documents corpus (`chunk_pack_documents`' own pipeline), every
+    shard's utilization and spill value-pinned. Registered past the
+    50-slot gate window (``__spark_entry__._PAST_WINDOW``)."""
+    from .corpus import chunk, pack_sequences
+    t = load_tables(spark, sf_dir, ("documents",))
+    return pack_efficiency_report(
+        pack_sequences(chunk(spread(t["documents"]))))

@@ -69,6 +69,10 @@ HEADLINE = [
     "winnow_dup_pairs",
     "winnow_passage_spans",
     "corpus_zipf_stats",
+    "corpus_js_divergence",
+    "source_overlap_matrix",
+    "pack_efficiency_report",
+    "emb_covariance_matrix",
     "vocab_tfidf_terms",
     "emb_quantize_centroid_facets",
     "dedup_simhash_pairs",

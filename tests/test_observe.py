@@ -1,0 +1,148 @@
+"""Corpus observability (`operators/observe.py`): JSD's identity /
+disjoint / symmetry properties against a pure-Python reference, the
+overlap matrix's unordered-pair rollup, and packing-utilization
+arithmetic. Cross-engine values are pinned by the three registered
+oracle pairs."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from agnostic_blockchain_etl_spark.operators.observe import (  # noqa: E402
+    corpus_js_divergence, pack_efficiency_report, source_overlap_matrix,
+    unigram_histogram)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from agnostic_blockchain_etl_spark.session import get_session
+    yield get_session(master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def _docs(spark, texts, start=1):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def _py_jsd(p_counts, q_counts):
+    tp, tq = sum(p_counts.values()), sum(q_counts.values())
+    terms = set(p_counts) | set(q_counts)
+    kp = kq = 0.0
+    for t in terms:
+        p = p_counts.get(t, 0) / tp
+        q = q_counts.get(t, 0) / tq
+        m = (p + q) / 2.0
+        if p > 0:
+            kp += p * math.log(p / m)
+        if q > 0:
+            kq += q * math.log(q / m)
+    return (0.5 * kp + 0.5 * kq) / math.log(2.0)
+
+
+class TestJsd:
+    def test_identical_corpora_zero(self, spark):
+        a = _docs(spark, ["x y z", "x x"])
+        b = _docs(spark, ["x x x", "y z"], start=10)   # same distribution
+        got = corpus_js_divergence(a, b).collect()[0]
+        assert got.jsd_bits == 0.0
+        assert got.n_shared == got.n_terms_p == got.n_terms_q == 3
+
+    def test_disjoint_corpora_one_bit(self, spark):
+        a = _docs(spark, ["x y", "z"])
+        b = _docs(spark, ["u v", "w"], start=10)
+        got = corpus_js_divergence(a, b).collect()[0]
+        assert got.jsd_bits == pytest.approx(1.0)
+        assert got.n_shared == 0
+
+    def test_matches_python_reference_and_symmetry(self, spark):
+        a = _docs(spark, ["a a b c", "b d"])
+        b = _docs(spark, ["a c c", "e e e"], start=10)
+        pc = {"a": 2, "b": 2, "c": 1, "d": 1}
+        qc = {"a": 1, "c": 2, "e": 3}
+        want = round(_py_jsd(pc, qc), 6)
+        ab = corpus_js_divergence(a, b).collect()[0]
+        ba = corpus_js_divergence(b, a).collect()[0]
+        assert ab.jsd_bits == pytest.approx(want)
+        assert ab.jsd_bits == ba.jsd_bits            # symmetric
+        assert 0.0 < ab.jsd_bits < 1.0
+
+    def test_null_text_contributes_nothing(self, spark):
+        a = _docs(spark, ["x y", None])
+        b = _docs(spark, ["x y"], start=10)
+        assert corpus_js_divergence(a, b).collect()[0].jsd_bits == 0.0
+
+    def test_histogram_counts(self, spark):
+        h = {r.term: r.n
+             for r in unigram_histogram(_docs(spark, ["a B b", "a"]))
+             .collect()}
+        assert h == {"a": 2, "b": 2}                 # lowercased
+
+
+class TestOverlapMatrix:
+    def test_unordered_rollup_and_diagonal(self, spark):
+        # two near-identical docs across sources + two within one source
+        base = " ".join(f"w{i}" for i in range(40))
+        rows = [(1, base, "s1"), (2, base + " tail", "s0"),
+                (3, base + " x", "s1"), (4, "totally different " * 10, "s0")]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        got = {(r.source_a, r.source_b): r
+               for r in source_overlap_matrix(d).collect()}
+        assert ("s0", "s1") in got                   # cross-source, ordered
+        assert all(a <= b for a, b in got)           # unordered contract
+        for r in got.values():
+            assert r.n_pairs >= 1 and 0.0 < r.mean_jaccard <= 1.0
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            source_overlap_matrix_gate
+        rows = source_overlap_matrix_gate(spark, SF_DIR).collect()
+        assert rows, "the corpus has near-dups; the matrix must fill"
+        assert all(r.source_a <= r.source_b for r in rows)
+
+
+class TestPackEfficiency:
+    def test_arithmetic(self, spark):
+        from agnostic_blockchain_etl_spark.operators.corpus import (
+            chunk, pack_sequences)
+        d = _docs(spark, [" ".join(["w"] * n) for n in (40, 50, 33, 7)])
+        packed = pack_sequences(chunk(d), budget=64, n_shards=2)
+        rep = {r.shard: r for r in pack_efficiency_report(packed).collect()}
+        import pyspark.sql.functions as F
+        per = {r.shard: (r.nt, r.np) for r in
+               packed.groupBy("shard")
+               .agg(F.sum("n_tokens").alias("nt"),
+                    F.countDistinct("pack_id").alias("np")).collect()}
+        for shard, r in rep.items():
+            nt, np_ = per[shard]
+            assert r.n_tokens == nt and r.n_packs == np_
+            # abs tolerance, not Python round(): F.round is HALF_UP,
+            # Python round is banker's — they split on exact .5 ulps
+            assert r.utilization == pytest.approx(nt / (np_ * 64),
+                                                  abs=1e-6)
+            assert 0 < r.utilization <= 1.0 + 32 / 64   # straddle bound
+            assert r.spill_tokens >= 0
+
+    def test_requires_pack_budget_column(self, spark):
+        d = spark.createDataFrame(
+            [(0, 0, 0, 10)],
+            "shard int, pack_id long, pack_offset long, n_tokens long")
+        with pytest.raises(ValueError, match="pack_budget"):
+            pack_efficiency_report(d)
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            pack_efficiency_report_gate
+        rows = pack_efficiency_report_gate(spark, SF_DIR).collect()
+        assert rows and all(0.0 < r.utilization for r in rows)
+        assert all(r.n_chunks >= r.n_packs for r in rows)
