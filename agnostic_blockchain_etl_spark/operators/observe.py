@@ -49,6 +49,63 @@ def unigram_histogram(docs: DataFrame, *,
             .groupBy("term").agg(F.count("*").alias("n")))
 
 
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Fold any number of `unigram_histogram` frames into one: counts
+    sum per term — merge(hist(A), hist(B)) == hist(A ∪ B) exactly, the
+    store family's merge contract (a growing corpus keeps an exact
+    global histogram without ever re-scanning history)."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    u = hists[0].select("term", "n")
+    for h in hists[1:]:
+        u = u.unionByName(h.select("term", "n"))
+    return u.groupBy("term").agg(F.sum("n").alias("n"))
+
+
+def jsd_from_histograms(hp: DataFrame, hq: DataFrame) -> DataFrame:
+    """`corpus_js_divergence` with the two sides already reduced to
+    ``(term, n)`` histograms — the incremental path: compare a stored
+    cumulative histogram (`merge_histograms` of per-batch deltas)
+    against a reference WITHOUT rescanning either corpus. An empty
+    side is guarded (its distribution is all-zero, never a 0/0 ANSI
+    error): only the other side's KL term survives, so jsd_bits reads
+    0.5 — and 0.0 when both sides are empty of terms."""
+    j = (hp.select("term", F.col("n").alias("p_n"))
+         .join(hq.select("term", F.col("n").alias("q_n")),
+               "term", "full_outer")
+         .select("term",
+                 F.coalesce("p_n", F.lit(0)).alias("p_n"),
+                 F.coalesce("q_n", F.lit(0)).alias("q_n")))
+    w = Window.partitionBy()    # vocabulary-sized frame — see module doc
+    tot = j.select("p_n", "q_n",
+                   F.sum("p_n").over(w).alias("tp"),
+                   F.sum("q_n").over(w).alias("tq"))
+    # ANSI-safe: an empty side has tp/tq = 0 — its p is 0, not 0/0
+    pq = tot.select(
+        "p_n", "q_n",
+        F.when(F.col("tp") > 0, F.col("p_n") / F.col("tp"))
+         .otherwise(F.lit(0.0)).alias("p"),
+        F.when(F.col("tq") > 0, F.col("q_n") / F.col("tq"))
+         .otherwise(F.lit(0.0)).alias("q"))
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    probs = pq.select(
+        "p_n", "q_n",
+        F.when(F.col("p_n") > 0, F.col("p") * F.log(F.col("p") / m))
+         .otherwise(F.lit(0.0)).alias("kp"),
+        F.when(F.col("q_n") > 0, F.col("q") * F.log(F.col("q") / m))
+         .otherwise(F.lit(0.0)).alias("kq"))
+    return probs.agg(
+        F.sum(F.when(F.col("p_n") > 0, 1).otherwise(0)).cast("long")
+         .alias("n_terms_p"),
+        F.sum(F.when(F.col("q_n") > 0, 1).otherwise(0)).cast("long")
+         .alias("n_terms_q"),
+        F.sum(F.when((F.col("p_n") > 0) & (F.col("q_n") > 0), 1)
+              .otherwise(0)).cast("long").alias("n_shared"),
+        F.round(F.coalesce(
+            (F.lit(0.5) * F.sum("kp") + F.lit(0.5) * F.sum("kq"))
+            / F.log(F.lit(2.0)), F.lit(0.0)), 6).alias("jsd_bits"))
+
+
 def corpus_js_divergence(p_docs: DataFrame, q_docs: DataFrame, *,
                          text_col: str = "text") -> DataFrame:
     """One-row report: ``(n_terms_p, n_terms_q, n_shared, jsd_bits)``
@@ -64,34 +121,13 @@ def corpus_js_divergence(p_docs: DataFrame, q_docs: DataFrame, *,
     Scale: two histogram aggregations + a vocabulary-sized full-outer
     join; the normalization window runs over the joined VOCABULARY
     frame, never the corpus. Rounded to 6 decimals (order-insensitive
-    cross-engine, the repo's log-sum precedent)."""
-    hp = unigram_histogram(p_docs, text_col=text_col) \
-        .withColumnRenamed("n", "p_n")
-    hq = unigram_histogram(q_docs, text_col=text_col) \
-        .withColumnRenamed("n", "q_n")
-    j = (hp.join(hq, "term", "full_outer")
-         .select("term",
-                 F.coalesce("p_n", F.lit(0)).alias("p_n"),
-                 F.coalesce("q_n", F.lit(0)).alias("q_n")))
-    w = Window.partitionBy()    # vocabulary-sized frame — see module doc
-    p = F.col("p_n") / F.sum("p_n").over(w)
-    q = F.col("q_n") / F.sum("q_n").over(w)
-    m = (p + q) / F.lit(2.0)
-    probs = j.select(
-        "p_n", "q_n",
-        F.when(F.col("p_n") > 0, p * F.log(p / m))
-         .otherwise(F.lit(0.0)).alias("kp"),
-        F.when(F.col("q_n") > 0, q * F.log(q / m))
-         .otherwise(F.lit(0.0)).alias("kq"))
-    return probs.agg(
-        F.sum(F.when(F.col("p_n") > 0, 1).otherwise(0)).cast("long")
-         .alias("n_terms_p"),
-        F.sum(F.when(F.col("q_n") > 0, 1).otherwise(0)).cast("long")
-         .alias("n_terms_q"),
-        F.sum(F.when((F.col("p_n") > 0) & (F.col("q_n") > 0), 1)
-              .otherwise(0)).cast("long").alias("n_shared"),
-        F.round((F.lit(0.5) * F.sum("kp") + F.lit(0.5) * F.sum("kq"))
-                / F.log(F.lit(2.0)), 6).alias("jsd_bits"))
+    cross-engine, the repo's log-sum precedent). The histogram halves
+    are the mergeable store artifact — see `jsd_from_histograms` /
+    `merge_histograms` for the day-N path and
+    `streaming.dedup.drift_monitor_stream` for the stream form."""
+    return jsd_from_histograms(
+        unigram_histogram(p_docs, text_col=text_col),
+        unigram_histogram(q_docs, text_col=text_col))
 
 
 @query("corpus_js_divergence", oracle="""
@@ -109,29 +145,30 @@ def corpus_js_divergence(p_docs: DataFrame, q_docs: DataFrame, *,
         SELECT coalesce(hp.term, hq.term) AS term,
                coalesce(p_n, 0) AS p_n, coalesce(q_n, 0) AS q_n
         FROM hp FULL OUTER JOIN hq ON hp.term = hq.term),
+    tot AS (
+        SELECT p_n, q_n,
+               SUM(p_n) OVER () AS tp, SUM(q_n) OVER () AS tq
+        FROM j),
+    pq AS (
+        SELECT p_n, q_n,
+               CASE WHEN tp > 0 THEN p_n / tp ELSE 0.0 END AS p,
+               CASE WHEN tq > 0 THEN q_n / tq ELSE 0.0 END AS q
+        FROM tot),
     probs AS (
         SELECT p_n, q_n,
-               CASE WHEN p_n > 0 THEN
-                 (p_n / SUM(p_n) OVER ())
-                 * ln((p_n / SUM(p_n) OVER ())
-                      / (((p_n / SUM(p_n) OVER ())
-                          + (q_n / SUM(q_n) OVER ())) / 2.0))
-               ELSE 0.0 END AS kp,
-               CASE WHEN q_n > 0 THEN
-                 (q_n / SUM(q_n) OVER ())
-                 * ln((q_n / SUM(q_n) OVER ())
-                      / (((p_n / SUM(p_n) OVER ())
-                          + (q_n / SUM(q_n) OVER ())) / 2.0))
-               ELSE 0.0 END AS kq
-        FROM j)
+               CASE WHEN p_n > 0 THEN p * ln(p / ((p + q) / 2.0))
+                    ELSE 0.0 END AS kp,
+               CASE WHEN q_n > 0 THEN q * ln(q / ((p + q) / 2.0))
+                    ELSE 0.0 END AS kq
+        FROM pq)
     SELECT CAST(SUM(CASE WHEN p_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_terms_p,
            CAST(SUM(CASE WHEN q_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_terms_q,
            CAST(SUM(CASE WHEN p_n > 0 AND q_n > 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_shared,
-           round((0.5 * SUM(kp) + 0.5 * SUM(kq)) / ln(2.0), 6)
-               AS jsd_bits
+           round(coalesce((0.5 * SUM(kp) + 0.5 * SUM(kq)) / ln(2.0),
+                          0.0), 6) AS jsd_bits
     FROM probs
 """)
 def corpus_js_divergence_gate(spark: SparkSession,

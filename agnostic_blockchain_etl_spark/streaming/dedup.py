@@ -489,6 +489,74 @@ def bm25_stats_stream(docs: DataFrame, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+_HIST_STORE_SCHEMA = "term string, n long"
+
+
+def drift_monitor_stream(docs: DataFrame, ref_hist: DataFrame,
+                         store_path: str, out_path: str,
+                         checkpoint: str, *, text_col: str = "text",
+                         compact_every: int | None = None,
+                         prune_after_compact: bool = False):
+    """Streaming corpus-drift monitor: each micro-batch extends the
+    mergeable unigram-histogram store (`observe.unigram_histogram` —
+    per-term counts, summed by `merge_histograms`) and emits ONE
+    `jsd_from_histograms` row — the Jensen-Shannon divergence of the
+    CUMULATIVE corpus as of this batch against a fixed reference
+    histogram — so an ingest pipeline watches its distribution drift
+    away from (or toward) the reference day by day without ever
+    re-reading history. Only the new batch is tokenized; history is
+    the vocabulary-sized store.
+
+    ``ref_hist`` is a ``(term, n)`` frame (a `unigram_histogram` of
+    the reference corpus); it is collected ONCE here — a bounded,
+    vocabulary-sized literal — so the per-batch plans carry no
+    reference-corpus lineage to recompute.
+
+    The module's standard exactly-once shape: history = newest
+    committed snapshot + deltas strictly below this batch_id
+    (`_read_store_snapshots_or`); the batch's own delta is a pure
+    function of the batch, so a crash-window replay rewrites an
+    identical ``{out_path}/batch_id=N`` row and an identical delta.
+    Compaction folds history + the committed delta into one summed
+    snapshot; ``prune_after_compact`` bounds raw delta dirs."""
+    from ..operators.observe import jsd_from_histograms, merge_histograms
+
+    ref_rows = ref_hist.select("term",
+                               F.col("n").cast("long")).collect()
+    if not ref_rows:
+        raise ValueError("ref_hist is empty — a drift monitor needs a "
+                         "non-empty reference histogram")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.observe import unigram_histogram
+        spark = batch_df.sparkSession
+        ref = spark.createDataFrame(ref_rows, _HIST_STORE_SCHEMA)
+        hist = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        _HIST_STORE_SCHEMA)
+        delta = unigram_histogram(batch_df, text_col=text_col).persist()
+        try:
+            cum = merge_histograms(hist, delta)
+            (jsd_from_histograms(cum, ref)
+             .write.mode("overwrite")
+             .parquet(f"{out_path}/batch_id={batch_id}"))
+            delta.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                (hist.unionByName(
+                    spark.read.parquet(
+                        f"{store_path}/batch_id={batch_id}"))
+                 .groupBy("term").agg(F.sum("n").alias("n"))
+                 .write.mode("overwrite")
+                 .parquet(f"{store_path}_compact/upto={batch_id}"))
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
+        finally:
+            delta.unpersist()
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 def _read_store_snapshots_or(spark, store_path: str, batch_id: int,
                              empty) -> DataFrame:
     """Store read honoring compaction snapshots — the generic form

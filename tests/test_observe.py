@@ -146,3 +146,111 @@ class TestPackEfficiency:
         rows = pack_efficiency_report_gate(spark, SF_DIR).collect()
         assert rows and all(0.0 < r.utilization for r in rows)
         assert all(r.n_chunks >= r.n_packs for r in rows)
+
+
+class TestHistogramStore:
+    def test_merge_equals_one_shot(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import (
+            jsd_from_histograms, merge_histograms)
+        a = _docs(spark, ["x y z", "x"])
+        b = _docs(spark, ["y q"], start=10)
+        both = _docs(spark, ["x y z", "x", "y q"], start=20)
+        merged = merge_histograms(unigram_histogram(a),
+                                  unigram_histogram(b))
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, unigram_histogram(both).collect()))
+        ref = unigram_histogram(_docs(spark, ["x y"], start=30))
+        got = jsd_from_histograms(merged, ref).collect()[0]
+        want = corpus_js_divergence(both, _docs(spark, ["x y"],
+                                                start=30)).collect()[0]
+        assert tuple(got) == tuple(want)        # bit-identical
+
+    def test_empty_side_is_guarded(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            jsd_from_histograms, merge_histograms
+        h = unigram_histogram(_docs(spark, ["x y"]))
+        empty = h.limit(0)
+        got = jsd_from_histograms(empty, h).collect()[0]
+        # only the non-empty side's KL term survives: q·ln2 halves to 0.5
+        assert got.jsd_bits == pytest.approx(0.5)
+        assert got.n_terms_p == 0
+        both_empty = jsd_from_histograms(empty, empty).collect()[0]
+        assert both_empty.jsd_bits == 0.0
+        with pytest.raises(ValueError):
+            merge_histograms()
+
+
+class TestDriftMonitorStream:
+    @staticmethod
+    def _write(spark, src, rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    @staticmethod
+    def _drain(spark, src, ref, store, out, ckpt, **kw):
+        from agnostic_blockchain_etl_spark.streaming.dedup import \
+            drift_monitor_stream
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = drift_monitor_stream(stream, ref, store, out, ckpt, **kw)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_each_batch_equals_one_shot_cumulative(self, spark,
+                                                   tmp_path):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            jsd_from_histograms
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "out", "store",
+                                           "ckpt"))
+        ref_docs = _docs(spark, ["x y z z", "w x"], start=100)
+        ref = unigram_histogram(ref_docs)
+        batches = [[(1, "x y"), (2, "z w")],
+                   [(3, None)],                      # all-null batch
+                   [(4, "q q q"), (5, "x")]]
+        for b in batches:
+            self._write(spark, src, b)
+        self._drain(spark, src, ref, store, out, ckpt,
+                    compact_every=2, prune_after_compact=True)
+        cum = []
+        for i, b in enumerate(batches):
+            cum.extend(b)
+            want = jsd_from_histograms(
+                unigram_histogram(
+                    spark.createDataFrame(cum,
+                                          "doc_id long, text string")),
+                ref).collect()[0]
+            got = spark.read.parquet(f"{out}/batch_id={i}").collect()[0]
+            assert tuple(got) == tuple(want), f"batch {i}"
+        import os
+        assert any(s.startswith("upto=")
+                   for s in os.listdir(f"{store}_compact"))
+
+    def test_restart_continues_history(self, spark, tmp_path):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            jsd_from_histograms
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("rsrc", "rout", "rstore",
+                                           "rckpt"))
+        ref = unigram_histogram(_docs(spark, ["a b"], start=100))
+        self._write(spark, src, [(1, "a a")])
+        self._drain(spark, src, ref, store, out, ckpt)
+        self._write(spark, src, [(2, "b c")])
+        self._drain(spark, src, ref, store, out, ckpt)
+        want = jsd_from_histograms(
+            unigram_histogram(_docs(spark, ["a a", "b c"])),
+            ref).collect()[0]
+        got = spark.read.parquet(f"{out}/batch_id=1").collect()[0]
+        assert tuple(got) == tuple(want)
+
+    def test_empty_reference_raises(self, spark, tmp_path):
+        from agnostic_blockchain_etl_spark.streaming.dedup import \
+            drift_monitor_stream
+        ref = unigram_histogram(_docs(spark, ["x"])).limit(0)
+        stream = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError):
+            drift_monitor_stream(stream, ref, str(tmp_path / "s"),
+                                 str(tmp_path / "o"),
+                                 str(tmp_path / "c"))
