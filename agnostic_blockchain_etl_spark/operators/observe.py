@@ -186,12 +186,19 @@ def source_overlap_matrix(docs: DataFrame, *,
                           strat_col: str = "source",
                           max_bucket_size: int | None = None
                           ) -> DataFrame:
-    """``(source_a, source_b, n_pairs, mean_jaccard)`` — the verified
-    MinHash-LSH near-dup pairs of the corpus rolled up by UNORDERED
-    stratum pair (``source_a <= source_b``; the diagonal counts
-    intra-source duplication). The provenance question — which sources
-    copy from each other, and how strongly — as a bounded |sources|²
-    frame.
+    """``(source_a, source_b, n_pairs, sum_jaccard, max_jaccard)`` —
+    the verified MinHash-LSH near-dup pairs of the corpus rolled up by
+    UNORDERED stratum pair (``source_a <= source_b``; the diagonal
+    counts intra-source duplication). The provenance question — which
+    sources copy from each other, and how strongly — as a bounded
+    |sources|² frame; mean strength = ``sum_jaccard / n_pairs``.
+
+    Why sum+max and not mean: the pair jaccards are round-4 grid
+    values, so their MEAN lands exactly on .00005 decimal midpoints
+    (any even n_pairs), where Spark's shortest-repr HALF_UP round and
+    DuckDB's binary-value round disagree — a guaranteed cross-engine
+    hash split, found at sf0.1. Sums and maxima of grid values stay
+    ~k·ulp from a grid point, never near a midpoint — round-stable.
 
     Scale: candidate generation is `dedup.minhash_lsh_pairs`' banded
     equi-join (pass ``max_bucket_size`` for the 100 TB skew guard);
@@ -211,7 +218,8 @@ def source_overlap_matrix(docs: DataFrame, *,
                      "jaccard")
             .groupBy("source_a", "source_b")
             .agg(F.count("*").alias("n_pairs"),
-                 F.round(F.avg("jaccard"), 4).alias("mean_jaccard")))
+                 F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+                 F.max("jaccard").alias("max_jaccard")))
 
 
 def _sql_source_overlap() -> str:
@@ -250,7 +258,8 @@ def _sql_source_overlap() -> str:
     SELECT least(da.source, db.source)    AS source_a,
            greatest(da.source, db.source) AS source_b,
            CAST(count(*) AS BIGINT)       AS n_pairs,
-           round(avg(p.jaccard), 4)       AS mean_jaccard
+           round(sum(p.jaccard), 4)       AS sum_jaccard,
+           max(p.jaccard)                 AS max_jaccard
     FROM pairs p
     JOIN documents da ON da.doc_id = p.doc_a
     JOIN documents db ON db.doc_id = p.doc_b

@@ -101,7 +101,10 @@ class TestOverlapMatrix:
         assert ("s0", "s1") in got                   # cross-source, ordered
         assert all(a <= b for a, b in got)           # unordered contract
         for r in got.values():
-            assert r.n_pairs >= 1 and 0.0 < r.mean_jaccard <= 1.0
+            assert r.n_pairs >= 1
+            assert 0.0 < r.max_jaccard <= 1.0
+            # mean is derivable and bounded by the max
+            assert r.sum_jaccard / r.n_pairs <= r.max_jaccard + 1e-9
 
     def test_gate_query_runs(self, spark):
         from agnostic_blockchain_etl_spark.operators.observe import \
