@@ -47,13 +47,19 @@ def embedding_covariance(emb: DataFrame, *, vec_col: str = "embedding",
                          method: str = "gram") -> DataFrame:
     """``(i, j, cov)`` — the d² entries of the population covariance
     matrix of the vector column, ``cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]``,
-    rounded to 6. NULL vectors are skipped (they carry no coordinates;
-    the count adjusts — flag upstream if that matters). See the module
-    docstring for the two methods' cost shapes."""
+    rounded to 6. NULL vectors AND vectors containing a NULL element
+    are skipped (a partially-defined vector has no single consistent
+    row count: the declarative avg would skip per-COORDINATE while the
+    Gram fold would NaN-poison whole rows — the one-contract promise
+    requires excluding them identically in both paths; flag upstream
+    if partial vectors matter). See the module docstring for the two
+    methods' cost shapes."""
     if method not in ("gram", "declarative"):
         raise ValueError(f"method must be 'gram' or 'declarative', "
                          f"got {method!r}")
-    rows = emb.where(F.col(vec_col).isNotNull()) \
+    rows = emb.where(F.col(vec_col).isNotNull()
+                     & ~F.exists(_as_double(vec_col),
+                                 lambda x: x.isNull())) \
               .select(_as_double(vec_col).alias("v"))
     if method == "declarative":
         x = rows.select(F.posexplode("v").alias("i", "xi"),
@@ -72,14 +78,23 @@ def embedding_covariance(emb: DataFrame, *, vec_col: str = "embedding",
     import pandas as pd
 
     def _partials(it):
+        # accumulate across the WHOLE partition iterator and yield one
+        # row: `it` yields one pandas frame per Arrow batch (~10k rows
+        # each), so per-batch yields would grow the driver collect with
+        # corpus size instead of partition count (r11 self-review
+        # finding #2)
+        n, s, g = 0, None, None
         for pdf in it:
             if not len(pdf):
                 continue
             m = np.stack(pdf["v"].to_numpy())          # b × d, float64
-            yield pd.DataFrame({
-                "n": [len(m)],
-                "s": [m.sum(axis=0).tolist()],
-                "g": [(m.T @ m).ravel().tolist()]})
+            n += len(m)
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.ravel().tolist()]})
     parts = rows.mapInPandas(
         _partials, "n long, s array<double>, g array<double>").collect()
     # bounded collect: ≤ one (count, Σx, XᵀX) row per partition
@@ -154,7 +169,10 @@ def pca_project(emb: DataFrame, components, *,
 
 @query("emb_covariance_matrix", oracle="""
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                     x -> x IS NULL)) = 0),
     x AS (SELECT v,
                  unnest(list_transform(
                      generate_series(0, len(v) - 1),

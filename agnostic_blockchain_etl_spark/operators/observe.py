@@ -43,9 +43,13 @@ def unigram_histogram(docs: DataFrame, *,
                       text_col: str = "text") -> DataFrame:
     """``(term, n)`` unigram counts under the engine token convention
     (``split(lower(trim(text)), '\\s+')``; NULL text contributes no
-    terms). Map-side combined — the shuffle is vocabulary-sized."""
+    terms). Map-side combined — the shuffle is vocabulary-sized. The
+    tokenize+explode scan is CPU-heavy per row, so the input is
+    `spread()` (single-row-group parquet otherwise runs it one-core —
+    the measured winnow/zipf failure shape; streaming batch frames
+    pass through untouched)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return (docs.select(F.explode(words).alias("term"))
+    return (spread(docs).select(F.explode(words).alias("term"))
             .groupBy("term").agg(F.count("*").alias("n")))
 
 
@@ -94,13 +98,17 @@ def jsd_from_histograms(hp: DataFrame, hq: DataFrame) -> DataFrame:
          .otherwise(F.lit(0.0)).alias("kp"),
         F.when(F.col("q_n") > 0, F.col("q") * F.log(F.col("q") / m))
          .otherwise(F.lit(0.0)).alias("kq"))
+    # every column coalesced: aggregating the EMPTY joined frame (both
+    # sides term-free) must yield a defined (0, 0, 0, 0.0) row, not
+    # NULL counts (r11 self-review finding #5)
     return probs.agg(
-        F.sum(F.when(F.col("p_n") > 0, 1).otherwise(0)).cast("long")
-         .alias("n_terms_p"),
-        F.sum(F.when(F.col("q_n") > 0, 1).otherwise(0)).cast("long")
-         .alias("n_terms_q"),
-        F.sum(F.when((F.col("p_n") > 0) & (F.col("q_n") > 0), 1)
-              .otherwise(0)).cast("long").alias("n_shared"),
+        F.coalesce(F.sum(F.when(F.col("p_n") > 0, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("n_terms_p"),
+        F.coalesce(F.sum(F.when(F.col("q_n") > 0, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("n_terms_q"),
+        F.coalesce(F.sum(F.when((F.col("p_n") > 0) & (F.col("q_n") > 0),
+                                1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("n_shared"),
         F.round(F.coalesce(
             (F.lit(0.5) * F.sum("kp") + F.lit(0.5) * F.sum("kq"))
             / F.log(F.lit(2.0)), F.lit(0.0)), 6).alias("jsd_bits"))
@@ -161,11 +169,12 @@ def corpus_js_divergence(p_docs: DataFrame, q_docs: DataFrame, *,
                CASE WHEN q_n > 0 THEN q * ln(q / ((p + q) / 2.0))
                     ELSE 0.0 END AS kq
         FROM pq)
-    SELECT CAST(SUM(CASE WHEN p_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_terms_p,
-           CAST(SUM(CASE WHEN q_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_terms_q,
-           CAST(SUM(CASE WHEN p_n > 0 AND q_n > 0 THEN 1 ELSE 0 END)
+    SELECT CAST(coalesce(SUM(CASE WHEN p_n > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_terms_p,
+           CAST(coalesce(SUM(CASE WHEN q_n > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_terms_q,
+           CAST(coalesce(SUM(CASE WHEN p_n > 0 AND q_n > 0
+                                  THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_shared,
            round(coalesce((0.5 * SUM(kp) + 0.5 * SUM(kq)) / ln(2.0),
                           0.0), 6) AS jsd_bits

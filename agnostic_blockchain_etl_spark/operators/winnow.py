@@ -208,7 +208,12 @@ def winnow_passages(docs: DataFrame, *, k: int = _K, w: int = _W,
         raise ValueError(f"max_gap must be positive, got {gap}")
     fps = (_selected(docs, k, w, text_col, id_col, salt)
            .select("doc_id", "fp", "fp_pos").distinct())
-    guard = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    # the guard counts DOCUMENT frequency — distinct (doc_id, fp) —
+    # exactly like winnow_pairs, not position occurrences: a
+    # fingerprint selected at several positions of the same document
+    # must not burn the df budget (r11 self-review finding #1)
+    guard = (fps.select("doc_id", "fp").distinct()
+             .groupBy("fp").agg(F.count("*").alias("_df"))
              .where(F.col("_df") <= max_df).select("fp"))
     g = fps.join(guard, "fp")
     b = g.select(F.col("doc_id").alias("doc_b"), "fp",
@@ -270,7 +275,7 @@ def _sql_winnow_passages() -> str:
             FROM hashed),
     fps AS (SELECT DISTINCT doc_id, (m).h AS fp,
                    CAST(-(m).np AS INT) AS fp_pos FROM sel),
-    guard AS (SELECT fp FROM fps
+    guard AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
               GROUP BY fp HAVING count(*) <= {_MAX_DF}),
     g AS (SELECT f.doc_id, f.fp, f.fp_pos
           FROM fps f JOIN guard USING (fp)),

@@ -64,6 +64,51 @@ class TestCovariance:
                                       with_null=True)).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_null_element_vectors_skipped_by_both_methods(self, spark,
+                                                          rng_mat):
+        # r11 self-review finding #4: a vector with a NULL ELEMENT must
+        # be excluded identically in both paths (declarative avg would
+        # skip per-coordinate; the gram fold would NaN-poison rows)
+        rows = [(i, [float(x) for x in r]) for i, r in enumerate(rng_mat)]
+        rows.append((len(rows), [1.0, None, 2.0, 3.0]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        clean = embedding_covariance(_emb(spark, rng_mat)).collect()
+        for method in ("gram", "declarative"):
+            got = embedding_covariance(emb, method=method).collect()
+            assert sorted(map(tuple, got)) == sorted(map(tuple, clean)), \
+                method
+
+    def test_gram_partials_one_row_per_partition(self, spark, rng_mat):
+        # r11 self-review finding #2: the driver fold must be bounded
+        # by partition count, not Arrow batch count
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "16")
+        try:
+            emb = _emb(spark, rng_mat).repartition(3)  # 120 rows, 3 parts
+            rows = emb.selectExpr(
+                "cast(embedding as array<double>) as v")
+            import numpy as np
+            import pandas as pd
+
+            def probe(it):
+                n, out = 0, []
+                for pdf in it:
+                    n += len(pdf)
+                if n:
+                    out.append(pd.DataFrame({"n": [n]}))
+                return iter(out)
+            parts = rows.mapInPandas(probe, "n long").collect()
+            assert len(parts) <= 3          # the accumulation contract
+            # and the real operator still matches numpy on this layout
+            got = {(r.i, r.j): r.cov
+                   for r in embedding_covariance(emb).collect()}
+            want = np.cov(rng_mat, rowvar=False, bias=True)
+            for (i, j), v in got.items():
+                assert v == pytest.approx(want[i, j], abs=2e-6)
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
     def test_validation(self, spark, rng_mat):
         emb = _emb(spark, rng_mat)
         with pytest.raises(ValueError):

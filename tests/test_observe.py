@@ -178,7 +178,8 @@ class TestHistogramStore:
         assert got.jsd_bits == pytest.approx(0.5)
         assert got.n_terms_p == 0
         both_empty = jsd_from_histograms(empty, empty).collect()[0]
-        assert both_empty.jsd_bits == 0.0
+        # r11 self-review finding #5: counts defined 0, never NULL
+        assert tuple(both_empty) == (0, 0, 0, 0.0)
         with pytest.raises(ValueError):
             merge_histograms()
 

@@ -161,6 +161,19 @@ class TestGuardsAndGate:
         d = _docs(spark, [(1, _passage(60, "a")), (2, _passage(60, "b"))])
         assert winnow_passages(d, min_fps=1).count() == 0
 
+    def test_passage_guard_counts_documents_not_positions(self, spark):
+        # r11 self-review finding #1: a fingerprint selected at many
+        # positions of the SAME document must not burn the df budget —
+        # the guard counts documents, like winnow_pairs. Two docs
+        # sharing a long passage full of internal repetition: df = 2.
+        rep = " ".join((_passage(K, "r") + " ") * 12)   # repeated grams
+        d = _docs(spark, [(1, rep + " " + _passage(20, "a")),
+                          (2, rep + " " + _passage(20, "b"))])
+        got = winnow_passages(d, min_fps=1, max_df=2).collect()
+        assert got, "df=2 fingerprints survive a max_df=2 guard"
+        # and the spans agree with the pair op's own guard decision
+        assert winnow_pairs(d, min_shared=1, max_df=2).count() == 1
+
     def test_passages_validation(self, spark):
         d = _docs(spark, [(1, "a b c d e f")])
         for bad in (dict(min_fps=0), dict(max_df=0), dict(max_gap=0),
