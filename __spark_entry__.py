@@ -95,6 +95,9 @@ def _all_modules():
 #                       scale path is pytest-pinned against it)
 #   corpus_js_divergence r11 addition: Jensen-Shannon drift between
 #                       two corpus halves' unigram distributions
+#   stratum_divergence_report r11 addition: per-source JSD against
+#                       the corpus-wide distribution (full-vocab
+#                       expansion per stratum — absent terms count)
 #   source_overlap_matrix r11 addition: LSH-verified near-dup pairs
 #                       rolled up by unordered source pair
 #   pack_efficiency_report r11 addition: per-shard packing
@@ -134,7 +137,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "corpus_zipf_stats", "compose_mix_epochs",
                 "winnow_passage_spans", "corpus_js_divergence",
                 "source_overlap_matrix", "pack_efficiency_report",
-                "emb_covariance_matrix",
+                "emb_covariance_matrix", "stratum_divergence_report",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -191,6 +191,113 @@ def corpus_js_divergence_gate(spark: SparkSession,
                                 docs.where(F.col("doc_id") % 2 == 1))
 
 
+def stratum_divergence_report(docs: DataFrame, *,
+                              strat_col: str = "source",
+                              text_col: str = "text") -> DataFrame:
+    """``(stratum, n_terms, jsd_bits)`` — each stratum's Jensen-Shannon
+    divergence against the WHOLE corpus's unigram distribution: the
+    "which source is distributionally anomalous" ranking a crawl-ops
+    review starts from (a source of boilerplate, a mis-tagged
+    language, or an ingest bug shows up as the jsd_bits outlier).
+
+    Correctness subtlety: each stratum's comparison frame must carry
+    the FULL corpus vocabulary, not just the stratum's own terms — a
+    term the stratum never uses still contributes q·ln 2 to the
+    corpus-side KL (it is evidence of divergence). The frame is
+    therefore the |strata| × |vocab| expansion of the per-stratum
+    histogram — report-sized (bounded by two catalog cardinalities),
+    never corpus-sized; the corpus text is scanned exactly once.
+
+    Same algebra as `jsd_from_histograms`, windows partitioned by
+    stratum; rounded to 6."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    h = (spread(docs)
+         .select(F.col(strat_col).alias("stratum"),
+                 F.explode(words).alias("term"))
+         .groupBy("stratum", "term").agg(F.count("*").alias("p_n")))
+    g = h.groupBy("term").agg(F.sum("p_n").alias("q_n"))
+    strata = h.select("stratum").distinct()
+    full = (strata.crossJoin(g)                  # |strata| × |vocab|
+            .join(h, ["stratum", "term"], "left")
+            .select("stratum", "term",
+                    F.coalesce("p_n", F.lit(0)).alias("p_n"), "q_n"))
+    w = Window.partitionBy("stratum")
+    tot = full.select(
+        "stratum", "p_n", "q_n",
+        F.sum("p_n").over(w).alias("tp"),
+        F.sum("q_n").over(w).alias("tq"))
+    pq = tot.select(
+        "stratum", "p_n", "q_n",
+        F.when(F.col("tp") > 0, F.col("p_n") / F.col("tp"))
+         .otherwise(F.lit(0.0)).alias("p"),
+        F.when(F.col("tq") > 0, F.col("q_n") / F.col("tq"))
+         .otherwise(F.lit(0.0)).alias("q"))
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    probs = pq.select(
+        "stratum", "p_n", "q_n",
+        F.when(F.col("p_n") > 0, F.col("p") * F.log(F.col("p") / m))
+         .otherwise(F.lit(0.0)).alias("kp"),
+        F.when(F.col("q_n") > 0, F.col("q") * F.log(F.col("q") / m))
+         .otherwise(F.lit(0.0)).alias("kq"))
+    return (probs.groupBy("stratum")
+            .agg(F.coalesce(F.sum(F.when(F.col("p_n") > 0, 1)
+                                  .otherwise(0)), F.lit(0))
+                 .cast("long").alias("n_terms"),
+                 F.round(F.coalesce(
+                     (F.lit(0.5) * F.sum("kp")
+                      + F.lit(0.5) * F.sum("kq"))
+                     / F.log(F.lit(2.0)), F.lit(0.0)), 6)
+                 .alias("jsd_bits")))
+
+
+@query("stratum_divergence_report", oracle="""
+    WITH h AS (
+        SELECT source AS stratum, term, count(*) AS p_n FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS term
+            FROM documents) GROUP BY 1, 2),
+    g AS (SELECT term, SUM(p_n) AS q_n FROM h GROUP BY term),
+    strata AS (SELECT DISTINCT stratum FROM h),
+    fullv AS (
+        SELECT s.stratum, g.term,
+               coalesce(h.p_n, 0) AS p_n, g.q_n
+        FROM strata s CROSS JOIN g
+        LEFT JOIN h ON h.stratum = s.stratum AND h.term = g.term),
+    tot AS (
+        SELECT stratum, p_n, q_n,
+               SUM(p_n) OVER (PARTITION BY stratum) AS tp,
+               SUM(q_n) OVER (PARTITION BY stratum) AS tq
+        FROM fullv),
+    pq AS (
+        SELECT stratum, p_n, q_n,
+               CASE WHEN tp > 0 THEN p_n / tp ELSE 0.0 END AS p,
+               CASE WHEN tq > 0 THEN q_n / tq ELSE 0.0 END AS q
+        FROM tot),
+    probs AS (
+        SELECT stratum, p_n, q_n,
+               CASE WHEN p_n > 0 THEN p * ln(p / ((p + q) / 2.0))
+                    ELSE 0.0 END AS kp,
+               CASE WHEN q_n > 0 THEN q * ln(q / ((p + q) / 2.0))
+                    ELSE 0.0 END AS kq
+        FROM pq)
+    SELECT stratum,
+           CAST(coalesce(SUM(CASE WHEN p_n > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_terms,
+           round(coalesce((0.5 * SUM(kp) + 0.5 * SUM(kq)) / ln(2.0),
+                          0.0), 6) AS jsd_bits
+    FROM probs GROUP BY stratum
+""")
+def stratum_divergence_report_gate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Gate form of `stratum_divergence_report`: every source's
+    divergence against the corpus-wide unigram distribution,
+    value-pinned. Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return stratum_divergence_report(docs)
+
+
 def source_overlap_matrix(docs: DataFrame, *,
                           strat_col: str = "source",
                           max_bucket_size: int | None = None

@@ -70,6 +70,7 @@ HEADLINE = [
     "winnow_passage_spans",
     "corpus_zipf_stats",
     "corpus_js_divergence",
+    "stratum_divergence_report",
     "source_overlap_matrix",
     "pack_efficiency_report",
     "emb_covariance_matrix",

@@ -258,3 +258,50 @@ class TestDriftMonitorStream:
             drift_monitor_stream(stream, ref, str(tmp_path / "s"),
                                  str(tmp_path / "o"),
                                  str(tmp_path / "c"))
+
+
+class TestStratumDivergence:
+    def test_uniform_strata_score_zero(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            stratum_divergence_report
+        rows = [(1, "x y", "a"), (2, "x y", "b"), (3, "x y", "c")]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        got = stratum_divergence_report(d).collect()
+        assert len(got) == 3
+        assert all(r.jsd_bits == 0.0 and r.n_terms == 2 for r in got)
+
+    def test_anomalous_stratum_is_the_outlier(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            stratum_divergence_report
+        # a and b share the corpus shape; c is disjoint vocabulary
+        rows = [(1, "x y z", "a"), (2, "x y z", "b"),
+                (3, "q q r", "c")]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        got = {r.stratum: r for r in
+               stratum_divergence_report(d).collect()}
+        assert got["c"].jsd_bits > got["a"].jsd_bits
+        assert got["c"].jsd_bits > got["b"].jsd_bits
+        assert got["a"].jsd_bits == got["b"].jsd_bits   # symmetric pair
+        # absent-term evidence counts: c's n_terms is its OWN vocab
+        assert got["c"].n_terms == 2
+
+    def test_matches_python_reference(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            stratum_divergence_report
+        rows = [(1, "a a b", "s1"), (2, "b c", "s2")]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        got = {r.stratum: r.jsd_bits
+               for r in stratum_divergence_report(d).collect()}
+        corpus = {"a": 2, "b": 2, "c": 1}
+        for s, cnt in (("s1", {"a": 2, "b": 1}), ("s2", {"b": 1, "c": 1})):
+            assert got[s] == pytest.approx(
+                round(_py_jsd(cnt, corpus), 6), abs=2e-6), s
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.observe import \
+            stratum_divergence_report_gate
+        rows = stratum_divergence_report_gate(spark, SF_DIR).collect()
+        assert rows and all(0.0 <= r.jsd_bits <= 1.0 for r in rows)
