@@ -77,6 +77,16 @@ CASES = [
     ("semantic_decontamination", "embeddings", 2, None),
     # the soft sampler's score is computed from text: 3 columns, no more
     ("quality_weighted_sample", "documents", 3, None),
+    # r11 observability family: JSD halves read doc_id/text with the
+    # parity split pushed; the per-source report reads source/text
+    ("corpus_js_divergence", "documents", 2, "doc_id"),
+    ("stratum_divergence_report", "documents", 2, None),
+    # covariance reads ONLY the embedding column (vec_id pruned)
+    ("emb_covariance_matrix", "embeddings", 1, None),
+    # packing efficiency inherits chunk_pack's 2-column scan
+    ("pack_efficiency_report", "documents", 2, None),
+    # passage spans read doc_id/text like the pair op
+    ("winnow_passage_spans", "documents", 2, None),
 ]
 
 
