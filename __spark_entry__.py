@@ -33,12 +33,12 @@ def _all_modules():
                                                          embstats,
                                                          llm_data, misc,
                                                          observe,
-                                                         ordering,
+                                                         ordering, pq,
                                                          retrieval,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats]
+            observe, embstats, pq]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -106,6 +106,13 @@ def _all_modules():
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
 #                       same algebra in DuckDB)
+#   emb_pq_adc_topk     r11 addition: product-quantization ADC top-k —
+#                       seed codebooks, Arrow-kernel encode, pure-JVM
+#                       LUT scoring, vs DuckDB's naive all-(vector,
+#                       centroid, subspace) distance relation
+#   pq_code_stats       r11 addition: the quantizer's code-usage /
+#                       distortion diagnostics, every m×ksub cell
+#                       value-pinned
 #   compose_mix_epochs  r11 addition: the UNIFIED mixture regimes —
 #                       one compose(allow_epochs=True) call routes
 #                       downsampled strata through the keep-flag draw
@@ -138,6 +145,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "winnow_passage_spans", "corpus_js_divergence",
                 "source_overlap_matrix", "pack_efficiency_report",
                 "emb_covariance_matrix", "stratum_divergence_report",
+                "emb_pq_adc_topk", "pq_code_stats",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

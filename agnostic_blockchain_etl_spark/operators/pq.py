@@ -1,0 +1,311 @@
+"""Product quantization (PQ) — the ANN tier that actually survives
+100 TB of embeddings (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+The vector column is split into ``m`` contiguous subspaces; each
+subspace gets its own tiny codebook of ``ksub`` centroids, and a vector
+is stored as ``m`` small codes (here 8 × 4-bit-sized ints instead of
+64 float32s — a 32× compression). Search is **asymmetric distance
+computation (ADC)**: the query stays exact, each corpus vector is
+approximated by its reconstruction, and the squared-L2 distance
+decomposes into ``m`` independent table lookups —
+
+    d(q, x) ≈ Σ_j  LUT_q[j][code_j(x)]      where
+    LUT_q[j][c] = ‖q_j − C_j[c]‖²
+
+so a scan over compressed codes never touches the original vectors.
+This completes the repo's ANN ladder (`similarity.py`): brute-force →
+sign-LSH → IVF → PQ; production FAISS-style IVF-PQ is the composition
+of the last two (IVF routes, PQ compresses the lists).
+
+Determinism (the oracle contract, same device as `emb_ivf_topk`): the
+codebooks are a seed SAMPLE — the ``ksub`` lowest non-query vectors,
+sliced per subspace — because raw data vectors are bit-identical across
+engines, whereas Lloyd-refined centroids would be summation-order-
+dependent. Production would refine the seeds with k-means (the
+aggregation shape is `similarity.emb_label_centroids`); every plan
+below is unchanged by that swap.
+
+Scale shape:
+- the codebook and the per-query LUTs are BOUNDED driver artifacts
+  (ksub × dim and |queries| × m × ksub doubles — the shard writer's
+  bucket-map class), annotated at each collect;
+- encoding is one Arrow-batched kernel pass over the corpus (dense
+  batch × ksub × m distance tensor + argmin — the sanctioned
+  pandas-UDF boundary; the declarative alternatives lose by orders of
+  magnitude, measured at `similarity._nearest_assign`);
+- ADC scoring is PURE JVM column algebra: codes ``zip_with`` the
+  broadcast LUT rows through ``element_at`` and fold — no Python in
+  the per-(query, vector) hot path, no vector ever shuffles (the
+  scored frame carries ids + one double);
+- top-k is a per-query window over the scored frame (AQE turns the
+  rank-filter into a partial top-k), exactly `cosine_topk`'s shape.
+
+Reference: no counterpart (the reference has no vector surface);
+LLM-data-pipeline mandate, sibling of `similarity.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import make_registry
+from .tables import load_tables
+
+QUERIES, ORACLES, query = make_registry()
+
+_N_QUERIES = 8   # similarity.py's convention: vec_id < 8 are queries
+_TOP_K = 5
+_M = 8           # subspaces
+_KSUB = 16       # centroids per subspace (4-bit codes)
+
+
+def _check_geometry(dim: int, m: int) -> None:
+    if m <= 0 or dim % m:
+        raise ValueError(f"dim {dim} must split evenly into m={m} "
+                         f"subspaces")
+
+
+def pq_seed_codebook(emb: DataFrame, ksub: int = _KSUB, *,
+                     vec_col: str = "e", id_col: str = "vec_id",
+                     exclude_below: int = 0) -> np.ndarray:
+    """The deterministic seed codebook: the ``ksub`` lowest ``id_col``
+    vectors with id ≥ ``exclude_below`` (excluding a query prefix keeps
+    the gate honest — queries must not be their own centroids), as a
+    (ksub × dim) float64 matrix. BOUNDED collect: ksub rows, same class
+    as `similarity.ivf_train`'s codebook."""
+    rows = (emb.where(F.col(id_col) >= exclude_below)
+            .orderBy(id_col).limit(ksub)
+            .select(F.col(vec_col).cast("array<double>")).collect())
+    if len(rows) < ksub:
+        raise ValueError(f"need at least {ksub} seed vectors, "
+                         f"got {len(rows)}")
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _cube(seeds: np.ndarray, m: int) -> np.ndarray:
+    """(ksub × dim) → (ksub × m × dsub) subspace view."""
+    ksub, dim = seeds.shape
+    _check_geometry(dim, m)
+    return seeds.reshape(ksub, m, dim // m)
+
+
+def pq_encode(vecs: DataFrame, seeds: np.ndarray, m: int = _M, *,
+              id_col: str = "vec_id", vec_col: str = "e",
+              codes_col: str = "codes",
+              with_dists: bool = False) -> DataFrame:
+    """``(id, codes array<int>)`` — each vector's per-subspace nearest
+    centroid (squared L2; ties to the LOWEST code, matching the oracle's
+    ``ORDER BY d, cid``). One Arrow kernel pass: the batch reshapes to
+    (b × m × dsub), the distance tensor is (b × ksub × m), argmin over
+    the centroid axis. ``with_dists=True`` also emits the chosen
+    per-subspace distances (the reconstruction error terms) for the
+    diagnostics path."""
+    from pyspark.sql.functions import pandas_udf
+
+    cube = _cube(seeds, m)                    # ksub × m × dsub
+    dsub = cube.shape[2]
+
+    def _assign(col: pd.Series):
+        e = np.vstack(col.to_numpy()).astype(np.float64)
+        x = e.reshape(len(e), m, dsub)        # b × m × dsub
+        d = ((x[:, None, :, :] - cube[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=1)              # b × m; first min = low cid
+        return d, codes
+
+    if with_dists:
+        @pandas_udf("struct<codes:array<int>, dists:array<double>>")
+        def encode(col: pd.Series) -> pd.DataFrame:
+            d, codes = _assign(col)
+            picked = np.take_along_axis(
+                d, codes[:, None, :], axis=1)[:, 0, :]
+            return pd.DataFrame(
+                {"codes": [r.astype("int32").tolist() for r in codes],
+                 "dists": [r.tolist() for r in picked]})
+    else:
+        @pandas_udf("array<int>")
+        def encode(col: pd.Series) -> pd.Series:
+            _, codes = _assign(col)
+            return pd.Series([r.astype("int32").tolist() for r in codes])
+
+    enc = vecs.withColumn("__enc", encode(F.col(vec_col)))
+    if with_dists:
+        return enc.select(id_col,
+                          F.col("__enc.codes").alias(codes_col),
+                          F.col("__enc.dists").alias("dists"))
+    return enc.select(id_col, F.col("__enc").alias(codes_col))
+
+
+def _query_luts(queries: DataFrame, seeds: np.ndarray, m: int,
+                id_col: str, vec_col: str) -> list[tuple[int, list]]:
+    """Per-query ADC lookup tables, driver-side: (query_id, m × ksub
+    squared-L2 rows). BOUNDED collect — the query workload (the same
+    small side `cosine_topk` broadcasts), never the corpus."""
+    cube = _cube(seeds, m)
+    out = []
+    for r in (queries.select(id_col,
+                             F.col(vec_col).cast("array<double>"))
+              .collect()):
+        x = np.array(r[1], dtype=np.float64).reshape(m, cube.shape[2])
+        lut = ((x[None, :, :] - cube) ** 2).sum(axis=2)   # ksub × m
+        out.append((int(r[0]), [row.tolist() for row in lut.T]))
+    return out
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                seeds: np.ndarray, m: int = _M, k: int = _TOP_K, *,
+                id_col: str = "vec_id", codes_col: str = "codes",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "qe") -> DataFrame:
+    """ADC top-k: ``(query_id, neighbor_id, adc_l2, rank)`` — smallest
+    approximate squared-L2 first, distances rounded to 4 (the engine's
+    cross-engine float convention), ties to the lowest neighbor_id.
+    Self-matches are excluded (a query that is also a corpus member
+    never returns itself).
+
+    The scoring path is JVM column algebra over the broadcast LUT
+    frame: ``zip_with(codes, lut, (c, row) → element_at(row, c+1))``
+    folded with ``aggregate`` — per corpus row, m array lookups + m
+    adds inside codegen; the only shuffle is the per-query top-k over
+    an id+double frame."""
+    spark = codes.sparkSession
+    luts = _query_luts(queries, seeds, m, query_id_col, query_vec_col)
+    lut_df = spark.createDataFrame(
+        luts, f"{query_id_col} long, lut array<array<double>>")
+    adc = F.aggregate(
+        F.zip_with(F.col(codes_col), F.col("lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (codes.crossJoin(F.broadcast(lut_df))
+              .where(F.col(query_id_col) != F.col(id_col))
+              .select(query_id_col,
+                      F.col(id_col).alias("neighbor_id"),
+                      F.round(adc, 4).alias("adc_l2")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_l2").asc(),
+                                                 "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "adc_l2",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def pq_code_stats(vecs: DataFrame, seeds: np.ndarray, m: int = _M, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "e") -> DataFrame:
+    """``(subspace, code, n_vectors, sum_l2)`` — the quantizer's
+    diagnostics frame, bounded at m × ksub rows: code-usage balance
+    (a collapsed codebook shows as dead codes / one dominant code —
+    the signal to retrain) and the per-cell reconstruction error sum
+    (``sum_l2`` totals ‖x_j − C_j[code]‖² over the cell's members;
+    Σ over the frame = the corpus's total PQ distortion). Sum-then-
+    round (4): sums of doubles stay off the round grid's midpoints,
+    the `source_overlap_matrix` round-stability rule."""
+    enc = pq_encode(vecs, seeds, m, id_col=id_col, vec_col=vec_col,
+                    with_dists=True)
+    z = enc.select(
+        F.posexplode(F.arrays_zip("codes", "dists"))
+        .alias("subspace", "cd"))
+    return (z.select("subspace",
+                     F.col("cd.codes").alias("code"),
+                     F.col("cd.dists").alias("d"))
+            .groupBy("subspace", "code")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.sum("d"), 4).alias("sum_l2")))
+
+
+# ---------------------------------------------------------------------------
+# Gate queries + DuckDB oracles (the naive all-pairs windows)
+# ---------------------------------------------------------------------------
+
+_DSUB = 64 // _M   # testdata embedding dim is 64
+
+_SQL_PQ_BASE = f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM emb WHERE vec_id >= {_N_QUERIES}
+        ORDER BY vec_id LIMIT {_KSUB}),
+    js AS (SELECT unnest(generate_series(0, {_M - 1})) AS j),
+    subs AS (
+        SELECT vec_id, j,
+               e[j*{_DSUB}+1 : (j+1)*{_DSUB}] AS sub
+        FROM emb CROSS JOIN js),
+    csub AS (
+        SELECT cid, j,
+               ce[j*{_DSUB}+1 : (j+1)*{_DSUB}] AS cs
+        FROM seeds CROSS JOIN js),
+    dists AS (
+        SELECT s.vec_id, s.j, c.cid,
+               list_sum(list_transform(generate_series(1, {_DSUB}),
+                   i -> (s.sub[i] - c.cs[i]) * (s.sub[i] - c.cs[i])))
+                   AS d
+        FROM subs s JOIN csub c ON c.j = s.j),
+    codes AS (
+        SELECT vec_id, j, cid, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                           ORDER BY d ASC, cid) AS rn
+            FROM dists) WHERE rn = 1)
+"""
+
+
+@query("emb_pq_adc_topk", oracle=f"""
+    WITH {_SQL_PQ_BASE},
+    adc AS (
+        SELECT l.vec_id AS query_id, x.vec_id AS neighbor_id,
+               round(SUM(l.d), 4) AS adc_l2
+        FROM (SELECT vec_id, j, cid FROM codes
+              WHERE vec_id >= {_N_QUERIES}) x
+        JOIN (SELECT vec_id, j, cid, d FROM dists
+              WHERE vec_id < {_N_QUERIES}) l
+          ON l.j = x.j AND l.cid = x.cid
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_l2 ASC, neighbor_id) AS rn
+        FROM adc)
+    SELECT query_id, neighbor_id, adc_l2, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+""")
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of the PQ ADC search: the testdata corpus encoded to
+    m=8 × 4-bit codes against the seed codebook, searched with the
+    first 8 vectors as exact queries — verified against
+    DuckDB computing the SAME quantizer the naive way (an all-
+    (vector, centroid, subspace) distance relation + argmin windows —
+    the m·ksub-times-the-corpus intermediate the kernel never
+    materializes). Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    seeds = pq_seed_codebook(emb, exclude_below=_N_QUERIES)
+    codes = pq_encode(emb.where(F.col("vec_id") >= _N_QUERIES), seeds)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    return pq_adc_topk(codes, queries, seeds)
+
+
+@query("pq_code_stats", oracle=f"""
+    WITH {_SQL_PQ_BASE}
+    SELECT j AS subspace, CAST(cid AS INT) AS code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(SUM(d), 4) AS sum_l2
+    FROM codes GROUP BY 1, 2
+""")
+def pq_code_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `pq_code_stats`: the whole embeddings table's code
+    histogram + per-cell distortion, every cell value-pinned against
+    DuckDB's naive quantizer. Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    seeds = pq_seed_codebook(emb, exclude_below=_N_QUERIES)
+    return (pq_code_stats(emb, seeds)
+            .select(F.col("subspace").cast("long").alias("subspace"),
+                    F.col("code").cast("int").alias("code"),
+                    "n_vectors", "sum_l2"))

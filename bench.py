@@ -38,6 +38,8 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_lsh_bucketed_search",
     "emb_ivf_topk",
+    "emb_pq_adc_topk",
+    "pq_code_stats",
     "text_stats_facets",
     "doc_fingerprint_repetition",
     "multimodal_decode_features",
