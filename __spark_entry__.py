@@ -106,6 +106,9 @@ def _all_modules():
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
 #                       same algebra in DuckDB)
+#   curriculum_order    r11 addition: easy→hard staged training order
+#                       (width_bucket two-level difficulty rank +
+#                       within-stage shuffle) vs the naive windows
 #   emb_pq_adc_topk     r11 addition: product-quantization ADC top-k —
 #                       seed codebooks, Arrow-kernel encode, pure-JVM
 #                       LUT scoring, vs DuckDB's naive all-(vector,
@@ -146,6 +149,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "source_overlap_matrix", "pack_efficiency_report",
                 "emb_covariance_matrix", "stratum_divergence_report",
                 "emb_pq_adc_topk", "pq_code_stats",
+                "curriculum_order",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -100,6 +100,7 @@ HEADLINE = [
     "control_scan_facets",
     "bloom_dedup_probe",
     "training_order_global",
+    "curriculum_order",
     "stratified_split_exact",
     "bloom_decontamination",
     "cms_frequency_estimate",

@@ -262,3 +262,97 @@ class TestOrderingPlanShape:
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         partitioned = [s for s in specs if "__bk" in s]
         assert partitioned, plan  # row-rank window partitions on __bk
+
+
+class TestCurriculumOrder:
+    def _mk(self, spark, scores):
+        return spark.createDataFrame(
+            [(i, s) for i, s in enumerate(scores)],
+            "doc_id long, score double")
+
+    def test_stages_are_contiguous_rank_ranges(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [float(x) for x in range(103, 0, -1)])
+        out = curriculum_order_index(d, score_col="score",
+                                     n_stages=4).collect()
+        n = len(out)
+        for r in out:
+            assert r["stage"] == ((r["curr_rank"] - 1) * 4) // n
+        # floor partition: stage sizes differ by at most 1
+        sizes = {}
+        for r in out:
+            sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+        assert set(sizes) == {0, 1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    def test_easy_docs_first_hard_last(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [float(x) for x in range(40)])
+        out = curriculum_order_index(d, score_col="score",
+                                     n_stages=2).collect()
+        by_pos = sorted(out, key=lambda r: r["ord_curr"])
+        first_half = {r["doc_id"] for r in by_pos[:20]}
+        # scores ARE doc_ids here: the easy half is exactly ids 0..19
+        assert first_half == set(range(20))
+        # ... but within the stage the hash shuffle broke score order
+        first_scores = [r["doc_id"] for r in by_pos[:20]]
+        assert first_scores != sorted(first_scores)
+
+    def test_null_scores_fill_the_last_stage(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        rows = [(i, float(i)) for i in range(30)] + \
+            [(100 + i, None) for i in range(10)]
+        d = spark.createDataFrame(rows, "doc_id long, score double")
+        out = curriculum_order_index(d, score_col="score",
+                                     n_stages=4).collect()
+        nulls = [r for r in out if r["doc_id"] >= 100]
+        assert all(r["stage"] == 3 for r in nulls)
+        assert {r["curr_rank"] for r in nulls} == set(range(31, 41))
+
+    def test_degenerate_all_equal_scores(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [5.0] * 17)
+        out = curriculum_order_index(d, score_col="score",
+                                     n_stages=3).collect()
+        assert {r["curr_rank"] for r in out} == set(range(1, 18))
+        assert {r["ord_curr"] for r in out} == set(range(1, 18))
+
+    def test_bucket_knob_does_not_change_positions(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [float((7 * x) % 53) for x in range(53)])
+        a = {(r["doc_id"], r["ord_curr"]) for r in
+             curriculum_order_index(d, score_col="score",
+                                    n_buckets=8).collect()}
+        b = {(r["doc_id"], r["ord_curr"]) for r in
+             curriculum_order_index(d, score_col="score",
+                                    n_buckets=1024).collect()}
+        assert a == b
+
+    def test_salt_reshuffles_within_stage_only(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [float(x) for x in range(60)])
+        a = curriculum_order_index(d, score_col="score",
+                                   salt="epoch1:").collect()
+        b = curriculum_order_index(d, score_col="score",
+                                   salt="epoch2:").collect()
+        sa = {r["doc_id"]: r["stage"] for r in a}
+        sb = {r["doc_id"]: r["stage"] for r in b}
+        assert sa == sb                       # stages are salt-free
+        oa = {r["doc_id"]: r["ord_curr"] for r in a}
+        ob = {r["doc_id"]: r["ord_curr"] for r in b}
+        assert oa != ob                       # positions reshuffled
+
+    def test_validation(self, spark):
+        from agnostic_blockchain_etl_spark.operators.ordering import \
+            curriculum_order_index
+        d = self._mk(spark, [1.0])
+        with pytest.raises(ValueError, match="n_stages"):
+            curriculum_order_index(d, score_col="score", n_stages=0)
+        with pytest.raises(ValueError, match="power of two"):
+            curriculum_order_index(d, score_col="score", n_buckets=3)
