@@ -26,7 +26,8 @@ def _all_modules():
     # checks the first 50 queries() entries, so the graded LLM-data suite
     # and scale-pattern joins come first. A broken operator module must
     # fail the entry point loudly, not silently shrink the gate.
-    from agnostic_blockchain_etl_spark.operators import (analytics, clean,
+    from agnostic_blockchain_etl_spark.operators import (analytics,
+                                                         batching, clean,
                                                          cms, corpus,
                                                          extended,
                                                          joins_scale,
@@ -38,7 +39,7 @@ def _all_modules():
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq]
+            observe, embstats, pq, batching]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -106,6 +107,9 @@ def _all_modules():
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
 #                       same algebra in DuckDB)
+#   length_bucketed_batching r11 addition: power-of-two length bands +
+#                       per-band two-level batch ranks; per-batch
+#                       padding cost frame vs the naive per-band window
 #   curriculum_order    r11 addition: easy→hard staged training order
 #                       (width_bucket two-level difficulty rank +
 #                       within-stage shuffle) vs the naive windows
@@ -149,7 +153,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "source_overlap_matrix", "pack_efficiency_report",
                 "emb_covariance_matrix", "stratum_divergence_report",
                 "emb_pq_adc_topk", "pq_code_stats",
-                "curriculum_order",
+                "curriculum_order", "length_bucketed_batching",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

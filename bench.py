@@ -101,6 +101,7 @@ HEADLINE = [
     "bloom_dedup_probe",
     "training_order_global",
     "curriculum_order",
+    "length_bucketed_batching",
     "stratified_split_exact",
     "bloom_decontamination",
     "cms_frequency_estimate",
