@@ -107,6 +107,11 @@ def _all_modules():
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
 #                       same algebra in DuckDB)
+#   winnow_decontam_flags r11 addition: fuzzy passage-level eval
+#                       decontamination (winnowed fingerprints, train-
+#                       side df guard, broadcast eval side) — the
+#                       edit-robust member of the decontamination
+#                       matrix
 #   length_bucketed_batching r11 addition: power-of-two length bands +
 #                       per-band two-level batch ranks; per-batch
 #                       padding cost frame vs the naive per-band window
@@ -154,6 +159,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "emb_covariance_matrix", "stratum_divergence_report",
                 "emb_pq_adc_topk", "pq_code_stats",
                 "curriculum_order", "length_bucketed_batching",
+                "winnow_decontam_flags",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

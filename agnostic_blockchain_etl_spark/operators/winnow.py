@@ -247,6 +247,137 @@ def winnow_passages(docs: DataFrame, *, k: int = _K, w: int = _W,
                     "b_start", "b_end", "n_fps"))
 
 
+def winnow_decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
+                         *, k: int = _K, w: int = _W,
+                         min_fps: int = _MIN_SHARED,
+                         max_df: int = _MAX_DF,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         eval_id_col: str = "eval_id",
+                         salt: str = _SALT) -> DataFrame:
+    """Fuzzy benchmark decontamination — the winnowed completion of the
+    decontamination matrix (`dedup.decontaminate` exact n-grams,
+    `bloom.bloom_decontaminate` bounded-memory exact,
+    `similarity.semantic_decontamination` embedding-space): flag train
+    documents sharing COPIED PASSAGES with an eval set, robust to the
+    token edits that break exact n-gram overlap (winnowing guarantees
+    any shared passage of ≥ w + k − 1 tokens shares a selected
+    fingerprint, so lightly-reworded leakage still matches on the
+    untouched stretches).
+
+    Returns EVERY train document (flag-don't-drop): ``(doc_id,
+    n_eval_docs, n_shared_fps, contaminated)`` — eval documents
+    sharing ≥ ``min_fps`` fingerprints with this doc, total shared
+    fingerprints over those eval docs, and the flag. NULL/short train
+    texts (< k tokens) fingerprint empty and flag clean.
+
+    Scale: the eval side is the small broadcast side (fingerprints of
+    a benchmark suite — thousands of docs, the
+    `decontamination_overlap` contract); the train corpus fingerprints
+    once (per-document windows) and the join is fp-equi with the SAME
+    train-side document-frequency guard as `winnow_pairs` — a
+    fingerprint that is boilerplate across the train corpus
+    (``max_df``) is dropped before it can fan the join out."""
+    _check(k, w)
+    if min_fps <= 0 or max_df <= 0:
+        raise ValueError(f"min_fps/max_df must be positive, "
+                         f"got {min_fps}/{max_df}")
+    tfps = (_selected(train_docs, k, w, text_col, id_col, salt)
+            .select("doc_id", "fp").distinct())
+    efps = (_selected(eval_docs, k, w, text_col, id_col, salt)
+            .select(F.col("doc_id").alias(eval_id_col), "fp")
+            .distinct())
+    guard = (tfps.groupBy("fp").agg(F.count("*").alias("_df"))
+             .where(F.col("_df") <= max_df).select("fp"))
+    pairs = (tfps.join(guard, "fp")
+             .join(F.broadcast(efps), "fp")
+             .groupBy("doc_id", eval_id_col)
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_fps))
+    flags = (pairs.groupBy("doc_id")
+             .agg(F.count("*").alias("n_eval_docs"),
+                  F.sum("n_shared").alias("n_shared_fps")))
+    base = train_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (base.join(flags, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_eval_docs", F.lit(0))
+                    .cast("long").alias("n_eval_docs"),
+                    F.coalesce("n_shared_fps", F.lit(0))
+                    .cast("long").alias("n_shared_fps"),
+                    (F.coalesce("n_eval_docs", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+_EVAL_MOD = 17   # gate eval set: doc_id % 17 == 3 (~6% of the corpus)
+
+
+def _sql_winnow_decontaminate() -> str:
+    """DuckDB twin of `winnow_decontam_flags`: the pairs oracle's
+    selection CTEs computed once over the full corpus, split into
+    train/eval halves by the gate's id rule."""
+    h = sql_keyed_h60(f"'{_SALT}'", "s.gram")
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents),
+    kg AS (SELECT doc_id,
+                  CASE WHEN len(words) >= {_K} THEN
+                    list_transform(generate_series(0, len(words) - {_K}),
+                      i -> {{'pos': i,
+                             'gram': array_to_string(
+                                 words[i+1:i+{_K}], ' ')}})
+                  ELSE [] END AS kgs
+           FROM toks),
+    flat AS (SELECT doc_id, unnest(kgs) AS s FROM kg),
+    hashed AS (SELECT doc_id, s.pos AS pos, {h} AS h FROM flat),
+    sel AS (SELECT doc_id,
+                   min(struct_pack(h := h, np := -pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_W - 1} FOLLOWING) AS m
+            FROM hashed),
+    fps AS (SELECT DISTINCT doc_id, (m).h AS fp FROM sel),
+    train AS (SELECT doc_id, fp FROM fps
+              WHERE doc_id % {_EVAL_MOD} <> 3),
+    ev AS (SELECT doc_id AS eval_id, fp FROM fps
+           WHERE doc_id % {_EVAL_MOD} = 3),
+    guard AS (SELECT fp FROM train
+              GROUP BY fp HAVING count(*) <= {_MAX_DF}),
+    pairs AS (SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+              FROM train t
+              JOIN guard USING (fp)
+              JOIN ev e ON e.fp = t.fp
+              GROUP BY 1, 2
+              HAVING count(*) >= {_MIN_SHARED}),
+    flags AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_eval_docs,
+                     CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps
+              FROM pairs GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(f.n_eval_docs, 0) AS n_eval_docs,
+           coalesce(f.n_shared_fps, 0) AS n_shared_fps,
+           coalesce(f.n_eval_docs, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents
+          WHERE doc_id % {_EVAL_MOD} <> 3) d
+    LEFT JOIN flags f USING (doc_id)
+    """
+
+
+@query("winnow_decontam_flags", oracle=_sql_winnow_decontaminate())
+def winnow_decontam_flags(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Gate form of `winnow_decontaminate` at the module defaults:
+    documents with ``doc_id % 17 == 3`` play the eval benchmark, the
+    rest the train corpus — every train doc's flag, matched-eval
+    count, and shared-fingerprint total value-pinned. Registered past
+    the 50-slot gate window (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 3)
+    ev = docs.where(F.col("doc_id") % _EVAL_MOD == 3)
+    return winnow_decontaminate(train, ev)
+
+
 def _sql_winnow_passages() -> str:
     """DuckDB twin of `winnow_passage_spans`: the same selection /
     guard CTEs as the pairs oracle, then the diagonal island walk

@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_store_scoring",
     "winnow_dup_pairs",
     "winnow_passage_spans",
+    "winnow_decontam_flags",
     "corpus_zipf_stats",
     "corpus_js_divergence",
     "stratum_divergence_report",

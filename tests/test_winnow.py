@@ -203,3 +203,85 @@ class TestGuardsAndGate:
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDecontaminate:
+    def _flags(self, spark, train_rows, eval_rows, **kw):
+        from agnostic_blockchain_etl_spark.operators.winnow import \
+            winnow_decontaminate
+        return {r["doc_id"]: r for r in winnow_decontaminate(
+            _docs(spark, train_rows), _docs(spark, eval_rows),
+            **kw).collect()}
+
+    def test_copied_passage_flags_despite_edit(self, spark):
+        """A train doc that lifted an eval passage and edited ONE token
+        in the middle still flags: winnowing guarantees fingerprints on
+        the untouched stretches either side of the edit."""
+        passage = _passage(40, "leak")
+        edited = passage.split()
+        edited[20] = "EDITED"
+        train = [(1, _passage(30, "pre") + " " + " ".join(edited)),
+                 (2, _passage(60, "clean"))]
+        ev = [(900, passage)]
+        got = self._flags(spark, train, ev)
+        assert got[1]["contaminated"] is True
+        assert got[1]["n_eval_docs"] == 1
+        assert got[1]["n_shared_fps"] >= 2
+        assert got[2]["contaminated"] is False
+        assert got[2]["n_shared_fps"] == 0
+
+    def test_every_train_doc_returned_flag_dont_drop(self, spark):
+        train = [(1, _passage(50, "a")), (2, None), (3, "too short")]
+        ev = [(900, _passage(50, "z"))]
+        got = self._flags(spark, train, ev)
+        assert set(got) == {1, 2, 3}
+        assert all(not r["contaminated"] for r in got.values())
+
+    def test_min_fps_threshold(self, spark):
+        """A single shared fingerprint (one common phrase) stays below
+        the default min_fps=2 bar; raising recall with min_fps=1
+        flags it."""
+        phrase = _passage(K, "common")       # exactly one k-gram
+        train = [(1, _passage(30, "x") + " " + phrase)]
+        ev = [(900, _passage(30, "y") + " " + phrase)]
+        strict = self._flags(spark, train, ev)
+        loose = self._flags(spark, train, ev, min_fps=1)
+        assert strict[1]["contaminated"] is False
+        assert loose[1]["contaminated"] is True
+
+    def test_train_side_boilerplate_guard(self, spark):
+        """A passage that is boilerplate across the TRAIN corpus (df >
+        max_df) is dropped before the join — even if the eval set also
+        contains it."""
+        boiler = _passage(40, "boiler")
+        train = [(i, boiler) for i in range(1, 8)]
+        ev = [(900, boiler)]
+        got = self._flags(spark, train, ev, max_df=3)
+        assert all(not r["contaminated"] for r in got.values())
+        got_loose = self._flags(spark, train, ev, max_df=50)
+        assert all(r["contaminated"] for r in got_loose.values())
+
+    def test_counts_multiple_eval_matches(self, spark):
+        p1, p2 = _passage(40, "e1"), _passage(40, "e2")
+        train = [(1, p1 + " " + p2)]
+        ev = [(900, p1), (901, p2)]
+        got = self._flags(spark, train, ev)
+        assert got[1]["n_eval_docs"] == 2
+
+    def test_validation(self, spark):
+        from agnostic_blockchain_etl_spark.operators.winnow import \
+            winnow_decontaminate
+        t = _docs(spark, [(1, "a b c d e")])
+        with pytest.raises(ValueError, match="min_fps/max_df"):
+            winnow_decontaminate(t, t, min_fps=0)
+
+    def test_gate_runs_and_is_consistent(self, spark):
+        from agnostic_blockchain_etl_spark.operators.winnow import \
+            QUERIES
+        rows = QUERIES["winnow_decontam_flags"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["doc_id"] % 17 != 3          # eval side excluded
+            assert (r["n_eval_docs"] > 0) == r["contaminated"]
+            assert r["n_shared_fps"] >= 2 * r["n_eval_docs"] or \
+                r["n_eval_docs"] == 0
