@@ -125,6 +125,10 @@ def _all_modules():
 #   pq_code_stats       r11 addition: the quantizer's code-usage /
 #                       distortion diagnostics, every m×ksub cell
 #                       value-pinned
+#   emb_ivfpq_topk      r11 addition: IVF-PQ composed search (coarse
+#                       cosine routing + PQ codes + ADC within probed
+#                       lists — the FAISS layout) vs DuckDB composing
+#                       both quantizers naively
 #   compose_mix_epochs  r11 addition: the UNIFIED mixture regimes —
 #                       one compose(allow_epochs=True) call routes
 #                       downsampled strata through the keep-flag draw
@@ -157,7 +161,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "winnow_passage_spans", "corpus_js_divergence",
                 "source_overlap_matrix", "pack_efficiency_report",
                 "emb_covariance_matrix", "stratum_divergence_report",
-                "emb_pq_adc_topk", "pq_code_stats",
+                "emb_pq_adc_topk", "pq_code_stats", "emb_ivfpq_topk",
                 "curriculum_order", "length_bucketed_batching",
                 "winnow_decontam_flags",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",

@@ -216,6 +216,79 @@ def pq_code_stats(vecs: DataFrame, seeds: np.ndarray, m: int = _M, *,
                  F.round(F.sum("d"), 4).alias("sum_l2")))
 
 
+def _route(vecs: DataFrame, coarse: DataFrame, id_out: str,
+           n: int) -> DataFrame:
+    """Top-``n`` coarse lists per vector by cosine (the IVF routing
+    rule, `similarity.emb_ivf_topk`'s convention exactly): broadcast
+    the (seed_id, se) codebook, rank per vector. This is the
+    declarative oracle-pinned form; the Arrow matmul forms
+    (`similarity._nearest_assign` / `_toplists_assign`) are the
+    measured drop-in for production routing — same contract, ties to
+    the lowest seed_id."""
+    from .similarity import _dot, _norm
+    cos = (_dot(F.col("e"), F.col("se")) /
+           (_norm(F.col("e")) * _norm(F.col("se"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sc").desc(),
+                                             "seed_id")
+    return (vecs.crossJoin(F.broadcast(coarse))
+            .withColumn("__sc", cos)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .select(F.col("vec_id").alias(id_out),
+                    F.col("seed_id").alias("list_id")))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               coarse: DataFrame, pq_seeds: np.ndarray,
+               m: int = _M, k: int = _TOP_K, nprobe: int = 3, *,
+               id_col: str = "vec_id",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "qe") -> DataFrame:
+    """IVF-PQ — the FAISS production layout (Jégou et al. 2011 §V):
+    a coarse codebook routes every corpus vector to one inverted list,
+    vectors are stored only as PQ codes, and a query ADC-scans just
+    its ``nprobe`` nearest lists. The two dials compose: IVF bounds
+    the fraction of the corpus a query touches (~nprobe/nlist), PQ
+    bounds the bytes per vector the scan reads (codes, never floats).
+    Encoding here is over RAW vectors (FAISS ``by_residual=False``);
+    residual encoding changes the codebook training, not these plans.
+
+    ``coarse`` is a bounded (seed_id, se) frame; both it and the
+    per-query LUTs broadcast. The scored frame carries ids + one
+    double. At 100 TB the corpus side materializes ONCE as a
+    list-partitioned codes layout (bucketed by list_id — the
+    `sources/bucketed.py` shape), so per-query work is a partition-
+    pruned codes scan."""
+    assigned = _route(corpus, coarse, id_col, 1)
+    probes = _route(
+        queries.select(F.col(query_id_col).alias("vec_id"),
+                       F.col(query_vec_col).alias("e")),
+        coarse, query_id_col, nprobe)
+    codes = pq_encode(corpus, pq_seeds, m, id_col=id_col)
+    spark = corpus.sparkSession
+    luts = _query_luts(queries, pq_seeds, m, query_id_col,
+                       query_vec_col)
+    lut_df = spark.createDataFrame(
+        luts, f"{query_id_col} long, lut array<array<double>>")
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (codes.join(assigned, id_col)
+              .join(F.broadcast(probes), "list_id")
+              .join(F.broadcast(lut_df), query_id_col)
+              .where(F.col(query_id_col) != F.col(id_col))
+              .select(query_id_col,
+                      F.col(id_col).alias("neighbor_id"),
+                      F.round(adc, 4).alias("adc_l2")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_l2").asc(),
+                                                 "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "adc_l2",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 # ---------------------------------------------------------------------------
 # Gate queries + DuckDB oracles (the naive all-pairs windows)
 # ---------------------------------------------------------------------------
@@ -287,6 +360,72 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
     return pq_adc_topk(codes, queries, seeds)
+
+
+def _sql_ivfpq() -> str:
+    from .similarity import _IVF_LISTS, _IVF_NPROBE, _sql_cos_of
+    return f"""
+    WITH {_SQL_PQ_BASE},
+    cseeds AS (
+        SELECT vec_id AS seed_id, e AS se FROM emb
+        WHERE vec_id >= {_N_QUERIES} ORDER BY vec_id
+        LIMIT {_IVF_LISTS}),
+    assigned AS (
+        SELECT vec_id, seed_id AS list_id FROM (
+            SELECT c.vec_id, s.seed_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_sql_cos_of('c.e', 's.se')} DESC,
+                                s.seed_id) AS rn
+            FROM emb c CROSS JOIN cseeds s
+            WHERE c.vec_id >= {_N_QUERIES}) WHERE rn = 1),
+    probes AS (
+        SELECT query_id, seed_id AS list_id FROM (
+            SELECT q.vec_id AS query_id, s.seed_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_sql_cos_of('q.e', 's.se')} DESC,
+                                s.seed_id) AS rn
+            FROM emb q CROSS JOIN cseeds s
+            WHERE q.vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(SUM(l.d), 4) AS adc_l2
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id
+        JOIN codes x ON x.vec_id = a.vec_id
+        JOIN dists l ON l.vec_id = p.query_id
+                    AND l.j = x.j AND l.cid = x.cid
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_l2 ASC, neighbor_id) AS rn
+        FROM adc)
+    SELECT query_id, neighbor_id, adc_l2, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """
+
+
+@query("emb_ivfpq_topk", oracle=_sql_ivfpq())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of `ivfpq_topk`: the testdata corpus routed into
+    nlist=16 coarse lists (cosine, `emb_ivf_topk`'s rule), stored as
+    PQ codes, and ADC-scanned at nprobe=3 by the first 8 vectors —
+    verified against DuckDB composing the SAME two quantizers the
+    naive way. Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    from .similarity import _IVF_LISTS, _IVF_NPROBE
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    coarse = (emb.where(F.col("vec_id") >= _N_QUERIES)
+              .orderBy("vec_id").limit(_IVF_LISTS)
+              .select(F.col("vec_id").alias("seed_id"),
+                      F.col("e").alias("se")))
+    pq_seeds = pq_seed_codebook(emb, exclude_below=_N_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= _N_QUERIES)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    return ivfpq_topk(corpus, queries, coarse, pq_seeds,
+                      nprobe=_IVF_NPROBE)
 
 
 @query("pq_code_stats", oracle=f"""

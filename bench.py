@@ -39,6 +39,7 @@ HEADLINE = [
     "emb_lsh_bucketed_search",
     "emb_ivf_topk",
     "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
     "pq_code_stats",
     "text_stats_facets",
     "doc_fingerprint_repetition",

@@ -203,3 +203,105 @@ class TestGateShapes:
             F.min(F.struct("rank", "adc_l2")).alias("lo")).where(
             F.col("hi.adc_l2") < F.col("lo.adc_l2")).count()
         assert bad == 0
+
+
+def _numpy_ivfpq(mat, coarse_mat, coarse_ids, seeds, queries, qids,
+                 nprobe, k):
+    """NumPy reference for the composed search (cosine route + raw-
+    vector PQ + ADC within probed lists)."""
+    def cos(a, B):
+        an = a / (np.linalg.norm(a) or 1.0)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        return Bn @ an
+
+    cube = seeds.reshape(KSUB, M, DSUB)
+    x = mat.reshape(len(mat), M, DSUB)
+    d = ((x[:, None, :, :] - cube[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d.argmin(axis=1)
+    # stable top-1 routing, ties to lowest seed id (ids are sorted)
+    assigned = [coarse_ids[int(np.argmax(cos(v, coarse_mat)))]
+                for v in mat]
+    out = []
+    for qi, q in zip(qids, queries):
+        sc = cos(q, coarse_mat)
+        probe = [coarse_ids[j] for j in
+                 np.argsort(-sc, kind="stable")[:nprobe]]
+        lut = ((q.reshape(M, DSUB)[None] - cube) ** 2).sum(axis=2)
+        cand = [i for i in range(len(mat)) if assigned[i] in probe]
+        adc = {i: round(float(
+            lut[codes[i], np.arange(M)].sum()), 4) for i in cand}
+        order = sorted(cand, key=lambda i: (adc[i], i))
+        out += [(qi, i, adc[i], r + 1)
+                for r, i in enumerate(order[:k])]
+    return out
+
+
+class TestIvfPq:
+    NLIST, NPROBE = 6, 2
+
+    def _setup(self, spark, mat):
+        corpus = _emb(spark, mat)
+        coarse_ids = list(range(self.NLIST))
+        coarse_mat = mat[:self.NLIST]
+        coarse = spark.createDataFrame(
+            [(i, [float(x) for x in coarse_mat[i]])
+             for i in coarse_ids],
+            "seed_id long, se array<double>")
+        return corpus, coarse, coarse_mat, coarse_ids
+
+    def test_matches_numpy_reference(self, spark, mat, seeds):
+        from agnostic_blockchain_etl_spark.operators.pq import \
+            ivfpq_topk
+        corpus, coarse, cmat, cids = self._setup(spark, mat)
+        qmat = np.random.RandomState(9).randn(3, DIM)
+        queries = spark.createDataFrame(
+            [(200 + i, [float(x) for x in row])
+             for i, row in enumerate(qmat)],
+            "query_id long, qe array<double>")
+        got = sorted(tuple(r) for r in
+                     ivfpq_topk(corpus, queries, coarse, seeds, M,
+                                k=4, nprobe=self.NPROBE).collect())
+        want = sorted(_numpy_ivfpq(mat, cmat, cids, seeds, qmat,
+                                   [200, 201, 202], self.NPROBE, 4))
+        assert got == want
+
+    def test_neighbors_come_only_from_probed_lists(self, spark, mat,
+                                                   seeds):
+        """The IVF contract: every returned neighbor is routed to one
+        of the query's nprobe lists — the scan never touched the
+        rest of the corpus."""
+        from agnostic_blockchain_etl_spark.operators.pq import \
+            _route, ivfpq_topk
+        corpus, coarse, _, _ = self._setup(spark, mat)
+        queries = spark.createDataFrame(
+            [(300, [float(x) for x in mat[30]])],
+            "query_id long, qe array<double>")
+        res = ivfpq_topk(corpus, queries, coarse, seeds, M,
+                         k=10, nprobe=self.NPROBE).collect()
+        assigned = {r["vec_id"]: r["list_id"] for r in
+                    _route(corpus, coarse, "vec_id", 1).collect()}
+        probed = {r["list_id"] for r in _route(
+            queries.select(F.col("query_id").alias("vec_id"),
+                           F.col("qe").alias("e")),
+            coarse, "query_id", self.NPROBE).collect()}
+        assert res
+        assert all(assigned[r["neighbor_id"]] in probed for r in res)
+
+    def test_probing_all_lists_equals_flat_adc(self, spark, mat,
+                                               seeds):
+        """nprobe = nlist degrades IVF-PQ to the flat ADC scan — the
+        recall dial's endpoint."""
+        from agnostic_blockchain_etl_spark.operators.pq import \
+            ivfpq_topk, pq_adc_topk, pq_encode
+        corpus, coarse, _, _ = self._setup(spark, mat)
+        queries = spark.createDataFrame(
+            [(400, [float(x) for x in mat[50]])],
+            "query_id long, qe array<double>")
+        full = sorted(tuple(r) for r in
+                      ivfpq_topk(corpus, queries, coarse, seeds, M,
+                                 k=5, nprobe=self.NLIST).collect())
+        flat = sorted(tuple(r) for r in pq_adc_topk(
+            pq_encode(corpus, seeds, M), queries, seeds, M,
+            k=5).collect())
+        # query_id 400 is not a corpus id, so self-exclusion is moot
+        assert full == flat
