@@ -107,6 +107,9 @@ def _all_modules():
 #                       diagonal island merge over the winnowed
 #                       fingerprint matches (lag/cumsum walk vs the
 #                       same algebra in DuckDB)
+#   hybrid_minmax_fusion r11 addition: score-based hybrid fusion
+#                       (per-list per-query min-max normalize +
+#                       weighted sum) — RRF's margin-aware sibling
 #   winnow_decontam_flags r11 addition: fuzzy passage-level eval
 #                       decontamination (winnowed fingerprints, train-
 #                       side df guard, broadcast eval side) — the
@@ -163,7 +166,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "emb_covariance_matrix", "stratum_divergence_report",
                 "emb_pq_adc_topk", "pq_code_stats", "emb_ivfpq_topk",
                 "curriculum_order", "length_bucketed_batching",
-                "winnow_decontam_flags",
+                "winnow_decontam_flags", "hybrid_minmax_fusion",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

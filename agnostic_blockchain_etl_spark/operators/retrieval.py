@@ -574,6 +574,141 @@ def rrf_fuse_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([exact, approx])
 
 
+def minmax_fuse(scored: list[DataFrame],
+                weights: list[float] | None = None, *,
+                score_col: str = "score",
+                topn: int | None = None) -> DataFrame:
+    """Score-based hybrid fusion — RRF's sibling for callers who trust
+    the retrievers' SCORES, not just their ranks: each list's scores
+    are min-max normalized per query to [0, 1] (a single-candidate or
+    all-tied list normalizes to 1.0 — present-at-the-top, not
+    undefined), weighted, and summed over the lists an item appears in
+    (absent = contributes 0, the standard convention). Returns
+    ``(query_id, neighbor_id, fused_score, fused_rank)``.
+
+    vs `rrf_fuse`: min-max keeps score MARGINS (a dense hit at 0.99
+    vs 0.71 counts for more than adjacent ranks), at the price of
+    sensitivity to each list's score distribution; RRF is the robust
+    default, this is the tuned-weights upgrade.
+
+    Scale: the per-(list, query) min/max windows run over PRE-CUT
+    ranked lists (|queries|·k rows each — never the corpus), the union
+    is list-count × that, and the groupBy is the same tiny frame.
+    Scores round to 6 so the fused_rank tie-break (score desc, id asc)
+    is engine-independent."""
+    if not scored:
+        raise ValueError("scored must be a non-empty list")
+    if weights is None:
+        weights = [1.0] * len(scored)
+    if len(weights) != len(scored):
+        raise ValueError(f"{len(scored)} lists but {len(weights)} "
+                         f"weights")
+    wq = Window.partitionBy("query_id")
+    parts = []
+    for df, wt in zip(scored, weights):
+        s = F.col(score_col)
+        norm = (df.select("query_id", "neighbor_id", score_col)
+                .withColumn("__mn", F.min(score_col).over(wq))
+                .withColumn("__mx", F.max(score_col).over(wq))
+                .select("query_id", "neighbor_id",
+                        (F.when(F.col("__mx") > F.col("__mn"),
+                                (s - F.col("__mn"))
+                                / (F.col("__mx") - F.col("__mn")))
+                         .otherwise(F.lit(1.0))
+                         * F.lit(float(wt))).alias("__c")))
+        parts.append(norm)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    fused = (base.groupBy("query_id", "neighbor_id")
+             .agg(F.round(F.sum("__c"), 6).alias("fused_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused_score").desc(), "neighbor_id")
+    out = fused.withColumn("fused_rank",
+                           F.row_number().over(w).cast("int"))
+    if topn is not None:
+        out = out.where(F.col("fused_rank") <= topn)
+    return out
+
+
+_MM_W_DENSE, _MM_W_LSH = 0.7, 0.3
+
+
+def _sql_minmax() -> str:
+    """DuckDB twin of `hybrid_minmax_fusion`: the same two ranked-list
+    CTE bodies as the RRF oracle, min-max normalized per (list, query)
+    and weighted 0.7/0.3."""
+    from .similarity import _N_QUERIES, _SQL_SIG, _TOP_K
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM emb q CROSS JOIN emb c
+           WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id, cosine FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM bf) WHERE rn <= {_TOP_K}),
+    sig AS (SELECT vec_id, e, {_SQL_SIG} AS bucket FROM emb),
+    ls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 4)
+                      AS cosine
+           FROM sig q JOIN sig c
+             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < {_N_QUERIES}),
+    ap AS (SELECT query_id, neighbor_id, cosine FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM ls) WHERE rn <= {_TOP_K}),
+    nx AS (SELECT query_id, neighbor_id,
+                  CASE WHEN mx > mn THEN (cosine - mn) / (mx - mn)
+                       ELSE 1.0 END * {_MM_W_DENSE!r} AS c
+           FROM (SELECT *,
+                        min(cosine) OVER (PARTITION BY query_id) AS mn,
+                        max(cosine) OVER (PARTITION BY query_id) AS mx
+                 FROM ex)),
+    na AS (SELECT query_id, neighbor_id,
+                  CASE WHEN mx > mn THEN (cosine - mn) / (mx - mn)
+                       ELSE 1.0 END * {_MM_W_LSH!r} AS c
+           FROM (SELECT *,
+                        min(cosine) OVER (PARTITION BY query_id) AS mn,
+                        max(cosine) OVER (PARTITION BY query_id) AS mx
+                 FROM ap)),
+    unioned AS (SELECT * FROM nx UNION ALL SELECT * FROM na),
+    fused AS (SELECT query_id, neighbor_id,
+                     round(sum(c), 6) AS fused_score
+              FROM unioned GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, fused_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY fused_score DESC, neighbor_id) AS INT)
+               AS fused_rank
+    FROM fused
+    """
+
+
+@query("hybrid_minmax_fusion", oracle=_sql_minmax())
+def hybrid_minmax_fusion(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Gate form of `minmax_fuse`: the brute-force cosine (weight 0.7)
+    and sign-LSH (0.3) top-5 lists fused on normalized scores — the
+    margin-aware hybrid next to `rrf_fuse_rankings`' rank-only one.
+    Registered past the 50-slot gate window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    from .similarity import emb_cosine_topk, emb_lsh_bucketed_search
+    exact = emb_cosine_topk(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "cosine")
+    approx = emb_lsh_bucketed_search(spark, sf_dir) \
+        .select("query_id", "neighbor_id", "cosine")
+    return minmax_fuse([exact, approx], [_MM_W_DENSE, _MM_W_LSH],
+                       score_col="cosine")
+
+
 # arbitrary labeled positives for the gate workload (a label set is a
 # workload artifact like the queries themselves)
 _GATE_POSITIVES = [(0, 1), (1, 2), (2, 3)]

@@ -67,6 +67,7 @@ HEADLINE = [
     "bm25_hard_negatives",
     "ann_recall_at_k",
     "rrf_fuse_rankings",
+    "hybrid_minmax_fusion",
     "ndcg_label_lsh",
     "bm25_store_scoring",
     "winnow_dup_pairs",

@@ -535,3 +535,54 @@ class TestOracleSqlHygiene:
             with pytest.raises(ValueError):
                 bm25_stats_stream(docs, "/tmp/x-store", "/tmp/x-out",
                                   "/tmp/x-ckpt", queries=bad)
+
+
+class TestMinmaxFuse:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, score double")
+
+    def test_normalization_and_weighted_sum(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            minmax_fuse
+        a = self._df(spark, [(0, 10, 0.9), (0, 11, 0.5), (0, 12, 0.1)])
+        b = self._df(spark, [(0, 11, 3.0), (0, 13, 1.0)])
+        got = {r.neighbor_id: r for r in
+               minmax_fuse([a, b], [0.7, 0.3]).collect()}
+        # a normalizes to 1.0/0.5/0.0; b to 1.0/0.0
+        assert got[10].fused_score == pytest.approx(0.7)
+        assert got[11].fused_score == pytest.approx(
+            0.7 * 0.5 + 0.3 * 1.0)
+        assert got[12].fused_score == pytest.approx(0.0)
+        assert got[13].fused_score == pytest.approx(0.0)
+        assert got[10].fused_rank == 1 and got[11].fused_rank == 2
+        # the margin property RRF can't express: 11's big dense margin
+        # over 12 survives into the fused score
+        assert got[11].fused_score - got[12].fused_score > 0.3
+
+    def test_degenerate_single_candidate_list(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            minmax_fuse
+        a = self._df(spark, [(0, 10, 0.42)])
+        got = minmax_fuse([a]).collect()
+        assert len(got) == 1
+        assert got[0].fused_score == pytest.approx(1.0)
+
+    def test_validation_and_topn(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            minmax_fuse
+        a = self._df(spark, [(0, 10, 1.0), (0, 11, 0.5), (0, 12, 0.2)])
+        assert minmax_fuse([a], topn=2).count() == 2
+        with pytest.raises(ValueError, match="non-empty"):
+            minmax_fuse([])
+        with pytest.raises(ValueError, match="weights"):
+            minmax_fuse([a], [0.5, 0.5])
+
+    def test_gate_query_runs(self, spark):
+        from agnostic_blockchain_etl_spark.operators.retrieval import \
+            hybrid_minmax_fusion
+        rows = hybrid_minmax_fusion(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r.fused_score <= 1.0 + 1e-9
+            assert r.fused_rank >= 1
