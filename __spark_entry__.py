@@ -31,7 +31,7 @@ def _all_modules():
                                                          cms, corpus,
                                                          extended,
                                                          joins_scale,
-                                                         embstats,
+                                                         embstats, kmv,
                                                          llm_data, misc,
                                                          observe,
                                                          ordering, pq,
@@ -39,7 +39,7 @@ def _all_modules():
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq, batching]
+            observe, embstats, pq, batching, kmv]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -137,6 +137,10 @@ def _all_modules():
 #                       downsampled strata through the keep-flag draw
 #                       and upsampled strata through epoch repetition,
 #                       vs one copies formula in DuckDB
+#   kmv_distinct_estimate r11 addition: k-minimum-values cardinality
+#                       sketch — two-half merge vs one-shot build,
+#                       banded per-group cutoff vs the naive window,
+#                       sketch head hashes value-pinned
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -167,6 +171,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "emb_pq_adc_topk", "pq_code_stats", "emb_ivfpq_topk",
                 "curriculum_order", "length_bucketed_batching",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
+                "kmv_distinct_estimate",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 
