@@ -35,11 +35,11 @@ def _all_modules():
                                                          llm_data, misc,
                                                          observe,
                                                          ordering, pq,
-                                                         retrieval,
+                                                         retrieval, scd2,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq, batching, kmv]
+            observe, embstats, pq, batching, kmv, scd2]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -141,6 +141,11 @@ def _all_modules():
 #                       sketch — two-half merge vs one-shot build,
 #                       banded per-group cutoff vs the naive window,
 #                       sketch head hashes value-pinned
+#   scd2_state_snapshot r11 addition: SCD2 time travel over a change
+#                       log — validity intervals, the window-free
+#                       max-of-struct snapshot vs the naive DESC
+#                       window, multi-cursor series with exact-cents
+#                       sums
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -171,7 +176,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "emb_pq_adc_topk", "pq_code_stats", "emb_ivfpq_topk",
                 "curriculum_order", "length_bucketed_batching",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
-                "kmv_distinct_estimate",
+                "kmv_distinct_estimate", "scd2_state_snapshot",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 
