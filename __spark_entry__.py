@@ -31,7 +31,8 @@ def _all_modules():
                                                          cms, corpus,
                                                          extended,
                                                          joins_scale,
-                                                         embstats, kmv,
+                                                         embstats, kmeans,
+                                                         kmv,
                                                          llm_data, misc,
                                                          observe,
                                                          ordering, pq,
@@ -39,7 +40,7 @@ def _all_modules():
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq, batching, kmv, scd2]
+            observe, embstats, pq, batching, kmv, scd2, kmeans]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -146,6 +147,10 @@ def _all_modules():
 #                       max-of-struct snapshot vs the naive DESC
 #                       window, multi-cursor series with exact-cents
 #                       sums
+#   kmeans_train_diagnostics r11 addition: distributed Lloyd trainer —
+#                       2 iterations vs the same iterations unrolled
+#                       in DuckDB SQL (engine-side 6-dp centroid
+#                       rounding makes the iterative algebra pinnable)
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -177,6 +182,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "curriculum_order", "length_bucketed_batching",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
                 "kmv_distinct_estimate", "scd2_state_snapshot",
+                "kmeans_train_diagnostics",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

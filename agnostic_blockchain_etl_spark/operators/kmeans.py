@@ -1,0 +1,229 @@
+"""Distributed Lloyd k-means — the codebook TRAINER the ANN ladder
+(`similarity.py` IVF, `pq.py` PQ / IVF-PQ) has so far seeded with raw
+data vectors. Seeds keep every oracle deterministic, but production
+index quality wants refined centroids; this module supplies them with
+the same cross-engine determinism by making BOTH engines perform the
+identical bounded arithmetic: per-cluster means are computed and
+ROUNDED TO 6 DP ENGINE-SIDE each iteration (never in numpy — Spark's
+``round`` and DuckDB's ``round`` both round half away from zero), so
+iteration i+1's input is value-identical on both sides and float
+summation-order noise cannot compound across iterations.
+
+Scale shape (the `similarity._nearest_assign` discipline):
+- assignment is one Arrow-batched kernel pass per iteration — the
+  (batch × k × dim) distance tensor + argmin, ties to the lowest
+  centroid id (matching the oracle's ``ORDER BY d, cid``); vectors
+  never shuffle;
+- the update is a ``posexplode → groupBy(cid, dim) → avg`` — a
+  map-side-combinable aggregation onto ≤ k × dim cells (bounded by
+  knobs, never data — the `cms_build` shuffle shape), collected as a
+  k × dim driver artifact (the codebook class every ANN operator
+  already holds);
+- empty clusters keep their previous centroid (no resampling — the
+  deterministic choice; flagged in the returned sizes);
+- the driver loop is ``iters`` Spark jobs over one cached projection
+  — iters is a knob (2 in the gate), never data-dependent.
+
+Reference: no counterpart (the reference has no vector surface);
+LLM-data-pipeline mandate — the training half of `pq.py`'s documented
+"production would refine the seeds with k-means" gap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import make_registry
+from .tables import load_tables
+
+QUERIES, ORACLES, query = make_registry()
+
+_K = 8
+_ITERS = 2
+_ROUND = 6       # centroid dp — engine-side, both engines
+_DIST_ROUND = 4  # emitted distance dp (the `pq.py` ADC convention)
+
+
+def l2_assign(vecs: DataFrame, centroids: np.ndarray, *,
+              id_col: str = "vec_id", vec_col: str = "e",
+              cid_col: str = "cid",
+              dist_col: str = "dist") -> DataFrame:
+    """``(id, vec, cid int, dist double)`` — each vector's nearest
+    centroid by squared L2, ties to the lowest cid. One Arrow kernel
+    pass; the centroid matrix is a bounded broadcast-by-closure
+    artifact (k × dim doubles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf(f"struct<{cid_col}:int, {dist_col}:double>")
+    def nearest(col: pd.Series) -> pd.DataFrame:
+        e = np.vstack(col.to_numpy()).astype(np.float64)
+        d = ((e[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)               # first min = lowest cid
+        return pd.DataFrame({
+            cid_col: cid.astype(np.int32),
+            dist_col: d[np.arange(len(e)), cid]})
+
+    return (vecs.withColumn("__a", nearest(F.col(vec_col)))
+            .select(id_col, vec_col, f"__a.{cid_col}",
+                    f"__a.{dist_col}"))
+
+
+def kmeans_update(assigned: DataFrame, centroids: np.ndarray, *,
+                  vec_col: str = "e",
+                  cid_col: str = "cid") -> np.ndarray:
+    """One Lloyd update: per-(cluster, dimension) means via posexplode
+    + groupBy onto ≤ k × dim cells, ROUNDED ENGINE-SIDE to 6 dp,
+    collected bounded (k × dim rows). Clusters that lost every member
+    keep their previous centroid."""
+    cells = (assigned
+             .select(cid_col, F.posexplode(F.col(vec_col))
+                     .alias("dim", "val"))
+             .groupBy(cid_col, "dim")
+             .agg(F.round(F.avg("val"), _ROUND).alias("val"))
+             .collect())                     # ≤ k × dim rows
+    out = centroids.copy()
+    for r in cells:
+        out[r[cid_col], r["dim"]] = r["val"]
+    return out
+
+
+def kmeans_train(emb: DataFrame, k: int = _K, iters: int = _ITERS, *,
+                 id_col: str = "vec_id",
+                 vec_col: str = "e") -> np.ndarray:
+    """Lloyd's algorithm: deterministic seed (the k lowest-id
+    vectors — `pq.pq_seed_codebook`), then ``iters`` rounds of
+    Arrow-kernel assignment + bounded mean update. Returns the final
+    (k × dim) float64 codebook, directly consumable by
+    `similarity._nearest_assign` / `pq.pq_encode`."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    from .dedup import _scoped_cache
+    from .pq import pq_seed_codebook
+    cb = pq_seed_codebook(emb, k, vec_col=vec_col, id_col=id_col)
+    vecs = _scoped_cache(emb.select(id_col, vec_col))  # iters scans
+    for _ in range(iters):
+        cb = kmeans_update(l2_assign(vecs, cb, id_col=id_col,
+                                     vec_col=vec_col), cb,
+                           vec_col=vec_col)
+    return cb
+
+
+# ---------------------------------------------------------------------------
+# Gate query + DuckDB oracle (2 Lloyd iterations unrolled in SQL)
+# ---------------------------------------------------------------------------
+
+_DIM = 64        # testdata embedding dim (the `pq.py` constant)
+
+_SQL_D = ("list_sum(list_transform(generate_series(1, {dim}), "
+          "i -> (v.e[i] - b.c[i]) * (v.e[i] - b.c[i])))")
+
+
+def _sql_iter(n: int) -> str:
+    """One unrolled Lloyd iteration: assign against cb{n-1}, mean +
+    round, empty-cluster fallback to the previous codebook row."""
+    d = _SQL_D.format(dim=_DIM)
+    return f"""
+    d{n} AS (SELECT v.vec_id, b.cid, {d} AS d
+             FROM emb v CROSS JOIN cb{n - 1} b),
+    a{n} AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM d{n}) WHERE rn = 1),
+    m{n} AS (SELECT a.cid, i.i AS dim, round(avg(v.e[i.i + 1]), {_ROUND})
+                 AS val
+             FROM a{n} a JOIN emb v USING (vec_id)
+             CROSS JOIN dims i
+             GROUP BY a.cid, i.i),
+    cb{n} AS (SELECT b.cid,
+                     CASE WHEN m.cid IS NULL THEN b.c ELSE m.c END AS c
+              FROM cb{n - 1} b LEFT JOIN (
+                  SELECT cid, list(val ORDER BY dim) AS c
+                  FROM m{n} GROUP BY cid) m ON m.cid = b.cid)"""
+
+
+def _sql_kmeans() -> str:
+    d = _SQL_D.format(dim=_DIM)
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    dims AS (SELECT unnest(generate_series(0, {_DIM - 1})) AS i),
+    cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   e AS c
+            FROM emb ORDER BY vec_id LIMIT {_K}),
+    {_sql_iter(1)},
+    {_sql_iter(2)},
+    df AS (SELECT v.vec_id, b.cid, {d} AS d
+           FROM emb v CROSS JOIN cb2 b),
+    af AS (SELECT vec_id, cid, d FROM (
+               SELECT vec_id, cid, d, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM df) WHERE rn = 1)
+    SELECT 'centroid' AS facet, CAST(NULL AS BIGINT) AS vec_id,
+           CAST(b.cid AS INT) AS cid, CAST(i.i AS INT) AS dim,
+           round(b.c[i.i + 1], {_ROUND}) AS val,
+           CAST(NULL AS DOUBLE) AS dist, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS inertia
+    FROM cb2 b CROSS JOIN dims i
+    UNION ALL
+    SELECT 'assign', vec_id, CAST(cid AS INT), CAST(NULL AS INT),
+           CAST(NULL AS DOUBLE), round(d, {_DIST_ROUND}),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM af
+    UNION ALL
+    SELECT 'size', CAST(NULL AS BIGINT), CAST(cid AS INT),
+           CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(count(*) AS BIGINT),
+           round(sum(d), {_DIST_ROUND})
+    FROM af GROUP BY cid
+    """
+
+
+@query("kmeans_train_diagnostics", oracle=_sql_kmeans())
+def kmeans_train_diagnostics(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Gate row for the trainer, three facets after 2 Lloyd
+    iterations over the testdata embeddings (k=8): ``centroid`` —
+    every k × dim cell of the refined codebook value-pinned against
+    DuckDB running the SAME two iterations unrolled in SQL (the
+    engine-side 6-dp rounding rule is what makes this possible);
+    ``assign`` — the final per-vector assignment + distance through
+    the Arrow kernel vs the naive all-(vector, centroid) relation;
+    ``size`` — cluster sizes + inertia. Registered PAST the driver's
+    50-slot window (``__spark_entry__._PAST_WINDOW``)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"] \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("e"))
+    cb = kmeans_train(emb, _K, _ITERS)
+    final = l2_assign(emb, cb)
+
+    nulls = {"vec_id": "long", "cid": "int", "dim": "int",
+             "val": "double", "dist": "double", "n": "long",
+             "inertia": "double"}
+
+    def _sel(facet, **cols):
+        named = [(F.round(cols[c][0], cols[c][1]) if
+                  isinstance(cols[c], tuple) else cols[c]).alias(c)
+                 if c in cols else F.lit(None).cast(nulls[c]).alias(c)
+                 for c in nulls]
+        return F.lit(facet).alias("facet"), *named
+
+    cb_rows = spark.createDataFrame(
+        [(int(cid), int(dim), float(v)) for cid, row in enumerate(cb)
+         for dim, v in enumerate(row)], "cid int, dim int, val double")
+    centroid = cb_rows.select(*_sel(
+        "centroid", cid=F.col("cid"), dim=F.col("dim"),
+        val=(F.col("val"), _ROUND)))
+    assign = final.select(*_sel(
+        "assign", vec_id=F.col("vec_id"), cid=F.col("cid"),
+        dist=(F.col("dist"), _DIST_ROUND)))
+    size = (final.groupBy("cid")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("dist"), _DIST_ROUND).alias("inertia"))
+            .select(*_sel("size", cid=F.col("cid"), n=F.col("n"),
+                          inertia=F.col("inertia"))))
+    return centroid.unionByName(assign).unionByName(size)
