@@ -151,6 +151,10 @@ def _all_modules():
 #                       2 iterations vs the same iterations unrolled
 #                       in DuckDB SQL (engine-side 6-dp centroid
 #                       rounding makes the iterative algebra pinnable)
+#   negatives_mix_plan  r11 addition: uniform negatives (bounded
+#                       TakeOrdered pool + pair-hash order) and the
+#                       4-hard + 4-uniform contrastive mix with
+#                       hard-favored dedup and contiguous re-rank
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -182,7 +186,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "curriculum_order", "length_bucketed_batching",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
                 "kmv_distinct_estimate", "scd2_state_snapshot",
-                "kmeans_train_diagnostics",
+                "kmeans_train_diagnostics", "negatives_mix_plan",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -896,3 +896,179 @@ def ndcg_label_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", F.col("vec_id").alias("neighbor_id")))
     return ndcg_at_k(ranked, rel, k=_TOP_K,
                      queries=q.select("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling: uniform pool + the hard/uniform mix
+# ---------------------------------------------------------------------------
+
+_NEG_POOL = 256     # candidate-pool size: a bounded knob, never data
+
+
+def uniform_negatives(docs: DataFrame, query_ids: list[int],
+                      positives: DataFrame, *, k: int,
+                      n_pool: int = _NEG_POOL, id_col: str = "doc_id",
+                      salt: str = "neg:") -> DataFrame:
+    """Deterministic "random" negatives — the EASY half of a
+    contrastive training set next to `bm25_hard_negatives`: per query,
+    ``k`` hash-ranked documents drawn from a bounded candidate pool,
+    labeled positives excluded. Selection order is the salted pair
+    hash (query_id:doc_id), so each query draws an independent
+    pseudo-random order and reruns are reproducible (the
+    `corpus.weighted_sample` determinism posture).
+
+    Scale: the pool is the ``n_pool`` smallest doc-hashes — the
+    `kmv_build` TakeOrdered shape (n_pool rows per partition to the
+    driver, one corpus scan, no corpus shuffle) — then everything
+    downstream is |queries| × n_pool BROADCAST rows: the cross join,
+    the positive anti-join, and the per-query rank windows all run
+    over bounded frames, never query × corpus. Queries whose
+    exclusions leave fewer than k pool rows emit fewer than k rows
+    (flag-don't-drop; widen n_pool, don't silently refill)."""
+    if k <= 0 or n_pool <= 0:
+        raise ValueError(f"k/n_pool must be positive, got {k}/{n_pool}")
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    from .hashing import keyed_h60
+    spark = docs.sparkSession
+    pool = (docs.select(
+        F.col(id_col),
+        keyed_h60(f"{salt}pool:", F.col(id_col).cast("string"))
+        .alias("__hp"))
+        .orderBy("__hp", id_col).limit(n_pool).drop("__hp"))
+    q = spark.createDataFrame([(int(i),) for i in sorted(query_ids)],
+                              "query_id int")
+    pair_h = keyed_h60(salt, F.concat_ws(
+        ":", F.col("query_id"), F.col(id_col)))
+    pairs = (q.crossJoin(F.broadcast(pool))       # |Q| × n_pool rows
+             .join(F.broadcast(positives.select("query_id", id_col)),
+                   ["query_id", id_col], "left_anti")
+             .withColumn("__ph", pair_h))
+    w = Window.partitionBy("query_id").orderBy("__ph", id_col)
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "rank"))
+
+
+def mixed_negatives(hard: DataFrame, uniform: DataFrame, *,
+                    n_hard: int, n_uniform: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """The standard contrastive-training mix: per query, the top
+    ``n_hard`` hard negatives (highest-confusion) plus ``n_uniform``
+    uniform negatives (distribution anchors), deduplicated in the
+    hard list's favor and re-ranked contiguously — hard first, then
+    uniform, each in its own rank order. Inputs are the two ranked
+    frames as their miners emit them (``(query_id, doc_id, [score,]
+    rank)``); pass the uniform frame UNCUT (k = its pool) so the mix
+    can backfill past collisions with the hard list.
+
+    Scale: both inputs are pre-cut per-query lists (|Q| × k rows);
+    every join and window here stays on that bounded shape."""
+    if n_hard < 0 or n_uniform < 0 or n_hard + n_uniform <= 0:
+        raise ValueError(f"need a non-negative split with at least one "
+                         f"slot, got {n_hard}/{n_uniform}")
+    h = (hard.where(F.col("rank") <= n_hard)
+         .select("query_id", id_col,
+                 F.col("score").cast("double").alias("score"),
+                 F.lit("hard").alias("src"), "rank"))
+    u_cand = uniform.join(h.select("query_id", id_col),
+                          ["query_id", id_col], "left_anti")
+    wu = Window.partitionBy("query_id").orderBy("rank", id_col)
+    u = (u_cand.withColumn("__r2", F.row_number().over(wu))
+         .where(F.col("__r2") <= n_uniform)
+         .select("query_id", id_col,
+                 F.lit(None).cast("double").alias("score"),
+                 F.lit("uniform").alias("src"),
+                 F.col("__r2").cast("int").alias("rank")))
+    wf = Window.partitionBy("query_id").orderBy("src", "rank")
+    return (h.unionByName(u)                 # 'hard' < 'uniform' — asc
+            .withColumn("rank", F.row_number().over(wf).cast("int"))
+            .select("query_id", id_col, "src", "score", "rank"))
+
+
+_MIX_HARD, _MIX_UNI = 4, 4
+
+
+def _sql_negatives_mix() -> str:
+    """DuckDB twin: the hard-negatives oracle embedded as a subquery,
+    the pool/pair-hash algebra inline, the same dedup + re-rank."""
+    from .hashing import sql_keyed_h60
+    hp = sql_keyed_h60("'neg:pool:'", "CAST(d.doc_id AS VARCHAR)")
+    ph = sql_keyed_h60(
+        "'neg:'",
+        "CAST(q.query_id AS VARCHAR) || ':' || CAST(p.doc_id AS VARCHAR)")
+    pos = ", ".join(f"({q}, {d})" for q, d in _GATE_POSITIVES)
+    qids = ", ".join(f"({q})" for q in sorted(_GATE_QUERIES))
+    return f"""
+    WITH hard_all AS (SELECT * FROM ({_sql_hard_negatives()})),
+    pool AS (SELECT d.doc_id FROM documents d
+             ORDER BY ({hp}), d.doc_id LIMIT {_NEG_POOL}),
+    qs(query_id) AS (VALUES {qids}),
+    pos(query_id, doc_id) AS (VALUES {pos}),
+    upairs AS (
+        SELECT q.query_id, p.doc_id, ({ph}) AS ph
+        FROM qs q CROSS JOIN pool p
+        ANTI JOIN pos ON pos.query_id = q.query_id
+                     AND pos.doc_id = p.doc_id),
+    uranked AS (
+        SELECT query_id, doc_id, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY ph, doc_id) AS INT) AS rank
+        FROM upairs),
+    uni AS (SELECT * FROM uranked WHERE rank <= {_BM25_K}),
+    hcut AS (SELECT query_id, doc_id, score, rank
+             FROM hard_all WHERE rank <= {_MIX_HARD}),
+    ucand AS (SELECT u.* FROM uranked u
+              ANTI JOIN hcut h ON h.query_id = u.query_id
+                              AND h.doc_id = u.doc_id),
+    ucut AS (SELECT query_id, doc_id, r2 FROM (
+                 SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY rank, doc_id) AS r2
+                 FROM ucand) WHERE r2 <= {_MIX_UNI}),
+    mixed AS (
+        SELECT query_id, doc_id, 'hard' AS src,
+               score, CAST(rank AS INT) AS rank
+        FROM hcut
+        UNION ALL
+        SELECT query_id, doc_id, 'uniform', CAST(NULL AS DOUBLE),
+               CAST(r2 AS INT)
+        FROM ucut),
+    refinal AS (
+        SELECT query_id, doc_id, src, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY src, rank) AS INT) AS rank
+        FROM mixed)
+    SELECT 'uniform_pool' AS facet, query_id, doc_id,
+           CAST(NULL AS VARCHAR) AS src, CAST(NULL AS DOUBLE) AS score,
+           rank
+    FROM uni
+    UNION ALL
+    SELECT 'mixed', query_id, doc_id, src, score, rank
+    FROM refinal
+    """
+
+
+@query("negatives_mix_plan", oracle=_sql_negatives_mix())
+def negatives_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the negative-sampling pair, two facets over the
+    fixed retrieval workload: ``uniform_pool`` — the top-10 uniform
+    negatives per query (pool selection + pair-hash order + positive
+    exclusion, value-pinned); ``mixed`` — the 4 hard + 4 uniform
+    training mix with hard-favored dedup and contiguous re-rank, BM25
+    scores riding on the hard rows. Registered PAST the driver's
+    50-slot window (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pos = spark.createDataFrame(_GATE_POSITIVES,
+                                "query_id int, doc_id long")
+    hard = bm25_hard_negatives(docs, _GATE_QUERIES, pos)
+    uni_full = uniform_negatives(docs, sorted(_GATE_QUERIES), pos,
+                                 k=_NEG_POOL)
+    mixed = mixed_negatives(hard, uni_full, n_hard=_MIX_HARD,
+                            n_uniform=_MIX_UNI)
+    uni = (uni_full.where(F.col("rank") <= _BM25_K)
+           .select(F.lit("uniform_pool").alias("facet"), "query_id",
+                   "doc_id", F.lit(None).cast("string").alias("src"),
+                   F.lit(None).cast("double").alias("score"), "rank"))
+    return uni.unionByName(
+        mixed.select(F.lit("mixed").alias("facet"), "query_id",
+                     "doc_id", "src", "score", "rank"))
