@@ -34,13 +34,13 @@ def _all_modules():
                                                          embstats, kmeans,
                                                          kmv,
                                                          llm_data, misc,
-                                                         observe,
+                                                         numhist, observe,
                                                          ordering, pq,
                                                          retrieval, scd2,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq, batching, kmv, scd2, kmeans]
+            observe, embstats, pq, batching, kmv, scd2, kmeans, numhist]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -155,6 +155,10 @@ def _all_modules():
 #                       TakeOrdered pool + pair-hash order) and the
 #                       4-hard + 4-uniform contrastive mix with
 #                       hard-favored dedup and contiguous re-rank
+#   numeric_quantile_report r11 addition: mergeable equi-width
+#                       histograms + interpolated quantile reads —
+#                       two-half merge vs one-shot, global + per-
+#                       source p50/p90/p99 value-pinned
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -187,6 +191,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
                 "kmv_distinct_estimate", "scd2_state_snapshot",
                 "kmeans_train_diagnostics", "negatives_mix_plan",
+                "numeric_quantile_report",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

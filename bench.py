@@ -108,6 +108,10 @@ HEADLINE = [
     "stratified_split_exact",
     "bloom_decontamination",
     "cms_frequency_estimate",
+    "kmv_distinct_estimate",
+    "scd2_state_snapshot",
+    "kmeans_train_diagnostics",
+    "negatives_mix_plan",
 ]
 
 
