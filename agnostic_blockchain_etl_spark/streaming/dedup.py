@@ -614,6 +614,59 @@ def _read_store_snapshots_or(spark, store_path: str, batch_id: int,
                 .unionByName(tail)
 
 
+def kmv_cardinality_stream(docs, store_path: str, out_path: str,
+                           checkpoint: str, *, key_col: str = "text",
+                           k: int = 1024, salt: str = "kmv:",
+                           compact_every: int | None = None,
+                           prune_after_compact: bool = False):
+    """Streaming distinct-count tracking with a KMV sketch as the
+    store — the CARDINALITY member of the foreachBatch store family
+    (exact dedup keys, near-dup signatures, paragraph frequencies,
+    source caps, Bloom bits, BM25 stats — and now "how many distinct
+    keys so far?" in ≤ k longs). The training-data use: vocabulary /
+    unique-document / unique-url growth curves over an ingest stream
+    without the ever-growing state an exact streaming distinct needs.
+
+    Each batch reads history (newest snapshot + deltas below its
+    batch_id, `_read_store_snapshots_or`), merges it with its own
+    batch sketch (union + k-smallest — BIT-EXACT the sketch of
+    everything ingested so far, `operators/kmv.py`'s closure
+    property), and emits the cumulative ``(n_kept, est)`` AS OF this
+    batch — including its own contribution, the `bm25_stats_stream`
+    convention — under ``{out_path}/batch_id=N``; the batch's ≤ k
+    sketch rows land under ``{store_path}/batch_id=N``. Replays are
+    idempotent (hash-deterministic sketch, overwrite-per-batch-dir).
+    The post-merge sketch IS the snapshot, so compaction is trivial:
+    ``compact_every`` keeps reads at one snapshot + ≤ N tails and
+    ``prune_after_compact`` bounds delta dirs (`_prune_in_stream`,
+    same rules as the other store families)."""
+    from ..operators.kmv import kmv_build, kmv_estimate, kmv_merge
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = _read_store_snapshots_or(spark, store_path, batch_id,
+                                        "h long")
+        delta = kmv_build(batch_df, key_col, k=k, salt=salt)
+        merged = kmv_merge(hist, delta, k=k).persist()  # est + snapshot
+        try:
+            kmv_estimate(merged, k=k).write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}")
+            delta.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                # merged already folds this batch's delta in: it IS
+                # the upto=batch_id snapshot
+                merged.write.mode("overwrite").parquet(
+                    f"{store_path}_compact/upto={batch_id}")
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
+        finally:
+            merged.unpersist()
+
+    return (docs.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 # back-compat name from the round-8 semantic-store introduction; the
 # snapshot rule is store-agnostic
 _read_semantic_store = _read_store_snapshots_or

@@ -153,3 +153,80 @@ class TestGateShape:
         for r in out:
             if r["facet"] == "group":
                 assert r["est"] == float(r["exact_n"])
+
+
+class TestKmvStream:
+    """`streaming.dedup.kmv_cardinality_stream`: the cardinality
+    member of the foreachBatch store family — cumulative estimates
+    bit-equal to one-shot builds, restart continuation, bounded
+    store, snapshot compaction + pruning."""
+
+    @staticmethod
+    def _drain(spark, src, store, out, ckpt, **kw):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            kmv_cardinality_stream)
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = kmv_cardinality_stream(stream, store, out, ckpt,
+                                   k=8, **kw)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_cumulative_equals_one_shot_and_restart(self, spark,
+                                                    tmp_path):
+        from agnostic_blockchain_etl_spark.operators.kmv import (
+            kmv_build, kmv_estimate)
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "out", "store",
+                                           "ckpt"))
+        batches = [[(i, f"doc-{i}") for i in range(0, 6)],
+                   [(i, f"doc-{i}") for i in range(3, 12)],   # overlap
+                   [(i, f"doc-{i % 4}") for i in range(50, 64)]]  # dups
+
+        def write(rows):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        write(batches[0]); write(batches[1])
+        self._drain(spark, src, store, out, ckpt)
+        write(batches[2])                     # restart continuation
+        self._drain(spark, src, store, out, ckpt)
+
+        seen: list = []
+        for b, rows in enumerate(batches):
+            seen.extend(rows)
+            got = spark.read.parquet(f"{out}/batch_id={b}").collect()[0]
+            oneshot = kmv_estimate(kmv_build(
+                spark.createDataFrame(seen, "doc_id long, text string"),
+                "text", k=8), k=8).collect()[0]
+            assert (got["n_kept"], got["est"]) \
+                == (oneshot["n_kept"], oneshot["est"]), f"batch {b}"
+        # store stays sketch-sized: ≤ k rows per delta
+        assert spark.read.parquet(store).count() <= 3 * 8
+
+    def test_compacts_and_prunes(self, spark, tmp_path):
+        import os
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("csrc", "cout", "cstore",
+                                           "cckpt"))
+
+        def write(rows):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        for b in range(4):
+            write([(10 * b + i, f"t{b}-{i}") for i in range(3)])
+        self._drain(spark, src, store, out, ckpt,
+                    compact_every=2, prune_after_compact=True)
+        assert any(s.startswith("upto=")
+                   for s in os.listdir(f"{store}_compact"))
+        deltas = [d for d in os.listdir(store)
+                  if d.startswith("batch_id=")]
+        assert len(deltas) <= 4
+        # final cumulative count: 12 distinct keys, under-full sketch
+        # regime would cap at k=8 kept rows
+        last = spark.read.parquet(f"{out}/batch_id=3").collect()[0]
+        assert last["n_kept"] == 8          # sketch full
+        assert last["est"] > 0
