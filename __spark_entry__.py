@@ -27,6 +27,7 @@ def _all_modules():
     # and scale-pattern joins come first. A broken operator module must
     # fail the entry point loudly, not silently shrink the gate.
     from agnostic_blockchain_etl_spark.operators import (analytics,
+                                                         anomaly,
                                                          batching, clean,
                                                          cms, corpus,
                                                          extended,
@@ -40,7 +41,8 @@ def _all_modules():
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
-            observe, embstats, pq, batching, kmv, scd2, kmeans, numhist]
+            observe, embstats, pq, batching, kmv, scd2, kmeans, numhist,
+            anomaly]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -159,6 +161,10 @@ def _all_modules():
 #                       histograms + interpolated quantile reads —
 #                       two-half merge vs one-shot, global + per-
 #                       source p50/p90/p99 value-pinned
+#   event_rate_anomaly_report r11 addition: densified hourly bucket
+#                       counts scored by rolling z (exact integer
+#                       window sums; warm-up and constant-window
+#                       NULLs pinned)
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -191,7 +197,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "winnow_decontam_flags", "hybrid_minmax_fusion",
                 "kmv_distinct_estimate", "scd2_state_snapshot",
                 "kmeans_train_diagnostics", "negatives_mix_plan",
-                "numeric_quantile_report",
+                "numeric_quantile_report", "event_rate_anomaly_report",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 
