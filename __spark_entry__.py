@@ -29,8 +29,10 @@ def _all_modules():
     from agnostic_blockchain_etl_spark.operators import (analytics,
                                                          anomaly,
                                                          batching, clean,
-                                                         cms, corpus,
-                                                         extended,
+                                                         cms, cooc,
+                                                         corpus,
+                                                         extended, funnel,
+                                                         graph, hll,
                                                          joins_scale,
                                                          embstats, kmeans,
                                                          kmv,
@@ -38,11 +40,12 @@ def _all_modules():
                                                          numhist, observe,
                                                          ordering, pq,
                                                          retrieval, scd2,
+                                                         trend,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
             observe, embstats, pq, batching, kmv, scd2, kmeans, numhist,
-            anomaly]
+            anomaly, funnel, trend, hll, graph, cooc]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -165,6 +168,32 @@ def _all_modules():
 #                       counts scored by rolling z (exact integer
 #                       window sums; warm-up and constant-window
 #                       NULLs pinned)
+#   funnel_conversion_report r11 addition: windowed funnel levels
+#                       (earliest-anchor min-chain, strict order,
+#                       inclusive 72 h window) with half-up integer
+#                       conversion ratios
+#   cohort_retention_matrix r11 addition: first-signup-day cohorts ×
+#                       purchase-day offsets, distinct-active counts
+#                       + half-up retention ratios
+#   event_transition_matrix r11 addition: first-order Markov event-
+#                       type transitions (ts, event_id ordering) with
+#                       row-normalized probabilities
+#   event_trend_report  r11 addition: per-type OLS over densified
+#                       daily counts from EXACT integer sums (the
+#                       value-pinnable regr_slope/intercept/r2)
+#   hll_distinct_estimate r11 addition: value-pinnable HyperLogLog —
+#                       two-half merged registers vs one-shot oracle,
+#                       exact scaled indicator sum pinned
+#   hll_group_distinct  r11 addition: per-group HLL registers
+#                       (distinct orders per return flag — groups
+#                       with genuinely different key subsets)
+#   pagerank_supplier_part r11 addition: exact-integer-arithmetic
+#                       PageRank (fixed-point longs, 17/20 damping,
+#                       dangling redistribution) — 2 iterations vs
+#                       the same unrolled algebra in DuckDB
+#   term_cooccurrence_pmi r11 addition: top-V document-frequency
+#                       vocabulary cut, doc-level co-occurrence
+#                       counts + 6-dp PMI
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -198,6 +227,10 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "kmv_distinct_estimate", "scd2_state_snapshot",
                 "kmeans_train_diagnostics", "negatives_mix_plan",
                 "numeric_quantile_report", "event_rate_anomaly_report",
+                "funnel_conversion_report", "cohort_retention_matrix",
+                "event_transition_matrix", "event_trend_report",
+                "hll_distinct_estimate", "hll_group_distinct",
+                "pagerank_supplier_part", "term_cooccurrence_pmi",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 
