@@ -194,6 +194,10 @@ def _all_modules():
 #   term_cooccurrence_pmi r11 addition: top-V document-frequency
 #                       vocabulary cut, doc-level co-occurrence
 #                       counts + 6-dp PMI
+#   kmv_set_overlap     r11 addition: KMV multiset-operation synopses
+#                       (Beyer et al.) — union-sketch membership rho,
+#                       half-up Jaccard, union/intersection estimates
+#                       over the returnflag A/R order-key sets
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -231,6 +235,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "event_transition_matrix", "event_trend_report",
                 "hll_distinct_estimate", "hll_group_distinct",
                 "pagerank_supplier_part", "term_cooccurrence_pmi",
+                "kmv_set_overlap",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

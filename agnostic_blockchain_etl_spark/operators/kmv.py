@@ -158,6 +158,50 @@ def kmv_group_estimate(gsketch: DataFrame, *,
     return agg.select("grp", "n_kept", F.round(est, 6).alias("est"))
 
 
+def kmv_set_estimates(a: DataFrame, b: DataFrame, *,
+                      k: int = _DEFAULT_K) -> DataFrame:
+    """Set-operation estimates from two sketches built with the same
+    (k, salt) — Beyer et al. 2007's multiset-operation synopses: one
+    row ``(n_kept, rho, jaccard, union_est, inter_est)``.
+
+    ``K`` = the k smallest of the combined sketches (= the union's
+    sketch); ``rho`` counts members of K present in BOTH inputs —
+    decidable exactly from the sketches alone, because any h ∈ K
+    satisfies h ≤ max(that side's sketch) whenever the side could
+    contain it (a full sketch's k-th smallest bounds the union's;
+    an under-full sketch IS its whole set). Then ``Ĵ = rho / |K|-
+    or-k`` (half-up 6-dp integer ratio — no float division of
+    counts), the union cardinality is the standard KMV estimate
+    (exact when under-full), and the intersection estimate is their
+    product of the ROUNDED values (both engines multiply identical
+    doubles).
+
+    Scale: two k-row frames joined semi twice plus two 1-row
+    aggregates — sketch-sized everything."""
+    _check_k(k)
+    u = kmv_merge(a, b, k=k)
+    rho = (u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+           .agg(F.count("*").cast("long").alias("rho")))
+    stats = u.agg(F.count("*").cast("long").alias("n_kept"),
+                  F.max("h").alias("__hk"))
+    one = stats.crossJoin(F.broadcast(rho))
+    denom = F.when(F.col("n_kept") < k, F.col("n_kept")) \
+             .otherwise(F.lit(k).cast("long"))
+    jacc = F.when(denom > 0,
+                  F.call_function("div",
+                                  2 * F.col("rho") * 1_000_000 + denom,
+                                  2 * denom) / 1e6)
+    union_est = F.round(
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(k - 1) * F.lit(_H_SPAN)
+                   / F.col("__hk").cast("double")), 6)
+    return (one.select("n_kept", "rho", jacc.alias("jaccard"),
+                       union_est.alias("union_est"))
+            .select("n_kept", "rho", "jaccard", "union_est",
+                    F.round(F.col("jaccard") * F.col("union_est"), 6)
+                    .alias("inter_est")))
+
+
 # ---------------------------------------------------------------------------
 # Gate query + DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -263,3 +307,68 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(None).cast("long").alias("h"),
                    "n_kept", "est", "exact_n"))
     return glob.unionByName(head).unionByName(grp)
+
+
+_SETK = 256
+_SETH = sql_keyed_h60("'kmv:'",
+                      "COALESCE(CAST(l_orderkey AS VARCHAR), chr(0))")
+
+
+def _sql_kmv_set() -> str:
+    """DuckDB twin of the set-operation gate: both sketches built
+    naively (ranked windows), k-smallest union, IN-subquery
+    membership — the identical estimator algebra."""
+    return f"""
+    WITH ka AS (SELECT DISTINCT ({_SETH}) AS h FROM lineitem
+                WHERE l_returnflag = 'A'),
+    ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                           AS r FROM ka) WHERE r <= {_SETK}),
+    kb AS (SELECT DISTINCT ({_SETH}) AS h FROM lineitem
+           WHERE l_returnflag = 'R'),
+    skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                           AS r FROM kb) WHERE r <= {_SETK}),
+    un AS (SELECT DISTINCT h FROM (SELECT h FROM ska
+                                   UNION ALL SELECT h FROM skb)),
+    sku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                           AS r FROM un) WHERE r <= {_SETK}),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+              FROM sku),
+    rho_ AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM sku
+             WHERE h IN (SELECT h FROM ska)
+               AND h IN (SELECT h FROM skb)),
+    fin AS (SELECT s.n_kept, r.rho,
+                   CASE WHEN s.n_kept < {_SETK}
+                        THEN s.n_kept ELSE {_SETK} END AS denom,
+                   round(CASE WHEN s.n_kept < {_SETK}
+                              THEN CAST(s.n_kept AS DOUBLE)
+                              ELSE {_SETK - 1}.0 * POW(2.0, 60)
+                                   / CAST(s.hk AS DOUBLE) END,
+                         6) AS union_est
+            FROM stats s, rho_ r),
+    jac AS (SELECT n_kept, rho, union_est,
+                   CASE WHEN denom > 0 THEN
+                        ((2 * rho * 1000000 + denom) // (2 * denom))
+                        / 1000000.0 END AS jaccard
+            FROM fin)
+    SELECT n_kept, rho, jaccard, union_est,
+           round(jaccard * union_est, 6) AS inter_est
+    FROM jac
+    """
+
+
+@query("kmv_set_overlap", oracle=_sql_kmv_set())
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for KMV set operations: the returnflag-A and
+    returnflag-R order-key sets of lineitem (large, genuinely
+    partially-overlapping subsets), k = 256 — union-sketch size, the
+    exact sketch-membership intersection count rho, the half-up
+    Jaccard ratio, and the union/intersection cardinality estimates
+    all value-pinned against DuckDB building both sketches one-shot.
+    Registered PAST the driver's 50-slot window."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"] \
+        .select("l_orderkey", "l_returnflag")
+    a = kmv_build(li.where(F.col("l_returnflag") == "A"),
+                  "l_orderkey", k=_SETK)
+    b = kmv_build(li.where(F.col("l_returnflag") == "R"),
+                  "l_orderkey", k=_SETK)
+    return kmv_set_estimates(a, b, k=_SETK)

@@ -112,6 +112,17 @@ HEADLINE = [
     "scd2_state_snapshot",
     "kmeans_train_diagnostics",
     "negatives_mix_plan",
+    "numeric_quantile_report",
+    "event_rate_anomaly_report",
+    "funnel_conversion_report",
+    "cohort_retention_matrix",
+    "event_transition_matrix",
+    "event_trend_report",
+    "hll_distinct_estimate",
+    "hll_group_distinct",
+    "pagerank_supplier_part",
+    "term_cooccurrence_pmi",
+    "kmv_set_overlap",
 ]
 
 

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agnostic_blockchain_etl_spark.operators.kmv import (  # noqa: E402
     kmv_build, kmv_estimate, kmv_group_build, kmv_group_estimate,
-    kmv_merge)
+    kmv_merge, kmv_set_estimates)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -230,3 +230,37 @@ class TestKmvStream:
         last = spark.read.parquet(f"{out}/batch_id=3").collect()[0]
         assert last["n_kept"] == 8          # sketch full
         assert last["est"] > 0
+
+
+class TestSetEstimates:
+    def _keys(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id")).alias("u"))
+
+    def test_under_full_sketches_are_exact(self, spark):
+        # |A|=150, |B|=150, overlap 50, k=1024: every quantity exact
+        a = kmv_build(self._keys(spark, 0, 150), "u", k=1024)
+        b = kmv_build(self._keys(spark, 100, 250), "u", k=1024)
+        r = kmv_set_estimates(a, b, k=1024).collect()[0]
+        assert r["n_kept"] == 250
+        assert r["rho"] == 50
+        assert r["jaccard"] == 0.2           # 50/250 half-up 6dp
+        assert r["union_est"] == 250.0
+        assert r["inter_est"] == 50.0
+
+    def test_disjoint_sets(self, spark):
+        a = kmv_build(self._keys(spark, 0, 100), "u", k=256)
+        b = kmv_build(self._keys(spark, 100, 200), "u", k=256)
+        r = kmv_set_estimates(a, b, k=256).collect()[0]
+        assert r["rho"] == 0
+        assert r["jaccard"] == 0.0 and r["inter_est"] == 0.0
+
+    def test_full_sketch_estimates_track_truth(self, spark):
+        # |A|=|B|=4000, overlap 2000 -> J = 1/3, union 6000
+        a = kmv_build(self._keys(spark, 0, 4000), "u", k=128)
+        b = kmv_build(self._keys(spark, 2000, 6000), "u", k=128)
+        r = kmv_set_estimates(a, b, k=128).collect()[0]
+        assert r["n_kept"] == 128
+        assert abs(r["jaccard"] - 1 / 3) < 0.15
+        assert abs(r["union_est"] - 6000) / 6000 < 0.3
+        assert r["inter_est"] == round(r["jaccard"] * r["union_est"], 6)
