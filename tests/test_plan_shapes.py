@@ -267,3 +267,34 @@ def test_bm25_data_side_joins_are_broadcast_only(spark):
         assert "BroadcastHashJoin" in plan, name
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
             assert m.group(1) == "Cross", (name, plan)
+
+
+def test_event_and_sketch_family_no_quadratic_plans(spark):
+    """The funnel/retention/transition/trend, PMI, PageRank, HLL, and
+    KMV-set additions: no cartesian anywhere; every nested loop must
+    be a broadcast Cross (the 1-row-or-bounded-frame exemption class
+    the bm25/emb_ivf pins established — N totals, span frames, rho
+    counts); data-sized frames meet each other only in hash joins."""
+    import re
+
+    import __spark_entry__ as entry
+    for name in ("funnel_conversion_report", "cohort_retention_matrix",
+                 "event_transition_matrix", "event_trend_report",
+                 "term_cooccurrence_pmi", "pagerank_supplier_part",
+                 "hll_distinct_estimate", "hll_group_distinct",
+                 "kmv_set_overlap"):
+        plan = _plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            assert m.group(1) == "Cross", (name, plan)
+
+
+def test_cooc_vocab_filter_is_broadcast(spark):
+    """The PMI incidence frame must meet the top-V vocabulary as a
+    BROADCAST join BEFORE the doc_id self-join — a shuffled vocab
+    join would key a corpus-sized exchange on term, and an unfiltered
+    self-join would explode every document's full vocabulary."""
+    import __spark_entry__ as entry
+    plan = _plan_of(
+        entry.queries()["term_cooccurrence_pmi"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

@@ -87,6 +87,21 @@ CASES = [
     ("pack_efficiency_report", "documents", 2, None),
     # passage spans read doc_id/text like the pair op
     ("winnow_passage_spans", "documents", 2, None),
+    # r11 event-analytics family: the funnel reads user/ts/type, the
+    # retention scans carry the event_type predicate, transitions add
+    # the event_id tie-break, trend + anomaly read ts/type only
+    ("funnel_conversion_report", "events", 3, None),
+    ("cohort_retention_matrix", "events", 3, "event_type"),
+    ("event_transition_matrix", "events", 4, None),
+    ("event_trend_report", "events", 2, None),
+    ("event_rate_anomaly_report", "events", 2, None),
+    # PMI reads doc_id/text; PageRank reads the two edge keys; the HLL
+    # and KMV-set gates read their key (+ split / group / flag) column
+    ("term_cooccurrence_pmi", "documents", 2, None),
+    ("pagerank_supplier_part", "lineitem", 2, None),
+    ("hll_distinct_estimate", "lineitem", 2, None),
+    ("hll_group_distinct", "lineitem", 2, None),
+    ("kmv_set_overlap", "lineitem", 2, "l_returnflag"),
 ]
 
 
