@@ -198,6 +198,13 @@ def _all_modules():
 #                       (Beyer et al.) — union-sketch membership rho,
 #                       half-up Jaccard, union/intersection estimates
 #                       over the returnflag A/R order-key sets
+#   funnel_latency_report r11 addition: per-transition time-to-convert
+#                       (half-up mean + exact extrema over the same
+#                       earliest-anchor chain)
+#   retention_hll_matrix r11 addition: MERGEABLE retention — per-cell
+#                       HLL registers over active users, two-half
+#                       merge vs the one-shot oracle, estimates next
+#                       to exact counts
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -235,7 +242,8 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "event_transition_matrix", "event_trend_report",
                 "hll_distinct_estimate", "hll_group_distinct",
                 "pagerank_supplier_part", "term_cooccurrence_pmi",
-                "kmv_set_overlap",
+                "kmv_set_overlap", "funnel_latency_report",
+                "retention_hll_matrix",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

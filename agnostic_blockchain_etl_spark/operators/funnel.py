@@ -136,6 +136,50 @@ def funnel_report(events: DataFrame,
         _ratio6(F.col("n_users"), F.col("n0")).alias("conv_start"))
 
 
+def _active_frame(activity: DataFrame,
+                  cohort_events: DataFrame | None = None, *,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  week_days: int = 7) -> DataFrame:
+    """Shared retention derivation: distinct ``(user_id, cohort_week,
+    week_offset >= 0)`` activity cells (see `cohort_retention` for the
+    semantics) — consumed by both the exact matrix and the mergeable
+    HLL cell store."""
+    if week_days <= 0:
+        raise ValueError(f"week_days must be positive, got {week_days}")
+    span = week_days * _DAY_US
+
+    def weeks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(user_col).alias("user_id"),
+            F.call_function("div", F.col(ts_col), F.lit(span))
+            .alias("week"))
+
+    first = (weeks(cohort_events if cohort_events is not None
+                   else activity)
+             .groupBy("user_id").agg(F.min("week").alias("cohort_week")))
+    return (weeks(activity).distinct()
+            .join(first, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.col("week") - F.col("cohort_week"))
+                    .alias("week_offset"))
+            .filter(F.col("week_offset") >= 0))
+
+
+def _cohort_sizes(activity: DataFrame,
+                  cohort_events: DataFrame | None = None, *,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  week_days: int = 7) -> DataFrame:
+    span = week_days * _DAY_US
+    src = cohort_events if cohort_events is not None else activity
+    return (src.select(
+        F.col(user_col).alias("user_id"),
+        F.call_function("div", F.col(ts_col), F.lit(span))
+        .alias("week"))
+        .groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count("*").cast("long").alias("n_cohort")))
+
+
 def cohort_retention(activity: DataFrame,
                      cohort_events: DataFrame | None = None, *,
                      ts_col: str = "ts",
@@ -150,35 +194,41 @@ def cohort_retention(activity: DataFrame,
     arithmetic identical on both engines. Users with activity but no
     cohort row have no cohort and are absent (the standard retention
     read); pre-cohort activity (negative offsets) is excluded."""
-    if week_days <= 0:
-        raise ValueError(f"week_days must be positive, got {week_days}")
-    span = week_days * _DAY_US
-
-    def weeks(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(user_col).alias("user_id"),
-            F.call_function("div", F.col(ts_col), F.lit(span))
-            .alias("week"))
-
-    first = (weeks(cohort_events if cohort_events is not None
-                   else activity)
-             .groupBy("user_id").agg(F.min("week").alias("cohort_week")))
-    active = (weeks(activity).distinct()
-              .join(first, "user_id")
-              .select("user_id", "cohort_week",
-                      (F.col("week") - F.col("cohort_week"))
-                      .alias("week_offset"))
-              .filter(F.col("week_offset") >= 0))
+    kw = dict(ts_col=ts_col, user_col=user_col, week_days=week_days)
+    active = _active_frame(activity, cohort_events, **kw)
     cells = (active.groupBy("cohort_week", "week_offset")
              .agg(F.countDistinct("user_id").cast("long")
                   .alias("n_active")))
-    sizes = (first.groupBy("cohort_week")
-             .agg(F.count("*").cast("long").alias("n_cohort")))
+    sizes = _cohort_sizes(activity, cohort_events, **kw)
     return (cells.join(sizes, "cohort_week")
             .select("cohort_week", "week_offset", "n_active",
                     "n_cohort",
                     _ratio6(F.col("n_active"), F.col("n_cohort"))
                     .alias("retention")))
+
+
+def retention_hll_cells(activity: DataFrame,
+                        cohort_events: DataFrame | None = None, *,
+                        ts_col: str = "ts",
+                        user_col: str = "user_id",
+                        week_days: int = 7, p: int = 9,
+                        salt: str = "rhll:") -> DataFrame:
+    """MERGEABLE retention cells: ``(cohort_week, week_offset,
+    bucket, rho)`` — per-cell HyperLogLog registers over the active
+    users instead of an exact distinct count. Why: exact
+    ``countDistinct`` per cell is NOT incrementally maintainable — a
+    day-N store would have to re-scan all history — while register
+    frames from any row-split of the activity merge by per-register
+    max (`hll.hll_group_merge`) into exactly the one-shot build, so
+    a store can fold each ingest day in and read estimates any time
+    (`hll.hll_group_estimate_regs`). The cohort side stays the full
+    frame (cohort assignment is a property of a user's first event —
+    the store keeps that map, as any incremental system must)."""
+    from .hll import hll_group_build
+    active = _active_frame(activity, cohort_events, ts_col=ts_col,
+                           user_col=user_col, week_days=week_days)
+    return hll_group_build(active, ["cohort_week", "week_offset"],
+                           "user_id", p=p, salt=salt)
 
 
 def event_transitions(events: DataFrame, *,
@@ -343,3 +393,186 @@ def event_transition_matrix(spark: SparkSession,
     ev = events_us(load_tables(spark, sf_dir, ("events",))["events"]) \
         .select("user_id", "ts", "event_type", "event_id")
     return event_transitions(ev)
+
+
+def funnel_latency(events: DataFrame,
+                   steps: tuple[str, ...] = _STEPS, *,
+                   window_micros: int = _WINDOW_US,
+                   ts_col: str = "ts",
+                   user_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Time-to-convert per funnel transition: ``(level, step,
+    n_users, mean_us, min_us, max_us)`` — over users who reached
+    level k, the µs gap ``t_k − t_{k−1}`` (level 1 reports 0 gaps —
+    it IS the anchor). Counts and extrema are exact longs; the mean
+    is the half-up integer division, so no float a partition order
+    can move. One more read of the `funnel_user_levels` frame — the
+    level joins are shared, not recomputed per statistic."""
+    lv = funnel_user_levels(events, steps,
+                            window_micros=window_micros,
+                            ts_col=ts_col, user_col=user_col,
+                            type_col=type_col)
+    outs = []
+    for k, step in enumerate(steps[1:], start=2):
+        dt = F.col(f"t{k}") - F.col(f"t{k - 1}")
+        outs.append(lv.filter(F.col(f"t{k}").isNotNull()).agg(
+            F.lit(k).alias("level"), F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(dt).cast("long").alias("__sum"),
+            F.min(dt).cast("long").alias("min_us"),
+            F.max(dt).cast("long").alias("max_us")))
+    from functools import reduce
+    stacked = reduce(DataFrame.unionByName, outs)
+    mean = F.when(F.col("n_users") > 0,
+                  F.call_function("div",
+                                  2 * F.col("__sum") + F.col("n_users"),
+                                  2 * F.col("n_users")))
+    return stacked.select(
+        F.col("level").cast("int").alias("level"), "step", "n_users",
+        mean.cast("long").alias("mean_us"), "min_us", "max_us")
+
+
+def _sql_latency() -> str:
+    s1, s2, s3 = _STEPS
+    return f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+                FROM events),
+    t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = '{s1}' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(t1.t1) AS t1, min(e.ts) AS t2
+           FROM ev e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = '{s2}' AND e.ts > t1.t1
+             AND e.ts <= t1.t1 + {_WINDOW_US}
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(t2.t2) AS t2, min(e.ts) AS t3
+           FROM ev e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = '{s3}' AND e.ts > t2.t2
+             AND e.ts <= t2.t1 + {_WINDOW_US}
+           GROUP BY e.user_id),
+    l2 AS (SELECT CAST(2 AS INT) AS level, '{s2}' AS step,
+                  CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(t2 - t1) AS BIGINT) AS s,
+                  CAST(min(t2 - t1) AS BIGINT) AS min_us,
+                  CAST(max(t2 - t1) AS BIGINT) AS max_us
+           FROM t2),
+    l3 AS (SELECT CAST(3 AS INT), '{s3}',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(t3 - t2) AS BIGINT),
+                  CAST(min(t3 - t2) AS BIGINT),
+                  CAST(max(t3 - t2) AS BIGINT)
+           FROM t3),
+    lv AS (SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+    SELECT level, step, n_users,
+           CASE WHEN n_users > 0
+                THEN CAST((2 * s + n_users) // (2 * n_users) AS BIGINT)
+           END AS mean_us,
+           min_us, max_us
+    FROM lv
+    """
+
+
+@query("funnel_latency_report", oracle=_sql_latency())
+def funnel_latency_report(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Gate row for funnel time-to-convert: per-transition gap counts,
+    half-up mean, and exact extrema over the same earliest-anchor
+    chain the conversion gate pins — value-pinned against DuckDB
+    running the identical min-chain CTEs. Registered PAST the
+    driver's 50-slot window."""
+    ev = events_us(load_tables(spark, sf_dir, ("events",))["events"]) \
+        .select("user_id", "ts", "event_type")
+    return funnel_latency(ev)
+
+
+def _sql_retention_hll() -> str:
+    from .hashing import sql_keyed_h60
+    span = 1 * _DAY_US
+    p, bits = 9, 60
+    m = 1 << p
+    rem_bits = bits - p
+    maxrank = rem_bits + 1
+    h = sql_keyed_h60("'rhll:'",
+                      "coalesce(CAST(user_id AS VARCHAR), chr(0))")
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    return f"""
+    WITH act AS (SELECT user_id, epoch_us(ts) // {span} AS week
+                 FROM events WHERE event_type = '{_ACTIVE_TYPE}'),
+    coh AS (SELECT user_id, epoch_us(ts) // {span} AS week
+            FROM events WHERE event_type = '{_COHORT_TYPE}'),
+    first AS (SELECT user_id, min(week) AS cohort_week
+              FROM coh GROUP BY user_id),
+    active AS (SELECT a.user_id, f.cohort_week,
+                      a.week - f.cohort_week AS week_offset
+               FROM (SELECT DISTINCT user_id, week FROM act) a
+               JOIN first f ON a.user_id = f.user_id
+               WHERE a.week - f.cohort_week >= 0),
+    hashed AS (SELECT cohort_week, week_offset, {h} AS h
+               FROM (SELECT DISTINCT user_id, cohort_week, week_offset
+                     FROM active)),
+    rows_ AS (SELECT cohort_week, week_offset,
+                     h // {1 << rem_bits} AS bucket,
+                     h % {1 << rem_bits} AS rem
+              FROM hashed),
+    regs AS (SELECT cohort_week, week_offset, bucket,
+                    max(CASE WHEN rem = 0 THEN {maxrank}
+                        ELSE {maxrank} - length(bin(rem)) END) AS rho
+             FROM rows_ GROUP BY cohort_week, week_offset, bucket),
+    agg AS (SELECT cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS present,
+                   CAST(sum(1::BIGINT << ({maxrank} - rho))
+                        AS BIGINT) AS s_present
+            FROM regs GROUP BY cohort_week, week_offset),
+    est AS (SELECT cohort_week, week_offset,
+                   {m} - present AS zeros,
+                   s_present + ({m} - present)
+                       * {1 << maxrank} AS s_int
+            FROM agg),
+    fin AS (SELECT cohort_week, week_offset, zeros, s_int,
+                   {alpha} * {float(m)!r} * {float(m)!r}
+                       * {float(1 << maxrank)!r}
+                       / CAST(s_int AS DOUBLE) AS raw,
+                   CAST({float(m)!r} * ln({float(m)!r}
+                       / CAST(zeros AS DOUBLE)) AS DOUBLE) AS lin
+            FROM est),
+    exact AS (SELECT cohort_week, week_offset,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM active GROUP BY cohort_week, week_offset)
+    SELECT f.cohort_week, f.week_offset,
+           CAST(f.zeros AS BIGINT) AS zeros,
+           CAST(f.s_int AS BIGINT) AS s_int,
+           round(CASE WHEN f.raw <= {2.5 * m} AND f.zeros > 0
+                      THEN f.lin ELSE f.raw END, 6) AS est,
+           x.n_exact
+    FROM fin f JOIN exact x
+      ON f.cohort_week = x.cohort_week
+     AND f.week_offset = x.week_offset
+    """
+
+
+@query("retention_hll_matrix", oracle=_sql_retention_hll())
+def retention_hll_matrix(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Gate row for the MERGEABLE retention matrix: per-cell HLL
+    registers over active users, the Spark side built as a TWO-HALF
+    MERGE (activity split on event_id parity, per-register max) while
+    the oracle builds one-shot — merge-equals-one-shot per cell is
+    the pinned property, with each cell's register indicator sum,
+    zeros, estimate, and the exact distinct count alongside (under-
+    full linear-counting regime here, so estimates sit near exact).
+    Registered PAST the driver's 50-slot window."""
+    from .hll import hll_group_estimate_regs, hll_group_merge
+    ev = events_us(load_tables(spark, sf_dir, ("events",))["events"]) \
+        .select("user_id", "ts", "event_type", "event_id")
+    purch = ev.filter(F.col("event_type") == _ACTIVE_TYPE)
+    signup = ev.filter(F.col("event_type") == _COHORT_TYPE)
+    gc = ["cohort_week", "week_offset"]
+    halves = [retention_hll_cells(
+        purch.filter(F.col("event_id") % 2 == i), signup,
+        week_days=1, p=9, salt="rhll:") for i in (0, 1)]
+    est = hll_group_estimate_regs(
+        hll_group_merge(*halves, group_cols=gc), gc, p=9)
+    exact = (_active_frame(purch, signup, week_days=1)
+             .groupBy(*gc)
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("n_exact")))
+    return est.join(exact, gc)

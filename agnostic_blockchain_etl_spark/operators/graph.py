@@ -66,6 +66,15 @@ def pagerank(edges: DataFrame, *, iters: int = 2,
     if scale < 10 ** 6:
         raise ValueError(f"scale must be >= 1e6 (truncation dust), "
                          f"got {scale}")
+    # Deliberately NOT cached: iteration k's ranks frame is referenced
+    # by iteration k+1 through shared shuffle subtrees Spark's exchange
+    # reuse serves from shuffle files — measured at sf0.1 in one
+    # harness, adding scoped caches on edges/outdeg/per-iteration ranks
+    # read 10.2 s vs 5.3 s WITHOUT them (columnar cache encode + broken
+    # ReusedExchange). The per-iteration work is instead kept to ONE
+    # equi-join: out-degree rides ON the ranks frame (deg, NULL for
+    # dangling nodes), so the contribution pass is e ⋈ ranks and the
+    # dangling mass is a filter + 1-row aggregate, not an anti-join.
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct())
@@ -74,27 +83,25 @@ def pagerank(edges: DataFrame, *, iters: int = 2,
              .distinct())
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     n1 = nodes.agg(F.count("*").cast("long").alias("__n"))
-    ranks = (nodes.crossJoin(F.broadcast(n1))
-             .select("node", "__n",
-                     _div(F.lit(scale), F.col("__n")).alias("r")))
+    base = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+            .select("node", "deg")
+            .crossJoin(F.broadcast(n1)))
+    ranks = base.withColumn("r", _div(F.lit(scale), F.col("__n")))
     teleport = _div(F.lit(_D_DEN - _D_NUM) * F.lit(scale),
                     F.lit(_D_DEN) * F.col("__n"))
     for _ in range(iters):
-        contrib = (e.join(ranks.select(F.col("node").alias("src"), "r"),
+        contrib = (e.join(ranks.select(F.col("node").alias("src"),
+                                       _div(F.col("r"), F.col("deg"))
+                                       .alias("c")),
                           "src")
-                   .join(outdeg, "src")
-                   .groupBy("dst")
-                   .agg(F.sum(_div(F.col("r"), F.col("deg")))
-                        .alias("inflow")))
-        dang = (ranks.join(outdeg,
-                           ranks["node"] == outdeg["src"], "left_anti")
+                   .groupBy("dst").agg(F.sum("c").alias("inflow")))
+        dang = (ranks.where(F.col("deg").isNull())
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
                      .alias("__dang")))
-        ranks = (ranks.select("node", "__n")
-                 .join(contrib,
-                       F.col("node") == F.col("dst"), "left")
+        ranks = (base.join(contrib,
+                           F.col("node") == F.col("dst"), "left")
                  .crossJoin(F.broadcast(dang))
-                 .select("node", "__n",
+                 .select("node", "deg", "__n",
                          (teleport
                           + _div(F.lit(_D_NUM)
                                  * (F.coalesce(F.col("inflow"),

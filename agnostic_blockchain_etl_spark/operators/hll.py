@@ -130,28 +130,53 @@ def hll_estimate(sketch: DataFrame, *, p: int = _DEFAULT_P) -> DataFrame:
         F.round(est, 6).alias("est"))
 
 
-def hll_group_estimate(df: DataFrame, group_col: str, key_col: str, *,
-                       p: int = _DEFAULT_P,
-                       salt: str = "hll:") -> DataFrame:
-    """Per-group cardinality: ``(grp, zeros, s_int, est)`` — one HLL
-    register set per group (the `kmv_group_build` counterpart, but
-    with FIXED ≤ 2^p state per group by construction, so no cutoff
-    pruning is needed: the groupBy lands on (group × register) cells,
-    map-side combinable, never on keys)."""
+def hll_group_build(df: DataFrame, group_cols: list[str],
+                    key_col: str, *, p: int = _DEFAULT_P,
+                    salt: str = "hll:") -> DataFrame:
+    """Per-group register frame ``(*group_cols, bucket, rho)`` — one
+    HLL register set per group (the `kmv_group_build` counterpart,
+    but with FIXED ≤ 2^p state per group by construction, so no
+    cutoff pruning is needed: the groupBy lands on (group × register)
+    cells, map-side combinable, never on keys). Frames over the same
+    (p, salt) merge with `hll_group_merge` — per-register max, so a
+    day-N incremental store of these cells is exactly the one-shot
+    build (the mergeability exact countDistinct lacks)."""
     _check_p(p)
-    m = 1 << p
     rem_bits = _HASH_BITS - p
     maxrank = rem_bits + 1
     h = keyed_h60(salt, _hll_key(key_col))
     rows = df.select(
-        F.col(group_col).alias("grp"),
+        *group_cols,
         F.call_function("div", h, F.lit(1 << rem_bits)).alias("bucket"),
         (h % F.lit(1 << rem_bits)).alias("rem"))
     rho = F.when(F.col("rem") == 0, F.lit(maxrank)) \
            .otherwise(F.lit(maxrank) - F.length(F.bin("rem")))
-    regs = (rows.select("grp", "bucket", rho.cast("int").alias("rho"))
-            .groupBy("grp", "bucket").agg(F.max("rho").alias("rho")))
-    agg = regs.groupBy("grp").agg(
+    return (rows.select(*group_cols, "bucket",
+                        rho.cast("int").alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_group_merge(*regs: DataFrame,
+                    group_cols: list[str]) -> DataFrame:
+    """Per-(group, register) max over register frames built with the
+    same (p, salt) — bit-exactly the frame of the concatenated
+    inputs."""
+    if not regs:
+        raise ValueError("hll_group_merge needs at least one frame")
+    return (reduce(DataFrame.unionByName, regs)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_group_estimate_regs(regs: DataFrame, group_cols: list[str],
+                            *, p: int = _DEFAULT_P) -> DataFrame:
+    """Per-group ``(*group_cols, zeros, s_int, est)`` from a register
+    frame — the `hll_estimate` algebra applied groupwise."""
+    _check_p(p)
+    m = 1 << p
+    maxrank = (_HASH_BITS - p) + 1
+    agg = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("__present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrank} - rho)"))
         .cast("long").alias("__s_present"))
@@ -164,9 +189,20 @@ def hll_group_estimate(df: DataFrame, group_col: str, key_col: str, *,
                                   / zeros.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin) \
            .otherwise(raw)
-    return agg.select("grp", zeros.cast("long").alias("zeros"),
+    return agg.select(*group_cols, zeros.cast("long").alias("zeros"),
                       s_int.alias("s_int"),
                       F.round(est, 6).alias("est"))
+
+
+def hll_group_estimate(df: DataFrame, group_col: str, key_col: str, *,
+                       p: int = _DEFAULT_P,
+                       salt: str = "hll:") -> DataFrame:
+    """Single-group-column convenience: ``(grp, zeros, s_int, est)``
+    — build + estimate in one call under the ``grp`` output name."""
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(key_col).alias("__k"))
+    regs = hll_group_build(base, ["grp"], "__k", p=p, salt=salt)
+    return hll_group_estimate_regs(regs, ["grp"], p=p)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,8 @@ HEADLINE = [
     "pagerank_supplier_part",
     "term_cooccurrence_pmi",
     "kmv_set_overlap",
+    "funnel_latency_report",
+    "retention_hll_matrix",
 ]
 
 

@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agnostic_blockchain_etl_spark.operators.funnel import (  # noqa: E402
-    cohort_retention, event_transitions, funnel_report,
-    funnel_user_levels)
+    cohort_retention, event_transitions, funnel_latency,
+    funnel_report, funnel_user_levels, retention_hll_cells)
 from agnostic_blockchain_etl_spark.operators.cooc import (  # noqa: E402
     term_cooccurrence)
 from agnostic_blockchain_etl_spark.operators.hll import (  # noqa: E402
@@ -103,6 +103,33 @@ class TestFunnelLevels:
             funnel_user_levels(ev, STEPS, window_micros=0)
 
 
+class TestFunnelLatency:
+    def test_gap_stats_per_transition(self, spark):
+        ev = _events(spark, [
+            (1, 0, "view"), (1, 10, "click"), (1, 30, "purchase"),
+            (2, 0, "view"), (2, 40, "click"),
+            (3, 0, "view"),
+        ])
+        out = {r["level"]: r for r in
+               funnel_latency(ev, STEPS, window_micros=100).collect()}
+        # click gaps: 10 and 40 -> mean 25, min 10, max 40
+        assert out[2]["n_users"] == 2
+        assert (out[2]["mean_us"], out[2]["min_us"],
+                out[2]["max_us"]) == (25, 10, 40)
+        # purchase gap: 30 - 10 = 20 for the one converting user
+        assert out[3]["n_users"] == 1 and out[3]["mean_us"] == 20
+
+    def test_half_up_mean(self, spark):
+        # gaps 1 and 2 -> mean 1.5 rounds half-up to 2
+        ev = _events(spark, [
+            (1, 0, "view"), (1, 1, "click"),
+            (2, 0, "view"), (2, 2, "click"),
+        ])
+        out = {r["level"]: r for r in
+               funnel_latency(ev, STEPS, window_micros=100).collect()}
+        assert out[2]["mean_us"] == 2
+
+
 _DAY = 86_400_000_000
 
 
@@ -142,6 +169,32 @@ class TestRetention:
         act = _events(spark, [(1, 0, "purchase")])
         with pytest.raises(ValueError, match="week_days"):
             cohort_retention(act, week_days=0)
+
+    def test_hll_cells_merge_equals_one_shot_and_track_exact(
+            self, spark):
+        from agnostic_blockchain_etl_spark.operators.hll import (
+            hll_group_estimate_regs, hll_group_merge)
+        rows = [(u, d * _DAY + u, "purchase")
+                for u in range(1, 9) for d in range(0, u)]
+        act = _events(spark, rows)
+        gc = ["cohort_week", "week_offset"]
+        # split activity rows arbitrarily; merged registers must be
+        # IDENTICAL to the one-shot build (the store property)
+        halves = [retention_hll_cells(
+            act.filter(F.col("ts") % 2 == i), act, week_days=1)
+            for i in (0, 1)]
+        merged = hll_group_merge(*halves, group_cols=gc)
+        oneshot = retention_hll_cells(act, act, week_days=1)
+        assert sorted(map(tuple, merged.collect())) \
+            == sorted(map(tuple, oneshot.collect()))
+        # under-full estimates hug the exact matrix
+        est = {(r["cohort_week"], r["week_offset"]): r["est"]
+               for r in hll_group_estimate_regs(merged, gc).collect()}
+        exact = {(r["cohort_week"], r["week_offset"]): r["n_active"]
+                 for r in cohort_retention(act, week_days=1).collect()}
+        assert set(est) == set(exact)
+        for cell, n in exact.items():
+            assert abs(est[cell] - n) < 0.2 + 0.05 * n
 
 
 class TestTransitions:
