@@ -65,7 +65,34 @@ def main() -> None:
                                          COMPRESSION zstd)
     """)
 
-    for t in ("documents", "embeddings"):
+    # events: replicas offset the user (10x users, per-user volume and
+    # time span preserved — the growth shape funnel/retention/transition
+    # costs follow) and the event id (uniqueness)
+    con.sql(f"""
+        COPY (
+            SELECT e.* REPLACE (
+                       e.event_id + r.r * 10000000 AS event_id,
+                       e.user_id + r.r * 100000 AS user_id)
+            FROM '{SRC}/events.parquet' e
+            CROSS JOIN (SELECT unnest(generate_series(0, {replicas - 1})) AS r) r
+        ) TO '{out}/events.parquet' (FORMAT parquet, COMPRESSION zstd)
+    """)
+
+    # lineitem: replicas offset order/part/supplier keys — 10x orders,
+    # parts, AND suppliers (nodes and edges of the supplier-part graph
+    # both grow 10x; per-key densities preserved)
+    con.sql(f"""
+        COPY (
+            SELECT l.* REPLACE (
+                       l.l_orderkey + r.r * 10000000 AS l_orderkey,
+                       l.l_partkey + r.r * 1000000 AS l_partkey,
+                       l.l_suppkey + r.r * 100000 AS l_suppkey)
+            FROM '{SRC}/lineitem.parquet' l
+            CROSS JOIN (SELECT unnest(generate_series(0, {replicas - 1})) AS r) r
+        ) TO '{out}/lineitem.parquet' (FORMAT parquet, COMPRESSION zstd)
+    """)
+
+    for t in ("documents", "embeddings", "events", "lineitem"):
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 
