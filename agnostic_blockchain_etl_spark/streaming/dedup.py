@@ -667,6 +667,70 @@ def kmv_cardinality_stream(docs, store_path: str, out_path: str,
             .option("checkpointLocation", checkpoint).start())
 
 
+def retention_hll_stream(activity, cohort_events, store_path: str,
+                         out_path: str, checkpoint: str, *,
+                         ts_col: str = "ts",
+                         user_col: str = "user_id",
+                         week_days: int = 7, p: int = 9,
+                         salt: str = "rhll:",
+                         compact_every: int | None = None,
+                         prune_after_compact: bool = False):
+    """Streaming RETENTION tracking with per-cell HLL registers as
+    the store — the product-analytics member of the foreachBatch
+    store family, and the end-to-end form of
+    `operators.funnel.retention_hll_cells`' mergeability argument:
+    exact per-cell ``countDistinct`` cannot be maintained
+    incrementally, register cells can. Each batch builds its activity
+    delta's register cells, merges them into history by per-register
+    max (bit-exactly the one-shot build over everything ingested so
+    far), and emits every cell's ``(zeros, s_int, est)`` AS OF this
+    batch under ``{out_path}/batch_id=N``; the batch's register
+    delta lands under ``{store_path}/batch_id=N`` (bounded:
+    ≤ cells × 2^p rows, typically far fewer). ``cohort_events`` is a
+    STATIC frame — cohort assignment is a property of a user's first
+    event, the map any incremental retention system keeps. Replays
+    are idempotent (hash-deterministic registers, overwrite-per-
+    batch-dir); ``compact_every`` / ``prune_after_compact`` follow
+    the family's snapshot rules (the post-merge frame IS the
+    snapshot)."""
+    if week_days <= 0:
+        raise ValueError(f"week_days must be positive, got {week_days}")
+    if not 4 <= p <= 20:
+        raise ValueError(f"p must be in [4, 20], got {p}")
+    from ..operators.funnel import retention_hll_cells
+    from ..operators.hll import (hll_group_estimate_regs,
+                                 hll_group_merge)
+    gc = ["cohort_week", "week_offset"]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = _read_store_snapshots_or(
+            spark, store_path, batch_id,
+            "cohort_week bigint, week_offset bigint, "
+            "bucket bigint, rho int")
+        delta = retention_hll_cells(batch_df, cohort_events,
+                                    ts_col=ts_col, user_col=user_col,
+                                    week_days=week_days, p=p,
+                                    salt=salt)
+        merged = hll_group_merge(hist, delta, group_cols=gc).persist()
+        try:
+            hll_group_estimate_regs(merged, gc, p=p) \
+                .write.mode("overwrite").parquet(
+                    f"{out_path}/batch_id={batch_id}")
+            delta.write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}")
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                merged.write.mode("overwrite").parquet(
+                    f"{store_path}_compact/upto={batch_id}")
+                if prune_after_compact:
+                    _prune_in_stream(spark, store_path, batch_id)
+        finally:
+            merged.unpersist()
+
+    return (activity.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint).start())
+
+
 # back-compat name from the round-8 semantic-store introduction; the
 # snapshot rule is store-agnostic
 _read_semantic_store = _read_store_snapshots_or

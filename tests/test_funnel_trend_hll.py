@@ -197,6 +197,81 @@ class TestRetention:
             assert abs(est[cell] - n) < 0.2 + 0.05 * n
 
 
+class TestRetentionHllStream:
+    """`streaming.dedup.retention_hll_stream`: the product-analytics
+    member of the foreachBatch store family — cumulative per-cell
+    estimates bit-equal to one-shot builds, restart continuation."""
+
+    def test_cumulative_equals_one_shot_and_restart(self, spark,
+                                                    tmp_path):
+        from agnostic_blockchain_etl_spark.operators.hll import (
+            hll_group_estimate_regs)
+        from agnostic_blockchain_etl_spark.operators.funnel import (
+            retention_hll_cells)
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            retention_hll_stream)
+        src, out, store, ckpt = (str(tmp_path / d)
+                                 for d in ("src", "out", "store",
+                                           "ckpt"))
+        schema = "user_id long, ts long, event_type string"
+        cohort = _events(spark, [(u, (u % 3) * _DAY + u, "signup")
+                                 for u in range(1, 9)])
+        batches = [
+            [(u, (u % 3 + d) * _DAY + 7, "purchase")
+             for u in range(1, 5) for d in range(2)],
+            [(u, (u % 3 + d) * _DAY + 9, "purchase")
+             for u in range(3, 9) for d in range(3)],
+            [(u, (u % 3) * _DAY + 11, "purchase")       # replays day 0
+             for u in range(1, 9)],
+        ]
+
+        def write(rows):
+            spark.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        def drain():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = retention_hll_stream(stream, cohort, store, out, ckpt,
+                                     week_days=1, p=9)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        write(batches[0]); write(batches[1])
+        drain()
+        write(batches[2])                     # restart continuation
+        drain()
+
+        gc = ["cohort_week", "week_offset"]
+        seen: list = []
+        for b, rows in enumerate(batches):
+            seen.extend(rows)
+            got = sorted(map(tuple, spark.read.parquet(
+                f"{out}/batch_id={b}").collect()))
+            oneshot = sorted(map(tuple, hll_group_estimate_regs(
+                retention_hll_cells(
+                    spark.createDataFrame(seen, schema), cohort,
+                    week_days=1, p=9), gc, p=9).collect()))
+            assert got == oneshot, f"batch {b}"
+
+    def test_validation_is_eager(self, spark, tmp_path):
+        from agnostic_blockchain_etl_spark.streaming.dedup import (
+            retention_hll_stream)
+        cohort = _events(spark, [(1, 0, "signup")])
+        src = tmp_path / "nosrc"
+        src.mkdir()
+        stream = (spark.readStream
+                  .schema("user_id long, ts long, event_type string")
+                  .parquet(str(src)))
+        with pytest.raises(ValueError, match="week_days"):
+            retention_hll_stream(stream, cohort, "s", "o", "c",
+                                 week_days=0)
+        with pytest.raises(ValueError, match="p must be"):
+            retention_hll_stream(stream, cohort, "s", "o", "c", p=2)
+
+
 class TestTransitions:
     def _ev(self, spark, rows):
         """rows: (user_id, ts, event_type, event_id)"""
