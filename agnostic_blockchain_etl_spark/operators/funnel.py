@@ -249,17 +249,24 @@ def event_transitions(events: DataFrame, *,
     states for entity history). The matrix itself is
     |types|² rows."""
     w = (Window.partitionBy("__u").orderBy("__t", "__i"))
+    # successor existence rides a companion lead(1): filtering on
+    # to_type IS NOT NULL would conflate "last event" with "next
+    # event's type is NULL" and drop the latter (self-review fix)
     pairs = (events.select(F.col(user_col).alias("__u"),
                            F.col(ts_col).alias("__t"),
                            F.col(id_col).alias("__i"),
                            F.col(type_col).alias("from_type"))
              .withColumn("to_type", F.lead("from_type").over(w))
-             .filter(F.col("to_type").isNotNull())
+             .withColumn("__has", F.lead(F.lit(1)).over(w))
+             .filter(F.col("__has").isNotNull())
              .groupBy("from_type", "to_type")
              .agg(F.count("*").cast("long").alias("n")))
-    totals = (pairs.groupBy("from_type")
+    totals = (pairs.groupBy(F.col("from_type").alias("__f"))
               .agg(F.sum("n").cast("long").alias("__tot")))
-    return (pairs.join(totals, "from_type")
+    # eqNullSafe: a NULL event type is a real state (the kmv/cms grp
+    # convention) — a plain equi-join would silently drop its row
+    return (pairs.join(totals,
+                       pairs["from_type"].eqNullSafe(totals["__f"]))
             .select("from_type", "to_type", "n",
                     _ratio6(F.col("n"), F.col("__tot")).alias("p")))
 
@@ -366,20 +373,21 @@ def cohort_retention_matrix(spark: SparkSession,
 def _sql_transitions() -> str:
     return f"""
     WITH seq AS (SELECT event_type AS from_type,
-                        lead(event_type) OVER (
-                            PARTITION BY user_id
-                            ORDER BY epoch_us(ts), event_id)
-                            AS to_type
-                 FROM events),
+                        lead(event_type) OVER w AS to_type,
+                        lead(1) OVER w AS has_next
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)),
     pairs AS (SELECT from_type, to_type,
                      CAST(count(*) AS BIGINT) AS n
-              FROM seq WHERE to_type IS NOT NULL
+              FROM seq WHERE has_next IS NOT NULL
               GROUP BY from_type, to_type),
     totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
                FROM pairs GROUP BY from_type)
     SELECT p.from_type, p.to_type, p.n,
            {_sql_ratio6('p.n', 't.tot')} AS p
-    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    FROM pairs p JOIN totals t
+      ON p.from_type IS NOT DISTINCT FROM t.from_type
     """
 
 

@@ -142,6 +142,10 @@ def hll_group_build(df: DataFrame, group_cols: list[str],
     day-N incremental store of these cells is exactly the one-shot
     build (the mergeability exact countDistinct lacks)."""
     _check_p(p)
+    clash = {"bucket", "rem", "rho"} & set(group_cols)
+    if clash:
+        raise ValueError(f"group_cols may not use the reserved "
+                         f"register-column names {sorted(clash)}")
     rem_bits = _HASH_BITS - p
     maxrank = rem_bits + 1
     h = keyed_h60(salt, _hll_key(key_col))

@@ -303,6 +303,18 @@ class TestTransitions:
         assert [(r["from_type"], r["to_type"]) for r in out] \
             == [("y", "x")]
 
+    def test_null_event_type_is_a_real_state(self, spark):
+        # flag-don't-drop: a NULL type participates as from AND to;
+        # the totals join must not silently drop its row (self-review
+        # fix — a plain equi-join did)
+        ev = self._ev(spark, [(1, 0, None, 0), (1, 1, "a", 1),
+                              (1, 2, None, 2)])
+        out = {(r["from_type"], r["to_type"]): r
+               for r in event_transitions(ev).collect()}
+        assert out[(None, "a")]["n"] == 1
+        assert out[(None, "a")]["p"] == 1.0
+        assert out[("a", None)]["n"] == 1
+
 
 class TestTrend:
     def _bucketed(self, spark, counts, grp="a", width=10):
