@@ -40,12 +40,12 @@ def _all_modules():
                                                          numhist, observe,
                                                          ordering, pq,
                                                          retrieval, scd2,
-                                                         trend,
+                                                         survival, trend,
                                                          winnow, zipf)
     return [llm_data, misc, joins_scale, corpus, analytics, extended,
             relational, clean, ordering, cms, retrieval, winnow, zipf,
             observe, embstats, pq, batching, kmv, scd2, kmeans, numhist,
-            anomaly, funnel, trend, hll, graph, cooc]
+            anomaly, funnel, trend, hll, graph, cooc, survival]
 
 
 # Registered queries that sit PAST the driver's 50-slot correctness
@@ -205,6 +205,9 @@ def _all_modules():
 #                       HLL registers over active users, two-half
 #                       merge vs the one-shot oracle, estimates next
 #                       to exact counts
+#   km_survival_curve   r11 addition: Kaplan–Meier time-to-conversion
+#                       with right-censoring — exact risk sets,
+#                       integer-scaled log-space survival product
 #   pivot_unpivot_roundtrip / time_bucket_rollup / rollup_cube_agg /
 #   topk_order_limit    r11 rotation OUT (r10 verdict ask #1): four
 #                       long-stable consolidated rows whose facets
@@ -243,7 +246,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "hll_distinct_estimate", "hll_group_distinct",
                 "pagerank_supplier_part", "term_cooccurrence_pmi",
                 "kmv_set_overlap", "funnel_latency_report",
-                "retention_hll_matrix",
+                "retention_hll_matrix", "km_survival_curve",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
                 "rollup_cube_agg", "topk_order_limit"]
 

@@ -125,6 +125,7 @@ HEADLINE = [
     "kmv_set_overlap",
     "funnel_latency_report",
     "retention_hll_matrix",
+    "km_survival_curve",
 ]
 
 
