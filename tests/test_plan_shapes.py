@@ -282,7 +282,7 @@ def test_event_and_sketch_family_no_quadratic_plans(spark):
                  "event_transition_matrix", "event_trend_report",
                  "term_cooccurrence_pmi", "pagerank_supplier_part",
                  "hll_distinct_estimate", "hll_group_distinct",
-                 "kmv_set_overlap"):
+                 "kmv_set_overlap", "km_survival_curve"):
         plan = _plan_of(entry.queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, (name, plan)
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):

@@ -102,6 +102,8 @@ CASES = [
     ("hll_distinct_estimate", "lineitem", 2, None),
     ("hll_group_distinct", "lineitem", 2, None),
     ("kmv_set_overlap", "lineitem", 2, "l_returnflag"),
+    # KM survival reads user/ts/type; every scan carries a type filter
+    ("km_survival_curve", "events", 3, "event_type"),
 ]
 
 
