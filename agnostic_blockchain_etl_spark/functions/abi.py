@@ -32,6 +32,7 @@ Signature grammar accepted (superset of what the examples use):
 
 from __future__ import annotations
 
+import functools
 import json
 import re
 from dataclasses import dataclass, field
@@ -256,6 +257,22 @@ def parse_signature(sig: str) -> Signature:
     return Signature(kind, name, inputs, outputs)
 
 
+@functools.lru_cache(maxsize=4096)
+def _sig_topic0_cached(sig_s: str) -> "tuple[Signature, bytes]":
+    """Per-process memo of (parsed signature, topic0) for the per-ROW
+    decode paths: `evm_decode_event` used to re-parse every candidate
+    signature and re-keccak its canonical form for EVERY log row — the
+    guide-§4.5 init-once class of cost (a pandas-UDF batch of 10k rows
+    paid 10k parses + 10k pure-Python keccaks per candidate). The
+    candidate set of any real workload is a handful of ABI strings, so
+    the cache is effectively a per-worker constant table. Decode paths
+    only READ the Signature, so sharing one instance is safe; the
+    public `parse_signature` contract (a fresh, caller-mutable object)
+    is unchanged."""
+    s = parse_signature(sig_s)
+    return s, s.topic0()
+
+
 # ---------------------------------------------------------------------------
 # Decoding
 # ---------------------------------------------------------------------------
@@ -470,10 +487,10 @@ def evm_decode_event(topics, data, fullsigs) -> str:
         errors = []
         for sig_s in (fullsigs or []):
             try:
-                sig = parse_signature(sig_s)
+                sig, t0 = _sig_topic0_cached(sig_s)
                 if sig.kind != "event":
                     continue
-                if sig.topic0() != tps[0]:
+                if t0 != tps[0]:
                     errors.append(f"{sig.canonical()}: topic0 mismatch")
                     continue
                 indexed = [p for p in sig.inputs if p.indexed]
@@ -522,11 +539,13 @@ def evm_decode_call(input_data, output_data, fullsigs) -> str:
         errors = []
         for sig_s in (fullsigs or []):
             try:
-                sig = parse_signature(sig_s)
+                sig, t0 = _sig_topic0_cached(sig_s)
                 if sig.kind != "function":
                     # bare signatures default to 'event'; accept them as calls
                     sig = Signature("function", sig.name, sig.inputs, sig.outputs)
-                if sig.selector() != inp[:4]:
+                # selector = keccak(canonical)[:4]; canonical() ignores
+                # kind, so the cached topic0 prefix IS the selector
+                if t0[:4] != inp[:4]:
                     errors.append(f"{sig.canonical()}: selector mismatch")
                     continue
                 in_vals = abi_decode([p.type for p in sig.inputs], inp[4:])

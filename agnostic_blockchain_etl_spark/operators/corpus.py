@@ -924,8 +924,15 @@ def compose_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"].select(
         "doc_id", "lang", "text",
         (F.col("doc_id") % 4 != 0).cast("int").alias("keep"))
+    # report_realized=False: the gate only reads the PLAN's rate
+    # column — the realized aggregation would recompute the whole
+    # composed-output DAG just for join-row membership (r11 opt
+    # round). The plan covers every stratum with keep=1 survivors;
+    # the oracle's inner join against its own plan CTE has exactly
+    # that membership, so the emitted rows are unchanged.
     out, report = compose_corpus_mix(d, target=_MIX_TARGET,
-                                     token_budgets=_BUDGETS)
+                                     token_budgets=_BUDGETS,
+                                     report_realized=False)
     return (out.join(F.broadcast(report.select(
                 F.col("stratum").alias("lang"), "rate")), "lang")
             .select("doc_id", "lang", "rate", "keep", "mix_keep",
@@ -1009,8 +1016,13 @@ def compose_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"].select(
         "doc_id", "lang", "text",
         (F.col("doc_id") % 4 != 0).cast("int").alias("keep"))
+    # report_realized=False — same reasoning as compose_mix_budget:
+    # the gate joins only the plan's rate; skipping the realized
+    # aggregation avoids recomputing the epoch-exploded output +
+    # tokenize a second time (r11 opt round).
     out, report = compose_corpus_mix(d, target=_EPOCH_MIX_TARGET,
-                                     allow_epochs=True)
+                                     allow_epochs=True,
+                                     report_realized=False)
     return (out.join(F.broadcast(report.select(
                 F.col("stratum").alias("lang"), "rate")), "lang")
             .select("doc_id", "lang", "rate", "keep", "mix_keep",

@@ -141,10 +141,18 @@ def evm_kernel_roundtrip(spark, sf_dir):
     # every kernel invocation to ONE Arrow worker (measured 16 s at
     # sf0.1; ~1 s spread across the session's workers)
     spread(t["documents"]).createOrReplaceTempView("documents")
-    return spark.sql("""
+    # topic0 is a CONSTANT — keccak of the signature literal. Python
+    # UDFs are never constant-folded, so leaving it as keccak256('…')
+    # paid one pure-Python keccak PER ROW (r11 opt round: 1 of the 4
+    # per-row keccaks in this query, plan-visible as a 4th column in
+    # the first ArrowEvalPython). Computed once here with the SAME
+    # kernel function and inlined as a binary literal — byte-identical.
+    from ..functions.keccak import keccak256 as _k
+    sig_hex = _k("Transfer(address,address,uint256)").hex()
+    return spark.sql(f"""
         WITH built AS (
             SELECT doc_id, source,
-                   array(keccak256('Transfer(address,address,uint256)'),
+                   array(X'{sig_hex}',
                          concat(cast(repeat(x'00', 12) as binary),
                                 substring(keccak256(concat('a', doc_id)), 1, 20)),
                          concat(cast(repeat(x'00', 12) as binary),

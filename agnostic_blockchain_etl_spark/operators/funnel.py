@@ -420,17 +420,29 @@ def funnel_latency(events: DataFrame,
                             window_micros=window_micros,
                             ts_col=ts_col, user_col=user_col,
                             type_col=type_col)
-    outs = []
-    for k, step in enumerate(steps[1:], start=2):
+    # ONE conditional aggregation over the lv frame, stacked to rows —
+    # the previous shape ran one filtered aggregate per transition and
+    # unioned them, which recomputed the whole funnel-chain DAG
+    # len(steps)−1 times (plan-visible: 22 Exchanges / 20 scans for the
+    # 3-step gate). dt is NULL exactly where t_k is NULL (the chain
+    # guarantees t_{k−1} ≤ t_k when t_k exists), so null-skipping
+    # count/sum/min/max over dt equal the filtered aggregates long for
+    # long (r11 opt round, guide §2.4 remove-shuffles).
+    aggs = []
+    for k in range(2, len(steps) + 1):
         dt = F.col(f"t{k}") - F.col(f"t{k - 1}")
-        outs.append(lv.filter(F.col(f"t{k}").isNotNull()).agg(
-            F.lit(k).alias("level"), F.lit(step).alias("step"),
-            F.count("*").cast("long").alias("n_users"),
-            F.sum(dt).cast("long").alias("__sum"),
-            F.min(dt).cast("long").alias("min_us"),
-            F.max(dt).cast("long").alias("max_us")))
-    from functools import reduce
-    stacked = reduce(DataFrame.unionByName, outs)
+        aggs += [F.count(dt).cast("long").alias(f"__n{k}"),
+                 F.sum(dt).cast("long").alias(f"__s{k}"),
+                 F.min(dt).cast("long").alias(f"__min{k}"),
+                 F.max(dt).cast("long").alias(f"__max{k}")]
+    one = lv.agg(*aggs)
+    cells = []
+    for k, step in enumerate(steps[1:], start=2):
+        cells += [str(k), f"'{step}'", f"__n{k}", f"__s{k}",
+                  f"__min{k}", f"__max{k}"]
+    stacked = one.selectExpr(
+        f"stack({len(steps) - 1}, {', '.join(cells)}) "
+        "as (level, step, n_users, __sum, min_us, max_us)")
     mean = F.when(F.col("n_users") > 0,
                   F.call_function("div",
                                   2 * F.col("__sum") + F.col("n_users"),

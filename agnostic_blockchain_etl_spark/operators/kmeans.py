@@ -199,7 +199,15 @@ def kmeans_train_diagnostics(spark: SparkSession,
         .select("vec_id", F.col("embedding").cast("array<double>")
                 .alias("e"))
     cb = kmeans_train(emb, _K, _ITERS)
-    final = l2_assign(emb, cb)
+    # the final assignment feeds BOTH the `assign` and `size` facets —
+    # uncached, the union's two branches each ran the Arrow kernel
+    # pass over every vector (two ArrowEvalPython evaluations of the
+    # same distance tensor). Scoped-cache the NARROW (vec_id, cid,
+    # dist) result — vectors stay out of the cache (r11 opt round,
+    # guide §4: pay the Python boundary once).
+    from .dedup import _scoped_cache
+    final = _scoped_cache(l2_assign(emb, cb)
+                          .select("vec_id", "cid", "dist"))
 
     nulls = {"vec_id": "long", "cid": "int", "dim": "int",
              "val": "double", "dist": "double", "n": "long",

@@ -278,7 +278,8 @@ def compose_corpus_mix(annotated: DataFrame,
                        on_unsatisfiable: str = "raise",
                        persist: bool = False,
                        tokens_col: str | None = None,
-                       allow_epochs: bool = False
+                       allow_epochs: bool = False,
+                       report_realized: bool = True
                        ) -> tuple[DataFrame, DataFrame]:
     """The COMPOSITION phase after curation: given `curate_corpus`'s
     annotated frame (or any frame with ``doc_id``/``text``/strata and a
@@ -413,6 +414,16 @@ def compose_corpus_mix(annotated: DataFrame,
         # `out` to parquet and read it back instead (the capstone flow
         # in test_full_corpus_flow.py).
         out = out.persist()
+    if not report_realized and plan is not None:
+        # plan-only report (r11 opt round): the realized columns
+        # aggregate the SAME lineage as `out`, so a consumer that only
+        # reads the PLAN columns (stratum/share/rate — e.g. a rate
+        # join) would pay a full recompute of the composed output
+        # (epoch explode + tokenize) purely for the full-outer join's
+        # row membership, which Catalyst cannot prune away. The plan
+        # frame is a bounded literal with no corpus lineage; rates are
+        # identical — only n_final/final_tokens are absent.
+        return out, plan
     realized = (out.groupBy(F.col(strat_col).alias("stratum"))
                 .agg(F.sum("final_keep").alias("n_final"),
                      F.sum(F.when(F.col("final_keep") == 1,

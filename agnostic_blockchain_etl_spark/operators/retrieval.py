@@ -1060,6 +1060,14 @@ def negatives_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     pos = spark.createDataFrame(_GATE_POSITIVES,
                                 "query_id int, doc_id long")
+    # TRIED AND REVERTED (r11 opt round): scoped-caching the two
+    # bounded miner outputs (hard |Q|×k, uniform |Q|×n_pool) to save
+    # their 2-3 downstream references. Measured 1.84 → 2.22 s at
+    # sf0.1 — the static plan shows 34 Exchanges / 11 scans, but
+    # runtime exchange reuse already serves the repeated BM25/pool
+    # subtrees from shuffle files, so the caches only added columnar
+    # encode + broke reuse (the same verdict as pagerank's cache
+    # experiment, graph.py).
     hard = bm25_hard_negatives(docs, _GATE_QUERIES, pos)
     uni_full = uniform_negatives(docs, sorted(_GATE_QUERIES), pos,
                                  k=_NEG_POOL)

@@ -996,11 +996,20 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
     # low-bit bucket
     sign = F.when(F.shiftright(h, 59) % 2 == 0, F.lit(1.0)) \
             .otherwise(F.lit(-1.0))
+    # bucket/sign ride the VOCABULARY-sized dfreq frame, not the
+    # corpus-sized tf frame: h is a pure function of the word, so
+    # computing the md5 on the join's build side drops the per-row
+    # hash count from |corpus (doc, word) pairs| to |vocabulary| —
+    # exactly the oracle's own shape (its `hashed` CTE is DISTINCT
+    # word). Values are bit-identical (r11 opt round, guide §1.2
+    # per-task work).
+    dfreq = dfreq.select("word", "df", bucket.alias("__b"),
+                         sign.alias("__sign"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
     feat = (tf.join(dfreq, "word")
             .crossJoin(F.broadcast(n))
-            .select("doc_id", bucket.alias("b"),
-                    (sign * F.col("tf") * idf).alias("w")))
+            .select("doc_id", F.col("__b").alias("b"),
+                    (F.col("__sign") * F.col("tf") * idf).alias("w")))
     byb = feat.groupBy("doc_id", "b").agg(F.sum("w").alias("w"))
     dense = (byb.groupBy("doc_id")
              .agg(F.map_from_entries(
