@@ -53,10 +53,14 @@ def term_cooccurrence(docs: DataFrame, *, v: int = _GATE_V,
     if v < 2:
         raise ValueError(f"v must be >= 2 (pairs need it), got {v}")
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # per-doc array_distinct replaces the corpus-wide .distinct():
+    # doc_id is unique in the corpus convention, so deduping within the
+    # token array IS the (doc_id, term) distinct — zero shuffle instead
+    # of a full-corpus exchange, and dfreq's groupBy collapses map-side
+    # (r11; the old distinct was the query's only corpus-sized shuffle)
     inc_all = (spread(docs)
                .select(F.col(id_col).alias("doc_id"),
-                       F.explode(words).alias("term"))
-               .distinct())
+                       F.explode(F.array_distinct(words)).alias("term")))
     dfreq = inc_all.groupBy("term").agg(F.count("*").alias("n_doc"))
     vocab = (dfreq.orderBy(F.col("n_doc").desc(), "term").limit(v)
              .select("term", "n_doc"))

@@ -1221,8 +1221,17 @@ def incremental_neardup_pairs_gate(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     is_new = F.col("doc_id") % _INCR_NEW_MOD == 0
-    store = signature_store(docs.where(~is_new))
-    return incremental_neardup_pairs(docs.where(is_new), store)
+    # ONE shingle+minhash pass over the corpus, split by flag afterward
+    # (doc_shingles/minhash_wide are per-doc, so the filter commutes
+    # exactly) and scoped-cached at the bounded one-row-per-doc
+    # (doc_id, m0..m15) grain: the store side is referenced by the band
+    # join + the estimate join, the batch side by both candidate joins
+    # and both estimate joins — 16 parquet scans + re-shingles in the
+    # static plan before (r11), 1 after
+    sigs = _scoped_cache(signature_store(docs).withColumn("is_new", is_new))
+    store = sigs.where(~F.col("is_new")).drop("is_new")
+    new_sigs = sigs.where(F.col("is_new")).drop("is_new")
+    return incremental_neardup_pairs(None, store, new_sigs=new_sigs)
 
 
 @query("corpus_diff_status", oracle="""
