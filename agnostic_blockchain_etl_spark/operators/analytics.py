@@ -76,12 +76,21 @@ def stats_distinct_agg(spark, sf_dir):
                      .alias("qty_disc_covar"),
                     F.round(F.stddev_samp("l_extendedprice"), 4)
                      .alias("price_stddev"),
-                    *[F.round(F.expr(f"percentile({cents}, {q}) / 100.0"), 2)
-                       .alias(f"price_p{int(q * 100)}")
-                      for q in (0.5, 0.9, 0.99)],
+                    # ONE percentile buffer for all three quantiles: three
+                    # separate percentile() aggregates each collect the
+                    # full per-group value multiset (3× buffer inserts +
+                    # memory); the array form shares one buffer and
+                    # interpolates identically (r11)
+                    F.expr(f"percentile({cents}, "
+                           f"array(0.5D, 0.9D, 0.99D))").alias("__pcts"),
                     F.array_join(F.array_sort(F.collect_set(
                         F.date_format("l_shipdate", "yyyy"))), ",")
-                     .alias("ship_years")))
+                     .alias("ship_years"))
+               .select("*",
+                       *[F.round(F.element_at("__pcts", i + 1) / 100.0, 2)
+                          .alias(f"price_p{int(q * 100)}")
+                         for i, q in enumerate((0.5, 0.9, 0.99))])
+               .drop("__pcts"))
     distincts = (li.groupBy("l_returnflag")
                  .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
                       F.countDistinct("l_suppkey").alias("distinct_supps")))

@@ -44,11 +44,15 @@ _DEFAULT_BUCKETS = 8192
 
 
 def _hashed_features(docs: DataFrame, buckets: int,
-                     text_col: str = "text") -> DataFrame:
-    """(doc_id, b) — one row per token FEATURE (unigrams + adjacent
-    bigrams, multiplicity kept: DSIR is a bag model), ``b`` the
-    portable 60-bit hash modulo ``buckets``."""
-    words = docs.select("doc_id",
+                     text_col: str = "text",
+                     keep_cols: tuple = ()) -> DataFrame:
+    """(doc_id, b[, *keep_cols]) — one row per token FEATURE (unigrams
+    + adjacent bigrams, multiplicity kept: DSIR is a bag model), ``b``
+    the portable 60-bit hash modulo ``buckets``. ``keep_cols`` rides
+    extra per-doc columns through (e.g. a target-membership flag, so
+    one featurization pass can serve both sides of an importance
+    ratio — see `dsir_log_weights_gate`)."""
+    words = docs.select("doc_id", *keep_cols,
                         _spark_words(F.col(text_col)).alias("ws"))
     n = F.size("ws")
     bigrams = F.when(n >= 2, F.zip_with(
@@ -56,23 +60,28 @@ def _hashed_features(docs: DataFrame, buckets: int,
         lambda a, b: F.concat_ws(" ", a, b))) \
         .otherwise(F.array().cast("array<string>"))
     return (words
-            .select("doc_id",
+            .select("doc_id", *keep_cols,
                     F.explode(F.concat(F.col("ws"), bigrams)).alias("g"))
-            .select("doc_id",
+            .select("doc_id", *keep_cols,
                     (_spark_hash60(F.col("g")) % buckets).alias("b")))
 
 
 def hashed_bucket_logprobs(docs: DataFrame,
                            buckets: int = _DEFAULT_BUCKETS,
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           feats: DataFrame | None = None) -> DataFrame:
     """DENSE (b, logp) over all ``buckets`` buckets with add-one
     smoothing: ``p(b) = (c_b + 1) / (T + B)`` — every bucket has
     positive probability and the distribution sums to exactly 1, so
     log-ratios are always finite. One count shuffle + a B-row densify
     join; the output is a bounded broadcastable artifact (persist it to
-    reuse a raw-corpus distribution across many target domains)."""
-    counts = (_hashed_features(docs, buckets, text_col)
-              .groupBy("b").agg(F.count("*").alias("c")))
+    reuse a raw-corpus distribution across many target domains).
+    ``feats``: pass a precomputed `_hashed_features` frame (same
+    ``buckets``!) to skip the tokenize+hash pass — the caller owns the
+    bucket-count consistency."""
+    if feats is None:
+        feats = _hashed_features(docs, buckets, text_col)
+    counts = feats.groupBy("b").agg(F.count("*").alias("c"))
     spark = docs.sparkSession
     dense = (spark.range(buckets).toDF("b")
              .join(counts, "b", "left")
@@ -86,7 +95,9 @@ def hashed_bucket_logprobs(docs: DataFrame,
 def dsir_log_weights(raw_docs: DataFrame, target_docs: DataFrame,
                      buckets: int = _DEFAULT_BUCKETS,
                      text_col: str = "text",
-                     per_token: bool = False) -> DataFrame:
+                     per_token: bool = False,
+                     raw_feats: DataFrame | None = None,
+                     target_feats: DataFrame | None = None) -> DataFrame:
     """One row per raw document: ``(doc_id, n_feats, log_weight)`` with
     ``log_weight = Σ_features [ log p_target(b) − log p_raw(b) ]``
     (rounded to 6; the paper's importance log-ratio). Documents with no
@@ -102,8 +113,15 @@ def dsir_log_weights(raw_docs: DataFrame, target_docs: DataFrame,
     # the per-doc scoring — cache the (doc_id, b) frame so the
     # tokenize+explode pass runs once (measured 3.07 s → one scan of
     # the two at sf0.1; the cache is feature rows, not text)
-    feats = _scoped_cache(_hashed_features(raw_docs, buckets, text_col))
-    pt = hashed_bucket_logprobs(target_docs, buckets, text_col) \
+    # ``raw_feats``/``target_feats``: precomputed (and ideally cached)
+    # `_hashed_features` frames at the SAME bucket count — when the
+    # target is a subset of the raw pool, one tagged featurization pass
+    # serves both sides (see the gate) instead of re-tokenizing the
+    # target subset.
+    feats = (_scoped_cache(_hashed_features(raw_docs, buckets, text_col))
+             if raw_feats is None else raw_feats)
+    pt = hashed_bucket_logprobs(target_docs, buckets, text_col,
+                                feats=target_feats) \
         .withColumnRenamed("logp", "lp_t")
     raw_counts = feats.groupBy("b").agg(F.count("*").alias("c"))
     spark = raw_docs.sparkSession
@@ -208,10 +226,20 @@ def dsir_log_weights_gate(spark, sf_dir):
     'looks like the en slice' is value-pinned against the exact DuckDB
     replay of the hashed-bigram bag model."""
     from pyspark.sql import functions as F
+    from .dedup import _scoped_cache
     from .tables import load_tables
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "text", "lang")
+    # ONE tokenize+hash pass tagged with lang serves BOTH the raw pool
+    # and the en target subset (the target re-tokenized its slice
+    # before — r11); the cache is feature rows, not text
+    feats_all = _scoped_cache(
+        _hashed_features(docs, _GATE_B, keep_cols=("lang",)))
     return dsir_log_weights(docs.select("doc_id", "text"),
                             docs.where(F.col("lang") == "en")
                                 .select("doc_id", "text"),
-                            buckets=_GATE_B)
+                            buckets=_GATE_B,
+                            raw_feats=feats_all.select("doc_id", "b"),
+                            target_feats=feats_all
+                            .where(F.col("lang") == "en")
+                            .select("doc_id", "b"))

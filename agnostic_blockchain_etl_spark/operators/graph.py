@@ -175,7 +175,19 @@ def pagerank_supplier_part(spark: SparkSession,
     pinned BIT-EXACTLY against DuckDB running the identical unrolled
     integer algebra. Registered PAST the driver's 50-slot window."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # run the iterations on LONG node keys (suppkey·2 / partkey·2+1 —
+    # injective, so the graph is isomorphic and every integer rank is
+    # bit-identical) and render the "s:"/"p:" names once at the end:
+    # every distinct/union/join/groupBy in the loop then shuffles
+    # 8-byte longs instead of ~10-char strings (r11; the oracle keeps
+    # the string form — the VALUES are what is pinned)
     edges = li.select(
-        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"))
-    return pagerank(edges, iters=_GATE_ITERS)
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"))
+    pr = pagerank(edges, iters=_GATE_ITERS)
+    node = F.when(F.col("node") % 2 == 0,
+                  F.concat(F.lit("s:"),
+                           F.shiftright(F.col("node"), 1))) \
+            .otherwise(F.concat(F.lit("p:"),
+                                F.shiftright(F.col("node"), 1)))
+    return pr.select(node.alias("node"), "rank_int", "rank")
