@@ -32,6 +32,15 @@ DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Prefer shuffled-hash over sort-merge when the planner's OWN size
+    # gates hold (build side estimated < threshold × shuffle partitions
+    # AND ≥3× smaller than the probe side — Spark only swaps the
+    # strategy inside those bounds, and falls back to SMJ otherwise):
+    # skips the per-partition sort entirely. Interleaved A/B over the
+    # 11 SMJ-carrying headline queries at sf0.1 read 22.4 s → 16.9 s
+    # (r11); at cluster scale the same size gates apply per partition —
+    # override via get_session(conf=...) for memory-tight executors.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # static conf; default 100 entries evicts mid-workload when a session
     # runs the whole queries() inventory (measured: a big shingle plan pays
     # ~4 s of Janino recompilation on every run once its entries fall out)
