@@ -72,3 +72,30 @@ class TestPagerank:
             pagerank(e, iters=0)
         with pytest.raises(ValueError, match="scale"):
             pagerank(e, scale=1000)
+
+
+def test_long_key_encoding_is_rank_isomorphic(spark):
+    """r11 optimization pin for the gate's long-key encoding: running
+    the iterations over an injective long relabeling (k·2 / k·2+1, the
+    supplier/part scheme) yields BIT-IDENTICAL rank_int values per
+    node as the string-keyed graph — ranks depend only on structure,
+    never on the key representation the shuffles carry."""
+    from pyspark.sql import functions as F
+
+    pairs = [("s:1", "p:10"), ("s:1", "p:11"), ("s:2", "p:10"),
+             ("s:3", "p:12"), ("s:2", "p:12"), ("s:1", "p:10")]
+    str_ranks = {r.node: r.rank_int
+                 for r in pagerank(_edges(spark, pairs),
+                                   iters=2).collect()}
+    longs = [(int(a.split(":")[1]) * 2, int(b.split(":")[1]) * 2 + 1)
+             for a, b in pairs]
+    ldf = spark.createDataFrame(longs, "src long, dst long")
+    out = pagerank(ldf, iters=2)
+    node = F.when(F.col("node") % 2 == 0,
+                  F.concat(F.lit("s:"), F.shiftright(F.col("node"), 1))) \
+            .otherwise(F.concat(F.lit("p:"),
+                                F.shiftright(F.col("node"), 1)))
+    long_ranks = {r.node: r.rank_int
+                  for r in out.select(node.alias("node"),
+                                      "rank_int").collect()}
+    assert str_ranks == long_ranks

@@ -82,6 +82,45 @@ def test_span_dedup_linear_plan(spark):
     assert "InMemoryTableScan" in plan  # cached gram scan is reused
 
 
+def test_span_dedup_digest_is_codegen_longs_no_remark_distinct(spark):
+    """r11 optimization pins: (a) the k-gram digest is the two-long
+    xxhash64 form computed AFTER the explode in whole-stage codegen —
+    an md5 in this plan means someone reverted to the 32-char string
+    key (2× the shuffle bytes) or moved hashing back inside the
+    interpreted transform() lambda (measured 2.4× slower); (b) the
+    marked-position frame flows join → window with NO re-distinct
+    (grams are unique per (doc_id, pos), dups unique per digest), so
+    the plan carries exactly two aggregate groupings (dup grouping +
+    span aggregate), not three."""
+    import re
+
+    from agnostic_blockchain_etl_spark.operators.spans import duplicate_spans
+    from agnostic_blockchain_etl_spark.operators.tables import load_tables
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    plan = _plan_of(duplicate_spans(docs, 5))
+    assert "xxhash64" in plan, plan
+    assert "md5" not in plan, plan
+    # tree line + details header name each node twice: 2 aggregations
+    # (HashAggregate pairs partial+final → ≤ 8 mentions), a third
+    # grouping (the old distinct) would push this past the bound
+    n_agg = len(re.findall(r"^\s*\(\d+\)\s+HashAggregate", plan, re.M))
+    assert n_agg <= 8, f"{n_agg} HashAggregates — distinct crept back?\n{plan}"
+
+
+def test_term_cooccurrence_has_no_corpus_distinct_shuffle(spark):
+    """r11 optimization pin: the (doc_id, term) incidence dedup happens
+    per-document via array_distinct BEFORE the explode (doc_id is
+    unique in the corpus convention), so the plan must show
+    array_distinct and must NOT contain a corpus-wide (doc_id, term)
+    hash-aggregate distinct feeding dfreq — that was the query's only
+    corpus-sized shuffle."""
+    import __spark_entry__ as entry
+    plan = _plan_of(entry.queries()["term_cooccurrence_pmi"](
+        spark, SF_DIR))
+    assert "array_distinct" in plan, plan
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan
+
+
 def test_pii_scrub_is_single_scan(spark):
     """pii_scrub is pure column work: one scan, no shuffle, no join."""
     from agnostic_blockchain_etl_spark.operators.pii import pii_scrub
