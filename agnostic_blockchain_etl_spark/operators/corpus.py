@@ -266,7 +266,11 @@ def vocab_tfidf_terms(spark, sf_dir):
     top-k is a TakeOrdered, not a global sort."""
     from .dedup import _scoped_cache
     t = load_tables(spark, sf_dir, ("documents",))
-    words = spread(t["documents"]).select(
+    # healing shuffle keyed by doc_id (r11): the tf aggregation below is
+    # clustered by it, so its (doc_id, word) exchange disappears — words
+    # of a document are co-partitioned either way, the exchange moved
+    # already-collapsed rows
+    words = spread(t["documents"], "doc_id").select(
         "doc_id", F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
     tf = _scoped_cache(

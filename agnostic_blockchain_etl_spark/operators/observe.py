@@ -210,11 +210,18 @@ def stratum_divergence_report(docs: DataFrame, *,
 
     Same algebra as `jsd_from_histograms`, windows partitioned by
     stratum; rounded to 6."""
+    from .dedup import _scoped_cache
+
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    h = (spread(docs)
-         .select(F.col(strat_col).alias("stratum"),
-                 F.explode(words).alias("term"))
-         .groupBy("stratum", "term").agg(F.count("*").alias("p_n")))
+    # scoped-cached: g, strata and the expansion join all consume this
+    # histogram — uncached, the tokenize+explode corpus scan ran three
+    # times (3 Scan→Generate subtrees in the r11 before-plan). The
+    # cache is the bounded |strata|×|vocab| report frame, never corpus.
+    h = _scoped_cache(
+        spread(docs)
+        .select(F.col(strat_col).alias("stratum"),
+                F.explode(words).alias("term"))
+        .groupBy("stratum", "term").agg(F.count("*").alias("p_n")))
     g = h.groupBy("term").agg(F.sum("p_n").alias("q_n"))
     strata = h.select("stratum").distinct()
     full = (strata.crossJoin(g)                  # |strata| × |vocab|

@@ -129,7 +129,7 @@ def events_us(events: DataFrame) -> DataFrame:
     return events.withColumn("ts", F.expr(expr))
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Heal a pathologically under-split scan before CPU-heavy per-row
     work (tokenize → shingle → hash pipelines).
 
@@ -144,6 +144,18 @@ def spread(df: DataFrame) -> DataFrame:
     emit many row groups per file and this is a NO-OP — the guard keeps
     the healing shuffle out of every properly-split plan.
 
+    ``cols``: optional hash-partitioning keys for the healing shuffle.
+    When the downstream pipeline's first shuffle boundary is keyed by a
+    column that is already unique-per-group at the INPUT grain (a
+    per-document window or a ``groupBy(doc_id, …)`` over exploded
+    grams), hashing the healing repartition by that key makes the
+    exchange do double duty: every row of a group lands together, so
+    Catalyst's EnsureRequirements drops the downstream exchange
+    entirely (HashPartitioning on a subset of the clustering keys
+    satisfies the distribution, and Project/Generate are alias-aware /
+    partitioning-preserving). The round-robin form stays the default —
+    keying is only a win when a consumer is actually clustered by it.
+
     Streaming frames pass through untouched: ``.rdd`` is illegal on an
     unstarted stream, and micro-batch parallelism is the source's
     concern (maxOffsetsPerTrigger etc.), not a static scan property."""
@@ -151,7 +163,7 @@ def spread(df: DataFrame) -> DataFrame:
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= cores:
-        return df.repartition(cores)
+        return df.repartition(cores, *cols) if cols else df.repartition(cores)
     return df
 
 

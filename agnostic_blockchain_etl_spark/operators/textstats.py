@@ -289,8 +289,15 @@ def doc_fingerprint_repetition(spark, sf_dir):
     # ONE cached tokenization feeds all three facet families (shingle
     # fingerprint, repetition branches, span stats): the slice-heavy
     # consumers would otherwise re-evaluate the split per slice reference
-    # through project-collapse (measured 2× on the span gram scan)
-    d = _scoped_cache(spread(docs).select(
+    # through project-collapse (measured 2× on the span gram scan).
+    # Healing shuffle keyed by doc_id: every consumer that shuffles is
+    # clustered by it (three groupBy(doc_id, g) gram branches, their
+    # per-doc rollups, the final facet joins), so the cached
+    # partitioning satisfies those distributions and the per-branch
+    # gram exchanges disappear (r11; grams are co-partitioned with
+    # their document under either partitioning, so partial aggregation
+    # already collapsed fully — the exchanges were pure transport).
+    d = _scoped_cache(spread(docs, "doc_id").select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")))
     shingles = _spark_shingles(F.col("words"))

@@ -56,7 +56,12 @@ def _selected(docs: DataFrame, k: int, w: int, text_col: str,
     """Pre-distinct window-min selections ``(doc_id, fp, fp_pos)`` —
     one row per k-gram position (each carrying its window's winner);
     both public forms distinct this ONCE on the columns they need."""
-    docs = spread(docs)  # tokenize+k-gram+hash must not run one-core
+    # tokenize+k-gram+hash must not run one-core; keyed by the doc id
+    # so the healing shuffle doubles as the selection window's exchange
+    # (the window is partitioned by doc_id — the per-GRAM exchange that
+    # ENSURE_REQUIREMENTS would otherwise add below it disappears, and
+    # grams are co-partitioned with their document either way)
+    docs = spread(docs, id_col)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     kgs = F.when(
         F.size(words) >= k,
@@ -109,10 +114,18 @@ def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
     if min_shared <= 0 or max_df <= 0:
         raise ValueError(f"min_shared/max_df must be positive, "
                          f"got {min_shared}/{max_df}")
+    from .dedup import _scoped_cache
+
     # distinct straight on (doc_id, fp) — going through the public
-    # 3-column form would shuffle the selection frame twice
-    fps = (_selected(docs, k, w, text_col, id_col, salt)
-           .select("doc_id", "fp").distinct())
+    # 3-column form would shuffle the selection frame twice. Scoped-
+    # cached: the guard and BOTH self-join sides consume this frame,
+    # and the three subtrees are NOT exchange-reusable (the join sides
+    # carry a pushed IsNotNull(doc_id) the guard branch lacks), so the
+    # uncached plan ran the md5-per-k-gram selection FOUR times
+    # (measured: 4 full Scan→Generate→Window subtrees in the r11
+    # before-plan). The cache is fingerprint-sized (2 longs/row).
+    fps = _scoped_cache(_selected(docs, k, w, text_col, id_col, salt)
+                        .select("doc_id", "fp").distinct())
     guard = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
              .where(F.col("_df") <= max_df).select("fp"))
     g = fps.join(guard, "fp")
@@ -206,8 +219,12 @@ def winnow_passages(docs: DataFrame, *, k: int = _K, w: int = _W,
     gap = w if max_gap is None else max_gap
     if gap <= 0:
         raise ValueError(f"max_gap must be positive, got {gap}")
-    fps = (_selected(docs, k, w, text_col, id_col, salt)
-           .select("doc_id", "fp", "fp_pos").distinct())
+    from .dedup import _scoped_cache
+
+    # scoped-cached for the same reason as winnow_pairs: guard + both
+    # join sides would otherwise each recompute the whole selection
+    fps = _scoped_cache(_selected(docs, k, w, text_col, id_col, salt)
+                        .select("doc_id", "fp", "fp_pos").distinct())
     # the guard counts DOCUMENT frequency — distinct (doc_id, fp) —
     # exactly like winnow_pairs, not position occurrences: a
     # fingerprint selected at several positions of the same document
@@ -282,8 +299,14 @@ def winnow_decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
     if min_fps <= 0 or max_df <= 0:
         raise ValueError(f"min_fps/max_df must be positive, "
                          f"got {min_fps}/{max_df}")
-    tfps = (_selected(train_docs, k, w, text_col, id_col, salt)
-            .select("doc_id", "fp").distinct())
+    from .dedup import _scoped_cache
+
+    # train-side selection scoped-cached: the df guard and the probe
+    # join would otherwise run the train-corpus k-gram hashing twice.
+    # The eval side has a single consumer — no cache.
+    tfps = _scoped_cache(_selected(train_docs, k, w, text_col, id_col,
+                                   salt)
+                         .select("doc_id", "fp").distinct())
     efps = (_selected(eval_docs, k, w, text_col, id_col, salt)
             .select(F.col("doc_id").alias(eval_id_col), "fp")
             .distinct())

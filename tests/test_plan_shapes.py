@@ -261,22 +261,37 @@ def test_source_cap_salted_form_is_two_bounded_windows(spark):
 
 
 def test_winnow_selection_scan_is_spread(spark):
-    """Pin the winnow spread() decision (r10 verdict advisory #3): the
-    k-gram construction is CPU-heavy per row, so the selection scan
-    must be healed off the single-row-group scan — the plan carries a
-    RoundRobinPartitioning exchange (spread's repartition) and the
-    selection frame runs on >= defaultParallelism partitions. A
-    refactor that silently drops the spread() re-inflicts the measured
-    4.6 s one-core scan at sf0.1."""
+    """Pin the winnow spread() decision (r10 verdict advisory #3) in
+    its r11 keyed form: the k-gram construction is CPU-heavy per row,
+    so the selection scan must be healed off the single-row-group scan
+    — and the healing repartition is HASHED BY doc_id so it doubles as
+    the selection window's exchange (no second, per-GRAM exchange
+    between the Generate and the Window). The selection subtree must
+    also appear ONCE: the fingerprint frame is scoped-cached, so the
+    guard and both self-join sides read the cache instead of
+    re-running the md5-per-k-gram selection (the r11 before-plan
+    carried FOUR full Scan→Generate→Window subtrees). A refactor that
+    drops the spread() re-inflicts the measured 4.6 s one-core scan;
+    one that drops the key or the cache re-inflicts the 4× selection."""
     import __spark_entry__ as entry
     df = entry.queries()["winnow_dup_pairs"](spark, SF_DIR)
     plan = _plan_of(df)
-    assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan   # keyed healing
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan         # selection cached
+    # exactly one selection subtree: formatted explain numbers each
+    # UNIQUE node once in the detail section, so one "(n) Generate"
+    # detail means the k-gram explode exists only inside the single
+    # cached relation, however many consumers print its tree
+    import re
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     from agnostic_blockchain_etl_spark.operators.tables import (load_tables,
                                                                 spread)
     docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
     cores = spark.sparkContext.defaultParallelism
     assert spread(docs).rdd.getNumPartitions() >= cores
+    assert spread(docs, "doc_id").rdd.getNumPartitions() >= cores
 
 
 def test_bm25_plan_has_no_healing_exchange(spark):
