@@ -52,6 +52,12 @@ def _hashed_features(docs: DataFrame, buckets: int,
     extra per-doc columns through (e.g. a target-membership flag, so
     one featurization pass can serve both sides of an importance
     ratio — see `dsir_log_weights_gate`)."""
+    from .tables import spread
+
+    # md5 per unigram AND bigram — the heaviest per-row class in the
+    # repo; a single-row-group scan would run it one-core (the measured
+    # winnow/zipf failure shape), so heal before tokenizing (r11)
+    docs = spread(docs)
     words = docs.select("doc_id", *keep_cols,
                         _spark_words(F.col(text_col)).alias("ws"))
     n = F.size("ws")

@@ -956,6 +956,12 @@ def hashed_tfidf_vectors(docs: DataFrame, dim: int = 256,
     whole-corpus dedup, wrong for incremental use."""
     from .dedup import _spark_hash60, _spark_words
 
+    # NO healing spread here — measured WORSE at sf0.1 (1.87 → 2.61 on
+    # the embed gate, within-session interleaved A/B, r11): the md5
+    # rides the vocabulary-sized build side (below), so the per-row
+    # scan work is just split+explode — the same too-light-to-heal
+    # class as BM25's scan (retrieval.py) — and the corpus-local path's
+    # doubled tf reference makes the healing exchange pay twice
     words = docs.select(
         F.col("doc_id"),
         F.explode(_spark_words(F.col(text_col))).alias("word")) \
