@@ -62,6 +62,14 @@ def term_cooccurrence(docs: DataFrame, *, v: int = _GATE_V,
                .select(F.col(id_col).alias("doc_id"),
                        F.explode(F.array_distinct(words)).alias("term")))
     dfreq = inc_all.groupBy("term").agg(F.count("*").alias("n_doc"))
+    # NOT cached, although the static plan re-plans the incidence scan
+    # under dfreq, both self-join sides and the ca/cb vocab lookups
+    # (6 Generate nodes): runtime exchange reuse dedupes them at
+    # dfreq's term exchange and the self-join's doc_id exchanges, and
+    # scoped caches on vocab+inc measured WORSE (1.28 → 1.42 s,
+    # within-session interleaved A/B, r11 — the materialization
+    # barrier and columnar encode beat the recompute they save; the
+    # ordering.py / pagerank lesson again).
     vocab = (dfreq.orderBy(F.col("n_doc").desc(), "term").limit(v)
              .select("term", "n_doc"))
     inc = inc_all.join(F.broadcast(vocab.select("term")), "term")
