@@ -52,12 +52,15 @@ def _hashed_features(docs: DataFrame, buckets: int,
     extra per-doc columns through (e.g. a target-membership flag, so
     one featurization pass can serve both sides of an importance
     ratio — see `dsir_log_weights_gate`)."""
-    from .tables import spread
-
-    # md5 per unigram AND bigram — the heaviest per-row class in the
-    # repo; a single-row-group scan would run it one-core (the measured
-    # winnow/zipf failure shape), so heal before tokenizing (r11)
-    docs = spread(docs)
+    # NO healing spread HERE: this is a shared primitive, and healing
+    # belongs to the caller's shape. One-shot scoring scans win from it
+    # (quality_classifier_score heals its input — 2.50 → 1.50 s at
+    # sf0.1), but the TRAINING loop measured 1.8× WORSE with a spread
+    # in this function (x_quality_train_score 6.6 → 11.8, interleaved
+    # A/B, r11): the design frame is persisted once and iterated 40×,
+    # so the healed lineage only adds partitions/tasks to every epoch's
+    # stages while the one-core scan cost is paid once. DSIR's gate
+    # caches one featurization pass and measured neutral either way.
     words = docs.select("doc_id", *keep_cols,
                         _spark_words(F.col(text_col)).alias("ws"))
     n = F.size("ws")

@@ -136,10 +136,19 @@ def quality_classifier_score(docs: DataFrame, model: DataFrame,
 
     One broadcast of the (B+1)-row model + one (doc_id)-keyed
     aggregation: the shape that runs over the full 100 TB corpus."""
+    from .tables import spread
+
     bias = model.where(F.col("b") == _BIAS_BUCKET) \
                 .select(F.col("w").alias("bias"))
     weights = model.where(F.col("b") != _BIAS_BUCKET)
-    feats = _hashed_features(docs, _model_buckets(model), text_col)
+    # heal the scan BEFORE featurizing: md5 per unigram+bigram is the
+    # heaviest per-row class in the repo and a single-row-group corpus
+    # scan runs it one-core (2.50 → 1.50 s at sf0.1, interleaved A/B,
+    # r11). The heal lives HERE and not in `_hashed_features` because
+    # the training loop measured 1.8× worse with it (see the note
+    # there) — scoring is the one-pass, corpus-sized consumer.
+    feats = _hashed_features(spread(docs), _model_buckets(model),
+                             text_col)
     per_doc = (feats.join(F.broadcast(weights), "b")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_feats"),
