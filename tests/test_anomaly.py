@@ -37,6 +37,7 @@ def _series(spark, counts_by_bucket, grp="a", bucket_us=10):
 
 
 class TestZscores:
+    @pytest.mark.heavy
     def test_spike_flagged_silence_flagged(self, spark):
         # 10 warm-up buckets alternating 4/6 (the baseline needs
         # variance — a constant window scores NULL by contract), then

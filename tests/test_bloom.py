@@ -182,6 +182,7 @@ class TestBloomDecontaminate:
         is_eval = F.col("doc_id") % 7 == 0
         return docs.where(~is_eval), docs.where(is_eval)
 
+    @pytest.mark.heavy
     def test_large_m_matches_exact(self, spark, split):
         from agnostic_blockchain_etl_spark.operators.bloom import \
             bloom_decontaminate
@@ -240,6 +241,7 @@ class TestBloomStream:
         finally:
             q.stop()
 
+    @pytest.mark.heavy
     def test_first_seen_across_batches_and_restart(self, spark,
                                                    tmp_path):
         src, out, store, ckpt = (str(tmp_path / d)
@@ -268,6 +270,7 @@ class TestBloomStream:
         store_rows = spark.read.parquet(store).count()
         assert store_rows <= 3 * 256               # ≤ m_words per delta
 
+    @pytest.mark.heavy
     def test_compacts_and_prunes_mid_stream(self, spark, tmp_path):
         import os
         src, out, store, ckpt = (str(tmp_path / d)

@@ -68,6 +68,7 @@ class TestDistributedParity:
         expected = train_bpe_merges(counts.items(), 30)
         assert got == expected
 
+    @pytest.mark.heavy
     def test_encode_stage_matches_kernel(self, spark):
         from agnostic_blockchain_etl_spark.operators.tables import \
             load_tables

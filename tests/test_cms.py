@@ -54,12 +54,14 @@ class TestCmsContract:
         assert j.where(F.col("est") < F.col("x")).count() == 0
         assert j.where(F.col("est") > F.col("x")).count() > 0
 
+    @pytest.mark.heavy
     def test_exact_at_generous_width(self, spark, docs):
         """Width far above the key cardinality: no collisions, the
         sketch IS the exact count on every key."""
         j = _est_vs_exact(docs, width=1 << 14, depth=4)
         assert j.where(F.col("est") != F.col("x")).count() == 0
 
+    @pytest.mark.heavy
     def test_weighted_counts(self, spark, docs):
         """weight_col: the sketch sums weights (here n_chars — 'how
         many CHARS has this source contributed'), same bound."""

@@ -12,6 +12,8 @@ Runs as a subprocess because one JVM holds one SparkSession."""
 from __future__ import annotations
 
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -33,6 +35,7 @@ SENSITIVE = [
 ]
 
 
+@pytest.mark.heavy
 def test_gate_passes_in_bare_hostile_tz_session():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "oracle_harness.py"),

@@ -142,6 +142,7 @@ def test_null_text_docs_stay_annotated(spark):
     assert rows[2].exact_keep == 1 and rows[4].exact_keep == 1
 
 
+@pytest.mark.heavy
 def test_bigram_lm_option(spark, corpus):
     docs, _ = corpus
     annotated, report = curate_corpus(docs, vocab_size=2000, lm="bigram")
@@ -173,6 +174,7 @@ def test_corpus_datacard(spark, curated):
     assert lang_docs == report.n_kept
 
 
+@pytest.mark.heavy
 def test_gopher_stage_opt_in(spark, corpus):
     """gopher=True adds the document-shape conjunction to the keep rule;
     the synthetic corpus's short docs fail the 50-word floor, so the
@@ -188,6 +190,7 @@ def test_gopher_stage_opt_in(spark, corpus):
         assert row.keep == expect
 
 
+@pytest.mark.heavy
 def test_paragraphs_stage_opt_in(spark):
     """paragraphs=True excises corpus-duplicated boilerplate paragraphs
     before any content-keyed stage: two docs identical except for the
@@ -234,6 +237,7 @@ def test_c4_stage_opt_in(spark):
     assert report.collect()[0].n_c4 == 2
 
 
+@pytest.mark.heavy
 def test_quality_model_stage_opt_in(spark):
     """quality_model=<trained frame> scores every doc and joins the
     Pareto keep into the conjunction; best_duplicate=True re-picks each
@@ -290,6 +294,7 @@ def test_quality_model_stage_opt_in(spark):
         curate_corpus(docs, best_duplicate=True)
 
 
+@pytest.mark.heavy
 def test_source_cap_stage_opt_in(spark):
     """source_cap=<n> joins the exact per-source frequency cap into the
     conjunction; sources under the cap keep everything."""
@@ -316,6 +321,7 @@ def test_source_cap_stage_opt_in(spark):
         curate_corpus(docs.drop("source"), source_cap=5)
 
 
+@pytest.mark.heavy
 def test_all_stages_compose(spark):
     """Every opt-in stage enabled at once: the keep flag is still the
     full conjunction and each verdict column is present — the seams
@@ -349,6 +355,7 @@ def test_all_stages_compose(spark):
                             * row.lm_keep)
 
 
+@pytest.mark.heavy
 def test_persist_flag_caches_the_annotated_frame(spark):
     """persist=True materializes the curation once: the returned frame
     is cached and report + annotated actions reuse it (values equal the

@@ -36,6 +36,7 @@ def _drain(spark, tip_path, sink, ckpt, max_batch=10, start=0):
         q.stop()
 
 
+@pytest.mark.heavy
 def test_tip_bound_and_batch_cap(spark, tmp_path):
     tip = str(tmp_path / "tip")
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")

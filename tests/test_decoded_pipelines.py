@@ -51,6 +51,7 @@ def _run(spark, example: str, vars: dict):
 
 
 class TestDecodedTraces:
+    @pytest.mark.heavy
     def test_call_decode(self, spark, tmp_path):
         traces_sink = f"traces_{uuid.uuid4().hex[:8]}"
         _run(spark, "traces_ingest", {

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.01"
 
 
+pytestmark = pytest.mark.heavy  # builder-side e2e/fuzz; driver gate covers families via the fast tests
+
 @pytest.fixture(scope="module")
 def spark():
     from agnostic_blockchain_etl_spark.session import get_session

@@ -202,6 +202,7 @@ class TestRetentionHllStream:
     member of the foreachBatch store family — cumulative per-cell
     estimates bit-equal to one-shot builds, restart continuation."""
 
+    @pytest.mark.heavy
     def test_cumulative_equals_one_shot_and_restart(self, spark,
                                                     tmp_path):
         from agnostic_blockchain_etl_spark.operators.hll import (

@@ -74,6 +74,7 @@ class TestPagerank:
             pagerank(e, scale=1000)
 
 
+@pytest.mark.heavy
 def test_long_key_encoding_is_rank_isomorphic(spark):
     """r11 optimization pin for the gate's long-key encoding: running
     the iterations over an injective long relabeling (k·2 / k·2+1, the

@@ -286,6 +286,7 @@ class TestDataFrameFunnel:
     stratified sample → chunking. Pins that the pieces agree on
     doc_id grain and that each stage only ever shrinks the corpus."""
 
+    @pytest.mark.heavy
     def test_funnel_composes_and_shrinks(self, spark):
         from agnostic_blockchain_etl_spark.operators import (
             chunk, duplicate_clusters, repetition_signals,

@@ -403,6 +403,7 @@ def test_compose_persist_materializes_once(spark):
         ann.unpersist()
 
 
+@pytest.mark.heavy
 def test_epoch_upsample_semantics(spark):
     """epoch_upsample: floor(r) guaranteed copies + one more with
     hash-prob frac(r); integer rates are exact (u > 0 strictly);
@@ -463,6 +464,7 @@ def test_epoch_upsample_semantics(spark):
         epoch_upsample(docs.select("doc_id", "lang"), bad_plan)
 
 
+@pytest.mark.heavy
 def test_tokens_col_threads_the_whole_composition(spark):
     """tokens_col: planning, capping, and the realized report all run
     on a precomputed (tokenizer) token column through one definition —

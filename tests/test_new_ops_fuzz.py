@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+pytestmark = pytest.mark.heavy  # builder-side e2e/fuzz; driver gate covers families via the fast tests
+
 @pytest.fixture(scope="module")
 def spark():
     from agnostic_blockchain_etl_spark.session import get_session

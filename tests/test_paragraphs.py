@@ -265,6 +265,7 @@ class TestIncremental:
                      merge_paragraph_stores(chained, s_batch)).collect()}
         assert third == got_once
 
+    @pytest.mark.heavy
     def test_incremental_tagged_replay_adds_nothing(self, spark):
         """incremental_dedup_paragraphs(batch_id=...) keeps the store a
         tagged log end-to-end: replaying the same batch with the same

@@ -58,6 +58,7 @@ def logs_sink(spark, tmp_path_factory):
 
 
 class TestTransactionsIngest:
+    @pytest.mark.heavy
     def test_zip_join_parity(self, spark, tmp_path):
         sink = f"txs_{uuid.uuid4().hex[:8]}"
         result = _run(spark, "transactions_ingest", {
@@ -91,6 +92,7 @@ class TestLogsIngest:
 
 
 class TestTracesIngest:
+    @pytest.mark.heavy
     def test_position_index_join(self, spark, tmp_path):
         sink = f"traces_{uuid.uuid4().hex[:8]}"
         _run(spark, "traces_ingest", {

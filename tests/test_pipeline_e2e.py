@@ -39,6 +39,7 @@ def _run(spark, example: str, vars: dict):
 
 
 class TestOrdersToDailyParquet:
+    @pytest.mark.heavy
     def test_export_resume_and_idempotent_replay(self, spark, tmp_path):
         sink = f"orders_daily_{uuid.uuid4().hex[:8]}"
         vars = {"SOURCE_PATH": f"{SF_DIR}/orders.parquet",

@@ -372,6 +372,7 @@ class TestBm25StatsStream:
         spark.createDataFrame(rows, "doc_id long, text string") \
             .coalesce(1).write.mode("append").parquet(src)
 
+    @pytest.mark.heavy
     def test_scores_match_one_shot_as_of_each_batch(self, spark,
                                                     tmp_path):
         src, out, store, ckpt = (str(tmp_path / d)
@@ -399,6 +400,7 @@ class TestBm25StatsStream:
                        f"{out}/batch_id={i}").collect()}
             assert got == want, f"batch {i}"   # bit-identical
 
+    @pytest.mark.heavy
     def test_restart_compaction_and_prune(self, spark, tmp_path):
         import os
         src, out, store, ckpt = (str(tmp_path / d)

@@ -13,6 +13,8 @@ found and fixed to cent-integer interpolation."""
 from __future__ import annotations
 
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -45,6 +47,7 @@ def _make_decimal_copy(out: str) -> None:
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
 
+@pytest.mark.heavy
 def test_full_gate_survives_decimal_money_columns(tmp_path):
     out = str(tmp_path / "sf_decimal")
     _make_decimal_copy(out)

@@ -399,6 +399,7 @@ def test_source_cap_stream_preserves_foreign_source_column(spark,
     assert used == {"x.com", "y.com"}
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_stream(spark, tmp_path):
     """Day-2 SEMANTIC dedup over micro-batches: a paraphrase (same
     vocabulary, shuffled order — invisible to exact and shingle dedup
@@ -462,6 +463,7 @@ def test_semantic_dedup_stream(spark, tmp_path):
     assert kept == {1, 2, 5}
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_stream_compacts_mid_stream(spark, tmp_path):
     """Round-8 lifecycle wiring: `compact_every` runs
     `compact_semantic_store` IN-stream under the snapshot rule — a
@@ -771,6 +773,7 @@ def test_prune_before_batch_bounds_authority(spark, tmp_path):
     assert _os.path.exists(f"{store}_compact/upto=3")   # never touched
 
 
+@pytest.mark.heavy
 def test_source_cap_prune_after_compact_bounds_deltas(spark, tmp_path):
     """Round-8 verdict ask #2, the 'done' criterion: a stream running
     ≥3 compact cycles with prune_after_compact=True keeps its raw-delta
@@ -824,6 +827,7 @@ def test_source_cap_prune_after_compact_bounds_deltas(spark, tmp_path):
     assert sorted(deltas_pr) == [f"batch_id={b}" for b in (4, 5, 6)]
 
 
+@pytest.mark.heavy
 def test_neardup_prune_after_compact_keeps_history(spark, tmp_path):
     """prune_after_compact on the near-dup stream: after two compact
     cycles with in-stream pruning, a near-duplicate of a batch-0
@@ -865,6 +869,7 @@ def test_neardup_prune_after_compact_keeps_history(spark, tmp_path):
     assert got[99].keep == 0 and got[99].dup_of_history == 1
 
 
+@pytest.mark.heavy
 def test_prune_crash_window_replay_is_exactly_once(spark, tmp_path):
     """THE crash window the in-stream prune design must survive: batch
     N compacted AND pruned, then the engine died before the checkpoint
