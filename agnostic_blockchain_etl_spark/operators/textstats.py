@@ -286,20 +286,29 @@ def doc_fingerprint_repetition(spark, sf_dir):
     from .dedup import _scoped_cache, _spark_shingles
     from .spans import span_dedup_stats
 
-    # ONE cached tokenization feeds all three facet families (shingle
-    # fingerprint, repetition branches, span stats): the slice-heavy
-    # consumers would otherwise re-evaluate the split per slice reference
-    # through project-collapse (measured 2× on the span gram scan).
-    # Healing shuffle keyed by doc_id: every consumer that shuffles is
-    # clustered by it (three groupBy(doc_id, g) gram branches, their
-    # per-doc rollups, the final facet joins), so the cached
-    # partitioning satisfies those distributions and the per-branch
-    # gram exchanges disappear (r11; grams are co-partitioned with
-    # their document under either partitioning, so partial aggregation
-    # already collapsed fully — the exchanges were pure transport).
+    # ONE cached tokenization feeds the shingle-fingerprint and
+    # span-stats facet families: the slice-heavy consumers would
+    # otherwise re-evaluate the split per slice reference through
+    # project-collapse (measured 2× on the span gram scan).
     d = _scoped_cache(spread(docs, "doc_id").select(
         "doc_id", "text",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")))
+    # The repetition branches read the cache through ONE visible keyed
+    # re-exchange (r12, verdict ask #4): AQE reports a cached
+    # relation's partitioning as unknown at the cache boundary
+    # (re-probed this round — flipping
+    # canChangeCachedPlanOutputPartitioning changes nothing), so each
+    # gram branch re-shuffled its collapsed (doc_id, g, c) gram rows
+    # PLUS a per-doc rollup — SIX pure-transport exchanges, three of
+    # them carrying corpus-token-count gram strings. Repartitioning the
+    # cached words by doc_id INSIDE the consumer plan makes the
+    # partitioning visible again: the three branches' identical
+    # cache-read→Exchange subtree is deduped by AQE's runtime stage
+    # reuse (one shuffle of the words arrays, two ReusedExchange), and
+    # every branch groupBy is clustered by doc_id, so zero further
+    # exchanges from the cache to the union (plan: 9 → 5 unique
+    # Exchanges; the corpus-sized gram transport is gone).
+    tok_u = d.select("doc_id", "words").repartition("doc_id")
     shingles = _spark_shingles(F.col("words"))
     fingerprints = d.select(
         "doc_id",
@@ -309,7 +318,7 @@ def doc_fingerprint_repetition(spark, sf_dir):
     spans = span_dedup_stats(docs, _SPAN_K, words_df=d).select(
         "doc_id", "n_dup_spans", "n_dup_words", "dup_word_frac")
     return (fingerprints
-            .join(repetition_signals(docs, words_df=d), "doc_id", "left")
+            .join(repetition_signals(docs, words_df=tok_u), "doc_id", "left")
             .join(spans, "doc_id", "left")
             .select("doc_id", "content_md5", "shingle_fingerprint",
                     "ttr", "top1_frac", "top2_frac", "top3_frac",
@@ -360,7 +369,17 @@ def repetition_signals(docs: DataFrame,
         lambda ab, c: F.concat_ws(" ", ab, c))).otherwise(empty)
 
     def branch(arr, size):
-        return (d.select("doc_id", F.explode(arr).alias("g"))
+        # explode_OUTER + an explicit g-not-null filter, NOT a plain
+        # explode: same rows (outer's null-g row for empty/null arrays
+        # is filtered right back out), but the plain form lets
+        # InferFiltersFromGenerate push a PER-BRANCH size/notnull
+        # filter below the shared healing exchange, and those differing
+        # filters break the three branches' subtree identity — AQE's
+        # runtime stage reuse then re-runs the scan+tokenize shuffle
+        # per branch instead of once (r12; verified via the final
+        # adaptive plan's ShuffleQueryStage ids).
+        return (d.select("doc_id", F.explode_outer(arr).alias("g"))
+                .where(F.col("g").isNotNull())
                 .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
                 .groupBy("doc_id").agg(F.max("c").alias("mx"),
                                        F.sum("c").alias("tot"),
