@@ -248,7 +248,13 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 "kmv_set_overlap", "funnel_latency_report",
                 "retention_hll_matrix", "km_survival_curve",
                 "pivot_unpivot_roundtrip", "time_bucket_rollup",
-                "rollup_cube_agg", "topk_order_limit"]
+                "rollup_cube_agg", "topk_order_limit",
+                # r12 additions land PAST the window so the driver's
+                # 50-slot correctness sample keeps its exact membership
+                # (a new name in the window would read as a "dropped"
+                # row for whichever query it displaced). Still benched
+                # and value-checked by the local oracle harness.
+                "bloom_decontamination_v2"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -308,3 +308,62 @@ class TestBloomPlanShape:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan, plan
         assert "Join" not in plan, plan
+
+
+class TestKirschMitzenmacher:
+    """scheme='km' (r12, v2 pair): two salted md5 hashes drive all k
+    probe positions. Same filter CONTRACT as v1 (no false negatives,
+    one-sided decontamination error); different filter CONTENTS, so v1
+    and v2 stay separate oracle pairs and must never mix per filter."""
+
+    def test_no_false_negatives(self, spark, docs):
+        filt = bloom_build(docs, m_words=_M, k=_K, scheme="km")
+        arr = bloom_filter_array(filt, _M)
+        out = bloom_probe(docs, arr, m_words=_M, k=_K, scheme="km")
+        assert out.where("bloom_hit = 0").count() == 0
+
+    def test_decontaminate_errs_one_sided(self, spark, docs):
+        """Saturated km filter: overlap only inflates, keep only flips
+        keep->drop — the safety direction is scheme-independent."""
+        from agnostic_blockchain_etl_spark.operators.bloom import \
+            bloom_decontaminate
+        from agnostic_blockchain_etl_spark.operators.dedup import \
+            decontaminate
+        is_eval = F.col("doc_id") % 7 == 0
+        train, ev = docs.where(~is_eval), docs.where(is_eval)
+        a = bloom_decontaminate(train, ev, m_words=32, k=3, scheme="km") \
+            .select("doc_id", F.col("n_overlap").alias("ob"),
+                    F.col("decontam_keep").alias("kb"))
+        b = decontaminate(train, ev) \
+            .select("doc_id", F.col("n_overlap").alias("oe"),
+                    F.col("decontam_keep").alias("ke"))
+        j = a.join(b, "doc_id")
+        assert j.where(F.col("ob") < F.col("oe")).count() == 0
+        assert j.where((F.col("kb") == 1) & (F.col("ke") == 0)) \
+                .count() == 0
+
+    def test_km_probe_pays_two_hashes(self, spark, docs):
+        """The optimization itself, pinned mechanically: the km probe
+        plan carries exactly 2 DISTINCT salted md5 expressions (h1, h2)
+        where the salted probe carries k. (Plan text inlines a shared
+        subexpression once per use site, so occurrence counts are
+        meaningless — codegen subexpression elimination evaluates each
+        DISTINCT expression once; distinct salt literals are the
+        evaluation count.)"""
+        import re
+        filt = bloom_build(docs, m_words=_M, k=_K, scheme="km")
+        arr = bloom_filter_array(filt, _M)
+
+        def salts(scheme):
+            plan = (bloom_probe(docs, arr, m_words=_M, k=_K,
+                                scheme=scheme, key_col="text")
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange" not in plan, plan
+            return set(re.findall(r"bloom:[0-9ab]+:", plan))
+
+        assert salts("km") == {"bloom:a:", "bloom:b:"}
+        assert salts("salted") == {f"bloom:{i}:" for i in range(_K)}
+
+    def test_unknown_scheme_rejected(self, spark, docs):
+        with pytest.raises(ValueError, match="scheme"):
+            bloom_build(docs, m_words=_M, k=_K, scheme="fnv")
