@@ -254,7 +254,7 @@ _PAST_WINDOW = ["q5_supplier_volume", "semi_anti_join",
                 # (a new name in the window would read as a "dropped"
                 # row for whichever query it displaced). Still benched
                 # and value-checked by the local oracle harness.
-                "bloom_decontamination_v2"]
+                "bloom_decontamination_v2", "winnow_dup_pairs_v2"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

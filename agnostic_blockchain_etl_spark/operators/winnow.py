@@ -46,16 +46,64 @@ _MIN_SHARED = 2
 _SALT = "winnow:"
 
 
+# v2 ("poly") fingerprint constants — 30-bit halves combined with
+# Horner polynomials mod a sub-2^30 prime; every intermediate stays
+# under 2^63 on both engines (x < 2^30, A < 2^21 → x·A < 2^51;
+# y < 2^30, B < 2^30 → y·B < 2^60).
+_M30 = 1 << 30                  # half-width split of the 60-bit word hash
+_PP = 1073741789                # largest prime below 2^30
+_PA = 1000003                   # hi-half Horner multiplier
+_PB = 998244353                 # lo-half Horner multiplier (≠ _PA family)
+_SALT2 = "winnow2:"
+
+
 def _check(k: int, w: int) -> None:
     if k <= 0 or w <= 0:
         raise ValueError(f"k/w must be positive, got {k}/{w}")
 
 
+def _check_scheme(scheme: str) -> None:
+    if scheme not in ("md5", "poly"):
+        raise ValueError(f"unknown winnow hash scheme {scheme!r} "
+                         "(expected 'md5' or 'poly')")
+
+
 def _selected(docs: DataFrame, k: int, w: int, text_col: str,
-              id_col: str, salt: str) -> DataFrame:
+              id_col: str, salt: str, scheme: str = "md5") -> DataFrame:
     """Pre-distinct window-min selections ``(doc_id, fp, fp_pos)`` —
     one row per k-gram position (each carrying its window's winner);
-    both public forms distinct this ONCE on the columns they need."""
+    both public forms distinct this ONCE on the columns they need.
+
+    ``scheme`` picks the k-gram hash family (r12 optimization round):
+
+    ``md5`` (v1, default): materialize each k-gram string
+    (concat_ws over a slice) and take `hashing.keyed_h60` of it — one
+    md5+conv PER K-GRAM POSITION (≈ one per token). Values
+    oracle-pinned since r10; never change.
+
+    ``poly`` (v2): hash each WORD once with `keyed_h60` and combine
+    the k word-hashes into a 60-bit fingerprint with pure integer
+    arithmetic both engines evaluate bit-identically: split each
+    60-bit word hash into 30-bit halves, Horner-fold each half across
+    the gram (multipliers `_PA`/`_PB` mod prime `_PP`), and pack
+    ``hi·2^30 + lo``. No k-gram string is ever built (v1 concats and
+    md5s a ~k-word string PER POSITION); each word's md5 runs exactly
+    once per its row (shorter input, no concat churn). Pair collision
+    odds stay ~2^-60-ish for distinct grams. DIFFERENT fingerprint
+    values than v1, so the two schemes are separate oracle pairs.
+    Construction note (r12, measured): the natural array form —
+    transform(words, md5…) consumed by k shifted slices + zip_with
+    Horner — ran 1.4× SLOWER than v1: higher-order functions are
+    CodegenFallback (interpreted) and the md5-bearing subtree was
+    inlined into every slice (16 copies in the plan), so the per-word
+    hash ran k× after all, plus per-element array allocation. This
+    form instead posexplodes the words and takes the k−1 gram
+    neighbors with `lead()` over the (doc_id, pos) window the
+    selection needs anyway: zero higher-order functions, the Window
+    boundary pins the md5 to once per word row, the Horner fold is
+    whole-stage-codegen row arithmetic, and both windows share one
+    exchange+sort."""
+    _check_scheme(scheme)
     # tokenize+k-gram+hash must not run one-core; keyed by the doc id
     # so the healing shuffle doubles as the selection window's exchange
     # (the window is partitioned by doc_id — the per-GRAM exchange that
@@ -63,17 +111,37 @@ def _selected(docs: DataFrame, k: int, w: int, text_col: str,
     # grams are co-partitioned with their document either way)
     docs = spread(docs, id_col)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    kgs = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(words, i + 1, k)).alias("gram"))))
-    flat = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(kgs).alias("s"))
-            .select("doc_id", F.col("s.pos").alias("pos"),
-                    keyed_h60(salt, F.col("s.gram")).alias("h")))
+    if scheme == "poly":
+        flat_h = (docs.select(F.col(id_col).alias("doc_id"),
+                              F.posexplode(words).alias("pos", "w"))
+                  .select("doc_id", "pos",
+                          keyed_h60(salt, F.col("w")).alias("h0")))
+        ws = Window.partitionBy("doc_id").orderBy("pos")
+        hs = [F.col("h0")] + [F.lead("h0", j).over(ws)
+                              for j in range(1, k)]
+        gram = flat_h.select("doc_id", "pos", *[
+            h.alias(f"_h{j}") for j, h in enumerate(hs)])
+        hi = F.col("_h0") % _M30
+        lo = F.shiftright(F.col("_h0"), 30)
+        for j in range(1, k):
+            hi = (hi * _PA + F.col(f"_h{j}") % _M30) % _PP
+            lo = (lo * _PB + F.shiftright(F.col(f"_h{j}"), 30)) % _PP
+        flat = (gram.where(F.col(f"_h{k - 1}").isNotNull())
+                .select("doc_id", "pos",
+                        (hi * _M30 + lo).alias("h")))
+    else:
+        kgs = F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ",
+                                F.slice(words, i + 1, k)).alias("gram"))))
+        flat = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode(kgs).alias("s"))
+                .select("doc_id", F.col("s.pos").alias("pos"),
+                        keyed_h60(salt, F.col("s.gram")).alias("h")))
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(Window.currentRow, w - 1))
     sel = flat.select(
@@ -87,7 +155,8 @@ def _selected(docs: DataFrame, k: int, w: int, text_col: str,
 def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
                         text_col: str = "text",
                         id_col: str = "doc_id",
-                        salt: str = _SALT) -> DataFrame:
+                        salt: str = _SALT,
+                        scheme: str = "md5") -> DataFrame:
     """``(doc_id, fp, fp_pos)`` — the distinct winnowed fingerprints of
     each document: 60-bit salted k-gram hashes, one minimum per w-hash
     window (rightmost minimum on ties, the paper's rule, expressed as
@@ -96,13 +165,14 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = _K, w: int = _W,
     position-bearing half of the scheme (span reconstruction, passage
     alignment). NULL/short texts (< k tokens) produce no rows."""
     _check(k, w)
-    return _selected(docs, k, w, text_col, id_col, salt).distinct()
+    return _selected(docs, k, w, text_col, id_col, salt,
+                     scheme).distinct()
 
 
 def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
                  min_shared: int = _MIN_SHARED, max_df: int = _MAX_DF,
                  text_col: str = "text", id_col: str = "doc_id",
-                 salt: str = _SALT) -> DataFrame:
+                 salt: str = _SALT, scheme: str = "md5") -> DataFrame:
     """``(doc_a, doc_b, n_shared)`` — document pairs sharing at least
     ``min_shared`` winnowed fingerprints (doc_a < doc_b): the copied-
     passage candidate pairs. Fingerprints present in more than
@@ -123,8 +193,13 @@ def winnow_pairs(docs: DataFrame, *, k: int = _K, w: int = _W,
     # carry a pushed IsNotNull(doc_id) the guard branch lacks), so the
     # uncached plan ran the md5-per-k-gram selection FOUR times
     # (measured: 4 full Scan→Generate→Window subtrees in the r11
-    # before-plan). The cache is fingerprint-sized (2 longs/row).
-    fps = _scoped_cache(_selected(docs, k, w, text_col, id_col, salt)
+    # before-plan). The cache is 2 longs/row but CORPUS-PROPORTIONAL
+    # in row count (~2/(w+1) of all k-gram positions survive
+    # winnowing), unlike the bounded scoped caches elsewhere — at
+    # production scale it leans on MEMORY_AND_DISK spill, which is
+    # still strictly cheaper than recomputing the selection 4×.
+    fps = _scoped_cache(_selected(docs, k, w, text_col, id_col, salt,
+                                  scheme)
                         .select("doc_id", "fp").distinct())
     guard = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
              .where(F.col("_df") <= max_df).select("fp"))
@@ -180,6 +255,69 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flood guard, and the pair counts all value-pinned."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return winnow_pairs(docs)
+
+
+def _sql_winnow_pairs_v2() -> str:
+    """DuckDB twin of the poly fingerprint: per-WORD h60, 30-bit
+    halves Horner-folded with the same constants and the same
+    left-to-right reduction order as the Spark zip_with chain."""
+    h = sql_keyed_h60(f"'{_SALT2}'", "t")
+    hi = f"(hs[i+1] % {_M30})"
+    lo = f"(hs[i+1] >> 30)"
+    for j in range(1, _K):
+        hi = f"(({hi} * {_PA} + (hs[i+{j + 1}] % {_M30})) % {_PP})"
+        lo = f"(({lo} * {_PB} + (hs[i+{j + 1}] >> 30)) % {_PP})"
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+')
+                             AS words
+                  FROM documents),
+    wh AS (SELECT doc_id, len(words) AS n,
+                  list_transform(words, t -> {h}) AS hs
+           FROM toks),
+    kg AS (SELECT doc_id,
+                  CASE WHEN n >= {_K} THEN
+                    list_transform(generate_series(0, n - {_K}),
+                      i -> {{'pos': i,
+                             'h': {hi} * CAST({_M30} AS BIGINT)
+                                  + {lo}}})
+                  ELSE [] END AS kgs
+           FROM wh),
+    flat AS (SELECT doc_id, unnest(kgs) AS s FROM kg),
+    hashed AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM flat),
+    sel AS (SELECT doc_id,
+                   min(struct_pack(h := h, np := -pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_W - 1} FOLLOWING) AS m
+            FROM hashed),
+    fps AS (SELECT DISTINCT doc_id, (m).h AS fp FROM sel),
+    guard AS (SELECT fp FROM fps
+              GROUP BY fp HAVING count(*) <= {_MAX_DF}),
+    g AS (SELECT f.doc_id, f.fp FROM fps f JOIN guard USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_MIN_SHARED}
+    """
+
+
+@query("winnow_dup_pairs_v2", oracle=_sql_winnow_pairs_v2())
+def winnow_dup_pairs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`winnow_dup_pairs` with the poly fingerprint scheme (r11
+    verdict ask #8; r12 optimization round): one md5+conv per WORD
+    instead of one per K-GRAM (k=4 → 4× fewer md5s, and no per-gram
+    concat_ws string build), combined by integer Horner folding both
+    engines evaluate identically. Different fingerprint family ⇒
+    different (collision-induced) pair sets are possible, so this is
+    its own oracle pair; v1 stays untouched and oracle-pinned.
+    Registered PAST the driver's 50-slot window
+    (``__spark_entry__._PAST_WINDOW``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # _SALT2 keys the v2 family on BOTH sides (the oracle twin hashes
+    # with it too); the default _SALT stays v1's
+    return winnow_pairs(docs, scheme="poly", salt=_SALT2)
 
 
 def winnow_passages(docs: DataFrame, *, k: int = _K, w: int = _W,

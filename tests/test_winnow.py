@@ -285,3 +285,68 @@ class TestDecontaminate:
             assert (r["n_eval_docs"] > 0) == r["contaminated"]
             assert r["n_shared_fps"] >= 2 * r["n_eval_docs"] or \
                 r["n_eval_docs"] == 0
+
+
+class TestPolyScheme:
+    """scheme='poly' (r12, v2 pair): per-WORD h60 + integer Horner
+    folding instead of md5-per-k-gram. Same winnowing guarantees
+    (scheme only changes the hash family, never the selection rule);
+    different fingerprint VALUES, so v1/v2 are separate oracle pairs."""
+
+    def test_guarantee_holds_under_poly(self, spark):
+        shared = _passage(W + K - 1, "s")
+        d = _docs(spark, [
+            (1, _passage(30, "a") + " " + shared + " " + _passage(30, "b")),
+            (2, _passage(25, "c") + " " + shared + " " + _passage(35, "d")),
+        ])
+        got = winnow_pairs(d, min_shared=1, scheme="poly").collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+        d2 = _docs(spark, [(1, _passage(60, "a")), (2, _passage(60, "b"))])
+        assert winnow_pairs(d2, min_shared=1, scheme="poly").count() == 0
+
+    def test_poly_matches_reference_arithmetic(self, spark):
+        """The fingerprint VALUES, pinned against an independent pure-
+        Python evaluation of the same construction (md5 via hashlib,
+        Horner over 30-bit halves) — the cross-engine contract in
+        miniature, without DuckDB."""
+        import hashlib
+        from agnostic_blockchain_etl_spark.operators.winnow import (
+            _M30, _PA, _PB, _PP, _SALT, winnow_fingerprints)
+
+        def h60(s):
+            return int(hashlib.md5(
+                (_SALT + s).encode()).hexdigest()[:15], 16)
+
+        words = ["w0", "w1", "w2", "w3", "w4", "w5"]
+        hs = [h60(t) for t in words]
+        expected_fps = []
+        for i in range(len(words) - K + 1):
+            hi, lo = hs[i] % _M30, hs[i] >> 30
+            for j in range(1, K):
+                hi = (hi * _PA + hs[i + j] % _M30) % _PP
+                lo = (lo * _PB + (hs[i + j] >> 30)) % _PP
+            expected_fps.append(hi * _M30 + lo)
+        # w=1 window selects EVERY k-gram position's own hash
+        got = winnow_fingerprints(_docs(spark, [(1, " ".join(words))]),
+                                  w=1, scheme="poly").collect()
+        assert sorted(r.fp for r in got) == sorted(set(expected_fps))
+
+    def test_poly_plan_builds_no_gram_strings(self, spark):
+        """Pinned mechanically: the poly selection never materializes
+        a k-gram string (no concat_ws) and hashes at WORD grain (the
+        winnow salt feeds md5 inside an array transform, once per
+        token, not once per gram)."""
+        from agnostic_blockchain_etl_spark.operators.tables import \
+            load_tables
+        docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+        plan_v2 = winnow_fingerprints(docs, scheme="poly") \
+            ._jdf.queryExecution().executedPlan().toString()
+        plan_v1 = winnow_fingerprints(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "concat_ws" not in plan_v2, plan_v2
+        assert "concat_ws" in plan_v1, plan_v1
+
+    def test_unknown_scheme_rejected(self, spark):
+        d = _docs(spark, [(1, "a b c d e")])
+        with pytest.raises(ValueError, match="scheme"):
+            winnow_pairs(d, scheme="xx")
