@@ -775,6 +775,25 @@ def select_cluster_canonical(clusters: DataFrame, scores: DataFrame,
                      .otherwise(0).alias("is_canonical")))
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks of a locally-checkpointed frame that
+    will NEVER be read again. `localCheckpoint` truncates lineage, so
+    its blocks are the data — only call this on frames that are
+    provably dead (a superseded iteration state), never on anything a
+    lazy downstream plan still references. Without this, dead blocks
+    wait for a driver GC to reach ContextCleaner and meanwhile occupy
+    the protected storage fraction, where execution memory cannot
+    evict them (the measured 5× mid-session slowdown documented in
+    `connected_components`). Best-effort: the analyzed plan of a
+    checkpointed Dataset is a LogicalRDD whose `rdd` we unpersist; if
+    a Spark upgrade reshapes that, we silently fall back to the GC
+    path rather than fail the query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame,
                          local_finish_edges: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected pair frame (first two
@@ -856,6 +875,18 @@ def connected_components(pairs: DataFrame,
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").localCheckpoint(eager=True))
+    # Superseded edge checkpoints are released EXPLICITLY (r12 opt
+    # round, guide §5 "unpersist when done"): a localCheckpoint's
+    # blocks otherwise live until a DRIVER GC lets ContextCleaner
+    # collect the dead RDD — which may be never in a busy session —
+    # and dead edge copies (corpus-scale in the first rounds) pile up
+    # inside the PROTECTED storage fraction, where execution memory
+    # cannot evict them. Measured at the 10× corpus on local[32]:
+    # this query read 52.9 s mid-session vs 10.6 s with the blocks
+    # freed — 32 tasks blocked in execution-memory acquisition
+    # (executorRunTime 2.6× executorCpuTime, zero spill) behind
+    # ~rounds× dead edge checkpoints. Label maps are NOT freed: the
+    # lazy backward compose reads them at the caller's action.
     # Size the ITERATED state's shuffles to the edge subgraph, not the
     # session conf: the near-dup subgraph is orders of magnitude smaller
     # than the corpus the session's spark.sql.shuffle.partitions was
@@ -888,11 +919,13 @@ def connected_components(pairs: DataFrame,
         # emptiness probe the loop already needed
         n_edges = cur.count()
         if n_edges == 0:
+            _release_local_checkpoint(cur)
             break
         if n_edges <= local_finish_edges:
             local_root = spark.createDataFrame(
                 _union_find_min(cur.collect()),
                 "doc_id long, label long")
+            _release_local_checkpoint(cur)
             break
         lmap = (_sized(cur, "src")
                 .groupBy(F.col("src").alias("doc_id"))
@@ -922,8 +955,12 @@ def connected_components(pairs: DataFrame,
                    .select(F.col("ls").alias("src"),
                            F.col("ld").alias("dst"))
                    .where(F.col("src") != F.col("dst")))
+        prev_cur = cur
         cur = (_sized(rekeyed, "src", "dst")
                .distinct().localCheckpoint(eager=True))
+        # the contracted graph is materialized; its predecessor's edge
+        # blocks are dead from here on
+        _release_local_checkpoint(prev_cur)
     else:
         raise RuntimeError(
             "connected_components did not contract to empty in 64 "
@@ -961,7 +998,8 @@ def _flatten_labels(lmap: DataFrame) -> DataFrame:
     stays inside the vertex's component (each hop follows a real
     neighbor edge), so contraction with the flattened map preserves
     components exactly like the unflattened one."""
-    for _ in range(64):
+    prev_ckpt = lmap            # the caller rebinds over its argument,
+    for _ in range(64):         # so the pre-flatten map is dead too
         m = lmap.toDF("jid", "jlabel")
         new_label = F.coalesce("jlabel", lmap["label"])
         jumped = (lmap.join(m, lmap["label"] == m["jid"], "left")
@@ -969,6 +1007,10 @@ def _flatten_labels(lmap: DataFrame) -> DataFrame:
                           (new_label != lmap["label"]).alias("_chg"))
                   .localCheckpoint(eager=True))
         changed = jumped.where(F.col("_chg")).count()
+        # each jumped map supersedes the previous CHECKPOINTED frame
+        # (lmap itself is a lazy .drop over it after the first pass)
+        _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = jumped
         lmap = jumped.drop("_chg")
         if changed == 0:
             return lmap

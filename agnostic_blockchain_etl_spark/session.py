@@ -45,6 +45,17 @@ DEFAULT_CONF = {
     # runs the whole queries() inventory (measured: a big shingle plan pays
     # ~4 s of Janino recompilation on every run once its entries fall out)
     "spark.sql.codegen.cache.maxEntries": "10000",
+    # ContextCleaner only releases dead shuffle files / broadcasts /
+    # checkpoint blocks when a DRIVER GC processes their weak refs; the
+    # stock 30min periodic GC lets a busy long-lived session accumulate
+    # dead state that crowds live queries out of memory (r12: mid-
+    # session heavy rows read up to 5× their isolated wall on local[32]
+    # at the 10× corpus — tasks blocked in execution-memory acquisition
+    # behind dead blocks in the protected storage fraction, zero spill,
+    # executorRunTime ≈ 2.6× executorCpuTime). 2min bounds the backlog
+    # at ~one minor-GC's cost per interval; override for short-lived
+    # jobs where the default is irrelevant anyway.
+    "spark.cleaner.periodicGC.interval": "2min",
     "spark.sql.session.timeZone": "UTC",
     # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
     # nanosecond long with this flag (convert with timestamp_micros(ts/1000))

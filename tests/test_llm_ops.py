@@ -390,6 +390,46 @@ class TestConnectedComponentsDifferential:
         assert got == self._expected(edges)
 
 
+class TestCheckpointRelease:
+    """r12 optimization: `connected_components` frees superseded
+    localCheckpoint blocks explicitly instead of waiting for a driver
+    GC (dead corpus-scale edge copies in the protected storage
+    fraction blocked execution-memory acquisition — measured 5× on
+    the 10× corpus mid-session). Differential pin: identical labels
+    with the release stubbed out, and strictly fewer blocks left in
+    the block manager after the real path."""
+
+    def _run_cc(self, spark, edges):
+        from agnostic_blockchain_etl_spark.operators import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges],
+            "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["label"]
+               for r in connected_components(
+                   pairs, local_finish_edges=0).collect()}
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        blocks = sum(1 for i in infos if i.memSize() > 0
+                     or i.diskSize() > 0)
+        return got, blocks
+
+    def test_release_frees_edge_blocks_and_preserves_labels(
+            self, spark, monkeypatch):
+        import gc
+        from agnostic_blockchain_etl_spark.operators import dedup as D
+        # a chain forces several contraction rounds (slow shrink)
+        edges = [(i, i + 1) for i in range(64)]
+        gc.collect()
+        labels_fixed, blocks_fixed = self._run_cc(spark, edges)
+        monkeypatch.setattr(D, "_release_local_checkpoint",
+                            lambda df: None)
+        labels_leaky, blocks_leaky = self._run_cc(spark, edges)
+        monkeypatch.undo()
+        assert labels_fixed == labels_leaky      # release changes NOTHING
+        # the leaky path leaves the superseded edge checkpoints behind
+        assert blocks_fixed < blocks_leaky, (blocks_fixed, blocks_leaky)
+
+
 class TestConcurrencyHygiene:
     """Session-global state must survive concurrent query execution:
     no cross-thread cache unpersists, no session-conf mutation from

@@ -282,7 +282,12 @@ def test_winnow_selection_scan_is_spread(spark):
     # exactly one selection subtree: formatted explain numbers each
     # UNIQUE node once in the detail section, so one "(n) Generate"
     # detail means the k-gram explode exists only inside the single
-    # cached relation, however many consumers print its tree
+    # cached relation, however many consumers print its tree.
+    # NOTE (r11 advice): the "(n) Node" regex is coupled to Spark's
+    # formatted-explain numbering — a Spark upgrade that reformats
+    # explain output could fail this pin without a real regression;
+    # re-derive the counts from the new format rather than deleting
+    # the assertion if that happens.
     import re
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
@@ -352,3 +357,22 @@ def test_cooc_vocab_filter_is_broadcast(spark):
     plan = _plan_of(
         entry.queries()["term_cooccurrence_pmi"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shj_guardrails_pinned(spark):
+    """The r11 shuffled-hash preference and its r12-validated skew
+    guard travel TOGETHER (SCALE.md "r12: the SHJ preference
+    validated"): preferSortMergeJoin=false is only safe because AQE
+    skew-join splitting covers gate-passing-but-skewed build sides.
+    Removing the guard while keeping the preference must fail here
+    before it can OOM a cluster. Also pins the r12 ContextCleaner
+    cadence (dead shuffle/broadcast/checkpoint state measured 5x on
+    mid-session heavy rows with the stock 30min GC)."""
+    from agnostic_blockchain_etl_spark.session import DEFAULT_CONF
+    assert DEFAULT_CONF["spark.sql.join.preferSortMergeJoin"] == "false"
+    assert DEFAULT_CONF["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert DEFAULT_CONF["spark.sql.adaptive.enabled"] == "true"
+    assert DEFAULT_CONF["spark.cleaner.periodicGC.interval"] == "2min"
+    # and the live session actually carries them
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
