@@ -155,6 +155,11 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     satisfies the distribution, and Project/Generate are alias-aware /
     partitioning-preserving). The round-robin form stays the default —
     keying is only a win when a consumer is actually clustered by it.
+    NULL-key caveat (r11 advice): hashpartitioning sends every
+    NULL-key row to one partition, so a null-heavy key would make the
+    healing shuffle itself skewed where round-robin would not — key
+    only by columns that are non-null by construction (the callers all
+    key by ``doc_id``, a parquet primary key here).
 
     Streaming frames pass through untouched: ``.rdd`` is illegal on an
     unstarted stream, and micro-batch parallelism is the source's

@@ -129,6 +129,29 @@ class TestFunnelLatency:
                funnel_latency(ev, STEPS, window_micros=100).collect()}
         assert out[2]["mean_us"] == 2
 
+    def test_skipped_level_never_counts(self, spark):
+        """The chain invariant the r11 conditional-agg rewrite rests
+        on (r11 verdict flag #7): ``count(dt)`` with dt = t_k − t_{k−1}
+        equals the old filtered ``count(*)`` over t_k only because a
+        user can NEVER have t_k without t_{k−1} — `funnel_user_levels`
+        derives each t_k from an inner join on t_{k−1}. Crafted skip:
+        a user who purchases without ever clicking must be absent from
+        level 3's n_users (and level 3 must not inherit them via a
+        NULL-gap row)."""
+        ev = _events(spark, [
+            (1, 0, "view"), (1, 50, "purchase"),          # skips click
+            (2, 0, "view"), (2, 10, "click"), (2, 30, "purchase"),
+        ])
+        lv = {r["user_id"]: r for r in
+              funnel_user_levels(ev, STEPS,
+                                 window_micros=100).collect()}
+        assert lv[1]["t2"] is None and lv[1]["t3"] is None
+        assert lv[1]["level"] == 1
+        out = {r["level"]: r for r in
+               funnel_latency(ev, STEPS, window_micros=100).collect()}
+        assert out[2]["n_users"] == 1          # user 2 only
+        assert out[3]["n_users"] == 1 and out[3]["mean_us"] == 20
+
 
 _DAY = 86_400_000_000
 
