@@ -126,6 +126,11 @@ HEADLINE = [
     "funnel_latency_report",
     "retention_hll_matrix",
     "km_survival_curve",
+    # r12 additions (ADD-only per the bench contract; nothing above
+    # removed or renamed): the cheap-hash v2 oracle pairs, so the
+    # driver's artifact carries their rows next to their v1 twins
+    "bloom_decontamination_v2",
+    "winnow_dup_pairs_v2",
 ]
 
 
